@@ -1,0 +1,202 @@
+"""Ingest core — the reference pipeline's R-operators, Spark-first.
+
+Reference behavior being re-expressed (citations into
+``/root/reference/ccxt-ohlcv-fetch.py``):
+
+- R8 positional projection: API rows ``[ts,o,h,l,c,v]`` -> named
+  columns with ``int(ts)`` cast (`:57-66`).
+- R9 overlap drop: the first row of a page equals the ``since`` cursor
+  and must not be re-inserted (`:104` does ``batch[1:]``). We express it
+  as a predicate ``ts > since`` — same net effect, but declarative and
+  safe even when the API returns no overlap row.
+- R10 incomplete-tail filter: drop a candle whose bucket hasn't closed:
+  ``now - interval(timeframe) < candle_ts`` (`last_candle_is_incomplete`,
+  `:141-163`; applied `:122-124`). The reference computes this in naive
+  local time (`:151-152`) — a bug we fix by doing the arithmetic on UTC
+  instants.
+- R3 conflict-ignoring upsert: on PK violation drop the newest row,
+  rollback, retry (`:71-75`) — net semantics "INSERT OR IGNORE". Spark
+  has no storage-side PK, so idempotency becomes an explicit left-anti
+  join against the existing keys of the *target partition only*
+  (partition pruning keeps the anti-join sub-linear at 100 TB: we only
+  read the (exchange,symbol,timeframe) partition being appended, and
+  parquet row-group min/max stats on `timestamp` prune further since
+  appends only ever overlap the tail).
+- R4 resume offset: newest stored timestamp, ``ORDER BY timestamp DESC
+  LIMIT 1`` over an index (`:86-91`). Spark: ``agg(max(timestamp))`` on
+  the pruned partition — served by parquet footer stats.
+- R2/R6 partitioned append: one SQLite file per (exchange, symbol,
+  timeframe) (`gen_db_name`, `:134-138`) becomes ONE parquet dataset
+  ``partitionBy("exchange","symbol","timeframe")``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.functions.timeframe import timeframe_interval_expr
+
+PARTITION_COLS = ("exchange", "symbol", "timeframe")
+
+# 2014-01-01T00:00:00Z, the reference's DEFAULT_SINCE (`:26`).
+DEFAULT_SINCE_MS = 1388534400000
+
+
+def normalize_symbol(symbol: str) -> str:
+    """``'XRP/USD' -> 'XRPUSD'`` (`gen_db_name`, `:135`)."""
+    return symbol.replace("/", "")
+
+
+def project_ohlcv_rows(
+    spark: SparkSession,
+    rows: Iterable[Iterable],
+    exchange: str,
+    symbol: str,
+    timeframe: str,
+) -> DataFrame:
+    """R8: positional 6-wide API rows -> named, typed, partition-tagged.
+
+    Mirrors `:57-66` (positional unpack + int(ts) cast) plus the
+    partition columns that replace the per-file layout.
+    """
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "timestamp long, open double, high double, low double, close double, volume double",
+    )
+    return (
+        df.withColumn("exchange", F.lit(exchange))
+        .withColumn("symbol", F.lit(normalize_symbol(symbol)))
+        .withColumn("timeframe", F.lit(timeframe))
+    )
+
+
+def drop_overlap(df: DataFrame, since_ms: int | None, ts_col: str = "timestamp") -> DataFrame:
+    """R9 (`:104`): keep only rows strictly newer than the cursor."""
+    if since_ms is None:
+        return df
+    return df.filter(F.col(ts_col) > F.lit(since_ms))
+
+
+def drop_incomplete_tail(
+    df: DataFrame,
+    timeframe: str,
+    now_ms: int | None = None,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """R10 (`:141-163`): drop candles whose bucket hasn't closed yet.
+
+    A candle opened at ``ts`` is complete iff ``ts + timeframe <= now``.
+    ``now_ms=None`` uses the cluster clock (current_timestamp) — tests
+    inject a fixed instant for determinism. UTC throughout (fixes the
+    reference's naive-localtime quirk at `:151-152`).
+    """
+    now = (
+        F.current_timestamp()
+        if now_ms is None
+        else F.timestamp_millis(F.lit(now_ms))
+    )
+    candle_end = F.timestamp_millis(F.col(ts_col)) + timeframe_interval_expr(timeframe)
+    return df.filter(candle_end <= now)
+
+
+class CandleDataset:
+    """The reference's per-(exchange,symbol,timeframe) SQLite files as one
+    Hive-partitioned parquet dataset (R2/R3/R4/R6).
+
+    Queries that filter on the partition columns prune to a single
+    directory — the Spark analog of "pick the right SQLite file"
+    (SURVEY.md §1.3).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        try:
+            self.spark.read.parquet(self.path).schema
+            return True
+        except Exception:  # noqa: BLE001 — missing path surfaces as AnalysisException
+            return False
+
+    def read(
+        self,
+        exchange: str | None = None,
+        symbol: str | None = None,
+        timeframe: str | None = None,
+    ) -> DataFrame:
+        """Partition-pruned scan (filters on partition cols only).
+
+        ``symbol`` accepts either the raw (``XRP/USD``) or stored
+        (``XRPUSD``) form — partitions are stored normalized (`:135`).
+        """
+        df = self.spark.read.parquet(self.path)
+        if symbol is not None:
+            symbol = normalize_symbol(symbol)
+        for col, val in zip(PARTITION_COLS, (exchange, symbol, timeframe)):
+            if val is not None:
+                df = df.filter(F.col(col) == val)
+        return df
+
+    def resume_offset(self, exchange: str, symbol: str, timeframe: str) -> int | None:
+        """R4 (`:86-91`, used at `:275`): newest stored epoch-ms, or None.
+
+        ``max(timestamp)`` over one pruned partition — answered from
+        parquet footer statistics, the columnar analog of the
+        reference's ``timestamp_idx`` B-tree (`:45`).
+        """
+        if not self._exists():
+            return None
+        row = (
+            self.read(exchange, symbol, timeframe)
+            .agg(F.max("timestamp").alias("m"))
+            .collect()[0]
+        )
+        return row["m"]
+
+    def append_idempotent(self, batch: DataFrame) -> int:
+        """R2+R3: bulk append with INSERT-OR-IGNORE semantics (`:69-75`).
+
+        Anti-join the incoming batch against existing keys, pruned two
+        ways so the join stays tiny at any history size: (a) partition
+        pruning to the (exchange,symbol,timeframe) dirs present in the
+        batch, (b) row-group pruning to ``timestamp >= min(batch.ts)`` —
+        appends only ever overlap the tail, and parquet min/max stats
+        skip all older row groups. The pruned key set is broadcast, so
+        the batch never shuffles. Re-appending an identical batch is a
+        no-op.
+        """
+        if self._exists():
+            keys = [*PARTITION_COLS, "timestamp"]
+            stats = batch.select(
+                *PARTITION_COLS, F.col("timestamp").alias("_ts")
+            ).groupBy(*PARTITION_COLS).agg(F.min("_ts").alias("_min_ts")).collect()
+            existing = self.spark.read.parquet(self.path)
+            cond = None
+            for r in stats:
+                c = (
+                    (F.col("exchange") == r["exchange"])
+                    & (F.col("symbol") == r["symbol"])
+                    & (F.col("timeframe") == r["timeframe"])
+                    & (F.col("timestamp") >= r["_min_ts"])
+                )
+                cond = c if cond is None else (cond | c)
+            existing = existing.filter(cond).select(*keys)
+            batch = batch.join(F.broadcast(existing), on=keys, how="left_anti")
+        batch = batch.cache()
+        try:
+            n = batch.count()  # rows actually appended (post-dedup)
+            if n:
+                (
+                    batch.repartition(*PARTITION_COLS)
+                    .sortWithinPartitions("timestamp")  # R13: explicit order (`:70`)
+                    .write.mode("append")
+                    .partitionBy(*PARTITION_COLS)
+                    .parquet(self.path)
+                )
+        finally:
+            batch.unpersist()
+        return n

@@ -1,0 +1,158 @@
+"""Property tests for the ingest core — the four reference invariants
+(SURVEY.md §5): idempotent re-append (R3), overlap drop (R9),
+incomplete-tail trim at bucket boundaries (R10), gap/dupe-free resume
+across restarts (R4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.ingest import (
+    CandleDataset,
+    drop_incomplete_tail,
+    drop_overlap,
+    project_ohlcv_rows,
+)
+from ccxt_ohlcv_fetcher_spark.sources.catalog import Catalog, ExchangeMeta
+from ccxt_ohlcv_fetcher_spark.sources.paging import FixturePagingSource, ingest_candles
+
+T0 = 1700000000 * 1000 - (1700000000 % 60) * 1000  # minute-aligned epoch ms
+MIN = 60_000
+
+
+def grid(n: int, t0: int = T0) -> list[list]:
+    """Contiguous 1m candle grid (FIXTURES.md §B generation notes)."""
+    return [
+        [t0 + i * MIN, 100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 10.0 * (i + 1)]
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def dataset(spark, tmp_path):
+    return CandleDataset(spark, str(tmp_path / "candles"))
+
+
+def test_project_ohlcv_rows_named_and_typed(spark):
+    df = project_ohlcv_rows(spark, grid(3), "bitfinex", "XRP/USD", "1m")
+    assert df.columns == [
+        "timestamp", "open", "high", "low", "close", "volume",
+        "exchange", "symbol", "timeframe",
+    ]
+    row = df.orderBy("timestamp").first()
+    assert row["symbol"] == "XRPUSD"  # '/' stripped (gen_db_name :135)
+    assert row["timestamp"] == T0 and isinstance(row["timestamp"], int)
+
+
+def test_overlap_drop(spark):
+    # page 2 starts with page 1's last row, like a real ccxt response (:104)
+    rows = grid(5)
+    df = project_ohlcv_rows(spark, rows, "e", "S/X", "1m")
+    out = drop_overlap(df, since_ms=rows[2][0])
+    assert out.count() == 2
+    assert out.agg(F.min("timestamp")).collect()[0][0] == rows[3][0]
+
+
+def test_incomplete_tail_boundary(spark):
+    rows = grid(4)  # candles open at t0..t0+3m
+    df = project_ohlcv_rows(spark, rows, "e", "S/X", "1m")
+    # now exactly at close of candle 2 (t0+3m): candles 0,1,2 complete,
+    # candle 3 (opened t0+3m, closes t0+4m) still open -> dropped
+    now = T0 + 3 * MIN
+    kept = drop_incomplete_tail(df, "1m", now_ms=now)
+    assert kept.count() == 3
+    # one ms earlier, candle 2 is still open too
+    kept = drop_incomplete_tail(df, "1m", now_ms=now - 1)
+    assert kept.count() == 2
+
+
+def test_idempotent_reappend(spark, dataset):
+    df = project_ohlcv_rows(spark, grid(10), "e", "S/X", "1m")
+    dataset.append_idempotent(df)
+    dataset.append_idempotent(df)  # R3: re-append is a no-op (:71-75)
+    assert dataset.read("e", "SX", "1m").count() == 10
+
+
+def test_partial_overlap_append(spark, dataset):
+    dataset.append_idempotent(project_ohlcv_rows(spark, grid(10), "e", "S/X", "1m"))
+    # new batch overlaps rows 5..9, adds 10..14
+    dataset.append_idempotent(
+        project_ohlcv_rows(spark, grid(10, T0 + 5 * MIN), "e", "S/X", "1m")
+    )
+    got = dataset.read("e", "SX", "1m")
+    assert got.count() == 15
+    assert got.select("timestamp").distinct().count() == 15
+
+
+def test_partition_isolation(spark, dataset):
+    dataset.append_idempotent(project_ohlcv_rows(spark, grid(5), "e1", "A/B", "1m"))
+    dataset.append_idempotent(project_ohlcv_rows(spark, grid(5), "e2", "A/B", "1m"))
+    # same timestamps, different exchange -> both kept
+    assert dataset.read().count() == 10
+    assert dataset.read("e1").count() == 5
+
+
+def test_resume_offset(spark, dataset):
+    assert dataset.resume_offset("e", "SX", "1m") is None
+    dataset.append_idempotent(project_ohlcv_rows(spark, grid(7), "e", "S/X", "1m"))
+    assert dataset.resume_offset("e", "SX", "1m") == T0 + 6 * MIN
+
+
+def test_ingest_loop_restart_no_gaps_no_dupes(spark, dataset):
+    """R4 invariant: stop mid-history, restart, end state == one-shot run."""
+    rows = grid(1000)
+    now = T0 + 1000 * MIN  # all candles closed
+    src = FixturePagingSource(rows, page_size=100)
+    ingest_candles(
+        spark, src, dataset, "e", "S/X", "1m", now_ms=now,
+        since_ms=T0, max_pages=4,  # simulated crash after 4 pages
+    )
+    n_partial = dataset.read().count()
+    assert 0 < n_partial < 1000
+    # restart: resume from stored offset (since_ms=None)
+    calls_before = src.calls
+    st = ingest_candles(spark, src, dataset, "e", "S/X", "1m", now_ms=now)
+    got = dataset.read("e", "SX", "1m")
+    assert got.count() == 1000
+    ts = [r[0] for r in got.select("timestamp").orderBy("timestamp").collect()]
+    assert ts == [T0 + i * MIN for i in range(1000)]  # contiguous, no dupes
+    # the restart truly RESUMED (did not re-page history from the start)
+    assert src.calls - calls_before <= 8
+    assert st.rows_appended == 1000 - n_partial
+
+
+def test_ingest_loop_trims_open_candle(spark, dataset):
+    rows = grid(10)
+    now = T0 + 9 * MIN + 30_000  # candle 9 opened 30s ago -> incomplete
+    src = FixturePagingSource(rows, page_size=100)
+    ingest_candles(spark, src, dataset, "e", "S/X", "1m", now_ms=now, since_ms=T0)
+    assert dataset.read().count() == 9
+
+
+def test_catalog_validation():
+    cat = Catalog(
+        {
+            "bitfinex": ExchangeMeta(
+                "bitfinex", symbols={"XRP/USD"}, timeframes={"1m", "1h"}
+            ),
+            "emulated_ex": ExchangeMeta("emulated_ex", has_fetch_ohlcv="emulated"),
+        }
+    )
+    cat.validate("bitfinex", "XRP/USD", "1m")
+    with pytest.raises(ValueError, match="unknown exchange"):
+        cat.validate("nope", "XRP/USD", "1m")
+    with pytest.raises(ValueError, match="native OHLCV"):
+        cat.validate("emulated_ex", "XRP/USD", "1m")
+    with pytest.raises(ValueError, match="timeframe"):
+        cat.validate("bitfinex", "XRP/USD", "3m")
+    with pytest.raises(ValueError, match="symbol"):
+        cat.validate("bitfinex", "BTC/USD", "1m")
+    with pytest.raises(ValueError, match="invalid timeframe"):
+        cat.validate("bitfinex", "XRP/USD", "1x")
+    assert cat.symbols_of("bitfinex") == ["XRP/USD"]
+    assert (
+        cat.dataset_path("/data/candles", "bitfinex", "XRP/USD", "1m")
+        == "/data/candles/exchange=bitfinex/symbol=XRPUSD/timeframe=1m"
+    )
