@@ -4,8 +4,12 @@ from ccxt_ohlcv_fetcher_spark.plans.registry import REGISTRY, QuerySpec, registe
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from ccxt_ohlcv_fetcher_spark.plans import (  # noqa: F401
+        aggregates,
+        joins,
         relational,
+        scalar,
         timeseries,
+        windows,
     )
 
     return REGISTRY

@@ -1,0 +1,301 @@
+"""Aggregation breadth (SURVEY.md §2.4, ops E13-E17) + set ops (§2.7,
+E23-E24) + sort/limit (§2.6, E22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.plans.registry import (
+    davg,
+    dec,
+    dsum,
+    register,
+    sql_davg,
+    sql_dsum,
+)
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+
+@register(
+    "acctbal_rollup",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           grouping(r.r_name) AS g_region, grouping(n.n_name) AS g_nation,
+           {sql_dsum("c.c_acctbal")} AS total_bal,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="Hierarchical rollup (op E15) over the region->nation hierarchy — "
+    "the partition hierarchy pattern of the reference's directory layout "
+    "(gen_db_name, ccxt-ohlcv-fetch.py:134-138). grouping() flags "
+    "disambiguate subtotal rows from real NULL keys.",
+    tags=("E15", "E5", "E6"),
+)
+def acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+        )
+    )
+    return joined.rollup("region", "nation").agg(
+        F.grouping("region").cast("int").alias("g_region"),
+        F.grouping("nation").cast("int").alias("g_nation"),
+        dsum("c_acctbal").alias("total_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "lineitem_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           {sql_dsum("l_quantity")} AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="Cube (op E15): all grouping-set combinations in one pass "
+    "(Spark expands to a single Expand + one shuffle).",
+    tags=("E15",),
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "big_spender_nations",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum("o.o_totalprice")} AS total_price,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    HAVING count(*) > 20
+    """,
+    doc="HAVING (op E16): post-aggregation filter — in Spark just a "
+    "filter over the agg, folded by Catalyst into the same stage.",
+    tags=("E16", "E13"),
+)
+def big_spender_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 20)
+    )
+
+
+@register(
+    "daily_distinct_users",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Exact count-distinct (op E14): two-phase distinct aggregation "
+    "(Spark expands + partial-aggregates per key before the shuffle).",
+    tags=("E14",),
+)
+def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches differ across engines -> rows-only check;
+    # exactness is covered by daily_distinct_users (op E14 exact path)
+    doc="approx_count_distinct / HLL++ (op E14 approx path): the 100 TB "
+    "path for distinct cardinality — no shuffle of distinct values, "
+    "mergeable sketches. Cross-checked against exact counts in tests.",
+    tags=("E14",),
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "price_stats_by_brand",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))
+                         * CAST(p_retailprice AS DECIMAL(18,6)))
+                     AS DECIMAL(38,6)) AS DOUBLE) AS sum_sq,
+           min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price
+    FROM part
+    GROUP BY 1
+    """,
+    doc="Statistical aggregates (op E17) via exact decimal moments: "
+    "sum and sum-of-squares are exact (decimal), so variance/stddev "
+    "derive deterministically driver-side or in a projection; avoids "
+    "engine-specific stddev accumulation orders.",
+    tags=("E17",),
+)
+def price_stats_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = dec("p_retailprice")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("double").alias("sum_price"),
+        # re-scale to 6 before the double cast: scale-12 decimal->double
+        # conversion rounds differently across engines (int128 path)
+        F.sum(p * p).cast("decimal(38,6)").cast("double").alias("sum_sq"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@register(
+    "top20_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Global top-k (op E22): Spark plans TakeOrderedAndProject — "
+    "per-partition heaps, no global sort; deterministic tie-break.",
+    tags=("E22", "R4"),
+)
+def top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "all_parties",
+    oracle="""
+    SELECT c_custkey AS party_key, c_name AS party_name, c_acctbal AS acctbal,
+           'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+    """,
+    doc="UNION ALL (op E23) with schema alignment by name.",
+    tags=("E23",),
+)
+def all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.col("c_name").alias("party_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.col("s_name").alias("party_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return customer.unionByName(supplier)
+
+
+@register(
+    "nation_coverage",
+    oracle="""
+    SELECT n_nationkey, 'both' AS presence FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT n_nationkey, 'customers_only' AS presence FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+    doc="INTERSECT / EXCEPT (op E24): set semantics incl. dedup, "
+    "composed with a union into one coverage relation.",
+    tags=("E24", "E23"),
+)
+def nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_nations = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    supp_nations = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("presence", F.lit("both"))
+    only = cust_nations.subtract(supp_nations).withColumn(
+        "presence", F.lit("customers_only")
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "user_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot (op E13 wide form): event_type counts as columns; pinned "
+    "pivot values keep the schema static (required at scale — dynamic "
+    "pivot scans twice).",
+    tags=("E13",),
+)
+def user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

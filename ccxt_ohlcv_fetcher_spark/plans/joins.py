@@ -1,0 +1,234 @@
+"""Join-family queries (SURVEY.md §2.3, ops E5-E12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.joins import asof_join, banded_range_join
+from ccxt_ohlcv_fetcher_spark.plans.registry import dec, ms, register, sql_ms
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (op E8) — the PK-conflict dedup primitive of the "
+    "reference (ccxt-ohlcv-fetch.py:71-75) as a standalone relational op.",
+    tags=("E8",),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="Left-semi join (op E8): EXISTS without duplicating left rows.",
+    tags=("E8",),
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "events_value_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT band_id, CAST(band_id * 50 AS DOUBLE) AS lo,
+             CAST((band_id + 1) * 50 AS DOUBLE) AS hi
+      FROM (SELECT unnest(range(0, 20)) AS band_id)
+    )
+    SELECT b.band_id, b.lo, b.hi,
+           count(e.event_id) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1, 2, 3
+    """,
+    doc="Theta/range join (op E9): point-in-interval via banded equi-join "
+    "— the range predicate becomes an equi-join on a computed band id, so "
+    "Catalyst plans a hash join instead of BroadcastNestedLoop.",
+    tags=("E9",),
+)
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.range(0, 20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50).cast("double").alias("hi"),
+    )
+    joined = banded_range_join(
+        events.withColumn("_pt", F.col("value")),
+        bands.withColumn("_lo", F.col("lo")).withColumn("_hi", F.col("hi")),
+        left_point="_pt",
+        right_lo="_lo",
+        right_hi="_hi",
+        band_width=50,
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "purchase_last_error_asof",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, {sql_ms("p.ts")} AS ts_ms,
+           e.event_id AS last_error_id,
+           {sql_ms("e.ts")} AS last_error_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    doc="As-of join (op E10): nearest prior error per purchase, per user. "
+    "Spark formulation: union + last(ignorenulls) window — one shuffle on "
+    "the key, no nested loop (operators/joins.py). Oracle: DuckDB's "
+    "native ASOF JOIN.",
+    tags=("E10",),
+)
+def purchase_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        right_payload=["err_id", "err_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        F.col("asof_err_id").alias("last_error_id"),
+        ms("asof_err_ts").alias("last_error_ms"),
+    )
+
+
+@register(
+    "events_in_error_windows",
+    oracle=f"""
+    SELECT w.err_id, count(e.event_id) AS n_events,
+           {sql_ms("w.win_start")} AS win_start_ms
+    FROM (
+      SELECT event_id AS err_id, user_id, ts AS win_start,
+             ts + INTERVAL 1 HOUR AS win_end
+      FROM events WHERE event_type = 'error'
+    ) w
+    JOIN events e
+      ON e.user_id = w.user_id
+     AND e.ts >= w.win_start AND e.ts < w.win_end
+     AND e.event_type <> 'error'
+    GROUP BY 1, 3
+    """,
+    doc="Interval-overlap join (op E11): non-error events falling inside "
+    "the hour after each error, same user. Banded on epoch-hour + equi "
+    "user key -> plain shuffled join at scale.",
+    tags=("E11", "E9"),
+)
+def events_in_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    HOUR_MS = 3_600_000
+    windows = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("w_user"),
+            ms("ts").alias("win_start"),
+            (ms("ts") + HOUR_MS).alias("win_end"),
+        )
+    )
+    pts = events.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", ms("ts").alias("pt")
+    )
+    joined = banded_range_join(
+        pts,
+        windows,
+        left_point="pt",
+        right_lo="win_start",
+        right_hi="win_end",
+        band_width=HOUR_MS,
+        keys=[],
+        how="inner",
+    ).filter(F.col("user_id") == F.col("w_user"))
+    return joined.groupBy("err_id", "win_start").agg(
+        F.count("event_id").alias("n_events")
+    ).select("err_id", "n_events", F.col("win_start").alias("win_start_ms"))
+
+
+@register(
+    "region_type_matrix",
+    oracle="""
+    SELECT r.r_name AS region, t.event_type,
+           COALESCE(a.n, 0) AS n_events
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN (
+      SELECT n.n_regionkey AS rk, e.event_type AS et, count(*) AS n
+      FROM events e
+      JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      GROUP BY 1, 2
+    ) a ON a.rk = r.r_regionkey AND a.et = t.event_type
+    """,
+    doc="Cross join (op E12) building a dense region × event_type matrix, "
+    "densified with a left join so empty cells appear as zeros.",
+    tags=("E12", "E7"),
+)
+def region_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    events = load_table(spark, sf_dir, "events")
+    types = events.select("event_type").distinct()
+    counts = (
+        events.join(
+            F.broadcast(nation),
+            events.user_id % 25 == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_regionkey").alias("rk"), F.col("event_type").alias("et"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        region.crossJoin(types)
+        .join(
+            counts,
+            (F.col("rk") == F.col("r_regionkey")) & (F.col("et") == F.col("event_type")),
+            "left",
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

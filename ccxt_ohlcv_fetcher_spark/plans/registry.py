@@ -78,9 +78,14 @@ def davg(col: Column | str) -> Column:
 
 
 def ms(col: Column | str) -> Column:
-    """Timestamp -> epoch milliseconds bigint (matches DuckDB epoch_ms)."""
+    """Timestamp -> epoch milliseconds bigint (matches DuckDB epoch_ms).
+
+    Casts through TIMESTAMP first: parquet NTZ columns (orders/lineitem
+    dates) become UTC instants under the pinned session timezone, which
+    is exactly how the naive-timestamp oracle reads them.
+    """
     col = F.col(col) if isinstance(col, str) else col
-    return F.unix_millis(col)
+    return F.unix_millis(col.cast("timestamp"))
 
 
 # SQL-side counterparts (DuckDB dialect), used inside oracle strings.

@@ -24,7 +24,9 @@ from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
     SELECT l_returnflag, l_linestatus,
            {sql_dsum("l_quantity")} AS sum_qty,
            {sql_dsum("l_extendedprice")} AS sum_base_price,
-           {sql_dsum("CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))")} AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l_discount AS DECIMAL(18,6))))
+                     AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
            {sql_davg("l_quantity")} AS avg_qty,
            {sql_davg("l_discount")} AS avg_disc,
            count(*) AS count_order
@@ -46,7 +48,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price).cast("decimal(38,6)").cast("double").alias(
+                "sum_disc_price"
+            ),
             davg("l_quantity").alias("avg_qty"),
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -58,7 +62,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle=f"""
     SELECT n.n_name AS nation, r.r_name AS region,
-           {sql_dsum("CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))")} AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                     AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -86,7 +92,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(nation.n_name.alias("nation"), region.r_name.alias("region"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            F.sum(revenue).cast("decimal(38,6)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )

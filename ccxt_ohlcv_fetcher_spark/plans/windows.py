@@ -1,0 +1,157 @@
+"""Window-function queries (SURVEY.md §2.5, ops E18-E21) plus batch
+sessionization (the batch analog of session windows, op E32s).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ccxt_ohlcv_fetcher_spark.plans.registry import dec, ms, register, sql_ms
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+
+@register(
+    "event_deltas",
+    oracle=f"""
+    SELECT event_id, user_id, {sql_ms("ts")} AS ts_ms,
+           lag(event_id) OVER w AS prev_event_id,
+           {sql_ms("ts")} - lag({sql_ms("ts")}) OVER w AS gap_ms,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead (op E19): inter-event gap per user — the gap-detection "
+    "primitive for candle streams (cursor logic, ccxt-ohlcv-fetch.py:104,120).",
+    tags=("E19",),
+)
+def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ms("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        t.alias("ts_ms"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (t - F.lag(t).over(w)).alias("gap_ms"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@register(
+    "moving_stats",
+    oracle=f"""
+    SELECT event_id, user_id, {sql_ms("ts")} AS ts_ms,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w5 AS DOUBLE)
+             / count(*) OVER w5 AS mavg_5,
+           max(value) OVER w5 AS mmax_5,
+           CAST(sum(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+    FROM events
+    WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Frame-spec aggregates (ops E20/E21): 5-row moving average/max and "
+    "running sum per user; decimal accumulation keeps the moving sums "
+    "bit-identical across engines.",
+    tags=("E20", "E21"),
+)
+def moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, 0)
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        (F.sum(dec("value")).over(w5).cast("double") / F.count(F.lit(1)).over(w5)).alias(
+            "mavg_5"
+        ),
+        F.max("value").over(w5).alias("mmax_5"),
+        F.sum(dec("value")).over(wcum).cast("double").alias("running_sum"),
+    )
+
+
+@register(
+    "top3_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             dense_rank() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Ranking window (op E18) + top-k per group (op E22): dense_rank "
+    "over a joined fact, deterministic tie-break on orderkey.",
+    tags=("E18", "E22", "E5"),
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN {sql_ms("ts")} - lag({sql_ms("ts")})
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 OR lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           {sql_ms("min(ts)")} AS session_start_ms,
+           {sql_ms("max(ts)")} AS session_end_ms,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY 1, 2
+    """,
+    doc="Sessionization (batch analog of session_window, op E32s): "
+    "30-minute inactivity gap splits sessions; lag -> flag -> running sum "
+    "-> group. Two window passes + one groupBy, all on the user_id key.",
+    tags=("E32s", "E19", "E21"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ms("ts") - F.lag(ms("ts")).over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ms(F.min("ts")).alias("session_start_ms"),
+        ms(F.max("ts")).alias("session_end_ms"),
+        F.sum(dec("value")).cast("double").alias("session_value"),
+    )
