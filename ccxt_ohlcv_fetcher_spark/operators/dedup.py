@@ -1,0 +1,190 @@
+"""Deduplication operators (north star; SURVEY.md §2.11, E33/E34).
+
+Five dedup families, all shuffle-economical at 100 TB:
+
+- **exact** (E33): group by content hash, keep a deterministic
+  representative (min id). One shuffle on a 60-bit key.
+- **n-gram Jaccard** (exact near-dup): shingle inverted index ->
+  self-join on shingle -> per-pair common counts -> Jaccard filter.
+  Candidate generation touches only pairs sharing >=1 shingle (sparse),
+  never the N^2 cross product.
+- **MinHash** (E34): k independent md5-salted min-hashes per doc; docs
+  agreeing on a (banded) signature slice are near-dup candidates.
+  Signature computation is one explode + groupBy (map-side combine).
+- **LSH banding** on the MinHash signature: band hash -> bucket join;
+  probability of a pair sharing a band = 1-(1-s^r)^b.
+- **SimHash**: 16-bit sign-aggregated word-hash sketch; near-dups have
+  small Hamming distance (here: equal sketch, the scale-friendly form).
+
+Everything is md5-based (functions/hashing.py) so each op is verifiable
+against a DuckDB oracle — no engine-private hash in the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long
+from ccxt_ohlcv_fetcher_spark.operators.text import word_ngrams, words
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """E33: keep one deterministic representative per distinct content.
+
+    ``sha2/md5`` hash-groupBy rather than ``dropDuplicates([content])``:
+    grouping on a 60-bit hash shuffles 8 bytes per row instead of the
+    full document body.
+    """
+    h = md5_long(content_col)
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    winners = (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(agg.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def shingle_sets(
+    df: DataFrame, content_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle_hash) pairs, distinct per doc — the inverted-index
+    input for Jaccard and MinHash."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(words(F.col(content_col)), n)).alias("_sh"),
+        )
+        .select(id_col, md5_long("_sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Cost model: |pairs sharing a shingle| << N^2 for natural text; the
+    heavy hitter is a skewed shingle (boilerplate) — mitigated upstream
+    by dropping ultra-frequent shingles (document frequency cap).
+    """
+    sh = shingle_sets(df, content_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, content_col: str, id_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """E34: k-wide MinHash signature per doc (columns mh_0..mh_{k-1}).
+
+    One explode + one groupBy with k min() aggregates — partial
+    aggregation makes the shuffle k*8 bytes per doc regardless of doc
+    size.
+    """
+    sh = shingle_sets(df, content_col, id_col, n)
+    # salt the shingle hash k ways instead of re-hashing the text k times
+    aggs = [
+        F.min(md5_long(F.col("shingle").cast("string"), salt=str(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_buckets(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: (band_id, bucket_hash, id) — docs sharing a bucket are
+    candidates. bucket = md5 of the band's signature slice."""
+    out = []
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        out.append(
+            signatures.select(
+                F.lit(b).alias("band"),
+                md5_long(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
+                    "bucket"
+                ),
+                F.col(id_col),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """E34 end-to-end: near-dup candidate pairs via MinHash + LSH banding
+    (distinct id_a < id_b sharing >=1 band bucket)."""
+    sigs = minhash_signatures(df, content_col, id_col, k=k, n=n)
+    buckets = minhash_band_buckets(sigs, id_col, bands=bands, rows_per_band=k // bands)
+    a = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16  # oracle-expressible width; production would use 64
+
+
+def simhash(tokens: Column) -> Column:
+    """16-bit SimHash over word hashes: bit j of the sketch is the sign
+    of sum_w (+1 if bit j of md5_long(w) else -1)."""
+    hashes = F.transform(tokens, lambda w: md5_long(w))
+
+    def _bit_vote(j: int):
+        # closure factory: pyspark HOF lambdas must have exact arity
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(j))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("bigint")

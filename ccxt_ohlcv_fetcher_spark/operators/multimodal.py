@@ -1,0 +1,113 @@
+"""Multimodal column handling (north star; SURVEY.md §2.11, op E37).
+
+Images/audio/video are opaque ``binary`` payloads + typed metadata
+structs in one table; heavy per-item work (decode, resize, feature
+extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` so
+each Python worker sees a columnar batch, not a row.
+
+The container has no image/audio codecs, so the decode kernel is a
+clearly-marked STUB (deterministic fake features). Everything around
+it — schema, binary round-trip, batch shapes, partitioning — is real
+and tested; swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),  # image|audio|video
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("head_byte", T.IntegerType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_media(payload: bytes, meta: dict) -> object:
+    """REAL decode hook — requires codec libraries absent from this
+    container. Deliberately unimplemented (see module docstring)."""
+    raise NotImplementedError(
+        "media decoding requires image/audio codecs not present in this "
+        "environment; extract_features uses the deterministic stub kernel"
+    )
+
+
+def _stub_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'embedding': byte histogram moments. Stands in
+    for decode_media()+model inference with identical Spark plumbing."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    return [payload[i % len(payload)] / 255.0 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` streams columnar batches through Python; the kernel
+    is vectorizable per batch (real decoders would release the GIL /
+    use native code). Output is a stable, declared schema.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
+                    "head_byte": payloads.map(
+                        lambda b: -1 if b is None or len(b) == 0 else b[0]
+                    ),
+                    "checksum": payloads.map(
+                        lambda b: 0 if b is None else sum(b) % 2_147_483_647
+                    ),
+                    "feature": payloads.map(lambda b: _stub_features(b, dim)),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents fixture: payload
+    = utf-8 bytes of the text (a stand-in binary), metadata derived from
+    doc fields. Used by tests and the multimodal registry query."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("n_chars").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,140 @@
+"""Vector similarity search (north star; SURVEY.md §2.11, op E35).
+
+- ``cosine_topk``: exact brute-force top-k, two-stage (partition-local
+  top-k, then merge) so the shuffle carries ``|Q| * k`` rows per
+  partition instead of ``|Q| * |corpus|`` — the 100 TB-safe exact path
+  when the query set is broadcastable.
+- ``sign_lsh_buckets``: deterministic random-hyperplane LSH (hyperplane
+  components derived from md5, no RNG state) — the approximate scale
+  path: bucket-join candidates, exact re-rank inside buckets.
+
+Scoring is pure JVM array arithmetic (functions/arrays.py); embeddings
+are pre-normalized once so top-k-by-cosine becomes top-k-by-dot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product, l2_norm
+from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors. Output: (q_id, vec_id, score, rank), ties broken by vec_id.
+
+    Plan shape: broadcast(queries) x corpus -> score -> per-shuffle-
+    partition partial top-k (groupBy collect_list/slice with map-side
+    combine) -> final merge. No global sort, no window over the full
+    cross product.
+    """
+    scored = corpus.join(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        (
+            dot_product(corpus_vec, query_vec)
+            / (l2_norm(corpus_vec) * l2_norm(query_vec))
+        ).alias("score"),
+    )
+    # sortable struct: ascending (neg_score, vec_id) == (score desc, id asc)
+    item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+    partial = (
+        scored.repartition(F.col(query_id))
+        .groupBy(query_id, F.spark_partition_id().alias("_pid"))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
+    )
+    merged = (
+        partial.groupBy(query_id)
+        .agg(
+            F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias("_top")
+        )
+        .select(query_id, F.posexplode("_top").alias("pos", "item"))
+    )
+    return merged.select(
+        query_id,
+        F.col("item.id").alias(corpus_id),
+        (-F.col("item.neg")).alias("score"),
+        (F.col("pos") + 1).alias("rank"),
+    )
+
+
+def hyperplane(dim: int, plane_id: int, salt: str = "lsh") -> Column:
+    """Deterministic pseudo-random hyperplane: component i is mapped from
+    md5(salt|plane|i) into [-1, 1). No RNG state -> reproducible across
+    runs, engines, and cluster sizes."""
+    return F.array(
+        *[
+            (
+                md5_long(F.lit(f"{salt}|{plane_id}|{i}")).cast("double")
+                / F.lit(float(2**59))
+                - 1.0
+            )
+            for i in range(dim)
+        ]
+    )
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    salt: str = "lsh",
+) -> DataFrame:
+    """Random-hyperplane sign LSH: bucket id = sign bits of the vector's
+    dot products with ``n_planes`` fixed hyperplanes (2^n_planes buckets).
+    Cosine-similar vectors collide with probability (1 - theta/pi)^planes."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        d = dot_product(F.col(vec_col), hyperplane(dim, j, salt))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket corpus and queries, exact re-rank
+    within matching buckets only. Trades recall for touching
+    ~|corpus|/2^planes candidates per query. Output schema matches
+    :func:`cosine_topk` (rank within retrieved candidates)."""
+    c_b = sign_lsh_buckets(corpus, corpus_vec, n_planes, dim)
+    q_b = sign_lsh_buckets(queries, query_vec, n_planes, dim)
+    candidates = c_b.join(F.broadcast(q_b), "bucket").select(
+        query_id,
+        F.col(corpus_id),
+        (
+            dot_product(corpus_vec, query_vec)
+            / (l2_norm(corpus_vec) * l2_norm(query_vec))
+        ).alias("score"),
+    )
+    item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+    return (
+        candidates.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
+        .select(query_id, F.posexplode("_top").alias("pos", "item"))
+        .select(
+            query_id,
+            F.col("item.id").alias(corpus_id),
+            (-F.col("item.neg")).alias("score"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )

@@ -6,6 +6,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ccxt_ohlcv_fetcher_spark.plans import (  # noqa: F401
         aggregates,
         joins,
+        llm,
         relational,
         scalar,
         timeseries,

@@ -1,0 +1,491 @@
+"""North-star LLM-data-pipeline queries (SURVEY.md §2.11, E33-E37):
+dedup (exact / Jaccard / MinHash / SimHash), similarity search,
+text analysis, multimodal columns.
+
+Oracle strategy: every deterministic operator gets a full DuckDB
+oracle, including the hash-based ones — both engines compute the same
+md5-derived integers (functions/hashing.py), so even MinHash signatures
+and LSH candidate pairs hash-match. Only genuinely approximate ops
+(random-hyperplane ANN) take the rows-only check, and those are
+recall-tested against the exact path in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long_sql
+from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+    extract_features,
+    media_from_documents,
+)
+from ccxt_ohlcv_fetcher_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from ccxt_ohlcv_fetcher_spark.operators.text import (
+    LANG_MARKERS,
+    FINGERPRINT_MOD,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    words,
+)
+from ccxt_ohlcv_fetcher_spark.plans.registry import register
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+# --- shared DuckDB SQL fragments -----------------------------------------
+
+SQL_WORDS = r"list_filter(string_split_regex(text, '\s+'), w -> w <> '')"
+# 3-gram shingles over words (guarded for short docs), matching
+# operators/text.py word_ngrams(n=3)
+SQL_SHINGLES = (
+    "CASE WHEN len(words) >= 3 THEN "
+    "list_transform(range(1, len(words) - 1), "
+    "i -> array_to_string(words[i:i+2], ' ')) "
+    "ELSE [] END"
+)
+SQL_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (x, y) -> x + y)"
+)
+SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "list_transform({a}, x -> x * x)), (x, y) -> x + y))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{SQL_DOT.format(a=a, b=b)} / "
+        f"({SQL_NORM.format(a=a)} * {SQL_NORM.format(a=b)})"
+    )
+
+
+# --- E33: exact dedup ------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    oracle=f"""
+    WITH winners AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY {md5_long_sql("text")}
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN winners w ON d.doc_id = w.doc_id
+    """,
+    doc="Exact dedup (op E33): hash-groupBy on a 60-bit content hash, "
+    "deterministic min-id representative; shuffles 8 bytes/row instead "
+    "of document bodies.",
+    tags=("E33",),
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --- E34 family: near-dup --------------------------------------------------
+
+
+@register(
+    "jaccard_dup_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+           common * 1.0 / (na.n + nb.n - common) AS jaccard
+    FROM common
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (op E34 exact path): shingle "
+    "inverted index self-join — only pairs sharing a shingle are scored, "
+    "never the N^2 cross product.",
+    tags=("E34", "E36"),
+)
+def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+def _sql_minhash_signature_cte(k: int) -> str:
+    """CTE computing doc_id + mh_0..mh_{k-1}, mirroring
+    operators/dedup.py minhash_signatures (same salts, same hashes)."""
+    mins = ",\n             ".join(
+        f"min({md5_long_sql('CAST(shingle AS VARCHAR)', salt=str(i))}) AS mh_{i}"
+        for i in range(k)
+    )
+    return f"""
+    sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    sigs AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+@register(
+    "minhash_signatures_docs",
+    oracle=f"""
+    WITH {_sql_minhash_signature_cte(8)}
+    SELECT * FROM sigs
+    """,
+    doc="MinHash signatures (op E34): k=8 salted min-hashes per doc in "
+    "one explode + one groupBy (map-side combine -> 64 bytes/doc "
+    "shuffled). Fully oracle-checked — both engines agree on every "
+    "signature because hashing is md5-derived.",
+    tags=("E34",),
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "text", "doc_id", k=8, n=3)
+
+
+@register(
+    "minhash_candidate_pairs_docs",
+    oracle=f"""
+    WITH {_sql_minhash_signature_cte(8)},
+    buckets AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, 0 AS band,
+               {md5_long_sql("concat_ws(',', CAST(mh_0 AS VARCHAR), CAST(mh_1 AS VARCHAR))")} AS bucket
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 1,
+               {md5_long_sql("concat_ws(',', CAST(mh_2 AS VARCHAR), CAST(mh_3 AS VARCHAR))")}
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 2,
+               {md5_long_sql("concat_ws(',', CAST(mh_4 AS VARCHAR), CAST(mh_5 AS VARCHAR))")}
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 3,
+               {md5_long_sql("concat_ws(',', CAST(mh_6 AS VARCHAR), CAST(mh_7 AS VARCHAR))")}
+        FROM sigs
+      )
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash + LSH banding candidates (op E34 scale path): 4 bands x "
+    "2 rows; candidate pairs share >=1 band bucket. Bucket join touches "
+    "only colliding docs — the 100 TB near-dup path.",
+    tags=("E34",),
+)
+def minhash_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, "text", "doc_id", k=8, n=3, bands=4)
+
+
+def _sql_simhash(words_expr: str) -> str:
+    hashes = f"list_transform({words_expr}, w -> {md5_long_sql('w')})"
+    bits = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform({hashes}, "
+        f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    SELECT doc_id, {_sql_simhash(SQL_WORDS)} AS sketch
+    FROM documents
+    """,
+    doc=f"SimHash sketch (op E34 family): {SIMHASH_BITS}-bit sign-"
+    "aggregated word-hash fingerprint; near-dups land at small Hamming "
+    "distance. Pure column arithmetic, one scan, no shuffle.",
+    tags=("E34", "E36"),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(words("text")).alias("sketch"))
+
+
+# --- E35: similarity search -------------------------------------------------
+
+
+@register(
+    "cosine_topk_exact",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             {_sql_cosine("c.v", "q.qv")} AS score
+      FROM c CROSS JOIN q
+    )
+    SELECT q_id, vec_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Exact cosine top-k (op E35 baseline): broadcast queries x corpus "
+    "scan, two-stage partial top-k merge (operators/similarity.py) — "
+    "shuffle carries |Q|*k rows, not |Q|*|corpus|. JVM array arithmetic, "
+    "fold order pinned so the oracle's double results are bit-identical.",
+    tags=("E35", "E25"),
+)
+def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "label_best_match",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sql_cosine("a.v", "b.v")} AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, id_a, id_b, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                                   ORDER BY score DESC, id_a, id_b) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+    doc="Embedding near-dup (op E35/E33 hybrid): most-similar pair within "
+    "each label block. Blocked self-join: the label key bounds the "
+    "pair fan-out (the blocking pattern used for entity resolution at "
+    "scale).",
+    tags=("E35",),
+)
+def label_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ccxt_ohlcv_fetcher_spark.functions.arrays import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b, (a.label == b.label_b) & (F.col("id_a") < F.col("id_b"))
+    ).select("label", "id_a", "id_b", cosine_similarity("va", "vb").alias("score"))
+    w = W.partitionBy("label").orderBy(F.desc("score"), "id_a", "id_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "id_a", "id_b", "score")
+    )
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=None,  # approximate by construction; recall vs the exact path
+    # is asserted in tests/test_llm_ops.py
+    doc="ANN top-k via deterministic random-hyperplane sign-LSH (op E35 "
+    "scale path): bucket-join candidates then exact re-rank — touches "
+    "~|corpus|/2^planes per query instead of the full corpus.",
+    tags=("E35",),
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_cosine_topk(emb, queries, k=5, dim=64, n_planes=4)
+
+
+# --- E36: text analysis ------------------------------------------------------
+
+
+@register(
+    "doc_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(words) AS ws_tokens,
+           CAST(list_aggregate(list_transform(words,
+                w -> CAST(ceil(length(w) / 4.0) AS INT)), 'sum')
+                AS INT) AS bpe_ish_tokens
+    FROM (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+    """,
+    doc="Token counting (op E36): whitespace tokens + a BPE-ish subword "
+    "estimate (ceil(len/4) pieces per word).",
+    tags=("E36",),
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+_ALL_MARKERS_SQL = ", ".join(
+    f"'{w}'" for ws in LANG_MARKERS.values() for w in ws
+)
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(words) AS n_tokens,
+           CASE WHEN len(words) > 0
+                THEN length(text) * 1.0 / len(words) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / length(text)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN len(words) > 0
+                THEN len(list_filter(words, w -> lower(w) IN ({_ALL_MARKERS_SQL})))
+                     * 1.0 / len(words)
+                ELSE 0.0 END AS stopword_ratio
+    FROM (SELECT doc_id, text, {SQL_WORDS} AS words FROM documents)
+    """,
+    doc="Quality scoring (op E36): length / punctuation / stopword-ratio "
+    "features (C4/Gopher-style filters) as pure column arithmetic.",
+    tags=("E36",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _sql_lang_case() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(words, w -> lower(w) IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    gmax = "greatest(" + ", ".join(score[lang] for lang in sorted(score)) + ")"
+    whens = " ".join(
+        f"WHEN {gmax} > 0 AND {score[lang]} = {gmax} THEN '{lang}'"
+        for lang in sorted(score)
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    SELECT lang AS labeled, {_sql_lang_case()} AS predicted, count(*) AS n
+    FROM (SELECT lang, {SQL_WORDS} AS words FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="Language ID (op E36): stopword-marker heuristic vs the labeled "
+    "lang column — a confusion matrix. (Fixture text is synthetic word "
+    "soup, so the value is the deterministic classifier plumbing, not "
+    "accuracy.)",
+    tags=("E36",),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"), lang_id(words("text")).alias("predicted")
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(words, w -> {md5_long_sql("w")})),
+               (acc, h) -> (acc * 31 + h) % {FINGERPRINT_MOD}) AS fingerprint
+    FROM (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+    """,
+    doc="Document fingerprinting (op E36): order-sensitive polynomial "
+    "rolling hash over the token stream — distinguishes permuted "
+    "near-dups that set-based (Jaccard/MinHash) ops conflate.",
+    tags=("E36",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(words("text")).alias("fingerprint"))
+
+
+# --- E37: multimodal ----------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS head_byte,
+           CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+                i -> ascii(substr(text, i, 1))), 'sum')
+                % 2147483647 AS BIGINT) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal columns (op E37): binary payload + typed metadata "
+    "struct; feature extraction via Arrow-batched mapInPandas (decode "
+    "kernel stubbed — no codecs in this container; Spark plumbing is "
+    "real). Oracle checks the byte-level features.",
+    tags=("E37",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return extract_features(media).select("media_id", "n_bytes", "head_byte", "checksum")

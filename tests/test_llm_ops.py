@@ -1,0 +1,127 @@
+"""Quality/semantics tests for the LLM-pipeline operators beyond oracle
+parity: ANN recall vs the exact path, MinHash-LSH recall vs true
+Jaccard, exact-dedup semantics on crafted dups, multimodal plumbing
+(binary round-trip, batch kernel, stub gate).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_from_documents,
+)
+from ccxt_ohlcv_fetcher_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from ccxt_ohlcv_fetcher_spark.operators.text import words
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "aa bb")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.99).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"], pairs[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_recall_vs_true_jaccard(spark, sf_dir):
+    """LSH param check (SURVEY.md §7 hard point e): candidates must cover
+    every pair with Jaccard >= 0.5 (at b=4, r=2 the detection probability
+    at s=0.5 is 1-(1-0.25)^4 ≈ 0.68 per band structure — but the fixture's
+    high-sim pairs are >= 0.9 where p ≈ 0.9996, so full recall expected)."""
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.9).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, "text", "doc_id", k=8, bands=4).collect()
+    }
+    assert true_pairs, "fixture should contain at least one >=0.9 near-dup pair"
+    missed = true_pairs - cands
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+            (3, "entirely different words compose this completely unrelated sample text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash(words("text")).alias("s")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ann_cosine_topk(emb, queries, k=5, dim=64, n_planes=4)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 4 hyperplanes -> 16 buckets over 500 vectors; random Gaussians have
+    # neighbors near the equator so recall is modest — this asserts the
+    # pipeline retrieves, not that 4 planes are production-grade
+    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+    # self-match must always survive (query == corpus vector, same bucket)
+    self_pairs = {(q, q) for q, _ in e if (q, q) in e}
+    assert self_pairs <= a
+
+
+def test_cosine_topk_self_is_rank1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(emb, queries, k=1).collect()
+    assert all(r["q_id"] == r["vec_id"] and r["rank"] == 1 for r in out)
+
+
+def test_multimodal_roundtrip_and_kernel(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = media_from_documents(docs)
+    # binary + struct metadata round-trips through parquet
+    p = str(tmp_path / "media")
+    media.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert back.schema["payload"].dataType.typeName() == "binary"
+    assert back.count() == 50
+    feats = extract_features(back, dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        assert 0 <= r["head_byte"] <= 255
+
+
+def test_decode_media_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", {"kind": "image"})
