@@ -174,6 +174,8 @@ class CandleDataset:
             stats = batch.select(
                 *PARTITION_COLS, F.col("timestamp").alias("_ts")
             ).groupBy(*PARTITION_COLS).agg(F.min("_ts").alias("_min_ts")).collect()
+            if not stats:  # empty batch (e.g. re-delivered streaming batch)
+                return 0
             existing = self.spark.read.parquet(self.path)
             cond = None
             for r in stats:

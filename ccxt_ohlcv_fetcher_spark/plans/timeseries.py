@@ -88,3 +88,75 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", ms("ts").alias("ts_ms"), "event_type", "value")
     )
+
+
+@register(
+    "sliding_window_traffic",
+    oracle=f"""
+    SELECT {sql_ms("win_start")} AS win_start_ms,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT user_id,
+             unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS win_start
+      FROM events
+    )
+    GROUP BY 1
+    """,
+    doc="Sliding windows, batch form (op E32s): 2h windows sliding 1h — "
+    "each event lands in exactly two overlapping buckets. Same window() "
+    "definition Structured Streaming uses (streaming/candles.py).",
+    tags=("E32s", "E13"),
+)
+def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(ms(F.col("w.start")).alias("win_start_ms"), "n_events", "n_users")
+    )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR {sql_ms("ts")} - lag({sql_ms("ts")}) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           {sql_ms("min(ts)")} AS session_start_ms,
+           {sql_ms("max(ts)")} + 1800000 AS session_end_ms,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    doc="Native session_window (op E32s): 30-min-gap sessions per user, "
+    "the streaming-capable operator; oracle derives identical sessions "
+    "via the lag/flag/cumsum formulation (session end = last event + gap).",
+    tags=("E32s",),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.col("user_id"), F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ms(F.col("w.start")).alias("session_start_ms"),
+            ms(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
