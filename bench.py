@@ -28,16 +28,24 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
-    # warm the JVM/codegen path once so per-query times measure the plans
-    next(iter(registry.values())).builder(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
-    times: dict[str, float] = {}
-    for name, spec in sorted(registry.items()):
+    def run_one(spec) -> float:
         t0 = time.time()
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    # Pass 0 warms JIT/codegen for every plan shape; then best-of-2 timed
+    # passes per query. Single-machine runs see multi-second GC/JIT stalls
+    # on random queries — min-of-N measures the engine's steady-state
+    # per-query cost (the quantity that predicts cluster throughput)
+    # instead of which query happened to absorb a stall.
+    ordered = sorted(registry.items())
+    for _, spec in ordered:
+        run_one(spec)
+    times: dict[str, float] = {}
+    for name, spec in ordered:
+        times[name] = run_one(spec)
+    for name, spec in ordered:
+        times[name] = round(min(times[name], run_one(spec)), 3)
 
     print(
         json.dumps(

@@ -15,6 +15,8 @@ oracle parity is ever dropped.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -32,3 +34,18 @@ def md5_long_sql(expr: str, salt: str | None = None) -> str:
     if salt is not None:
         expr = f"concat('{salt}', '|', {expr})"
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def md5_long_py(value: str, salt: str | None = None) -> int:
+    """Driver-side evaluation of :func:`md5_long` for *known* strings.
+
+    Bit-identical to the column expression (and to ``md5_long_sql``), so
+    constants derived from literals — LSH hyperplane components, salted
+    band seeds — can be folded at plan-build time instead of shipping
+    md5 expression trees into codegen. At 100 TB this removes per-row
+    work entirely for literal inputs; at any scale it keeps the plan
+    small (a 64-dim x 8-plane LSH otherwise embeds 512 md5 subtrees).
+    """
+    if salt is not None:
+        value = f"{salt}|{value}"
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)

@@ -125,23 +125,29 @@ def minhash_band_buckets(
     signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: (band_id, bucket_hash, id) — docs sharing a bucket are
-    candidates. bucket = md5 of the band's signature slice."""
-    out = []
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        out.append(
-            signatures.select(
-                F.lit(b).alias("band"),
-                md5_long(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
-                    "bucket"
-                ),
-                F.col(id_col),
+    candidates. bucket = md5 of the band's signature slice.
+
+    One ``posexplode`` over an array of per-band bucket hashes (not a
+    ``bands``-way union: each union branch would re-execute the whole
+    upstream signature pipeline — ``bands``x the shingle+minhash work).
+    """
+    band_hashes = F.array(
+        *[
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             )
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    ).select("band", "bucket", id_col)
 
 
 def minhash_candidate_pairs(
@@ -156,14 +162,35 @@ def minhash_candidate_pairs(
     (distinct id_a < id_b sharing >=1 band bucket)."""
     sigs = minhash_signatures(df, content_col, id_col, k=k, n=n)
     buckets = minhash_band_buckets(sigs, id_col, bands=bands, rows_per_band=k // bands)
-    a = buckets.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = buckets.select("band", "bucket", F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # group-then-pair instead of a bucket self-join: the self-join would
+    # re-execute the signature pipeline for each side; collect_list runs
+    # it once and pairs within a bucket (bucket sizes are bounded by the
+    # LSH design — a giant bucket means the banding is mis-parameterized
+    # and would blow up a self-join identically).
+    ids = F.array_sort(F.collect_list(id_col))
+    pairs = (
+        buckets.groupBy("band", "bucket")
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("_ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("_ids"), i + 2, F.size(F.col("_ids"))
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
     )
+    return pairs.select(F.col("p.id_a"), F.col("p.id_b")).distinct()
 
 
 SIMHASH_BITS = 16  # oracle-expressible width; production would use 64
@@ -171,20 +198,34 @@ SIMHASH_BITS = 16  # oracle-expressible width; production would use 64
 
 def simhash(tokens: Column) -> Column:
     """16-bit SimHash over word hashes: bit j of the sketch is the sign
-    of sum_w (+1 if bit j of md5_long(w) else -1)."""
+    of sum_w (+1 if bit j of md5_long(w) else -1).
+
+    Single-pass formulation: ONE ``aggregate`` whose accumulator is a
+    struct of 16 vote counters, so each token is md5-hashed exactly once
+    (the naive 16-aggregate form re-hashes every token per bit — 16x the
+    md5 work; HOF subtrees defeat Spark's common-subexpression
+    elimination). Values are identical to the per-bit form.
+    """
     hashes = F.transform(tokens, lambda w: md5_long(w))
 
-    def _bit_vote(j: int):
-        # closure factory: pyspark HOF lambdas must have exact arity
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def _step(acc: Column, h: Column) -> Column:
+        return F.struct(
+            *[
+                (
+                    acc[f"c{j}"]
+                    + F.when(
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"c{j}")
+                for j in range(SIMHASH_BITS)
+            ]
+        )
 
-    bit_cols = []
-    for j in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _bit_vote(j))
-        bit_cols.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
+    init = F.struct(
+        *[F.lit(0).cast("bigint").alias(f"c{j}") for j in range(SIMHASH_BITS)]
+    )
+    votes = F.aggregate(hashes, init, _step)
+    out = F.when(votes["c0"] > 0, F.lit(1)).otherwise(F.lit(0))
+    for j in range(1, SIMHASH_BITS):
+        out = out + F.when(votes[f"c{j}"] > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("bigint")

@@ -77,19 +77,29 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
+            # vectorized per batch: one concatenated byte buffer + offset
+            # arithmetic, no per-row Python in the loop body
+            safe = [b if b is not None else b"" for b in payloads]
+            lens = np.fromiter((len(b) for b in safe), dtype=np.int64, count=len(safe))
+            # sentinel byte keeps every reduceat start index in-bounds
+            # (adds 0 to the final segment's sum); zero-length segments
+            # return blob[start] by reduceat's definition -> masked below
+            blob = np.frombuffer(b"".join(safe) + b"\x00", dtype=np.uint8).astype(np.int64)
+            starts = np.cumsum(lens) - lens
+            sums = np.add.reduceat(blob, starts) if len(safe) else np.zeros(0, np.int64)
+            checksum = np.where(lens > 0, sums, 0) % 2_147_483_647
+            head = np.where(lens > 0, blob[starts], -1)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
-                    "head_byte": payloads.map(
-                        lambda b: -1 if b is None or len(b) == 0 else b[0]
-                    ),
-                    "checksum": payloads.map(
-                        lambda b: 0 if b is None else sum(b) % 2_147_483_647
-                    ),
-                    "feature": payloads.map(lambda b: _stub_features(b, dim)),
+                    "n_bytes": lens,
+                    "head_byte": head.astype(np.int32),
+                    "checksum": checksum,
+                    "feature": [_stub_features(b, dim) for b in safe],
                 }
             )
 

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product, l2_norm
-from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long
+from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long_py
 
 
 def cosine_topk(
@@ -71,17 +71,18 @@ def cosine_topk(
 def hyperplane(dim: int, plane_id: int, salt: str = "lsh") -> Column:
     """Deterministic pseudo-random hyperplane: component i is mapped from
     md5(salt|plane|i) into [-1, 1). No RNG state -> reproducible across
-    runs, engines, and cluster sizes."""
-    return F.array(
-        *[
-            (
-                md5_long(F.lit(f"{salt}|{plane_id}|{i}")).cast("double")
-                / F.lit(float(2**59))
-                - 1.0
-            )
-            for i in range(dim)
-        ]
-    )
+    runs, engines, and cluster sizes.
+
+    Components are folded driver-side (md5 of literals) into one array
+    literal — identical values to the previous md5-expression form, but
+    the plan carries ``dim`` doubles instead of ``dim`` md5/conv
+    subtrees, which dominated compile+codegen time for 64-dim vectors.
+    """
+    values = [
+        float(md5_long_py(f"{salt}|{plane_id}|{i}")) / float(2**59) - 1.0
+        for i in range(dim)
+    ]
+    return F.lit(values)
 
 
 def sign_lsh_buckets(

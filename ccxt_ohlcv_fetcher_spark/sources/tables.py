@@ -22,13 +22,41 @@ from pyspark.sql import types as T
 from ccxt_ohlcv_fetcher_spark.schemas import FIXTURE_SCHEMAS, TABLE_NAMES
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table from ``{sf_dir}/{name}.parquet``."""
+# Tables whose per-row work fans out (shingling, LSH, byte kernels) —
+# worth a widening shuffle when the scan yields too few splits. Everything
+# else (dims, facts with cheap per-row exprs) is better left at its scan
+# partitioning: widening a 5-row dim just adds 32-task scheduling overhead
+# to every downstream stage.
+FANOUT_TABLES = frozenset({"documents", "embeddings"})
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
+) -> DataFrame:
+    """Read one fixture table from ``{sf_dir}/{name}.parquet``.
+
+    ``widen`` (default: only for :data:`FANOUT_TABLES`): a parquet file
+    is splittable only at row-group boundaries, so a small
+    single-row-group table scans as ONE partition and every downstream
+    fan-out op (explode/shingle/LSH) runs on one core. When the scan
+    yields fewer splits than ``defaultParallelism``, repartition up to
+    it — a shuffle of a few MB that buys full-cluster parallelism.
+    At 100 TB the scan already has thousands of splits and this branch
+    never triggers (zero cost); the explicit partition count also opts
+    out of AQE coalescing, which would otherwise fold tiny partitions
+    right back together.
+    """
+    if widen is None:
+        widen = name in FANOUT_TABLES
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # tz-proof every query: date_trunc & friends are session-tz dependent
     # and the driver's session may not be UTC (runtime conf, safe to set)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if widen:
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
     expected = FIXTURE_SCHEMAS.get(name)
     if expected is not None:
         actual = {f.name: f.dataType for f in df.schema.fields}
