@@ -156,3 +156,19 @@ def test_catalog_validation():
         cat.dataset_path("/data/candles", "bitfinex", "XRP/USD", "1m")
         == "/data/candles/exchange=bitfinex/symbol=XRPUSD/timeframe=1m"
     )
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    """R5 (`sqlite2csv.sh:11-17`): full-scan export -> headered CSV."""
+    from ccxt_ohlcv_fetcher_spark.sources.catalog import export_csv
+
+    df = project_ohlcv_rows(
+        spark, [[T0 + i * 60_000, 1.0, 2.0, 0.5, 1.5, 10.0] for i in range(5)],
+        "bitfinex", "XRP/USD", "1m",
+    )
+    out = str(tmp_path / "export")
+    export_csv(df, out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert back.count() == 5
+    assert set(back.columns) == set(df.columns)
+    assert back.agg(F.min("timestamp")).first()[0] == T0
