@@ -324,6 +324,36 @@ def label_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine("a.v", "b.v")} AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.v", "b.v")} >= 0.45
+    """,
+    doc="Embedding-cosine near-dup (op E33/E35 hybrid, north-star dedup "
+    "family): all pairs above a cosine threshold — the exact "
+    "verification tier; the LSH bucket path (ann_cosine_topk_lsh) is "
+    "the candidate generator at corpus scale. Broadcast self-join: "
+    "pair generation never shuffles the corpus.",
+    tags=("E33", "E35", "E12"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.functions.arrays import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("score"))
+        .filter(F.col("score") >= 0.45)
+    )
+
+
+@register(
     "ann_cosine_topk_lsh",
     oracle=None,  # approximate by construction; recall vs the exact path
     # is asserted in tests/test_llm_ops.py
