@@ -16,6 +16,13 @@ are the E-tier formulations, designed around shuffle economics:
   into BroadcastNestedLoopJoin (O(N×M) compares). Bucketing the range
   into fixed-width bands turns it into an equi-join on the band id +
   residual filter — Catalyst then plans a plain shuffled hash/SMJ.
+- **salted join** (skew mitigation): a degenerate hot key (one symbol
+  carrying 30% of a 100 TB table) stalls its single shuffle partition.
+  Salting fans the hot side across N sub-keys and replicates the other
+  side N ways — N× parallelism on the hot key for N× duplication of
+  (only) the small side. AQE's skew-join split handles *sort-merge*
+  skew automatically; explicit salting is for when the small side is
+  broadcast-sized per salt or the skew is known up front.
 """
 
 from __future__ import annotations
@@ -73,6 +80,31 @@ def asof_join(
         *[F.col("_m")[c].alias(f"{prefix}{c}") for c in right_payload],
     )
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big (skewed) side, replicate the
+    small side across all salts, join on (keys..., salt).
+
+    The hot key's rows spread over ``n_salts`` shuffle partitions
+    instead of one. Row-count preserving for inner/left joins (each big
+    row matches exactly the one salt replica it carries).
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(
+        replicated_small, on=[*keys, "_salt"], how=how
+    ).drop("_salt")
 
 
 def banded_range_join(

@@ -81,6 +81,41 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           {sql_dsum("o_totalprice")} AS total_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (op E15, the general form rollup/cube "
+    "specialize): two independent one-dimension summaries + grand total "
+    "in ONE scan + one shuffle (Spark plans a single Expand), vs three "
+    "separate aggregations re-reading the fact table. Expressed through "
+    "the SQL entry point — the engine's full surface is reachable via "
+    "spark.sql as well as the DataFrame API.",
+    tags=("E15", "E13"),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price,
+               count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "big_spender_nations",
     oracle=f"""
     SELECT n.n_name AS nation,

@@ -1,0 +1,61 @@
+"""Scale-path join strategies: skew salting and bucketed co-located
+joins (SURVEY.md §4 posture; PERFORMANCE.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.joins import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed big side: one hot key carries 90% of rows
+    big = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i}", i) for i in range(1000)],
+        "key string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(0, 1000, 10)],
+        "key string, w double",
+    )
+    plain = big.join(small, "key").select("key", "v", "w")
+    salted = salted_join(big, small, ["key"], n_salts=8).select("key", "v", "w")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the join-time
+    Exchange entirely — the co-located join pattern for repeated joins
+    of 100 TB facts on the same key."""
+    left = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(1000)], "k long, a string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(0, 1000, 2)], "k long, b string"
+    )
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "k")
+            .sortBy("k")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    # disable auto-broadcast so the planner exercises the sort-merge
+    # path a 100 TB x 100 TB join would take (a broadcastable side would
+    # make bucketing moot anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
