@@ -68,3 +68,36 @@ def resample_ohlcv(
             vol.alias("volume"),
         )
     )
+
+
+def resample_candles(
+    candles: DataFrame,
+    timeframe: str,
+    ts_col: str = "timestamp",
+    keys: tuple[str, ...] = ("exchange", "symbol"),
+) -> DataFrame:
+    """Candles -> coarser candles (1m -> 5m -> 1h ...): the hypertable-
+    rollup analog over the ingested dataset (epoch-ms ``timestamp``
+    column per `ccxt-ohlcv-fetch.py:38`).
+
+    OHLC composition law: open = open of the earliest child candle,
+    close = close of the latest, high/low/volume = max/min/sum — which
+    makes the rollup **associative**: 1m->5m->1h equals 1m->1h exactly
+    (property-tested in tests/test_resample_chain.py). Associativity is
+    what lets a 100 TB pipeline maintain coarse rollups incrementally
+    from fine ones instead of re-scanning raw ticks.
+    """
+    ts = F.timestamp_millis(F.col(ts_col))
+    bucket_ms = F.unix_millis(bucket_start(ts, timeframe))
+    return (
+        candles.withColumn("bucket_ts", bucket_ms)
+        .groupBy(*keys, "bucket_ts")
+        .agg(
+            F.min_by("open", F.col(ts_col)).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col(ts_col)).alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+        .withColumnRenamed("bucket_ts", ts_col)
+    )

@@ -139,3 +139,79 @@ def ann_cosine_topk(
             (F.col("pos") + 1).alias("rank"),
         )
     )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF-style ANN (op E35 scale path, complementing sign-LSH):
+    partition the corpus into ``n_cells`` Voronoi cells around seed
+    centroids; each query probes its ``n_probe`` nearest cells and
+    re-ranks exactly inside them.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors — a
+    deterministic stand-in for k-means (real IVF trains centroids; the
+    *query plan* is identical: assign = argmax over a broadcast centroid
+    list, probe = equi-join on cell id). Touches ~n_probe/n_cells of the
+    corpus per query; one shuffle on the cell id.
+    """
+    seeds = (
+        corpus.orderBy(corpus_id)
+        .limit(n_cells)
+        .select(F.col(corpus_vec).alias("_c"))
+        .collect()
+    )
+    centroids = [list(map(float, r["_c"])) for r in seeds]
+
+    def cell_scores(vec: str) -> Column:
+        # cosine argmax doesn't need the row vector's own norm (constant
+        # across cells) — only each centroid's, folded to a literal
+        return F.array(
+            *[
+                dot_product(F.col(vec), F.lit(c)) / F.lit(_norm(c))
+                for c in centroids
+            ]
+        )
+
+    def top_cells(vec: str, n: int) -> Column:
+        # (score, cell) structs sorted desc -> first n cell ids
+        pairs = F.transform(
+            cell_scores(vec),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+        )
+        return F.slice(F.array_sort(pairs), 1, n)["cell"]
+
+    assigned = corpus.withColumn("_cell", top_cells(corpus_vec, 1)[0])
+    probes = queries.withColumn("_cell", F.explode(top_cells(query_vec, n_probe)))
+    candidates = assigned.join(F.broadcast(probes), "_cell").select(
+        query_id,
+        F.col(corpus_id),
+        (
+            dot_product(corpus_vec, query_vec)
+            / (l2_norm(corpus_vec) * l2_norm(query_vec))
+        ).alias("score"),
+    )
+    item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+    return (
+        candidates.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
+        .select(query_id, F.posexplode("_top").alias("pos", "item"))
+        .select(
+            query_id,
+            F.col("item.id").alias(corpus_id),
+            (-F.col("item.neg")).alias("score"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )
+
+
+def _norm(vec: list[float]) -> float:
+    return sum(x * x for x in vec) ** 0.5

@@ -28,7 +28,11 @@ from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
     extract_features,
     media_from_documents,
 )
-from ccxt_ohlcv_fetcher_spark.operators.similarity import ann_cosine_topk, cosine_topk
+from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+    ann_cosine_topk,
+    cosine_topk,
+    ivf_cosine_topk,
+)
 from ccxt_ohlcv_fetcher_spark.operators.text import (
     LANG_MARKERS,
     FINGERPRINT_MOD,
@@ -341,14 +345,28 @@ def label_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E33", "E35", "E12"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.functions.arrays import cosine_similarity
+    from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms computed once per vector, not once per pair (O(N) vs O(N^2)
+    # norm evaluations; values bit-identical — same fold per vector)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("score"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_product("va", "vb") / (F.col("na") * F.col("nb"))).alias("score"),
+        )
         .filter(F.col("score") >= 0.45)
     )
 
@@ -368,6 +386,24 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ann_cosine_topk(emb, queries, k=5, dim=64, n_planes=4)
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle=None,  # approximate by construction; recall vs the exact path
+    # is asserted in tests/test_llm_ops.py
+    doc="ANN top-k via IVF-style cell probing (op E35 scale path #2): "
+    "corpus partitioned into Voronoi cells around broadcast centroids; "
+    "queries probe their n nearest cells and re-rank exactly — touches "
+    "~n_probe/n_cells of the corpus per query.",
+    tags=("E35",),
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
 
 
 # --- E36: text analysis ------------------------------------------------------

@@ -96,6 +96,23 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert self_pairs <= a
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9, "IVF recall collapsed"
+    # a probed query always reaches its own cell -> self-match survives
+    self_pairs = {(q, q) for q, _ in e if (q, q) in e}
+    assert self_pairs <= a
+
+
 def test_cosine_topk_self_is_rank1(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
