@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccxt_ohlcv_fetcher_spark.functions.timeframe import timeframe_interval_expr
+from ccxt_ohlcv_fetcher_spark.schemas import PRICE_TYPE
 
 PARTITION_COLS = ("exchange", "symbol", "timeframe")
 
@@ -66,6 +67,12 @@ def project_ohlcv_rows(
         [tuple(r) for r in rows],
         "timestamp long, open double, high double, low double, close double, volume double",
     )
+    # one canonical storage type across every write path (paging ingest,
+    # streaming sink, SQLite migration): DecimalType faithful to the
+    # reference's lossless string-stored prices (:39-43). Mixed
+    # double/decimal appends into one dataset would conflict on read.
+    for c in ("open", "high", "low", "close", "volume"):
+        df = df.withColumn(c, F.col(c).cast(PRICE_TYPE))
     return (
         df.withColumn("exchange", F.lit(exchange))
         .withColumn("symbol", F.lit(normalize_symbol(symbol)))
