@@ -62,6 +62,7 @@ class FixturePagingSource:
 class IngestStats:
     pages: int = 0
     rows_appended: int = 0
+    errors: int = 0
 
 
 def ingest_candles(
@@ -76,6 +77,8 @@ def ingest_candles(
     quit_when_caught_up: bool = True,
     max_pages: int = 10_000,
     throttle_secs: float = 0.0,
+    error_backoff_secs: float = 300.0,
+    max_errors: int = 0,
 ) -> IngestStats:
     """The reference's ``get_candles`` loop (`:110-130`), Spark-ified.
 
@@ -83,7 +86,9 @@ def ingest_candles(
     beats the stored offset beats DEFAULT_SINCE (`:26`). Each page is
     projected (R8), overlap-dropped (R9), tail-trimmed (R10), and
     appended idempotently (R2+R3). ``quit_when_caught_up`` is the
-    reference's ``-q`` flag (`:128-129`).
+    reference's ``-q`` flag (`:128-129`). A fetch error sleeps
+    ``error_backoff_secs`` and retries the same cursor (`:27,:99-101`;
+    ``max_errors=0`` = retry forever like the reference; tests bound it).
     """
     stats = IngestStats()
     cursor = since_ms
@@ -103,7 +108,14 @@ def ingest_candles(
     while stats.pages < max_pages:
         if throttle_secs:
             time.sleep(throttle_secs)  # EXTRA_RATE_LIMIT analog (`:97`)
-        page = source.fetch_ohlcv(cursor)
+        try:
+            page = source.fetch_ohlcv(cursor)
+        except Exception:  # noqa: BLE001 — any fetch error: back off, retry (`:99-101`)
+            stats.errors += 1
+            if max_errors and stats.errors > max_errors:
+                raise
+            time.sleep(error_backoff_secs)  # DEFAULT_SLEEP_SECONDS (`:27`)
+            continue
         stats.pages += 1
         if not page:
             if quit_when_caught_up:

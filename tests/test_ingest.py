@@ -172,3 +172,54 @@ def test_export_csv_roundtrip(spark, tmp_path):
     assert back.count() == 5
     assert set(back.columns) == set(df.columns)
     assert back.agg(F.min("timestamp")).first()[0] == T0
+
+
+def test_ingest_error_backoff_retries_same_cursor(spark, dataset):
+    """R1 error path (`:27,:99-101`): a failed fetch backs off and
+    retries the SAME cursor — no page skipped, no rows lost."""
+    from ccxt_ohlcv_fetcher_spark.sources.paging import (
+        FixturePagingSource,
+        ingest_candles,
+    )
+
+    rows = grid(10)
+
+    class Flaky(FixturePagingSource):
+        def __init__(self, rows, fail_first):
+            super().__init__(rows, page_size=4)
+            self.fail_first = fail_first
+
+        def fetch_ohlcv(self, since_ms):
+            if self.fail_first > 0:
+                self.fail_first -= 1
+                raise ConnectionError("transient")
+            return super().fetch_ohlcv(since_ms)
+
+    src = Flaky(rows, fail_first=2)
+    now_ms = rows[-1][0] + 120_000  # all candles closed
+    stats = ingest_candles(
+        spark, src, dataset, "e", "S/X", "1m", now_ms=now_ms,
+        error_backoff_secs=0.0, max_errors=5,
+    )
+    assert stats.errors == 2
+    got = dataset.read("e", "SX", "1m")
+    assert got.count() == 10
+    assert got.select("timestamp").distinct().count() == 10
+
+
+def test_ingest_error_limit_raises(spark, dataset):
+    from ccxt_ohlcv_fetcher_spark.sources.paging import (
+        FixturePagingSource,
+        ingest_candles,
+    )
+
+    class Dead(FixturePagingSource):
+        def fetch_ohlcv(self, since_ms):
+            raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        ingest_candles(
+            spark, Dead(grid(3)), dataset, "e", "S/X", "1m",
+            now_ms=grid(3)[-1][0] + 120_000,
+            error_backoff_secs=0.0, max_errors=2,
+        )

@@ -1,0 +1,64 @@
+"""Physical-plan invariants for every registered query (PERFORMANCE.md
+§1) — the perf-regression net. A change that silently turns a broadcast
+join into a cartesian product, or un-pushes a scan filter, fails here
+long before it shows up as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ccxt_ohlcv_fetcher_spark.plans import load_all
+
+# all-pairs generators: a non-equi self-join IS the operator's semantics
+# (bounded by broadcast side / threshold filter), so BNLJ is expected.
+ALLOWED_NESTED_LOOP = {
+    "embedding_near_dup",
+    "cosine_topk_exact",  # deliberate broadcast cross join: corpus x |Q| queries
+    "label_best_match",  # label-blocked pair join (non-equi residual)
+    "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
+}
+
+
+def _plan(spark, sf_dir, name):
+    df = load_all()[name].builder(spark, sf_dir)
+    return df, df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name in load_all():
+        out[name] = _plan(spark, sf_dir, name)[1]
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_nested_loop_only_where_semantically_required(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOWED_NESTED_LOOP
+    ]
+    assert not offenders, offenders
+
+
+def test_fact_scans_push_filters(spark, sf_dir):
+    """Selective queries must show PushedFilters at the parquet scan."""
+    for name, needle in (
+        ("pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("customers_with_urgent_orders", "EqualTo(o_orderpriority,1-URGENT)"),
+        ("top20_orders", "TakeOrderedAndProject"),
+    ):
+        _, plan = _plan(spark, sf_dir, name)
+        assert needle in plan, f"{name} lost its optimized shape:\n{plan}"
+
+
+def test_star_joins_broadcast_dims(spark, sf_dir):
+    _, plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
