@@ -32,6 +32,8 @@ Reference behavior being re-expressed (citations into
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,3 +211,50 @@ class CandleDataset:
         finally:
             batch.unpersist()
         return n
+
+    def compact(
+        self,
+        exchange: str | None = None,
+        symbol: str | None = None,
+        timeframe: str | None = None,
+    ) -> int:
+        """Rewrite the selected partitions as one sorted file each.
+
+        Micro-batch appends (streaming sink, page-at-a-time ingest)
+        leave one small parquet file per batch per partition; scan cost
+        and footer overhead grow with file count, not data size. This is
+        the maintenance op that restores 1 file per partition (sorted by
+        timestamp, so row-group min/max stats stay selective).
+
+        Local-filesystem implementation: stage the rewrite next to the
+        dataset, then atomically swap each partition directory. On an
+        object store / production deployment the same rewrite runs
+        through a table format's transactional rewrite (Delta OPTIMIZE,
+        Iceberg rewrite_data_files) — the dataframe-side plan (one task
+        per partition via ``repartition(*PARTITION_COLS)``) is identical.
+        Returns the number of partition directories compacted.
+        """
+        if not self._exists():
+            return 0
+        tmp = f"{self.path}.compacting"
+        (
+            self.read(exchange, symbol, timeframe)
+            .repartition(*PARTITION_COLS)
+            .sortWithinPartitions("timestamp")
+            .write.mode("overwrite")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(tmp)
+        )
+        swapped = 0
+        for dirpath, _dirnames, filenames in os.walk(tmp):
+            if not any(f.endswith(".parquet") for f in filenames):
+                continue
+            rel = os.path.relpath(dirpath, tmp)
+            dest = os.path.join(self.path, rel)
+            if os.path.isdir(dest):
+                shutil.rmtree(dest)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(dirpath, dest)
+            swapped += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+        return swapped

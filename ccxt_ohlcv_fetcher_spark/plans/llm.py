@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long_sql
+from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long, md5_long_sql
 from ccxt_ohlcv_fetcher_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
@@ -404,6 +404,33 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+
+
+@register(
+    "doc_train_test_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="split")} % 100 < 90
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/test split (north-star pipeline op): "
+    "hash-mod bucketing on the stable id — reproducible across engines, "
+    "runs, and cluster sizes (unlike seeded sample(), whose output "
+    "depends on partitioning), stable under corpus growth (a doc never "
+    "changes split), and embarrassingly parallel: a pure row-local "
+    "expression, no shuffle, no state. Same pattern gives p%% sampling "
+    "(filter bucket < p) and stratified variants (salt per stratum).",
+    tags=("E36", "E33"),
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="split") % 100
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
 
 
 # --- E36: text analysis ------------------------------------------------------

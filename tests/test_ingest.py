@@ -223,3 +223,30 @@ def test_ingest_error_limit_raises(spark, dataset):
             now_ms=grid(3)[-1][0] + 120_000,
             error_backoff_secs=0.0, max_errors=2,
         )
+
+
+def test_compaction_restores_one_file_per_partition(spark, dataset):
+    """Micro-batch appends leave a file per batch; compact() rewrites
+    each partition to one sorted file with identical contents."""
+    import glob
+
+    rows = grid(20)
+    for i in range(0, 20, 4):  # 5 separate appends = 5 files
+        df = project_ohlcv_rows(spark, rows[i : i + 4], "e", "S/X", "1m")
+        dataset.append_idempotent(df)
+    part_glob = f"{dataset.path}/exchange=e/symbol=SX/timeframe=1m/*.parquet"
+    assert len(glob.glob(part_glob)) == 5
+    before = {r["timestamp"]: r for r in dataset.read().collect()}
+
+    assert dataset.compact() == 1
+    assert len(glob.glob(part_glob)) == 1
+    after = {r["timestamp"]: r for r in dataset.read().collect()}
+    assert before.keys() == after.keys() and len(after) == 20
+    for k in before:
+        assert before[k] == after[k]
+    # dataset still accepts appends after compaction
+    more = project_ohlcv_rows(
+        spark, [[rows[-1][0] + 60_000, 1.0, 2.0, 0.5, 1.5, 3.0]], "e", "S/X", "1m"
+    )
+    assert dataset.append_idempotent(more) == 1
+    assert dataset.read().count() == 21
