@@ -205,6 +205,7 @@ class CandleDataset:
                     batch.repartition(*PARTITION_COLS)
                     .sortWithinPartitions("timestamp")  # R13: explicit order (`:70`)
                     .write.mode("append")
+                    .option("compression", "zstd")  # storage-bound at scale
                     .partitionBy(*PARTITION_COLS)
                     .parquet(self.path)
                 )
@@ -242,6 +243,7 @@ class CandleDataset:
             .repartition(*PARTITION_COLS)
             .sortWithinPartitions("timestamp")
             .write.mode("overwrite")
+            .option("compression", "zstd")
             .partitionBy(*PARTITION_COLS)
             .parquet(tmp)
         )

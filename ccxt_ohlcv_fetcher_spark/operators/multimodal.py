@@ -121,3 +121,27 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def payload_entropy():
+    """Scalar Arrow-vectorized ``pandas_udf`` (SURVEY.md §2.10): Shannon
+    entropy of the payload's byte distribution — a content-type signal
+    (compressed/encrypted media ~8 bits, text ~4-5). The kind of feature
+    that is natural in numpy and awkward as a SQL expression; one Arrow
+    batch crosses the Python boundary per ~10k rows, never per row.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def entropy(payloads: pd.Series) -> pd.Series:
+        def one(b: bytes | None) -> float:
+            if b is None or len(b) == 0:
+                return 0.0
+            counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+            p = counts[counts > 0] / len(b)
+            return float(-(p * np.log2(p)).sum())
+
+        return payloads.map(one)
+
+    return entropy

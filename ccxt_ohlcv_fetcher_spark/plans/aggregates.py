@@ -334,3 +334,71 @@ def user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ["click", "error", "purchase", "signup", "view"]:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+@register(
+    "orders_above_nation_avg",
+    oracle="""
+    SELECT o.o_orderkey, c.c_nationkey,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 2 * (
+        SELECT avg(o2.o_totalprice)
+        FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+        WHERE c2.c_nationkey = c.c_nationkey
+    )
+    ORDER BY o.o_orderkey
+    """,
+    doc="Correlated scalar subquery (SQL surface beyond the DataFrame "
+    "API): orders above 2x their nation's average price. Catalyst "
+    "decorrelates into an aggregate + join — no per-row re-execution; "
+    "the plan is the same one you'd hand-write, which is the point of "
+    "expressing it declaratively.",
+    tags=("E13", "E5"),
+)
+def orders_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, c.c_nationkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM _sq_orders o JOIN _sq_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 2 * (
+            SELECT avg(o2.o_totalprice)
+            FROM _sq_orders o2 JOIN _sq_customer c2 ON o2.o_custkey = c2.c_custkey
+            WHERE c2.c_nationkey = c.c_nationkey
+        )
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+@register(
+    "parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+    )
+    ORDER BY p_partkey
+    """,
+    doc="Correlated NOT EXISTS (anti-join through the SQL surface): "
+    "parts with no lineitem. Catalyst rewrites to a left-anti join — "
+    "one shuffle, no per-row probe.",
+    tags=("E8",),
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_sq_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM _sq_part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM _sq_lineitem l WHERE l.l_partkey = p.p_partkey
+        )
+        ORDER BY p_partkey
+        """
+    )
