@@ -145,3 +145,90 @@ def payload_entropy():
         return payloads.map(one)
 
     return entropy
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing (op E37): batch in, resized batch out.
+
+    The pixel kernel is the STUB (no codecs here — a real build calls
+    PIL/libvips inside the same loop); the Spark side — binary in/out,
+    declared schema, Arrow batching, metadata rewrite — is real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # STUB resize: deterministic truncate/pad of the byte stream
+            # to width*height (stands in for decode->resample->encode).
+            target = width * height
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        None if b is None else bytes(b[:target]).ljust(target, b"\0")
+                        for b in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int, frame_bytes: int = 64) -> DataFrame:
+    """Video frame sampling plumbing (op E37): one input row fans out to
+    one row per sampled frame — the explode-shaped kernel every video
+    pipeline needs (``mapInPandas`` may emit more rows than it reads).
+
+    STUB decoder: frame i is a deterministic byte slice; a real build
+    seeks the container at ``i * every_ms`` and decodes. Duration comes
+    from ``meta.duration_ms`` (null -> treat as one frame at t=0).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame": [],
+            }
+            for mid, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n_frames = (
+                    1
+                    if duration is None or pd.isna(duration)
+                    else max(1, int(duration) // every_ms)
+                )
+                body = b"" if payload is None else bytes(payload)
+                for i in range(n_frames):
+                    lo = (i * frame_bytes) % max(len(body), 1) if body else 0
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame"].append(body[lo : lo + frame_bytes] if body else None)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(kernel, FRAME_SCHEMA)

@@ -1,0 +1,45 @@
+"""E37 plumbing: resize (schema-preserving binary transform) and frame
+sampling (row fan-out through mapInPandas), over real binary columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+    resize_images,
+    sample_frames,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, b"x" * 100, ("video", "video/mp4", 4, 4, 2500)),
+        (2, b"y" * 10, ("image", "image/png", 4, 4, None)),
+        (3, None, ("image", "image/png", 4, 4, None)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<kind:string,mime:string,width:int,height:int,duration_ms:long>",
+    )
+
+
+def test_resize_schema_and_sizes(spark):
+    out = resize_images(_media(spark), 4, 4).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(by_id[1]["payload"]) == 16  # truncated to w*h
+    assert len(by_id[2]["payload"]) == 16  # padded to w*h
+    assert by_id[3]["payload"] is None
+    assert all(r["width"] == 4 and r["height"] == 4 for r in out)
+
+
+def test_frame_sampling_fanout(spark):
+    frames = sample_frames(_media(spark), every_ms=1000).collect()
+    per_id = {}
+    for r in frames:
+        per_id.setdefault(r["media_id"], []).append(r)
+    assert len(per_id[1]) == 2  # 2500ms // 1000ms
+    assert [r["frame_ts_ms"] for r in sorted(per_id[1], key=lambda r: r["frame_idx"])] == [0, 1000]
+    assert len(per_id[2]) == 1  # no duration -> single frame
+    assert per_id[3][0]["frame"] is None
