@@ -402,3 +402,46 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey
         """
     )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_cont,
+           quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+           quantile_cont(l_extendedprice, 0.9) AS p90_cont,
+           quantile_disc(l_extendedprice, 0.9) AS p90_disc,
+           median(l_extendedprice) AS med,
+           quantile_cont(l_quantity, 0.25) AS qty_p25
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Exact percentiles (op E17): percentile_cont (interpolating) and "
+    "percentile_disc (order-statistic) WITHIN GROUP, plus median. Exact "
+    "percentile needs the group's values together (a sort per group), so "
+    "at 100 TB this runs per-group after a key shuffle — fine for "
+    "low-cardinality group keys; for high-cardinality use "
+    "approx_percentile (t-digest, partial-aggregable) instead.",
+    tags=("E17",),
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50_cont"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p50_disc"),
+        F.expr(
+            "percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p90_cont"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p90_disc"),
+        F.median("l_extendedprice").alias("med"),
+        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "qty_p25"
+        ),
+    )

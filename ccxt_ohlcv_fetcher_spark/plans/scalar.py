@@ -226,3 +226,115 @@ def acctbal_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(bal_nonneg, F.lit(0.0)).alias("bal_or_zero"),
         F.col("c_acctbal").isNull().cast("int").alias("bal_is_null"),
     )
+
+
+@register(
+    "part_name_token_extract",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), ',')
+             AS words,
+           CAST(len(regexp_extract_all(p_name, '([a-z]+)', 1)) AS INT)
+             AS n_words,
+           array_to_string(regexp_extract_all(p_type, '([A-Z]+)', 1), '|')
+             AS caps
+    FROM part
+    """,
+    doc="regexp_extract_all (op R14 generalized): all-match extraction to "
+    "array<string>, joined to a string for the hash gate. The regex runs "
+    "JVM-side inside whole-stage codegen — same cost model as "
+    "regexp_extract, one pass per row.",
+    tags=("R14",),
+)
+def part_name_token_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = F.regexp_extract_all("p_name", F.lit(r"([a-z]+)"), 1)
+    return part.select(
+        "p_partkey",
+        F.array_join(words, ",").alias("words"),
+        F.size(words).alias("n_words"),
+        F.array_join(F.regexp_extract_all("p_type", F.lit(r"([A-Z]+)"), 1), "|").alias(
+            "caps"
+        ),
+    )
+
+
+@register(
+    "event_props_map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(len(json_keys(props)) + 1 AS INT) AS n_keys2,
+           array_to_string(list_sort(list_append(json_keys(props), 'type_len')), ',')
+             AS keys2_sorted,
+           CAST(length(event_type) AS BIGINT) AS type_len
+    FROM events
+    """,
+    doc="Map functions (op E26): JSON parsed to map<string,bigint> with a "
+    "declared value type (no schema inference), then map_keys / "
+    "element_at / map_concat / create_map. The oracle works key-wise on "
+    "the JSON since DuckDB's MAP is a different type family; both sides "
+    "emit sorted-key strings so the comparison is layout-independent.",
+    tags=("E26",),
+)
+def event_props_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    enriched = F.map_concat(
+        m, F.create_map(F.lit("type_len"), F.length("event_type").cast("bigint"))
+    )
+    return events.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(enriched)).alias("n_keys2"),
+        F.array_join(F.array_sort(F.map_keys(enriched)), ",").alias("keys2_sorted"),
+        F.element_at(enriched, "type_len").alias("type_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "data", "spark")
+
+
+@register(
+    "doc_token_setops",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT {list(_STOPWORDS)!r}::VARCHAR[] AS stop)
+    SELECT doc_id,
+           coalesce(array_to_string(
+               list_sort(list_distinct(list_intersect(toks, stop))), ','), '')
+             AS stop_hits,
+           CAST(len(list_distinct(
+               list_filter(toks, x -> NOT list_contains(stop, x)))) AS INT)
+             AS n_content,
+           CAST(len(list_distinct(list_concat(toks, stop))) AS INT) AS n_union,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(toks, x -> NOT list_contains(stop, x))))[1:5], ','), '')
+             AS content5
+    FROM t, s
+    """,
+    doc="Array set operations (op E25): array_intersect / array_except / "
+    "array_union between a token array and a broadcast-literal stopword "
+    "array. Set ops return distinct elements in first-array order, so "
+    "both sides sort before joining to a string. At scale this is pure "
+    "codegen per row — no shuffle, no UDF.",
+    tags=("E25", "E36"),
+)
+def doc_token_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(s) for s in _STOPWORDS])
+    content = F.array_distinct(F.array_except(toks, stop))
+    return docs.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(toks, stop)), ",").alias(
+            "stop_hits"
+        ),
+        F.size(content).alias("n_content"),
+        F.size(F.array_distinct(F.array_union(toks, stop))).alias("n_union"),
+        F.array_join(F.slice(F.array_sort(content), 1, 5), ",").alias("content5"),
+    )
