@@ -24,10 +24,15 @@ the overlap row the real API returns.
 
 from __future__ import annotations
 
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from contextlib import nullcontext
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
+
+from ccxt_ohlcv_fetcher_spark.sources.catalog import Catalog
 
 from ccxt_ohlcv_fetcher_spark.functions.timeframe import timeframe_seconds
 from ccxt_ohlcv_fetcher_spark.operators.ingest import (
@@ -79,6 +84,7 @@ def ingest_candles(
     throttle_secs: float = 0.0,
     error_backoff_secs: float = 300.0,
     max_errors: int = 0,
+    write_lock: threading.Lock | None = None,
 ) -> IngestStats:
     """The reference's ``get_candles`` loop (`:110-130`), Spark-ified.
 
@@ -125,7 +131,8 @@ def ingest_candles(
         if cursor_row_persisted:
             df = drop_overlap(df, cursor)
         df = drop_incomplete_tail(df, timeframe, now_ms=now_ms)
-        stats.rows_appended += dataset.append_idempotent(df)
+        with write_lock or nullcontext():
+            stats.rows_appended += dataset.append_idempotent(df)
         caught_up = page[-1][0] + tf_ms > now_ms or len(page) < source.page_size
         # Advance to the last PERSISTED candle, not the last fetched one:
         # the reference advances `since` before trimming the incomplete
@@ -140,3 +147,60 @@ def ingest_candles(
         if caught_up and quit_when_caught_up:
             break
     return stats
+
+
+def ingest_exchange(
+    spark: SparkSession,
+    catalog: Catalog,
+    sources: dict[str, FixturePagingSource],
+    dataset: CandleDataset,
+    exchange: str,
+    timeframe: str,
+    now_ms: int,
+    max_workers: int = 4,
+    **ingest_kwargs,
+) -> dict[str, IngestStats]:
+    """Exchange-wide fan-out — ``fetch_exchange.sh`` Spark-ified (R7).
+
+    The reference shards an exchange's symbols over 4 OS processes, one
+    SQLite file per symbol (`fetch_exchange.sh:14,18-23`). Here the
+    shard is a driver *thread pool* (default width 4, matching
+    ``split -n l/4``): SparkSession job submission is thread-safe, page
+    fetches for different symbols overlap (the real bottleneck is API
+    rate limits, i.e. time spent sleeping), and every symbol writes into
+    the ONE partitioned dataset, so "query all symbols" stays a single
+    pruned scan instead of an N-file glob.
+
+    Per-symbol validation runs first (R12, `check_args` order: the
+    reference validates before fetching). Appends are serialized by a
+    shared lock: plain parquet appends into one root share a
+    ``_temporary`` staging directory, so concurrent write *jobs* could
+    clobber each other's staging — fetch/transform still overlap, only
+    the commit is single-file. On a transactional table format (Delta /
+    Iceberg) the lock disappears: optimistic concurrent appends are the
+    committer's job. Fixes `fetch_exchange.sh:21` hardcoding ``-e
+    bitfinex`` regardless of the requested exchange (SURVEY §3.2).
+    """
+    symbols = catalog.symbols_of(exchange)
+    write_lock = threading.Lock()
+    results: dict[str, IngestStats] = {}
+
+    def run(symbol: str) -> IngestStats:
+        catalog.validate(exchange, symbol, timeframe)
+        return ingest_candles(
+            spark,
+            sources[symbol],
+            dataset,
+            exchange,
+            symbol,
+            timeframe,
+            now_ms,
+            write_lock=write_lock,
+            **ingest_kwargs,
+        )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = {pool.submit(run, s): s for s in symbols}
+        for fut in as_completed(futures):
+            results[futures[fut]] = fut.result()
+    return results

@@ -250,3 +250,40 @@ def test_compaction_restores_one_file_per_partition(spark, dataset):
     )
     assert dataset.append_idempotent(more) == 1
     assert dataset.read().count() == 21
+
+
+def test_exchange_fanout_concurrent_symbols(spark, dataset):
+    """fetch_exchange.sh analog: 6 symbols, 4 workers, one dataset —
+    per-symbol data lands intact, totals add up, re-run is a no-op."""
+    from ccxt_ohlcv_fetcher_spark.sources.paging import ingest_exchange
+
+    symbols = [f"C{i}/USD" for i in range(6)]
+    catalog = Catalog({"kraken": ExchangeMeta("kraken", symbols=set(symbols), timeframes={"1m"})})
+    n_rows = 120
+    now = T0 + n_rows * MIN  # all candles closed
+    sources = {
+        s: FixturePagingSource(
+            [[T0 + j * MIN, 1000.0 * i + j, 1000.0 * i + j + 1, 1000.0 * i + j - 1,
+              1000.0 * i + j, 5.0] for j in range(n_rows)],
+            page_size=50,  # force multiple pages per symbol
+        )
+        for i, s in enumerate(symbols)
+    }
+    stats = ingest_exchange(spark, catalog, sources, dataset, "kraken", "1m", now_ms=now)
+    assert sorted(stats) == sorted(symbols)
+    assert all(st.rows_appended == n_rows for st in stats.values())
+
+    df = dataset.read(exchange="kraken", timeframe="1m")
+    assert df.count() == 6 * n_rows
+    per_sym = {
+        r["symbol"]: (r["n"], float(r["lo"]), float(r["hi"]))
+        for r in df.groupBy("symbol")
+        .agg(F.count("*").alias("n"), F.min("open").alias("lo"), F.max("open").alias("hi"))
+        .collect()
+    }
+    for i, s in enumerate(symbols):
+        assert per_sym[s.replace("/", "")] == (n_rows, 1000.0 * i, 1000.0 * i + n_rows - 1)
+
+    # caught-up re-run: every symbol resumes from its offset, appends nothing
+    rerun = ingest_exchange(spark, catalog, sources, dataset, "kraken", "1m", now_ms=now)
+    assert all(st.rows_appended == 0 for st in rerun.values())
