@@ -92,3 +92,140 @@ def streaming_gap_monitor(candles: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- running VWAP: one operator, two stateful APIs ------------------------
+#
+# ``transformWithStateInPandas`` (Spark 4's richer API: typed state
+# handles, timers, TTL) needs the protobuf-based Python state server,
+# and ``google.protobuf`` is not installed in this container — so the
+# TWS variant is the forward surface, import-gated and skip-tested,
+# while an ``applyInPandasWithState`` variant with identical semantics
+# carries the in-container tests.
+
+import importlib.util
+
+# find_spec raises (not returns None) when the parent package is absent
+TRANSFORM_WITH_STATE_AVAILABLE = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+VWAP_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("cum_volume", T.DoubleType(), False),
+        T.StructField("cum_notional", T.DoubleType(), False),
+        T.StructField("vwap", T.DoubleType(), False),
+    ]
+)
+
+
+class RunningVWAPProcessor:
+    """Per-symbol running VWAP via ``transformWithStateInPandas`` —
+    Spark 4's richer stateful API (typed state handles + timers) vs the
+    single-blob state of ``applyInPandasWithState`` above.
+
+    Maintains cumulative (volume, notional) per symbol across
+    micro-batches and emits the updated VWAP once per batch per symbol
+    with new data. State is two doubles per key — scales with distinct
+    symbols, not ticks — and lives in the checkpointed store (RocksDB
+    provider required by this API), surviving restarts like the
+    reference's sink-derived resume offset (`ccxt-ohlcv-fetch.py:86-91`).
+    """
+
+    def init(self, handle) -> None:
+        self._acc = handle.getValueState(
+            "acc", "cum_volume double, cum_notional double"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        volume, notional = self._acc.get() if self._acc.exists() else (0.0, 0.0)
+        for pdf in rows:
+            volume += float(pdf["amount"].sum())
+            notional += float((pdf["price"] * pdf["amount"]).sum())
+        self._acc.update((volume, notional))
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "cum_volume": [volume],
+                "cum_notional": [notional],
+                "vwap": [notional / volume if volume else float("nan")],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_vwap(ticks: DataFrame) -> DataFrame:
+    """Streaming per-symbol cumulative VWAP (update-mode output) on the
+    Spark 4 ``transformWithStateInPandas`` API.
+
+    Requires (a) the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — the HDFS
+    default does not support ``transformWithState`` — and (b)
+    ``google.protobuf`` for the Python state server (absent in this
+    container; see ``TRANSFORM_WITH_STATE_AVAILABLE``). Semantics are
+    pinned by ``running_vwap_legacy``'s tests — the two variants share
+    the accumulation law.
+    """
+    if not TRANSFORM_WITH_STATE_AVAILABLE:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf; "
+            "use running_vwap_legacy on this deployment"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass at call time so module import never hard-depends on the API
+    processor = type(
+        "_RunningVWAP", (RunningVWAPProcessor, StatefulProcessor), {}
+    )()
+    return ticks.groupBy("symbol").transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=VWAP_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_VWAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cum_volume", T.DoubleType()),
+        T.StructField("cum_notional", T.DoubleType()),
+    ]
+)
+
+
+def _vwap_apply(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    volume, notional = state.get if state.exists else (0.0, 0.0)
+    for pdf in pdf_iter:
+        volume += float(pdf["amount"].sum())
+        notional += float((pdf["price"] * pdf["amount"]).sum())
+    state.update((volume, notional))
+    yield pd.DataFrame(
+        {
+            "symbol": [key[0]],
+            "cum_volume": [volume],
+            "cum_notional": [notional],
+            "vwap": [notional / volume if volume else float("nan")],
+        }
+    )
+
+
+def running_vwap_legacy(ticks: DataFrame) -> DataFrame:
+    """Same running-VWAP semantics on ``applyInPandasWithState`` — the
+    stateful API that runs everywhere (no protobuf state server, works
+    on the default HDFS state store). One updated row per (symbol,
+    micro-batch); state is two doubles per key."""
+    return ticks.groupBy("symbol").applyInPandasWithState(
+        _vwap_apply,
+        outputStructType=VWAP_SCHEMA,
+        stateStructType=_VWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
