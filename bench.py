@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ccxt_ohlcv_fetcher_spark.plans import load_all
+from ccxt_ohlcv_fetcher_spark.schemas import TABLE_NAMES
 from ccxt_ohlcv_fetcher_spark.session import get_spark
 
 
@@ -33,19 +34,26 @@ def main() -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # Pass 0 warms JIT/codegen for every plan shape; then best-of-2 timed
+    # Pass 0 warms JIT/codegen for every plan shape (and records output
+    # cardinality, so throughput is reportable); then best-of-2 timed
     # passes per query. Single-machine runs see multi-second GC/JIT stalls
     # on random queries — min-of-N measures the engine's steady-state
     # per-query cost (the quantity that predicts cluster throughput)
     # instead of which query happened to absorb a stall.
     ordered = sorted(registry.items())
-    for _, spec in ordered:
-        run_one(spec)
+    output_rows: dict[str, int] = {}
+    for name, spec in ordered:
+        output_rows[name] = spec.builder(spark, sf_dir).count()
     times: dict[str, float] = {}
     for name, spec in ordered:
         times[name] = run_one(spec)
     for name, spec in ordered:
         times[name] = round(min(times[name], run_one(spec)), 3)
+
+    # input scale: fixture table cardinalities (parquet-footer counts)
+    table_rows = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in TABLE_NAMES
+    }
 
     print(
         json.dumps(
@@ -54,6 +62,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "output_rows": output_rows,
+                "table_rows": table_rows,
                 "sf": sf,
             }
         )

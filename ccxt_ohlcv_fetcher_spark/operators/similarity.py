@@ -21,6 +21,15 @@ from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product, l2_norm
 from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long_py
 
 
+def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Hoist the vector's L2 norm to a per-row column BEFORE any pair
+    join: norms then cost |rows| evaluations instead of |pairs|. The
+    score stays ``dot/(na*nb)`` — bit-identical to the inline form, so
+    DuckDB-oracle value hashes are unaffected (unlike pre-normalizing
+    the components, which reorders float ops)."""
+    return df.withColumn(out, l2_norm(vec_col))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,13 +47,16 @@ def cosine_topk(
     combine) -> final merge. No global sort, no window over the full
     cross product.
     """
-    scored = corpus.join(F.broadcast(queries)).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        (
-            dot_product(corpus_vec, query_vec)
-            / (l2_norm(corpus_vec) * l2_norm(query_vec))
-        ).alias("score"),
+    scored = (
+        _with_norm(corpus, corpus_vec, "_cn")
+        .join(F.broadcast(_with_norm(queries, query_vec, "_qn")))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            (
+                dot_product(corpus_vec, query_vec) / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
     )
     # sortable struct: ascending (neg_score, vec_id) == (score desc, id asc)
     item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
@@ -117,15 +129,14 @@ def ann_cosine_topk(
     within matching buckets only. Trades recall for touching
     ~|corpus|/2^planes candidates per query. Output schema matches
     :func:`cosine_topk` (rank within retrieved candidates)."""
-    c_b = sign_lsh_buckets(corpus, corpus_vec, n_planes, dim)
-    q_b = sign_lsh_buckets(queries, query_vec, n_planes, dim)
+    c_b = sign_lsh_buckets(_with_norm(corpus, corpus_vec, "_cn"), corpus_vec, n_planes, dim)
+    q_b = sign_lsh_buckets(_with_norm(queries, query_vec, "_qn"), query_vec, n_planes, dim)
     candidates = c_b.join(F.broadcast(q_b), "bucket").select(
         query_id,
         F.col(corpus_id),
-        (
-            dot_product(corpus_vec, query_vec)
-            / (l2_norm(corpus_vec) * l2_norm(query_vec))
-        ).alias("score"),
+        (dot_product(corpus_vec, query_vec) / (F.col("_cn") * F.col("_qn"))).alias(
+            "score"
+        ),
     )
     item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
     return (
@@ -189,15 +200,18 @@ def ivf_cosine_topk(
         )
         return F.slice(F.array_sort(pairs), 1, n)["cell"]
 
-    assigned = corpus.withColumn("_cell", top_cells(corpus_vec, 1)[0])
-    probes = queries.withColumn("_cell", F.explode(top_cells(query_vec, n_probe)))
+    assigned = _with_norm(corpus, corpus_vec, "_cn").withColumn(
+        "_cell", top_cells(corpus_vec, 1)[0]
+    )
+    probes = _with_norm(queries, query_vec, "_qn").withColumn(
+        "_cell", F.explode(top_cells(query_vec, n_probe))
+    )
     candidates = assigned.join(F.broadcast(probes), "_cell").select(
         query_id,
         F.col(corpus_id),
-        (
-            dot_product(corpus_vec, query_vec)
-            / (l2_norm(corpus_vec) * l2_norm(query_vec))
-        ).alias("score"),
+        (dot_product(corpus_vec, query_vec) / (F.col("_cn") * F.col("_qn"))).alias(
+            "score"
+        ),
     )
     item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
     return (
