@@ -49,3 +49,41 @@ def md5_long_py(value: str, salt: str | None = None) -> int:
     if salt is not None:
         value = f"{salt}|{value}"
     return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# --- affine MinHash permutation family ------------------------------------
+#
+# k-wise MinHash needs k independent hash functions per shingle. Salted
+# md5 costs k md5 evaluations per (doc, shingle) row; the standard
+# universal-hashing alternative evaluates md5 ONCE per shingle and
+# derives the k functions as affine permutations h_i(x) = (a_i*x + b_i)
+# mod P over a prime field — k integer mul/add/mod per row instead of k
+# md5s, with the same collision theory (Carter-Wegman universal family).
+# P = 2^31 - 1 keeps a_i * x < 2^62, overflow-free in signed 64-bit on
+# both engines, so DuckDB reproduces every signature bit-for-bit.
+
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def affine_params(k: int, salt: str = "minhash") -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i in [1, P-1], b_i in [0, P-1],
+    derived from md5 of the salt+index (no RNG state, reproducible)."""
+    return [
+        (
+            md5_long_py(f"{salt}|a|{i}") % (MINHASH_PRIME - 1) + 1,
+            md5_long_py(f"{salt}|b|{i}") % MINHASH_PRIME,
+        )
+        for i in range(k)
+    ]
+
+
+def affine_hash(col: Column | str, a: int, b: int) -> Column:
+    """h(x) = (a * (x mod P) + b) mod P as a column expression."""
+    col = F.col(col) if isinstance(col, str) else col
+    p = F.lit(MINHASH_PRIME)
+    return (F.lit(a) * (col % p) + F.lit(b)) % p
+
+
+def affine_hash_sql(expr: str, a: int, b: int) -> str:
+    """DuckDB SQL equivalent of :func:`affine_hash`."""
+    return f"({a} * ({expr} % {MINHASH_PRIME}) + {b}) % {MINHASH_PRIME}"

@@ -106,11 +106,33 @@ def sign_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane sign LSH: bucket id = sign bits of the vector's
     dot products with ``n_planes`` fixed hyperplanes (2^n_planes buckets).
-    Cosine-similar vectors collide with probability (1 - theta/pi)^planes."""
-    bucket = F.lit(0).cast("bigint")
-    for j in range(n_planes):
-        d = dot_product(F.col(vec_col), hyperplane(dim, j, salt))
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    Cosine-similar vectors collide with probability (1 - theta/pi)^planes.
+
+    All planes live in ONE array<array<double>> literal scored by a
+    single nested HOF — one codegen'd aggregate loop regardless of
+    ``n_planes``, instead of ``n_planes`` separate zip/aggregate
+    subtrees (plan compile time was the dominant cost of the unrolled
+    form; see PERFORMANCE.md §5)."""
+    planes = F.lit(
+        [
+            [float(md5_long_py(f"{salt}|{j}|{i}")) / float(2**59) - 1.0 for i in range(dim)]
+            for j in range(n_planes)
+        ]
+    )
+    weights = F.lit([float(1 << j) for j in range(n_planes)])
+    dots = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    bucket = F.aggregate(
+        F.zip_with(dots, weights, lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
     return df.withColumn("bucket", bucket)
 
 
@@ -181,16 +203,24 @@ def ivf_cosine_topk(
         .collect()
     )
     centroids = [list(map(float, r["_c"])) for r in seeds]
+    # one array<array<double>> literal + one nested HOF, not n_cells
+    # unrolled aggregate subtrees: halves wall time at 16 cells (plan
+    # compile dominated; PERFORMANCE.md §5)
+    cmat = F.lit(centroids)
+    cnorms = F.lit([float(_norm(c)) for c in centroids])
 
     def cell_scores(vec: str) -> Column:
         # cosine argmax doesn't need the row vector's own norm (constant
         # across cells) — only each centroid's, folded to a literal
-        return F.array(
-            *[
-                dot_product(F.col(vec), F.lit(c)) / F.lit(_norm(c))
-                for c in centroids
-            ]
+        dots = F.transform(
+            cmat,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec), c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         )
+        return F.zip_with(dots, cnorms, lambda s, n: s / n)
 
     def top_cells(vec: str, n: int) -> Column:
         # (score, cell) structs sorted desc -> first n cell ids

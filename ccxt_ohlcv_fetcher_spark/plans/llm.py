@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long, md5_long_sql
+from ccxt_ohlcv_fetcher_spark.functions.hashing import (
+    affine_hash_sql,
+    affine_params,
+    md5_long,
+    md5_long_sql,
+)
 from ccxt_ohlcv_fetcher_spark.operators.dedup import (
     SIMHASH_BITS,
     exact_dedup,
@@ -142,10 +147,11 @@ def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_signature_cte(k: int) -> str:
     """CTE computing doc_id + mh_0..mh_{k-1}, mirroring
-    operators/dedup.py minhash_signatures (same salts, same hashes)."""
+    operators/dedup.py minhash_signatures (same affine permutations of
+    the same md5 shingle hash — bit-identical signatures)."""
     mins = ",\n             ".join(
-        f"min({md5_long_sql('CAST(shingle AS VARCHAR)', salt=str(i))}) AS mh_{i}"
-        for i in range(k)
+        f"min({affine_hash_sql('shingle', a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(affine_params(k))
     )
     return f"""
     sh AS (
