@@ -108,12 +108,20 @@ def start_candle_sink(
     timeframe: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    rollups=None,
 ) -> StreamingQuery:
     """E28s/E29s/E31s: write the candle stream into the partitioned
     dataset through the idempotent appender (foreachBatch). Offsets live
     in the checkpoint; re-delivered micro-batches (at-least-once
     foreachBatch) are absorbed by the anti-join dedup — end-to-end
-    exactly-once on the sink."""
+    exactly-once on the sink.
+
+    ``rollups`` (optional ``operators/rollup.py:MaterializedRollups``
+    over ``dataset``): refreshed after each appended micro-batch, so
+    coarse candles (1h/1d) stay current as the stream lands — the
+    streaming form of continuous-aggregate maintenance. Refresh is
+    itself idempotent (closed buckets only + anti-join), so a
+    re-delivered batch refreshes into a no-op."""
 
     def write_batch(batch: DataFrame, _batch_id: int) -> None:
         out = (
@@ -124,7 +132,8 @@ def start_candle_sink(
             .withColumn("close", F.col("close").cast("decimal(38,12)"))
             .withColumn("volume", F.col("volume").cast("decimal(38,12)"))
         )
-        dataset.append_idempotent(out)
+        if dataset.append_idempotent(out) and rollups is not None:
+            rollups.refresh()
 
     writer = (
         candles.writeStream.outputMode("append")

@@ -167,3 +167,60 @@ def test_running_vwap_transform_with_state(spark, tmp_path):
         _assert_vwap(_run_vwap(spark, tmp_path, running_vwap))
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_sink_maintains_rollups(spark, tmp_path):
+    """End-to-end: tick stream -> 5m candles -> partitioned dataset,
+    with the 1h continuous aggregate refreshed per micro-batch; stored
+    rollup equals a batch resample of the stored 5m candles restricted
+    to closed hours."""
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import CandleDataset
+    from ccxt_ohlcv_fetcher_spark.operators.resample import resample_candles
+    from ccxt_ohlcv_fetcher_spark.operators.rollup import MaterializedRollups
+    from ccxt_ohlcv_fetcher_spark.streaming.candles import (
+        read_tick_stream,
+        start_candle_sink,
+        streaming_ohlcv,
+    )
+
+    # 2h30m of 1-minute ticks, landed as two files (two micro-batches)
+    tick_rows = [
+        (float((T0 + i * 60 * SEC) / 1000.0), "bitfinex", "XRPUSD", 100.0 + (i % 9), 2.0)
+        for i in range(150)
+    ]
+    tick_dir = str(tmp_path / "ticks")
+    for chunk in (tick_rows[:90], tick_rows[90:]):
+        spark.createDataFrame(
+            chunk, "ts double, exchange string, symbol string, price double, amount double"
+        ).withColumn("ts", F.expr("timestamp_seconds(ts)")).coalesce(1).write.mode(
+            "append"
+        ).parquet(tick_dir)
+
+    ds = CandleDataset(spark, str(tmp_path / "candles"))
+    rollups = MaterializedRollups(
+        spark, ds, str(tmp_path / "rollups"), levels=("1h",), base_timeframe="5m"
+    )
+    q = start_candle_sink(
+        streaming_ohlcv(read_tick_stream(spark, tick_dir), "5m"),
+        ds,
+        "5m",
+        str(tmp_path / "ckpt"),
+        rollups=rollups,
+    )
+    q.awaitTermination(180)
+
+    stored_1h = rollups.read("1h")
+    # 2 closed hours (the 30-min tail hour stays unmaterialized)
+    assert stored_1h.count() == 2
+    expect = resample_candles(ds.read(timeframe="5m"), "1h").filter(
+        F.col("timestamp") < T0 + 2 * 3600 * SEC
+    )
+    got = {
+        (r["timestamp"], r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in stored_1h.collect()
+    }
+    want = {
+        (r["timestamp"], r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in expect.collect()
+    }
+    assert got == want
