@@ -445,3 +445,68 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_p25"
         ),
     )
+
+
+@register(
+    "nation_customer_listagg",
+    oracle="""
+    SELECT n_name, count(*) AS n_cust,
+           string_agg(c_name, ',' ORDER BY c_name) AS members,
+           array_to_string(list_sort(list(c_name))[1:3], '|') AS top3_alpha
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+    doc="String aggregation (listagg/string_agg shape): collect_list + "
+    "array_sort + concat_ws — explicitly ordered, because Spark's "
+    "collect_list order is shuffle-dependent; the sort is what makes "
+    "the result deterministic (and hash-checkable) at any parallelism. "
+    "Broadcast dim join (25 nations), one shuffle on n_name.",
+    tags=("E13", "E23"),
+)
+def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    members = F.array_sort(F.collect_list("c_name"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.concat_ws(",", members).alias("members"),
+            F.concat_ws("|", F.slice(members, 1, 3)).alias("top3_alpha"),
+        )
+    )
+
+
+@register(
+    "price_qty_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_r,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept_r,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx_r,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy_r,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_r
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Linear-regression aggregates (op E17 breadth): regr_slope/"
+    "intercept/count/avgx/avgy + corr, grouped. These are one-pass "
+    "partial-aggregable sketches (sum/sum-of-products), so they scale "
+    "like any sum at 100 TB. Outputs rounded to 6 decimals: both "
+    "engines use numerically different (but stable) accumulation "
+    "orders, so the raw doubles differ in the last bits by design.",
+    tags=("E17",),
+)
+def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope_r"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias(
+            "icept_r"
+        ),
+        F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 6).alias("avgx_r"),
+        F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 6).alias("avgy_r"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_r"),
+    )

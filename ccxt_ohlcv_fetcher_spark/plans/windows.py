@@ -155,3 +155,44 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ms(F.max("ts")).alias("session_end_ms"),
         F.sum(dec("value")).cast("double").alias("session_value"),
     )
+
+
+@register(
+    "order_rank_analytics",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER wf AS second_key,
+           last_value(o_orderkey) OVER wf AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey),
+      wf AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Distribution/navigation window functions (op E18 breadth): "
+    "ntile, percent_rank, cume_dist, first/nth/last_value. The "
+    "value-navigation trio runs over the full-partition frame (default "
+    "frame stops at CURRENT ROW, where last_value degenerates to the "
+    "row itself). Order key includes o_orderkey so ranks are total — "
+    "the determinism convention every ranking query here follows.",
+    tags=("E18",),
+)
+def order_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first_value("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.last_value("o_orderkey").over(wf).alias("priciest_key"),
+    )
