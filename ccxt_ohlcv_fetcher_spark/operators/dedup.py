@@ -75,14 +75,29 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
     Cost model: |pairs sharing a shingle| << N^2 for natural text; the
-    heavy hitter is a skewed shingle (boilerplate) — mitigated upstream
-    by dropping ultra-frequent shingles (document frequency cap).
+    heavy hitter is a skewed shingle (boilerplate). ``max_doc_freq``
+    drops shingles appearing in more than that many documents *from the
+    representation* (sizes and intersections alike — the metric becomes
+    Jaccard over informative shingles, the stopword treatment). A
+    boilerplate shingle in d docs otherwise contributes d^2/2 join
+    pairs; the cap bounds per-shingle fan-out at max_doc_freq^2/2
+    regardless of corpus size — the knob that keeps the inverted-index
+    self-join linear-ish at 100 TB.
     """
     sh = shingle_sets(df, content_col, id_col, n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -588,3 +588,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = media_from_documents(docs)
     return extract_features(media).select("media_id", "n_bytes", "head_byte", "checksum")
+
+
+@register(
+    "jaccard_dup_pairs_capped",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id,
+             {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    keep AS (
+      SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 3
+    ),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+           common * 1.0 / (na.n + nb.n - common) AS jaccard
+    FROM common
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
+    """,
+    doc="DF-capped Jaccard near-dup (op E34 scale posture): shingles in "
+    "more than 3 docs are dropped from the representation before the "
+    "inverted-index self-join, bounding per-shingle join fan-out at "
+    "df^2/2 — the boilerplate-skew guard that keeps candidate "
+    "generation linear-ish at corpus scale. Same plan as "
+    "jaccard_dup_pairs plus one semi-join against the kept-shingle set.",
+    tags=("E34",),
+)
+def jaccard_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=3
+    )
