@@ -123,3 +123,58 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
         )
     )
+
+
+@register(
+    "part_attrs_unpivot",
+    oracle="""
+    SELECT p_partkey, attr, CAST(val AS DOUBLE) AS val
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+          FROM part)
+    UNPIVOT (val FOR attr IN (p_size, p_retailprice))
+    """,
+    doc="Unpivot/melt (wide -> long): the DataFrame `unpivot` operator "
+    "(SQL UNPIVOT). Pure projection fan-out — no shuffle; rows scale by "
+    "the number of unpivoted columns.",
+    tags=("E4",),
+)
+def part_attrs_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_size", "p_retailprice")
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+        .withColumn("val", F.col("val").cast("double"))
+    )
+
+
+@register(
+    "top2_orders_lateral",
+    oracle="""
+    SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+    FROM (SELECT DISTINCT o_custkey FROM orders) c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    """,
+    doc="Lateral (correlated) join through the SQL surface: top-2 orders "
+    "per customer as a per-row subquery. Catalyst rewrites the "
+    "correlated limit into a window rank + filter — same physical plan "
+    "as the explicit row_number() formulation (top3_orders_per_segment), "
+    "pinned here so both surfaces stay available.",
+    tags=("E18", "E22"),
+)
+def top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.o_custkey, t.o_orderkey, t.o_totalprice
+        FROM (SELECT DISTINCT o_custkey FROM _lat_orders) c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders o
+          WHERE o.o_custkey = c.o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
