@@ -427,23 +427,33 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p50_cont"),
-        F.expr(
-            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p50_disc"),
-        F.expr(
-            "percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p90_cont"),
-        F.expr(
-            "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
-        ).alias("p90_disc"),
-        F.median("l_extendedprice").alias("med"),
-        F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias(
-            "qty_p25"
-        ),
+    # percentile(col, array(...)) == percentile_cont per element (same
+    # interpolation, verified value-identical) but shares ONE per-group
+    # value buffer for all requested fractions — each extra WITHIN GROUP
+    # expression otherwise buffers+sorts the group again. median ==
+    # percentile 0.5 exactly, so it reuses the same buffer too.
+    pe = F.percentile("l_extendedprice", F.lit([0.5, 0.9]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pe.alias("_pe"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p50_disc"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p90_disc"),
+            F.percentile("l_quantity", F.lit(0.25)).alias("qty_p25"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pe")[0].alias("p50_cont"),
+            "p50_disc",
+            F.col("_pe")[1].alias("p90_cont"),
+            "p90_disc",
+            F.col("_pe")[0].alias("med"),
+            "qty_p25",
+        )
     )
 
 
