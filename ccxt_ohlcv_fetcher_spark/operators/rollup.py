@@ -150,3 +150,53 @@ class MaterializedRollups:
         return self.store.append_idempotent(
             rolled.select(*_COLS, *_KEYS, "timeframe")
         )
+
+
+def read_with_live_tail(
+    rollups: MaterializedRollups,
+    timeframe: str,
+    exchange: str | None = None,
+    symbol: str | None = None,
+) -> DataFrame:
+    """One coherent view per rollup level: materialized closed buckets
+    UNION a live resample of base rows newer than each key's last
+    materialized bucket — so the still-open bucket is served without
+    ever being written (writing it would force a rewrite when it grows;
+    see the module docstring's closed-bucket rule).
+
+    Scale: the stored side is a pruned scan; the live side re-aggregates
+    only the tail newer than the per-key refresh cursor (row-group
+    min/max stats skip everything older), i.e. at most one open bucket's
+    worth of base rows per key.
+    """
+    level_iv = timeframe_interval_expr(timeframe)
+    base = rollups.base.read(exchange, symbol, rollups.base_timeframe)
+    if not rollups.store._exists():
+        # nothing materialized yet: the whole view is a live resample
+        live = resample_candles(base, timeframe, keys=_KEYS).withColumn(
+            "timeframe", F.lit(timeframe)
+        )
+        for c in _COLS[1:]:
+            live = live.withColumn(c, F.col(c).cast(PRICE_TYPE))
+        return live.select(*_COLS, *_KEYS, "timeframe")
+    stored = rollups.read(timeframe, exchange, symbol)
+    last = stored.groupBy(*_KEYS).agg(F.max("timestamp").alias("_last_ts"))
+    tail = (
+        base.join(F.broadcast(last), list(_KEYS), "left")
+        .filter(
+            F.col("_last_ts").isNull()
+            | (
+                F.timestamp_millis(F.col("timestamp"))
+                >= F.timestamp_millis(F.col("_last_ts")) + level_iv
+            )
+        )
+        .drop("_last_ts")
+    )
+    live = resample_candles(tail, timeframe, keys=_KEYS).withColumn(
+        "timeframe", F.lit(timeframe)
+    )
+    for c in _COLS[1:]:
+        live = live.withColumn(c, F.col(c).cast(PRICE_TYPE))
+    return stored.select(*_COLS, *_KEYS, "timeframe").unionByName(
+        live.select(*_COLS, *_KEYS, "timeframe")
+    )

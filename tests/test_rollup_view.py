@@ -95,3 +95,22 @@ def test_chained_level_matches_direct(spark, tmp_path):
         F.col("timestamp") < day0 + 2 * 86_400_000
     )
     assert _sorted_rows(r.read("1d")) == _sorted_rows(direct)
+
+
+def test_read_with_live_tail_equals_full_resample(spark, base, rollups):
+    from ccxt_ohlcv_fetcher_spark.operators.rollup import read_with_live_tail
+
+    rollups.refresh()
+    view = read_with_live_tail(rollups, "1h")
+    full = resample_candles(base.read(timeframe="1m"), "1h")
+    assert _sorted_rows(view) == _sorted_rows(full)
+    # the open tail bucket is present in the view but not on disk
+    assert view.count() == rollups.read("1h").count() + 2  # +1 open hour x 2 symbols
+
+
+def test_read_with_live_tail_before_any_refresh(spark, base, rollups):
+    from ccxt_ohlcv_fetcher_spark.operators.rollup import read_with_live_tail
+
+    view = read_with_live_tail(rollups, "1h")
+    full = resample_candles(base.read(timeframe="1m"), "1h")
+    assert _sorted_rows(view) == _sorted_rows(full)
