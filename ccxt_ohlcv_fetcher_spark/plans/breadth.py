@@ -1,0 +1,228 @@
+"""Oracle-breadth queries (SURVEY.md §2.8/§2.4 long tail): bitwise and
+boolean aggregates, try_* error-handling functions, str_to_map,
+posexplode / posexplode_outer generator shapes, width_bucket histogram
+bucketing, and the histogram_numeric sketch (rows-only).
+
+All pure JVM-side expressions — no Python UDFs; generators are
+whole-stage-codegen `Generate` nodes, aggregates keep partial/final
+map-side combine. Scale notes per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.plans.registry import register
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+
+@register(
+    "lineitem_bitwise_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_and,
+           CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_or,
+           CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_bit_xor,
+           bool_and(l_discount <= 0.08) AS all_low_disc,
+           bool_or(l_quantity > 45) AS any_bulk,
+           median(l_extendedprice) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bitwise (bit_and/bit_or/bit_xor) and boolean (bool_and/bool_or) "
+    "aggregates plus exact median (op E17 long tail). All are "
+    "commutative-associative (median via typed sort-agg), so Spark's "
+    "partial/final split is exact; one shuffle on the 3-value group key.",
+    tags=("E17",),
+)
+def lineitem_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(qty).alias("qty_bit_and"),
+        F.bit_or(qty).alias("qty_bit_or"),
+        F.bit_xor(qty).alias("qty_bit_xor"),
+        F.bool_and(F.col("l_discount") <= 0.08).alias("all_low_disc"),
+        F.bool_or(F.col("l_quantity") > 45).alias("any_bulk"),
+        F.median("l_extendedprice").alias("median_price"),
+    )
+
+
+@register(
+    "part_try_funcs",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ')[8] AS word8,
+           p_retailprice / nullif(p_size - 10, 0) AS price_per_excess,
+           try_cast(regexp_extract(p_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           try_cast(substr(p_brand, 7) AS BIGINT) AS brand_num
+    FROM part
+    """,
+    doc="try_* error-handling functions (op E27 long tail): try_element_at "
+    "past the array end, try_divide by a zero-crossing denominator, "
+    "try_cast of non-numeric text — all return NULL instead of raising, "
+    "the column-expression form of the reference's try/except-and-continue "
+    "(ccxt-ohlcv-fetch.py:71-79). Row-local, zero shuffle.",
+    tags=("E27",),
+)
+def part_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return part.select(
+        "p_partkey",
+        F.try_element_at(words, F.lit(8)).alias("word8"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size") - 10).alias(
+            "price_per_excess"
+        ),
+        F.try_to_number(
+            F.nullif(F.regexp_extract("p_name", r"([0-9]+)", 1), F.lit("")),
+            F.lit("999999"),
+        )
+        .cast("bigint")
+        .alias("name_num"),
+        F.substring("p_brand", 7, 10).try_cast("bigint").alias("brand_num"),
+    )
+
+
+@register(
+    "part_kv_str_to_map",
+    oracle="""
+    SELECT p_partkey,
+           'brand,size,type' AS keys_sorted,
+           p_brand AS brand_val,
+           CAST(p_size AS BIGINT) AS size_val,
+           CAST(3 AS INT) AS n_entries
+    FROM part
+    """,
+    doc="str_to_map (op E26 long tail): parse a delimited k=v string into "
+    "map<string,string>; the oracle recomputes the fields from the base "
+    "columns, so the round trip build-string -> str_to_map -> element_at "
+    "is pinned end-to-end. Row-local codegen, no shuffle.",
+    tags=("E26",),
+)
+def part_kv_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    kv = F.concat_ws(
+        ",",
+        F.concat(F.lit("brand="), F.col("p_brand")),
+        F.concat(F.lit("size="), F.col("p_size").cast("string")),
+        F.concat(F.lit("type="), F.col("p_type")),
+    )
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return part.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, "brand").alias("brand_val"),
+        F.element_at(m, "size").cast("bigint").alias("size_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "doc_tokens_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, toks[u.pos + 1] AS tok,
+           CAST(length(toks[u.pos + 1]) AS INT) AS tok_len
+    FROM t, UNNEST(range(len(t.toks))) AS u(pos)
+    """,
+    doc="posexplode (op E25/E36 generator shape): ordinal-preserving token "
+    "fan-out, the set-returning analog of the reference's positional row "
+    "unpack (ccxt-ohlcv-fetch.py:57-66). Generate node inside codegen; "
+    "output is ~tokens-per-doc x rows, so real pipelines bound it with a "
+    "pushed-down filter as here.",
+    tags=("E25", "E36"),
+)
+def doc_tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    exploded = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    return exploded.select(
+        "doc_id", "pos", "tok", F.length("tok").alias("tok_len")
+    )
+
+
+@register(
+    "doc_tokens_posexplode_outer",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN n_chars >= 60 THEN string_split(text, ' ') END AS toks
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, toks[u.pos + 1] AS tok
+    FROM t LEFT JOIN LATERAL
+      (SELECT unnest(range(len(t.toks))) AS pos) u ON TRUE
+    """,
+    doc="posexplode_outer (op E25 generator shape): NULL/empty arrays keep "
+    "their parent row with NULL pos/tok — outer-generate semantics, the "
+    "row-preserving variant needed when exploding optional nested data.",
+    tags=("E25",),
+)
+def doc_tokens_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = F.when(F.col("n_chars") >= 60, F.split("text", " "))
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
+
+
+@register(
+    "acctbal_width_buckets",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 0
+                WHEN c_acctbal >= 10000 THEN 6
+                ELSE CAST(floor(c_acctbal / (10000.0 / 5)) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(c_acctbal) AS lo,
+           max(c_acctbal) AS hi
+    FROM customer
+    GROUP BY 1
+    """,
+    doc="width_bucket equal-width histogram (op E17 long tail): bucket id "
+    "0 below range, n+1 above, else floor((v-lo)/width)+1 — the oracle "
+    "reproduces the same float ops so boundary values land identically. "
+    "Map-side combine on <=7 buckets; one tiny shuffle.",
+    tags=("E17",),
+)
+def acctbal_width_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(
+            F.width_bucket("c_acctbal", F.lit(0.0), F.lit(10000.0), F.lit(5)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle=None,  # sketch output depends on merge order -> rows-only check
+    doc="histogram_numeric(value, 12) over events (op E17 sketch tier): "
+    "Spark's NumericHistogram sketch — mergeable fixed-size bin set, the "
+    "same partial/final pattern as approx_count_distinct; bin centroids "
+    "are merge-order-dependent, hence no value oracle. Exploded to "
+    "(bin_x, bin_y) rows for a stable schema.",
+    tags=("E17",),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hist = events.select(
+        F.explode(F.histogram_numeric("value", F.lit(12))).alias("bin")
+    )
+    return hist.select(
+        F.col("bin.x").cast("double").alias("bin_x"),
+        F.col("bin.y").cast("double").alias("bin_y"),
+    )
