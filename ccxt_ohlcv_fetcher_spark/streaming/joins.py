@@ -60,6 +60,45 @@ def join_trades_quotes(
     )
 
 
+def join_trades_quotes_outer(
+    trades: DataFrame,
+    quotes: DataFrame,
+    max_quote_age: str = "60 seconds",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every trade is emitted, enriched
+    with matching quotes when they exist, or with NULL quote columns
+    otherwise — the "no quote was available" rows are exactly what a
+    data-quality monitor wants, and an inner join silently drops them.
+
+    Semantics under the hood: matched rows emit immediately; an
+    *unmatched* trade is held in the state store until the watermark
+    passes the end of its join window (only then can Spark prove no
+    matching quote can still arrive), at which point it is emitted
+    null-extended. So outer results trail the inner results by up to
+    ``watermark_delay + max_quote_age`` of event time — eventual, not
+    instant, completeness. State eviction follows the same two-sided
+    time bound as the inner join; memory stays O(window × rate).
+    """
+    t = trades.withWatermark("ts", watermark_delay).alias("t")
+    q = quotes.withWatermark("qts", watermark_delay).alias("q")
+    cond = (
+        (F.col("t.symbol") == F.col("q.symbol"))
+        & (F.col("q.qts") <= F.col("t.ts"))
+        & (F.col("q.qts") >= F.col("t.ts") - F.expr(f"INTERVAL {max_quote_age}"))
+    )
+    return t.join(q, cond, "leftOuter").select(
+        F.col("t.symbol").alias("symbol"),
+        F.unix_millis("t.ts").alias("trade_ms"),
+        F.unix_millis("q.qts").alias("quote_ms"),
+        F.col("t.price").alias("price"),
+        F.col("t.amount").alias("amount"),
+        F.col("q.bid").alias("bid"),
+        F.col("q.ask").alias("ask"),
+        (F.col("q.ask") - F.col("q.bid")).alias("spread"),
+    )
+
+
 def dedup_tick_stream(
     ticks: DataFrame,
     keys: tuple[str, ...] = ("symbol", "ts"),

@@ -224,3 +224,140 @@ def test_streaming_sink_maintains_rollups(spark, tmp_path):
         for r in expect.collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Unmatched trades must surface null-extended once the watermark
+    proves no quote can still arrive; matched trades behave as inner."""
+    from ccxt_ohlcv_fetcher_spark.streaming.joins import join_trades_quotes_outer
+
+    # XRPUSD trades have quotes; BTCUSD trades never do. A far-future
+    # flush row on BOTH sides advances the watermark (it is the min of
+    # the two sides) far enough to emit the unmatched rows null-extended.
+    trade_rows = [(T0 + i * 10 * SEC, "XRPUSD", 100.0 + i, 2.0) for i in range(6)] + [
+        (T0 + 40 * SEC, "BTCUSD", 40_000.0, 0.1),
+        (T0 + 50 * SEC, "BTCUSD", 40_100.0, 0.2),
+    ]
+    quote_rows = [(T0 + i * 15 * SEC, "XRPUSD", 99.0 + i, 101.0 + i) for i in range(4)]
+    flush_t = [(T0 + 3600 * SEC, "FLUSH", 0.0, 0.0)]
+    flush_q = [(T0 + 3600 * SEC, "FLUSH", 0.0, 0.0)]
+    tdir, qdir = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    tschema = "ts long, symbol string, price double, amount double"
+    qschema = "qts long, symbol string, bid double, ask double"
+    _write(spark, tdir, trade_rows, tschema)
+    _write(spark, tdir, flush_t, tschema)
+    _write(spark, qdir, quote_rows, qschema)
+    _write(spark, qdir, flush_q, qschema)
+
+    trades = _ts(
+        spark.readStream.schema(tschema).option("maxFilesPerTrigger", 1).parquet(tdir),
+        "ts",
+    )
+    quotes = _ts(
+        spark.readStream.schema(qschema).option("maxFilesPerTrigger", 1).parquet(qdir),
+        "qts",
+    )
+    q = (
+        join_trades_quotes_outer(trades, quotes, max_quote_age="60 seconds")
+        .writeStream.format("memory")
+        .queryName("tq_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = [r for r in spark.table("tq_outer").collect() if r["symbol"] != "FLUSH"]
+
+    matched = [r for r in out if r["quote_ms"] is not None]
+    unmatched = [r for r in out if r["quote_ms"] is None]
+    # every BTCUSD trade is unmatched and null-extended
+    assert {(r["symbol"], r["trade_ms"]) for r in unmatched} >= {
+        ("BTCUSD", T0 + 40 * SEC),
+        ("BTCUSD", T0 + 50 * SEC),
+    }
+    assert all(r["bid"] is None and r["ask"] is None and r["spread"] is None for r in unmatched)
+    # matched side agrees with the batch inner join
+    bt = _ts(spark.createDataFrame(trade_rows, tschema), "ts").alias("t")
+    bq = _ts(spark.createDataFrame(quote_rows, qschema), "qts").alias("q")
+    expect_inner = {
+        (r["symbol"], r["trade_ms"], r["quote_ms"])
+        for r in bt.join(
+            bq,
+            (F.col("t.symbol") == F.col("q.symbol"))
+            & (F.col("q.qts") <= F.col("t.ts"))
+            & (F.col("q.qts") >= F.col("t.ts") - F.expr("INTERVAL 60 seconds")),
+        )
+        .select(
+            F.col("t.symbol").alias("symbol"),
+            F.unix_millis("t.ts").alias("trade_ms"),
+            F.unix_millis("q.qts").alias("quote_ms"),
+        )
+        .collect()
+    }
+    assert {(r["symbol"], r["trade_ms"], r["quote_ms"]) for r in matched} == expect_inner
+
+
+def test_sessionize_events_gap_and_timeout_close(spark, tmp_path):
+    """Sessions close two ways: a later event past the gap (in-data) and
+    watermark passing end+gap (silence). Both must emit exactly once,
+    and extents must match the native session_window batch aggregation."""
+    from ccxt_ohlcv_fetcher_spark.streaming.sessions import sessionize_events
+
+    MIN = 60 * SEC
+    rows = (
+        # user 1: two sessions split by a 10-minute gap
+        [(T0 + i * MIN, 1) for i in range(3)]
+        + [(T0 + 13 * MIN, 1), (T0 + 14 * MIN, 1)]
+        # user 2: one session, then silence forever
+        + [(T0 + 2 * MIN, 2), (T0 + 3 * MIN, 2)]
+    )
+    flush = [(T0 + 3600 * SEC, 99)]  # drives the watermark past all timers
+    src = str(tmp_path / "events")
+    schema = "ts long, user_id long"
+    _write(spark, src, rows, schema)
+    _write(spark, src, flush, schema)
+
+    events = _ts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        "ts",
+    )
+    q = (
+        sessionize_events(events, gap="5 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions").collect()
+        if r["user_id"] != 99
+    }
+    expect = {
+        (1, T0, T0 + 2 * MIN, 3),  # closed by the 10-min gap
+        (1, T0 + 13 * MIN, T0 + 14 * MIN, 2),  # closed by timeout
+        (2, T0 + 2 * MIN, T0 + 3 * MIN, 2),  # closed by timeout
+    }
+    assert got == expect
+
+    # parity: extents equal the native session_window over the same data
+    batch = _ts(spark.createDataFrame(rows, schema), "ts")
+    native = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in batch.groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("s"),
+            (F.unix_millis("session_window.end") - 5 * 60 * 1000).alias("e"),
+            "n",
+        )
+        .collect()
+    }
+    # session_window.end = last_event + gap; subtracting the gap aligns
+    # both representations on last-event time
+    assert native == expect
