@@ -232,3 +232,54 @@ def region_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "hot_user_event_enrich",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS skew_key
+      FROM events
+    ),
+    dim AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE c_custkey END AS skew_key,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(c_acctbal) AS avg_bal
+      FROM customer
+      GROUP BY 1
+    )
+    SELECT ev.event_id, ev.user_id, ev.skew_key, dim.n_cust, dim.avg_bal
+    FROM ev LEFT JOIN dim USING (skew_key)
+    """,
+    doc="Skew-mitigated hot-key join (SURVEY.md §4 scale posture): every "
+    "even user_id collapses onto one sentinel key (~50% of the fact side "
+    "on a single join key — the degenerate-symbol shape that melts one "
+    "shuffle partition at 100 TB), then joins through "
+    "operators/joins.salted_join: the hot key's rows spread across 8 "
+    "salts, the dim side replicates per salt. The oracle is a plain "
+    "unsalted join — passing proves salting is semantics-preserving. At "
+    "cluster scale the same shape is also covered by AQE skew-split "
+    "(tests/test_skew_aqe.py); explicit salting is the mitigation that "
+    "works even when a same-key downstream agg pins the partitioning.",
+    tags=("E5", "E6"),
+)
+def hot_user_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.joins import salted_join
+    from ccxt_ohlcv_fetcher_spark.plans.registry import davg
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    skew = lambda c: F.when(F.col(c) % 2 == 0, F.lit(-1)).otherwise(F.col(c))  # noqa: E731
+    ev = events.select("event_id", "user_id", skew("user_id").alias("skew_key"))
+    dim = (
+        customer.groupBy(skew("c_custkey").cast("long").alias("skew_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            davg("c_acctbal").alias("avg_bal"),
+        )
+    )
+    return salted_join(ev, dim, ["skew_key"], n_salts=8, how="left").select(
+        "event_id", "user_id", "skew_key", "n_cust", "avg_bal"
+    )
