@@ -36,7 +36,7 @@ import os
 import shutil
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccxt_ohlcv_fetcher_spark.functions.timeframe import timeframe_interval_expr
@@ -120,9 +120,46 @@ class CandleDataset:
     (SURVEY.md §1.3).
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    _BUCKET_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}
+    _BUCKET_PYFMT = {"day": "%Y-%m-%d", "month": "%Y-%m"}
+
+    def __init__(self, spark: SparkSession, path: str, date_bucket: str | None = None):
+        """``date_bucket`` adds a time dimension to the partition layout:
+        ``.../timeframe=1m/dt=2024-03/part-*.parquet`` (``"day"`` or
+        ``"month"``). The reference's layout stops at the symbol level
+        (`gen_db_name`, `:134-138`) — fine for SQLite files that index
+        internally, but at 100 TB a single (exchange,symbol,timeframe)
+        directory grows unboundedly and every maintenance op (compaction,
+        idempotent anti-join, retention) touches ALL of history. The date
+        bucket caps the unit of work: appends only ever land in the
+        newest bucket(s), so the anti-join prunes to those directories at
+        the *partition* level (not just row-group stats), compaction
+        rewrites only buckets that received appends, and retention is a
+        directory delete. Time-range queries prune on ``dt`` before a
+        single footer is read."""
+        if date_bucket is not None and date_bucket not in self._BUCKET_FMT:
+            raise ValueError(f"date_bucket must be one of {sorted(self._BUCKET_FMT)}")
         self.spark = spark
         self.path = path
+        self.date_bucket = date_bucket
+
+    def _bucket_expr(self, ts_col: str = "timestamp") -> Column:
+        return F.date_format(
+            F.timestamp_millis(F.col(ts_col)), self._BUCKET_FMT[self.date_bucket]
+        )
+
+    def _bucket_of(self, ts_ms: int) -> str:
+        import datetime as _dt
+
+        return _dt.datetime.fromtimestamp(
+            ts_ms / 1000, tz=_dt.timezone.utc
+        ).strftime(self._BUCKET_PYFMT[self.date_bucket])
+
+    @property
+    def _partition_cols(self) -> tuple[str, ...]:
+        if self.date_bucket is None:
+            return PARTITION_COLS
+        return (*PARTITION_COLS, "dt")
 
     def _exists(self) -> bool:
         try:
@@ -136,11 +173,17 @@ class CandleDataset:
         exchange: str | None = None,
         symbol: str | None = None,
         timeframe: str | None = None,
+        since_ms: int | None = None,
+        until_ms: int | None = None,
     ) -> DataFrame:
         """Partition-pruned scan (filters on partition cols only).
 
         ``symbol`` accepts either the raw (``XRP/USD``) or stored
         (``XRPUSD``) form — partitions are stored normalized (`:135`).
+        ``since_ms``/``until_ms`` bound the scan in time; under a
+        date-bucketed layout they prune whole ``dt=`` directories before
+        any footer is read, then the exact epoch-ms predicate trims
+        within the boundary buckets via row-group stats.
         """
         df = self.spark.read.parquet(self.path)
         if symbol is not None:
@@ -148,6 +191,16 @@ class CandleDataset:
         for col, val in zip(PARTITION_COLS, (exchange, symbol, timeframe)):
             if val is not None:
                 df = df.filter(F.col(col) == val)
+        if self.date_bucket is not None:
+            if since_ms is not None:
+                df = df.filter(F.col("dt") >= self._bucket_of(since_ms))
+            if until_ms is not None:
+                df = df.filter(F.col("dt") <= self._bucket_of(until_ms))
+            df = df.drop("dt")  # layout detail, not part of the logical schema
+        if since_ms is not None:
+            df = df.filter(F.col("timestamp") >= since_ms)
+        if until_ms is not None:
+            df = df.filter(F.col("timestamp") <= until_ms)
         return df
 
     def resume_offset(self, exchange: str, symbol: str, timeframe: str) -> int | None:
@@ -194,19 +247,25 @@ class CandleDataset:
                     & (F.col("timeframe") == r["timeframe"])
                     & (F.col("timestamp") >= r["_min_ts"])
                 )
+                if self.date_bucket is not None:
+                    # directory-level prune: appends only overlap the tail
+                    # buckets, so skip every older dt= partition outright
+                    c = c & (F.col("dt") >= self._bucket_of(r["_min_ts"]))
                 cond = c if cond is None else (cond | c)
             existing = existing.filter(cond).select(*keys)
             batch = batch.join(F.broadcast(existing), on=keys, how="left_anti")
+        if self.date_bucket is not None:
+            batch = batch.withColumn("dt", self._bucket_expr())
         batch = batch.cache()
         try:
             n = batch.count()  # rows actually appended (post-dedup)
             if n:
                 (
-                    batch.repartition(*PARTITION_COLS)
+                    batch.repartition(*self._partition_cols)
                     .sortWithinPartitions("timestamp")  # R13: explicit order (`:70`)
                     .write.mode("append")
                     .option("compression", "zstd")  # storage-bound at scale
-                    .partitionBy(*PARTITION_COLS)
+                    .partitionBy(*self._partition_cols)
                     .parquet(self.path)
                 )
         finally:
@@ -218,6 +277,7 @@ class CandleDataset:
         exchange: str | None = None,
         symbol: str | None = None,
         timeframe: str | None = None,
+        since_ms: int | None = None,
     ) -> int:
         """Rewrite the selected partitions as one sorted file each.
 
@@ -234,17 +294,34 @@ class CandleDataset:
         Iceberg rewrite_data_files) — the dataframe-side plan (one task
         per partition via ``repartition(*PARTITION_COLS)``) is identical.
         Returns the number of partition directories compacted.
+
+        ``since_ms`` bounds the rewrite in time (date-bucketed layouts
+        only; ignored — whole-partition rewrite — on the legacy layout,
+        which has no sub-partition unit that can be swapped atomically).
+        This is the 100 TB shape of the operation: appends only ever
+        touch the newest bucket(s), so steady-state maintenance is
+        ``compact(since_ms=<last watermark>)`` — a rewrite of a few tail
+        directories, constant-size work regardless of history depth.
+        ``since_ms`` rounds DOWN to its bucket edge: the boundary bucket
+        is rewritten whole, never split.
         """
         if not self._exists():
             return 0
         tmp = f"{self.path}.compacting"
+        src = self.spark.read.parquet(self.path)
+        if symbol is not None:
+            symbol = normalize_symbol(symbol)
+        for col, val in zip(PARTITION_COLS, (exchange, symbol, timeframe)):
+            if val is not None:
+                src = src.filter(F.col(col) == val)
+        if self.date_bucket is not None and since_ms is not None:
+            src = src.filter(F.col("dt") >= self._bucket_of(since_ms))
         (
-            self.read(exchange, symbol, timeframe)
-            .repartition(*PARTITION_COLS)
+            src.repartition(*self._partition_cols)
             .sortWithinPartitions("timestamp")
             .write.mode("overwrite")
             .option("compression", "zstd")
-            .partitionBy(*PARTITION_COLS)
+            .partitionBy(*self._partition_cols)
             .parquet(tmp)
         )
         swapped = 0
