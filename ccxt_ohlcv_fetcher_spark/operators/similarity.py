@@ -97,16 +97,10 @@ def hyperplane(dim: int, plane_id: int, salt: str = "lsh") -> Column:
     return F.lit(values)
 
 
-def sign_lsh_buckets(
-    df: DataFrame,
-    vec_col: str,
-    n_planes: int,
-    dim: int,
-    salt: str = "lsh",
-) -> DataFrame:
-    """Random-hyperplane sign LSH: bucket id = sign bits of the vector's
-    dot products with ``n_planes`` fixed hyperplanes (2^n_planes buckets).
-    Cosine-similar vectors collide with probability (1 - theta/pi)^planes.
+def plane_dots(vec_col: str, n_planes: int, dim: int, salt: str = "lsh") -> Column:
+    """Array of the vector's dot products with the ``n_planes`` fixed
+    hyperplanes — the shared kernel of bucket assignment (sign bits) and
+    adaptive multiprobe (|dot| = distance to each cutting plane).
 
     All planes live in ONE array<array<double>> literal scored by a
     single nested HOF — one codegen'd aggregate loop regardless of
@@ -119,8 +113,7 @@ def sign_lsh_buckets(
             for j in range(n_planes)
         ]
     )
-    weights = F.lit([float(1 << j) for j in range(n_planes)])
-    dots = F.transform(
+    return F.transform(
         planes,
         lambda p: F.aggregate(
             F.zip_with(F.col(vec_col), p, lambda x, y: x.cast("double") * y),
@@ -128,6 +121,21 @@ def sign_lsh_buckets(
             lambda acc, v: acc + v,
         ),
     )
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    salt: str = "lsh",
+) -> DataFrame:
+    """Random-hyperplane sign LSH: bucket id = sign bits of the vector's
+    dot products with ``n_planes`` fixed hyperplanes (2^n_planes buckets).
+    Cosine-similar vectors collide with probability (1 - theta/pi)^planes.
+    """
+    weights = F.lit([float(1 << j) for j in range(n_planes)])
+    dots = plane_dots(vec_col, n_planes, dim, salt)
     bucket = F.aggregate(
         F.zip_with(dots, weights, lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0.0))),
         F.lit(0.0),
@@ -143,6 +151,7 @@ def ann_cosine_topk(
     dim: int,
     n_planes: int = 8,
     multiprobe: int = 0,
+    adaptive: bool = False,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "q_id",
@@ -153,24 +162,48 @@ def ann_cosine_topk(
     ~|corpus|/2^planes candidates per query. Output schema matches
     :func:`cosine_topk` (rank within retrieved candidates).
 
-    ``multiprobe=m`` additionally probes, per query, every bucket at
-    Hamming distance 1 in the first ``m`` sign bits (m extra buckets) —
-    the standard recall lever that beats lowering ``n_planes``: near
-    misses concentrate in single-bit flips, so recall rises ~like having
-    1 fewer plane while candidate volume grows only (1+m)/2^planes of
-    the corpus (vs 2x for one fewer plane). Corpus-side work and storage
-    are unchanged; only the broadcast query side fans out."""
+    ``multiprobe=m`` additionally probes, per query, ``m`` buckets at
+    Hamming distance 1 — the standard recall lever that beats lowering
+    ``n_planes``: near misses concentrate in single-bit flips, so recall
+    rises ~like having 1 fewer plane while candidate volume grows only
+    (1+m)/2^planes of the corpus (vs 2x for one fewer plane).
+    Corpus-side work and storage are unchanged; only the broadcast
+    query side fans out.
+
+    ``adaptive=True`` picks WHICH m bits to flip per query: the planes
+    whose dot product with the query has the smallest magnitude — i.e.
+    the cutting planes the query sits closest to, which are exactly
+    where its near neighbors fall on the other side (multi-probe LSH,
+    Lv et al., VLDB'07). Fixed-bit probing spends its budget on planes
+    chosen blind; margin-ordered probing spends it where the miss
+    probability actually is, so recall per probe is strictly better at
+    identical cost/plan shape (measured in PERFORMANCE.md §6)."""
     c_b = sign_lsh_buckets(_with_norm(corpus, corpus_vec, "_cn"), corpus_vec, n_planes, dim)
     q_b = sign_lsh_buckets(_with_norm(queries, query_vec, "_qn"), query_vec, n_planes, dim)
     if multiprobe:
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                for j in range(min(multiprobe, n_planes))
-            ],
-        )
-        q_b = q_b.withColumn("bucket", F.explode(flips))
+        m = min(multiprobe, n_planes)
+        if adaptive:
+            # planes sorted by |dot| ascending -> the m tightest margins
+            margins = F.transform(
+                plane_dots(query_vec, n_planes, dim),
+                lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("j")),
+            )
+            flip_bits = F.slice(F.array_sort(margins), 1, m)["j"]
+            probes = F.concat(
+                F.array(F.col("bucket")),
+                F.transform(
+                    flip_bits,
+                    lambda j: F.col("bucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
+                    ),
+                ),
+            )
+        else:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(m)],
+            )
+        q_b = q_b.withColumn("bucket", F.explode(probes))
     candidates = c_b.join(F.broadcast(q_b), "bucket").select(
         query_id,
         F.col(corpus_id),

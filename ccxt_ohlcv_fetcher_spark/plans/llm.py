@@ -395,6 +395,27 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_lsh_adaptive",
+    oracle=None,  # approximate by construction; recall ordering vs the
+    # fixed-bit probe is asserted in tests/test_llm_ops.py
+    doc="ANN top-k via sign-LSH with query-adaptive multiprobe (op E35): "
+    "each query also probes the m buckets across its tightest-margin "
+    "cutting planes (smallest |dot|) — multi-probe LSH (Lv et al., "
+    "VLDB'07). Same plan shape and candidate budget as fixed-bit "
+    "probing, strictly better recall per probe (PERFORMANCE.md §6).",
+    tags=("E35",),
+)
+def ann_cosine_topk_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_cosine_topk(
+        emb, queries, k=5, dim=64, n_planes=8, multiprobe=4, adaptive=True
+    )
+
+
+@register(
     "ann_cosine_topk_ivf",
     oracle=None,  # approximate by construction; recall vs the exact path
     # is asserted in tests/test_llm_ops.py

@@ -168,3 +168,34 @@ def test_multiprobe_lsh_improves_recall(spark, sf_dir):
     # probing all 4 planes at distance 1 must visibly lift recall on the
     # equator-heavy Gaussian fixture (plain 4-plane recall is modest)
     assert r_probed > 0.5, f"multiprobe recall too low: {r_probed} (plain {r_plain})"
+
+
+def test_adaptive_multiprobe_beats_fixed_at_equal_budget(spark, sf_dir):
+    """Margin-ordered (adaptive) probing must match-or-beat fixed-bit
+    probing at the SAME probe budget: it flips the planes the query
+    sits closest to, where the missed neighbors actually are. With m =
+    n_planes the two probe identical bucket sets, so the gap appears at
+    partial budgets (m < n_planes). Pinned at sf0.01 — at 500 vectors
+    (sf0.001) the 150-truth-pair sample is small enough for 1-2-pair
+    noise to invert the ordering; at 5000 vectors the win is stable
+    across every (n_planes, m) measured (PERFORMANCE.md §6)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    e = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=10).collect()}
+
+    def recall(m: int, adaptive: bool) -> float:
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ann_cosine_topk(
+                emb, queries, k=10, dim=64, n_planes=8, multiprobe=m, adaptive=adaptive
+            ).collect()
+        }
+        return len(e & got) / len(e)
+
+    for m in (2, 4):
+        r_fixed, r_adaptive = recall(m, False), recall(m, True)
+        assert r_adaptive >= r_fixed, (m, r_fixed, r_adaptive)
+    # and the adaptive curve is monotone in the budget
+    assert recall(4, True) >= recall(2, True)
