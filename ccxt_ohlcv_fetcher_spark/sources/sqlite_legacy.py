@@ -66,6 +66,78 @@ def discover_sqlite_files(root: str) -> list[dict[str, str]]:
     return found
 
 
+def discover_sqlite_manifest(
+    spark: SparkSession, root: str, fanout_depth: int = 2
+) -> DataFrame:
+    """Distributed discovery: the driver lists only the first
+    ``fanout_depth`` directory levels (exchange/symbol — a few thousand
+    entries at most), then each executor task walks one subtree and
+    emits its ``.sqlite`` files. Returns the manifest as a DataFrame
+    ``(path, exchange, symbol, timeframe)``.
+
+    This replaces the driver-side ``os.walk`` of
+    :func:`discover_sqlite_files` for large migrations: a tree with
+    millions of files (one per symbol x timeframe x exchange) walks in
+    parallel across the cluster, and the manifest itself is a DataFrame
+    — joinable, filterable (migrate one exchange: ``.filter``), and
+    checkpointable for resumable migrations. The shallow driver listing
+    stays O(breadth^depth), independent of total file count.
+    """
+    import pandas as pd  # noqa: PLC0415 — also used in the kernel's closure
+
+    shallow: list[str] = []  # .sqlite files living above the fanout depth
+    roots = [root]
+    for _ in range(fanout_depth):
+        nxt: list[str] = []
+        for r in roots:
+            try:
+                entries = sorted(os.listdir(r))
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            for e in entries:
+                full = os.path.join(r, e)
+                if os.path.isdir(full):
+                    nxt.append(full)
+                elif e.endswith(".sqlite"):
+                    shallow.append(full)
+        roots = nxt
+        if not roots:
+            break
+
+    cols = "path string, exchange string, symbol string, timeframe string"
+
+    def parse(full: str) -> tuple[str, str, str, str] | None:
+        m = _LAYOUT_RE.search(full.replace(os.sep, "/"))
+        return (full, *m.groups()) if m else None
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for subtree in pdf["subtree"]:
+                for dirpath, _dirnames, filenames in os.walk(subtree):
+                    for fn in sorted(filenames):
+                        if fn.endswith(".sqlite"):
+                            parsed = parse(os.path.join(dirpath, fn))
+                            if parsed:
+                                rows.append(parsed)
+            yield pd.DataFrame(
+                rows, columns=["path", "exchange", "symbol", "timeframe"]
+            )
+
+    parts = [(r,) for r in roots]
+    walked = (
+        spark.createDataFrame(parts or [("",)], "subtree string")
+        .repartition(max(len(parts), 1))
+        .mapInPandas(kernel, cols)
+        if parts
+        else spark.createDataFrame([], cols)
+    )
+    shallow_parsed = [p for p in (parse(f) for f in shallow) if p]
+    if shallow_parsed:
+        walked = walked.unionByName(spark.createDataFrame(shallow_parsed, cols))
+    return walked
+
+
 def read_sqlite_candles(spark: SparkSession, files: list[dict[str, str]]) -> DataFrame:
     """Distributed scan of legacy SQLite files: one executor-side
     ``sqlite3`` read per file, Arrow-batched back to the JVM.
@@ -73,46 +145,71 @@ def read_sqlite_candles(spark: SparkSession, files: list[dict[str, str]]) -> Dat
     Output columns: partition identity + the reference's candle schema
     with prices as text (cast downstream; ``timestamp`` is epoch-ms).
     """
-    import pandas as pd  # noqa: PLC0415 — imported in the kernel's closure
-
     meta = spark.createDataFrame(
         [(f["path"], f["exchange"], f["symbol"], f["timeframe"]) for f in files],
         "path string, exchange string, symbol string, timeframe string",
     ).repartition(max(len(files), 1))
+    return meta.mapInPandas(_candles_kernel, _RAW_SCHEMA)
 
-    def kernel(batches):
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                con = sqlite3.connect(row.path)
-                try:
-                    candles = pd.read_sql_query(
-                        "SELECT timestamp, open, high, low, close, volume "
-                        "FROM candles ORDER BY timestamp",
-                        con,
-                    )
-                finally:
-                    con.close()
-                candles.insert(0, "exchange", row.exchange)
-                candles.insert(1, "symbol", row.symbol)
-                candles.insert(2, "timeframe", row.timeframe)
-                for c in ("open", "high", "low", "close", "volume"):
-                    candles[c] = candles[c].astype(str)
-                yield candles
 
-    return meta.mapInPandas(kernel, _RAW_SCHEMA)
+def read_sqlite_manifest(manifest: DataFrame, n_tasks: int | None = None) -> DataFrame:
+    """Same distributed scan, driven by a manifest *DataFrame* (from
+    :func:`discover_sqlite_manifest`) instead of a driver-side list —
+    end-to-end the file paths never pass through the driver. ``n_tasks``
+    sets scan parallelism (default: one task per file, matching
+    :func:`read_sqlite_candles`)."""
+    n = n_tasks if n_tasks is not None else max(manifest.count(), 1)
+    return manifest.repartition(n).mapInPandas(_candles_kernel, _RAW_SCHEMA)
+
+
+def _candles_kernel(batches):
+    """Executor-side: open each file with stdlib sqlite3, emit its rows
+    Arrow-batched; prices stay text (lossless, `:39-43`)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    for pdf in batches:
+        for row in pdf.itertuples(index=False):
+            con = sqlite3.connect(row.path)
+            try:
+                candles = pd.read_sql_query(
+                    "SELECT timestamp, open, high, low, close, volume "
+                    "FROM candles ORDER BY timestamp",
+                    con,
+                )
+            finally:
+                con.close()
+            candles.insert(0, "exchange", row.exchange)
+            candles.insert(1, "symbol", row.symbol)
+            candles.insert(2, "timeframe", row.timeframe)
+            for c in ("open", "high", "low", "close", "volume"):
+                candles[c] = candles[c].astype(str)
+            yield candles
 
 
 def migrate_sqlite_tree(
-    spark: SparkSession, root: str, dataset: CandleDataset
+    spark: SparkSession,
+    root: str,
+    dataset: CandleDataset,
+    distributed_discovery: bool = False,
 ) -> int:
     """E2 end-to-end: discover -> distributed read -> decimal cast ->
     idempotent append (re-running a partial migration never duplicates,
     same INSERT-OR-IGNORE net semantics as the reference's PK handler,
-    `ccxt-ohlcv-fetch.py:71-75`). Returns rows appended."""
-    files = discover_sqlite_files(root)
-    if not files:
-        return 0
-    raw = read_sqlite_candles(spark, files)
+    `ccxt-ohlcv-fetch.py:71-75`). Returns rows appended.
+
+    ``distributed_discovery=True`` walks the tree on executors
+    (:func:`discover_sqlite_manifest`) — use for trees too large for a
+    driver-side walk."""
+    if distributed_discovery:
+        manifest = discover_sqlite_manifest(spark, root)
+        if manifest.isEmpty():
+            return 0
+        raw = read_sqlite_manifest(manifest)
+    else:
+        files = discover_sqlite_files(root)
+        if not files:
+            return 0
+        raw = read_sqlite_candles(spark, files)
     typed = raw.select(
         "exchange",
         "symbol",

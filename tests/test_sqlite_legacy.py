@@ -11,6 +11,8 @@ import os
 import sqlite3
 from decimal import Decimal
 
+from pyspark.sql import functions as F
+
 from ccxt_ohlcv_fetcher_spark.operators.ingest import CandleDataset
 from ccxt_ohlcv_fetcher_spark.sources.sqlite_legacy import (
     discover_sqlite_files,
@@ -86,3 +88,58 @@ def test_migrate_values_pruning_idempotency(spark, tmp_path):
     # re-running the migration is a no-op (INSERT OR IGNORE semantics)
     assert migrate_sqlite_tree(spark, str(tmp_path), ds) == 0
     assert ds.read().count() == 170
+
+
+def test_distributed_manifest_matches_driver_walk(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.sources.sqlite_legacy import (
+        discover_sqlite_manifest,
+    )
+
+    make_legacy_tree(str(tmp_path))
+    driver_side = {
+        (f["path"], f["exchange"], f["symbol"], f["timeframe"])
+        for f in discover_sqlite_files(str(tmp_path))
+    }
+    manifest = {
+        tuple(r) for r in discover_sqlite_manifest(spark, str(tmp_path)).collect()
+    }
+    assert manifest == driver_side and len(manifest) == 2
+
+
+def test_migration_via_distributed_discovery(spark, tmp_path):
+    counts = make_legacy_tree(str(tmp_path / "legacy"))
+    ds = CandleDataset(spark, str(tmp_path / "candles"))
+    n = migrate_sqlite_tree(
+        spark, str(tmp_path / "legacy"), ds, distributed_discovery=True
+    )
+    assert n == sum(counts.values())
+    # idempotent re-run, still through the distributed path
+    assert (
+        migrate_sqlite_tree(
+            spark, str(tmp_path / "legacy"), ds, distributed_discovery=True
+        )
+        == 0
+    )
+    got = ds.read(exchange="bitfinex", symbol="XRPUSD", timeframe="1m")
+    assert got.count() == counts["bitfinex/XRPUSD/1m"]
+    # lossless decimal survives the manifest path too
+    row = got.filter(F.col("timestamp") == T0 + 60_000).collect()[0]
+    assert row["volume"] == Decimal("1.000000000001")
+
+
+def test_manifest_empty_tree(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.sources.sqlite_legacy import (
+        discover_sqlite_manifest,
+    )
+
+    (tmp_path / "empty" / "sub").mkdir(parents=True)
+    assert discover_sqlite_manifest(spark, str(tmp_path / "empty")).count() == 0
+    assert (
+        migrate_sqlite_tree(
+            spark,
+            str(tmp_path / "empty"),
+            CandleDataset(spark, str(tmp_path / "c")),
+            distributed_discovery=True,
+        )
+        == 0
+    )
