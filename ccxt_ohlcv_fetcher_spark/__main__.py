@@ -1,0 +1,216 @@
+"""CLI — the reference's three entry points as one console surface.
+
+Flag-for-flag parity with ``ccxt-ohlcv-fetch.py`` (`parse_args`,
+`/root/reference/ccxt-ohlcv-fetch.py:175-210`):
+
+    python -m ccxt_ohlcv_fetcher_spark fetch -s XRP/USD -e bitfinex -t 1m
+    python -m ccxt_ohlcv_fetcher_spark fetch-exchange bitfinex -t 1m
+    python -m ccxt_ohlcv_fetcher_spark export-csv --data-dir ... -e ... -s ... -t ... out/
+    python -m ccxt_ohlcv_fetcher_spark migrate-sqlite ./ccxt --data-dir ...
+
+`fetch` mirrors the reference CLI (`-s -e -t --since --debug -r -q`) and
+adds `--data-dir` (the parquet dataset root replacing the per-symbol
+SQLite tree). `fetch-exchange` replaces ``fetch_exchange.sh`` (symbol
+fan-out, default 4 workers, `:14,18-23` — without its bug of hardcoding
+``-e bitfinex`` at `:21`). `export-csv` replaces ``sqlite2csv.sh``
+(partition-pruned scan instead of a file pick). `migrate-sqlite` is the
+one-shot bridge for existing users' SQLite trees.
+
+Live fetching needs the ``ccxt`` package, which is an *optional*
+dependency (import-gated — everything else in the engine works without
+it; tests drive the same loop with a fixture source).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ccxt_ohlcv_fetcher_spark.operators.ingest import CandleDataset
+from ccxt_ohlcv_fetcher_spark.session import get_spark
+from ccxt_ohlcv_fetcher_spark.sources.catalog import Catalog, ExchangeMeta, export_csv
+
+
+class CcxtPagingSource:
+    """Adapter: a live ccxt exchange object as a paging source for
+    ``ingest_candles`` (duck-typed like ``FixturePagingSource``). Rate
+    limiting stays inside the client (``enableRateLimit``, reference
+    `:219`); ``-r`` scales the default limit (`:226-228`)."""
+
+    page_size = 500  # typical ccxt page; only used for caught-up detection
+
+    def __init__(self, exchange, symbol: str, timeframe: str):
+        self.exchange = exchange
+        self.symbol = symbol
+        self.timeframe = timeframe
+
+    def fetch_ohlcv(self, since_ms: int) -> list[list]:
+        return self.exchange.fetch_ohlcv(self.symbol, self.timeframe, since_ms)
+
+
+def _load_ccxt_exchange(name: str, rate_limit_pct: int | None):
+    try:
+        import ccxt  # noqa: PLC0415 — optional dependency
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise SystemExit(
+            "live fetching requires the optional 'ccxt' package "
+            "(pip install ccxt); offline commands (export-csv, "
+            "migrate-sqlite) work without it"
+        ) from e
+    if name not in ccxt.exchanges:  # `:218-224`
+        raise SystemExit(f"unknown exchange {name!r}")
+    exchange = getattr(ccxt, name)({"enableRateLimit": True})  # `:219`
+    if rate_limit_pct:  # `:226-228`
+        exchange.rateLimit = int(exchange.rateLimit * (1 + rate_limit_pct / 100))
+    return exchange
+
+
+def _catalog_from_ccxt(exchange) -> Catalog:
+    """`check_args` parity (`:231-260`): capability + market metadata."""
+    exchange.load_markets()  # `:253`
+    meta = ExchangeMeta(
+        name=exchange.id,
+        symbols=set(exchange.symbols or ()),
+        timeframes=set(getattr(exchange, "timeframes", None) or ()),
+        has_fetch_ohlcv=exchange.has.get("fetchOHLCV", False),  # `:231-239`
+    )
+    return Catalog({exchange.id: meta})
+
+
+def _parse_since(iso: str | None) -> int | None:
+    """`--since` ISO-8601 -> epoch ms (`exchange.parse8601`, `:287`)."""
+    if iso is None:
+        return None
+    from datetime import datetime, timezone  # noqa: PLC0415
+
+    dt = datetime.fromisoformat(iso.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="ccxt_ohlcv_fetcher_spark",
+        description="CCXT Market Data Downloader (PySpark engine)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    fetch = sub.add_parser("fetch", help="download one (exchange, symbol, timeframe)")
+    # reference flags, verbatim semantics (`:175-210`)
+    fetch.add_argument("-s", "--symbol", type=str, required=True)
+    fetch.add_argument("-e", "--exchange", type=str, required=True)
+    fetch.add_argument("-t", "--timeframe", type=str, default="1d")
+    fetch.add_argument("--since", type=str, default=None)
+    fetch.add_argument("--debug", action="store_true")
+    fetch.add_argument("-r", "--rate-limit", type=int, default=None)
+    fetch.add_argument("-q", "--quit", action="store_true", dest="quit_")
+    fetch.add_argument("--data-dir", type=str, default="./candles")
+
+    fx = sub.add_parser("fetch-exchange", help="all symbols of one exchange")
+    fx.add_argument("exchange", type=str)
+    fx.add_argument("-t", "--timeframe", type=str, default="1m")
+    fx.add_argument("-w", "--workers", type=int, default=4)  # split -n l/4
+    fx.add_argument("-r", "--rate-limit", type=int, default=None)
+    fx.add_argument("-q", "--quit", action="store_true", dest="quit_")
+    fx.add_argument("--data-dir", type=str, default="./candles")
+
+    ex = sub.add_parser("export-csv", help="dataset slice -> headered CSV")
+    ex.add_argument("out", type=str)
+    ex.add_argument("--data-dir", type=str, required=True)
+    ex.add_argument("-e", "--exchange", type=str, default=None)
+    ex.add_argument("-s", "--symbol", type=str, default=None)
+    ex.add_argument("-t", "--timeframe", type=str, default=None)
+
+    mig = sub.add_parser("migrate-sqlite", help="legacy SQLite tree -> dataset")
+    mig.add_argument("root", type=str)
+    mig.add_argument("--data-dir", type=str, required=True)
+    mig.add_argument(
+        "--distributed-discovery",
+        action="store_true",
+        help="walk the tree on executors (for very large trees)",
+    )
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    from ccxt_ohlcv_fetcher_spark.sources.paging import (  # noqa: PLC0415
+        ingest_candles,
+        ingest_exchange,
+    )
+
+    args = build_parser().parse_args(argv)
+    spark = get_spark("ccxt_ohlcv_fetcher_spark.cli")
+    now_ms = int(time.time() * 1000)
+
+    if args.command == "fetch":
+        exchange = _load_ccxt_exchange(args.exchange, args.rate_limit)
+        catalog = _catalog_from_ccxt(exchange)
+        catalog.validate(args.exchange, args.symbol, args.timeframe)  # `:213-260`
+        dataset = CandleDataset(spark, args.data_dir)
+        stats = ingest_candles(
+            spark,
+            CcxtPagingSource(exchange, args.symbol, args.timeframe),
+            dataset,
+            args.exchange,
+            args.symbol,
+            args.timeframe,
+            now_ms=now_ms,
+            since_ms=_parse_since(args.since),
+            quit_when_caught_up=args.quit_,
+        )
+        print(f"pages={stats.pages} rows={stats.rows_appended} errors={stats.errors}")
+        return 0
+
+    if args.command == "fetch-exchange":
+        exchange = _load_ccxt_exchange(args.exchange, args.rate_limit)
+        catalog = _catalog_from_ccxt(exchange)
+        sources = {
+            s: CcxtPagingSource(exchange, s, args.timeframe)
+            for s in catalog.symbols_of(args.exchange)
+        }
+        dataset = CandleDataset(spark, args.data_dir)
+        results = ingest_exchange(
+            spark,
+            catalog,
+            sources,
+            dataset,
+            args.exchange,
+            args.timeframe,
+            now_ms=now_ms,
+            max_workers=args.workers,
+            quit_when_caught_up=args.quit_,
+        )
+        total = sum(s.rows_appended for s in results.values())
+        print(f"symbols={len(results)} rows={total}")
+        return 0
+
+    if args.command == "export-csv":
+        dataset = CandleDataset(spark, args.data_dir)
+        export_csv(
+            dataset.read(args.exchange, args.symbol, args.timeframe), args.out
+        )
+        print(f"exported -> {args.out}")
+        return 0
+
+    if args.command == "migrate-sqlite":
+        from ccxt_ohlcv_fetcher_spark.sources.sqlite_legacy import (  # noqa: PLC0415
+            migrate_sqlite_tree,
+        )
+
+        dataset = CandleDataset(spark, args.data_dir)
+        n = migrate_sqlite_tree(
+            spark,
+            args.root,
+            dataset,
+            distributed_discovery=args.distributed_discovery,
+        )
+        print(f"migrated rows={n}")
+        return 0
+
+    raise AssertionError(f"unhandled command {args.command}")  # pragma: no cover
+
+
+if __name__ == "__main__":
+    sys.exit(main())

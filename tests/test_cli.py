@@ -1,0 +1,76 @@
+"""CLI parity (reference entry points 1-3, SURVEY.md §3):
+flag surface of `parse_args` (`ccxt-ohlcv-fetch.py:175-210`), the
+offline subcommands end-to-end, and the import-gated ccxt path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ccxt_ohlcv_fetcher_spark.__main__ import _parse_since, build_parser, main
+
+
+def test_fetch_flags_match_reference():
+    p = build_parser()
+    ns = p.parse_args(
+        [
+            "fetch", "-s", "XRP/USD", "-e", "bitfinex", "-t", "1m",
+            "--since", "2018-01-01T00:00:00Z", "--debug", "-r", "20", "-q",
+        ]
+    )
+    assert (ns.symbol, ns.exchange, ns.timeframe) == ("XRP/USD", "bitfinex", "1m")
+    assert ns.since == "2018-01-01T00:00:00Z"
+    assert ns.debug and ns.quit_ and ns.rate_limit == 20
+
+
+def test_fetch_requires_symbol_and_exchange():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["fetch", "-s", "XRP/USD"])
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["fetch", "-e", "bitfinex"])
+
+
+def test_parse_since_is_utc():
+    # `exchange.parse8601` parity (`:287`): Z and naive both UTC
+    assert _parse_since("2018-01-01T00:00:00Z") == 1514764800000
+    assert _parse_since("2018-01-01T00:00:00") == 1514764800000
+    assert _parse_since(None) is None
+
+
+def test_fetch_without_ccxt_fails_cleanly(tmp_path):
+    # the container has no ccxt -> live fetch must exit with guidance,
+    # not a traceback (import-gated optional dependency)
+    try:
+        import ccxt  # noqa: F401
+
+        pytest.skip("ccxt unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(SystemExit) as exc:
+        main(["fetch", "-s", "XRP/USD", "-e", "bitfinex", "-t", "1m", "-q"])
+    assert "ccxt" in str(exc.value)
+
+
+def test_migrate_and_export_csv_offline(spark, tmp_path, capsys):
+    from tests.test_sqlite_legacy import make_legacy_tree
+
+    counts = make_legacy_tree(str(tmp_path / "legacy"))
+    data_dir = str(tmp_path / "candles")
+    assert (
+        main(["migrate-sqlite", str(tmp_path / "legacy"), "--data-dir", data_dir]) == 0
+    )
+    assert f"rows={sum(counts.values())}" in capsys.readouterr().out
+
+    out = str(tmp_path / "out_csv")
+    assert (
+        main(
+            [
+                "export-csv", out, "--data-dir", data_dir,
+                "-e", "bitfinex", "-s", "XRPUSD", "-t", "1m",
+            ]
+        )
+        == 0
+    )
+    exported = spark.read.option("header", True).csv(out)
+    assert exported.count() == counts["bitfinex/XRPUSD/1m"]
+    assert set(exported.columns) >= {"timestamp", "open", "close", "volume"}
