@@ -226,3 +226,105 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin.x").cast("double").alias("bin_x"),
         F.col("bin.y").cast("double").alias("bin_y"),
     )
+
+
+@register(
+    "part_string_funcs_extended",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#25') AS brand_dist,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           split_part(p_type, ' ', 2) AS type_mid,
+           reverse(p_name) AS name_rev,
+           repeat(substr(p_brand, 7, 1), 3) AS digit3,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked
+    FROM part
+    """,
+    doc="Extended string functions (op R14 long tail): levenshtein "
+    "(edit-distance — the fuzzy-match primitive text dedup pipelines "
+    "block on), translate, split_part, reverse, repeat, global "
+    "regexp_replace. Row-local codegen; levenshtein is O(len^2) per "
+    "pair, which is why E34 uses it post-blocking, never all-pairs.",
+    tags=("R14", "E34"),
+)
+def part_string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#25")).alias("brand_dist"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat(F.substring("p_brand", 7, 1), 3).alias("digit3"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+    )
+
+
+@register(
+    "order_datetime_funcs_extended",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS woy,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_2024,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus3mo
+    FROM orders
+    """,
+    doc="Extended datetime functions (op R15 long tail): last_day, "
+    "quarter, dayofweek (Spark is 1-based Sunday, DuckDB 0-based — the "
+    "oracle shims +1), weekofyear (ISO), datediff, add_months (both "
+    "engines clamp to month end). All UTC, all codegen.",
+    tags=("R15",),
+)
+def order_datetime_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("woy"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+    )
+
+
+@register(
+    "lineitem_conditional_aggs",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           CAST(count(*) FILTER (l_discount = 0.0) AS BIGINT) AS n_nodisc,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                FILTER (l_returnflag = 'R') AS DOUBLE) AS returned_value,
+           max(l_extendedprice) FILTER (l_quantity > 40) AS max_bulk_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Conditional aggregation (op E16/E17 long tail): count_if and "
+    "FILTER-clause aggregates — the predicate moves inside the "
+    "aggregate buffer (one pass, map-side combine) instead of a "
+    "pre-filter that would need one scan per condition.",
+    tags=("E16", "E17"),
+)
+def lineitem_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.count(F.when(F.col("l_discount") == 0.0, 1)).alias("n_nodisc"),
+        F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")))
+        .cast("double")
+        .alias("returned_value"),
+        F.max(F.when(F.col("l_quantity") > 40, F.col("l_extendedprice"))).alias(
+            "max_bulk_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
