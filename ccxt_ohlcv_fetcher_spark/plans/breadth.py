@@ -328,3 +328,41 @@ def lineitem_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "daily_user_sketch_rollup",
+    oracle=None,  # Datasketches HLL binary format is Spark-specific; the
+    # re-aggregation law + accuracy are pinned in tests/test_sketches.py
+    doc="Mergeable-sketch distinct rollup (op E14 at 100 TB): "
+    "hll_sketch_agg(user_id) per day, hll_union_agg to the month — the "
+    "two-level pattern that makes distinct counts *re-aggregatable*: "
+    "daily sketches are tiny (<=KB), persistable next to the rollup "
+    "(operators/rollup.py), and any coarser window is a union of "
+    "sketches instead of a recount over raw events. approx_count_"
+    "distinct gives one number; sketches give an algebra.",
+    tags=("E14",),
+)
+def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.count_distinct("user_id").alias("exact_daily"),
+        )
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_monthly"),
+            F.sum("exact_daily").alias("sum_daily_exact"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.unix_millis(F.col("month").cast("timestamp")).alias("month_ms"),
+            "est_monthly",
+            "sum_daily_exact",
+            "n_days",
+        )
+    )
