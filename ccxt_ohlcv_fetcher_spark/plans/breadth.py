@@ -366,3 +366,134 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@register(
+    "event_props_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(NULL AS BIGINT) AS missing_val,
+           'OBJECT<k: BIGINT>' AS var_schema,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 10 AS k_x10
+    FROM events
+    """,
+    doc="VARIANT semi-structured access (Spark 4, op E26 scale path): "
+    "parse_json once into the binary variant encoding, then "
+    "variant_get path access — unlike from_json, no up-front schema and "
+    "no full re-parse per path; shredded storage makes this the "
+    "100 TB-friendly way to query heterogeneous JSON. try_variant_get "
+    "on an absent path yields NULL (not an error); schema_of_variant "
+    "reports the per-row inferred shape.",
+    tags=("E26",),
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.select("event_id", F.parse_json("props").alias("_v"))
+    return v.select(
+        "event_id",
+        F.variant_get("_v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("_v", "$.missing", "bigint").alias("missing_val"),
+        F.schema_of_variant("_v").alias("var_schema"),
+        (F.variant_get("_v", "$.k", "bigint") * 10).alias("k_x10"),
+    )
+
+
+@register(
+    "event_props_map_hofs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           CAST(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                     THEN 1 ELSE 0 END AS INT) AS n_high,
+           'k_x' AS renamed_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT)
+             + CAST(length(event_type) AS BIGINT) AS k_plus_typelen
+    FROM events
+    """,
+    doc="Map higher-order functions (op E26 long tail): transform_values, "
+    "map_filter, transform_keys, map_zip_with over a parsed "
+    "map<string,bigint>. The oracle recomputes key-wise from the JSON "
+    "(DuckDB's MAP is a different type family). All row-local codegen.",
+    tags=("E26",),
+)
+def event_props_map_hofs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "map<string,bigint>").alias("_m"),
+    )
+    other = F.create_map(F.lit("k"), F.length("event_type").cast("bigint"))
+    return base.select(
+        "event_id",
+        F.element_at(
+            F.transform_values("_m", lambda _k, v: v * 2), "k"
+        ).alias("k_doubled"),
+        F.size(F.map_filter("_m", lambda _k, v: v > 50)).alias("n_high"),
+        F.array_join(
+            F.array_sort(F.map_keys(F.transform_keys("_m", lambda k, _v: F.concat(k, F.lit("_x"))))),
+            ",",
+        ).alias("renamed_keys"),
+        F.element_at(
+            F.map_zip_with(
+                "_m",
+                other,
+                lambda _k, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+            ),
+            "k",
+        ).alias("k_plus_typelen"),
+    )
+
+
+@register(
+    "doc_token_array_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             list_transform(string_split(text, ' '), x -> CAST(length(x) AS INT))
+               AS lens
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_position(lens, 5) AS INT) AS first_len5,
+           CAST(len(list_filter(lens, x -> x > 4)) AS INT) AS n_long,
+           list_has_any(lens, [5, 7]) AS has_5_or_7,
+           CAST(len(list_filter(lens, x -> x != 3)) AS INT) AS n_not3,
+           CAST(list_reduce(range(1, len(toks) + 1), (a, b) -> a + b)
+                AS BIGINT) AS seq_sum,
+           CAST(len(flatten([lens, lens])) AS INT) AS flat2_n,
+           array_to_string(list_transform(range(3), x -> toks[1]), '|')
+             AS head_x3
+    FROM t
+    """,
+    doc="Array-op long tail (op E25): array_position, filter, "
+    "arrays_overlap, array_remove-by-predicate, sequence + aggregate "
+    "(1..n sum), flatten, array_repeat. Integer-array outputs only — "
+    "float arrays are avoided in hashed outputs because float->string "
+    "formatting differs across engines.",
+    tags=("E25",),
+)
+def doc_token_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.transform(F.split("text", " "), lambda x: F.length(x)).alias("lens"),
+    )
+    return base.select(
+        "doc_id",
+        F.array_position("lens", 5).cast("int").alias("first_len5"),
+        F.size(F.filter("lens", lambda x: x > 4)).alias("n_long"),
+        F.arrays_overlap("lens", F.array(F.lit(5), F.lit(7))).alias("has_5_or_7"),
+        F.size(F.array_remove("lens", 3)).alias("n_not3"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("toks")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("seq_sum"),
+        F.size(F.flatten(F.array(F.col("lens"), F.col("lens")))).alias("flat2_n"),
+        F.array_join(
+            F.array_repeat(F.element_at("toks", 1), 3), "|"
+        ).alias("head_x3"),
+    )
