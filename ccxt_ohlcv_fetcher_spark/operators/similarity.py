@@ -183,9 +183,12 @@ def ann_cosine_topk(
     if multiprobe:
         m = min(multiprobe, n_planes)
         if adaptive:
+            # stage the dots once (one plane-matrix literal in the plan;
+            # bucket already consumed its own — don't add a third)
+            q_b = q_b.withColumn("_dots", plane_dots(query_vec, n_planes, dim))
             # planes sorted by |dot| ascending -> the m tightest margins
             margins = F.transform(
-                plane_dots(query_vec, n_planes, dim),
+                F.col("_dots"),
                 lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("j")),
             )
             flip_bits = F.slice(F.array_sort(margins), 1, m)["j"]
@@ -204,6 +207,8 @@ def ann_cosine_topk(
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(m)],
             )
         q_b = q_b.withColumn("bucket", F.explode(probes))
+        if adaptive:
+            q_b = q_b.drop("_dots")  # don't ship the dots in the broadcast
     candidates = c_b.join(F.broadcast(q_b), "bucket").select(
         query_id,
         F.col(corpus_id),
