@@ -433,24 +433,24 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression otherwise buffers+sorts the group again. median ==
     # percentile 0.5 exactly, so it reuses the same buffer too.
     pe = F.percentile("l_extendedprice", F.lit([0.5, 0.9]))
+    # percentile_disc also shares one buffer across fractions when given
+    # an array (undocumented but stable: ARRAY_PERCENTILE mode)
+    pd = F.expr(
+        "percentile_disc(array(0.5, 0.9)) WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
             pe.alias("_pe"),
-            F.expr(
-                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p50_disc"),
-            F.expr(
-                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p90_disc"),
+            pd.alias("_pd"),
             F.percentile("l_quantity", F.lit(0.25)).alias("qty_p25"),
         )
         .select(
             "l_returnflag",
             F.col("_pe")[0].alias("p50_cont"),
-            "p50_disc",
+            F.col("_pd")[0].alias("p50_disc"),
             F.col("_pe")[1].alias("p90_cont"),
-            "p90_disc",
+            F.col("_pd")[1].alias("p90_disc"),
             F.col("_pe")[0].alias("med"),
             "qty_p25",
         )
