@@ -497,3 +497,52 @@ def doc_token_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_repeat(F.element_at("toks", 1), 3), "|"
         ).alias("head_x3"),
     )
+
+
+@register(
+    "order_month_spine_recursive",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1997-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '1997-12-01 00:00:00'
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           coalesce(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                         AS DOUBLE), 0.0) AS month_value
+    FROM months LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = months.m
+    GROUP BY months.m
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine "
+    "of the data's own date range, then left-join per-month order "
+    "aggregates — empty months survive with zero counts (the date-spine "
+    "gap-fill shape; complements the lag/LOCF gapfill in "
+    "plans/timeseries.py). Each recursive step is a scheduled job, so "
+    "depth is bounded to one year here; an unbounded spine belongs to "
+    "sequence()+explode (see event_traffic_gapfill) — WITH RECURSIVE "
+    "earns its cost only when each step genuinely depends on the "
+    "previous one (iterative closure), not for plain series.",
+    tags=("E15", "E19"),
+)
+def order_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1997-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '1997-12-01 00:00:00'
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               count(o.o_orderkey) AS n_orders,
+               coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                             AS DOUBLE), 0.0D) AS month_value
+        FROM months LEFT JOIN _rc_orders o
+          ON date_trunc('MONTH', o.o_orderdate) = months.m
+        GROUP BY months.m
+        """
+    )
