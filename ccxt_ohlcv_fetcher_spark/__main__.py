@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     fetch.add_argument("-r", "--rate-limit", type=int, default=None)
     fetch.add_argument("-q", "--quit", action="store_true", dest="quit_")
     fetch.add_argument("--data-dir", type=str, default="./candles")
+    fetch.add_argument(
+        "--date-bucket",
+        choices=["day", "month"],
+        default=None,
+        help="add a dt= partition level (bounded compaction/retention)",
+    )
 
     fx = sub.add_parser("fetch-exchange", help="all symbols of one exchange")
     fx.add_argument("exchange", type=str)
@@ -131,6 +137,28 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="walk the tree on executors (for very large trees)",
     )
+    mig.add_argument("--date-bucket", choices=["day", "month"], default=None)
+
+    cp = sub.add_parser("compact", help="rewrite small files (1 per partition)")
+    cp.add_argument("--data-dir", type=str, required=True)
+    cp.add_argument("--date-bucket", choices=["day", "month"], default=None)
+    cp.add_argument("-e", "--exchange", type=str, default=None)
+    cp.add_argument("-s", "--symbol", type=str, default=None)
+    cp.add_argument("-t", "--timeframe", type=str, default=None)
+    cp.add_argument(
+        "--since",
+        type=str,
+        default=None,
+        help="ISO-8601 watermark: only rewrite buckets at/after it "
+        "(date-bucketed layouts)",
+    )
+
+    vac = sub.add_parser("vacuum", help="drop date buckets past retention")
+    vac.add_argument("--data-dir", type=str, required=True)
+    vac.add_argument("--date-bucket", choices=["day", "month"], required=True)
+    vac.add_argument(
+        "--older-than", type=str, required=True, help="ISO-8601 retention cutoff"
+    )
     return parser
 
 
@@ -148,7 +176,7 @@ def main(argv: list[str] | None = None) -> int:
         exchange = _load_ccxt_exchange(args.exchange, args.rate_limit)
         catalog = _catalog_from_ccxt(exchange)
         catalog.validate(args.exchange, args.symbol, args.timeframe)  # `:213-260`
-        dataset = CandleDataset(spark, args.data_dir)
+        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
         stats = ingest_candles(
             spark,
             CcxtPagingSource(exchange, args.symbol, args.timeframe),
@@ -199,7 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             migrate_sqlite_tree,
         )
 
-        dataset = CandleDataset(spark, args.data_dir)
+        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
         n = migrate_sqlite_tree(
             spark,
             args.root,
@@ -207,6 +235,21 @@ def main(argv: list[str] | None = None) -> int:
             distributed_discovery=args.distributed_discovery,
         )
         print(f"migrated rows={n}")
+        return 0
+
+    if args.command == "compact":
+        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+        n = dataset.compact(
+            args.exchange, args.symbol, args.timeframe,
+            since_ms=_parse_since(args.since),
+        )
+        print(f"compacted partitions={n}")
+        return 0
+
+    if args.command == "vacuum":
+        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+        n = dataset.vacuum(_parse_since(args.older_than))
+        print(f"vacuumed buckets={n}")
         return 0
 
     raise AssertionError(f"unhandled command {args.command}")  # pragma: no cover

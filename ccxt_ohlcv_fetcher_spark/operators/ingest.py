@@ -337,3 +337,33 @@ class CandleDataset:
             swapped += 1
         shutil.rmtree(tmp, ignore_errors=True)
         return swapped
+
+    def vacuum(self, older_than_ms: int) -> int:
+        """Retention: drop every date bucket that closed before
+        ``older_than_ms``. Requires a date-bucketed layout — on it,
+        retention is a *directory delete* (constant work per bucket, no
+        rewrite, no tombstones), which is the whole point of carrying
+        the ``dt=`` level at 100 TB. The cutoff rounds DOWN: the bucket
+        containing ``older_than_ms`` is kept whole.
+
+        Returns the number of bucket directories removed. (On a table
+        format this is ``DELETE WHERE dt < ...`` + physical vacuum; the
+        directory semantics are identical.)
+        """
+        if self.date_bucket is None:
+            raise ValueError(
+                "vacuum needs a date-bucketed layout; the legacy layout "
+                "has no sub-partition retention unit (use compact() + a "
+                "filtered rewrite instead)"
+            )
+        if not self._exists():
+            return 0
+        cutoff = self._bucket_of(older_than_ms)
+        removed = 0
+        for dirpath, dirnames, _filenames in os.walk(self.path):
+            for d in list(dirnames):
+                if d.startswith("dt=") and d.removeprefix("dt=") < cutoff:
+                    shutil.rmtree(os.path.join(dirpath, d))
+                    dirnames.remove(d)
+                    removed += 1
+        return removed

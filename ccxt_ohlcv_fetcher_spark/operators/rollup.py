@@ -61,12 +61,20 @@ class MaterializedRollups:
         path: str,
         levels: tuple[str, ...] = ("1h", "1d"),
         base_timeframe: str = "1m",
+        date_bucket: str | None = None,
     ):
+        """``date_bucket`` gives the rollup store the same bounded-
+        maintenance layout as the base dataset (see
+        ``CandleDataset.__init__``): refresh appends prune at the
+        directory level and retention is ``store.vacuum(...)`` — a
+        directory delete, no rewrite. Coarse levels have few rows per
+        bucket, so pick the bucket at least as coarse as the base's
+        (typically ``month``)."""
         self.spark = spark
         self.base = base
         self.base_timeframe = base_timeframe
         self.levels = tuple(levels)
-        self.store = CandleDataset(spark, path)
+        self.store = CandleDataset(spark, path, date_bucket=date_bucket)
 
     def read(
         self,

@@ -74,3 +74,30 @@ def test_migrate_and_export_csv_offline(spark, tmp_path, capsys):
     exported = spark.read.option("header", True).csv(out)
     assert exported.count() == counts["bitfinex/XRPUSD/1m"]
     assert set(exported.columns) >= {"timestamp", "open", "close", "volume"}
+
+
+def test_compact_and_vacuum_subcommands(spark, tmp_path, capsys):
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import (
+        CandleDataset,
+        project_ohlcv_rows,
+    )
+
+    DAY_T0 = 1700000000000 - (1700000000000 % 86_400_000)
+    ds = CandleDataset(spark, str(tmp_path / "c"), date_bucket="day")
+    rows = [[DAY_T0 + i * 3_600_000, 1.0, 2.0, 0.5, 1.5, 3.0] for i in range(48)]
+    for i in range(0, 48, 12):
+        ds.append_idempotent(project_ohlcv_rows(spark, rows[i : i + 12], "e", "S/X", "1h"))
+
+    assert main(["compact", "--data-dir", ds.path, "--date-bucket", "day"]) == 0
+    assert "compacted partitions=2" in capsys.readouterr().out
+
+    import datetime
+
+    cutoff = datetime.datetime.fromtimestamp(
+        (DAY_T0 + 86_400_000) / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    assert main(
+        ["vacuum", "--data-dir", ds.path, "--date-bucket", "day", "--older-than", cutoff]
+    ) == 0
+    assert "vacuumed buckets=1" in capsys.readouterr().out
+    assert ds.read().count() == 24

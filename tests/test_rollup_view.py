@@ -114,3 +114,40 @@ def test_read_with_live_tail_before_any_refresh(spark, base, rollups):
     view = read_with_live_tail(rollups, "1h")
     full = resample_candles(base.read(timeframe="1m"), "1h")
     assert _sorted_rows(view) == _sorted_rows(full)
+
+
+def test_bucketed_store_matches_legacy(spark, base, tmp_path):
+    """Rollups over a date-bucketed store are logically identical to the
+    legacy layout — the dt level is a layout detail."""
+    legacy = MaterializedRollups(spark, base, str(tmp_path / "r_legacy"), levels=("1h",))
+    bucketed = MaterializedRollups(
+        spark, base, str(tmp_path / "r_bucketed"), levels=("1h",), date_bucket="month"
+    )
+    assert legacy.refresh() == bucketed.refresh()
+    assert _sorted_rows(legacy.read("1h")) == _sorted_rows(bucketed.read("1h"))
+    # idempotent on the bucketed layout too
+    assert bucketed.refresh() == {"1h": 0}
+
+
+def test_vacuum_drops_old_buckets(spark, tmp_path):
+    import glob
+
+    ds = CandleDataset(spark, str(tmp_path / "c"), date_bucket="day")
+    DAY = 86_400_000
+    # 3 days of hourly candles
+    rows = [
+        [DAY_ALIGNED_T0 + i * 3_600_000, 1.0, 2.0, 0.5, 1.5, 3.0] for i in range(72)
+    ]
+    ds.append_idempotent(project_ohlcv_rows(spark, rows, "e", "S/X", "1h"))
+    assert len(glob.glob(f"{ds.path}/*/*/*/dt=*")) == 3
+    # retention: keep >= day 2 (cutoff mid-day-2 rounds down -> keeps day 2)
+    assert ds.vacuum(DAY_ALIGNED_T0 + DAY + 3_600_000) == 1
+    assert len(glob.glob(f"{ds.path}/*/*/*/dt=*")) == 2
+    assert ds.read().count() == 48
+    assert ds.read().agg(F.min("timestamp")).collect()[0][0] == DAY_ALIGNED_T0 + DAY
+
+
+def test_vacuum_requires_bucketed_layout(spark, tmp_path):
+    ds = CandleDataset(spark, str(tmp_path / "legacy"))
+    with pytest.raises(ValueError, match="date-bucketed"):
+        ds.vacuum(0)
