@@ -46,6 +46,7 @@ from ccxt_ohlcv_fetcher_spark.operators.text import (
     lang_id,
     quality_features,
     token_count,
+    word_ngrams,
     words,
 )
 from ccxt_ohlcv_fetcher_spark.plans.registry import register
@@ -654,4 +655,109 @@ def jaccard_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=3
+    )
+
+
+_SQL_BIGRAMS = (
+    "CASE WHEN len(words) >= 2 THEN "
+    "list_transform(range(1, len(words)), "
+    "i -> array_to_string(words[i:i+1], ' ')) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "top_bigrams_per_lang",
+    oracle=f"""
+    WITH grams AS (
+      SELECT lang, unnest(bigrams) AS bigram FROM (
+        SELECT lang, {_SQL_BIGRAMS} AS bigrams FROM (
+          SELECT lang, {SQL_WORDS} AS words FROM documents
+        )
+      )
+    ),
+    counted AS (
+      SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2
+    )
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT lang, bigram, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+      FROM counted
+    ) WHERE rnk <= 3
+    """,
+    doc="Corpus n-gram statistics (op E36): bigram counts per language, "
+    "top-3 by frequency with deterministic ties. Shape: explode -> "
+    "two-stage count (map-side combine on (lang,bigram)) -> per-lang "
+    "window top-k — the standard language-model n-gram-table build; at "
+    "100 TB the only heavy stage is the count shuffle, and hot "
+    "(lang,bigram) keys partial-aggregate before it.",
+    tags=("E36", "E18"),
+)
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang", F.explode(word_ngrams(words(F.col("text")), 2)).alias("bigram")
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "bigram", "n", "rnk")
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(words) AS tok
+      FROM (SELECT doc_id, {SQL_WORDS} AS words FROM documents)
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score AS DOUBLE) AS score, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             tf.tf * n.n_docs * 1.0 / df.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * n.n_docs * 1.0 / df.df DESC, tf.tok
+             ) AS rnk
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    ) WHERE rnk <= 2
+    """,
+    doc="TF-IDF top terms per document (op E36): term frequency x "
+    "rarity, in the log-free rational form tf*N/df — same ordering as "
+    "tf*log(N/df) per doc (log is monotone in N/df), but pure "
+    "mul/div keeps the score bit-identical across engines (ln() differs "
+    "in the last ulp between libm implementations). df is a broadcast "
+    "join (vocabulary << corpus); the window is per-doc.",
+    tags=("E36", "E18"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.col("tf") * F.col("n_docs") * F.lit(1.0) / F.col("df")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("doc_id", "tok", "tf", "df", "score", "rnk")
     )
