@@ -1,0 +1,50 @@
+"""Per-query bench regression check.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [ratio]
+
+Compares two bench.py outputs; prints per-query deltas and exits 1 if
+any query got slower than ``ratio`` (default 1.5x) AND by more than an
+absolute floor (0.3 s — best-of-2 timing noise on sub-second queries
+is larger than any real plan change).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+FLOOR_SECS = 0.3
+
+
+def main() -> int:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+
+    regressions, improvements = [], []
+    for name, t_new in sorted(new.items()):
+        t_old = old.get(name)
+        if t_old is None:
+            print(f"NEW    {name}: {t_new:.2f}s")
+            continue
+        if t_new > t_old * ratio and t_new - t_old > FLOOR_SECS:
+            regressions.append((name, t_old, t_new))
+        elif t_old > t_new * ratio and t_old - t_new > FLOOR_SECS:
+            improvements.append((name, t_old, t_new))
+    for name in sorted(set(old) - set(new)):
+        print(f"GONE   {name} (was {old[name]:.2f}s)")
+    for name, a, b in improvements:
+        print(f"FASTER {name}: {a:.2f}s -> {b:.2f}s")
+    for name, a, b in regressions:
+        print(f"SLOWER {name}: {a:.2f}s -> {b:.2f}s  ({b / a:.1f}x)")
+
+    t_old = sum(v for k, v in old.items() if k in new)
+    t_new = sum(v for k, v in new.items() if k in old)
+    print(f"\nshared-query total: {t_old:.1f}s -> {t_new:.1f}s; "
+          f"{len(regressions)} regression(s)")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
