@@ -546,3 +546,60 @@ def order_month_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY months.m
         """
     )
+
+
+@register(
+    "orders_page3",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    LIMIT 100 OFFSET 200
+    """,
+    doc="Keyset-free pagination (op E22 long tail): ORDER BY unique key "
+    "+ LIMIT/OFFSET. Spark plans a global TakeOrderedAndProject of "
+    "offset+limit rows, then drops the prefix — fine for UI pages, "
+    "O(offset) at depth; deep pagination at 100 TB should switch to a "
+    "keyset predicate (WHERE key > last_seen ORDER BY key LIMIT n), "
+    "which is the indexed-scan shape the reference's resume query uses "
+    "(ccxt-ohlcv-fetch.py:87).",
+    tags=("E22",),
+)
+def orders_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(200)
+        .limit(100)
+    )
+
+
+@register(
+    "part_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           regexp_extract(p_type, '[A-Z]+') AS first_caps,
+           (p_brand SIMILAR TO 'Brand#[0-9]+') AS brand_like,
+           CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INT) AS n_capruns
+    FROM part
+    """,
+    doc="Regex function long tail (op R14): regexp_count (match "
+    "cardinality), regexp_substr (first match or NULL), rlike predicate "
+    "— generalizations of the reference's timeframe-grammar match "
+    "(ccxt-ohlcv-fetch.py:142-143). One compiled pattern per expression "
+    "per task, row-local.",
+    tags=("R14",),
+)
+def part_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+        F.regexp_substr("p_type", F.lit("[A-Z]+")).alias("first_caps"),
+        F.col("p_brand").rlike("^Brand#[0-9]+$").alias("brand_like"),
+        F.regexp_count("p_type", F.lit("[A-Z]+")).alias("n_capruns"),
+    )
