@@ -199,3 +199,29 @@ def test_adaptive_multiprobe_beats_fixed_at_equal_budget(spark, sf_dir):
         assert r_adaptive >= r_fixed, (m, r_fixed, r_adaptive)
     # and the adaptive curve is monotone in the budget
     assert recall(4, True) >= recall(2, True)
+
+
+def test_ivf_recall_monotone_and_finer_cells_win(spark):
+    """Pins the measured IVF trade-offs (PERFORMANCE.md §6): recall
+    rises with probe count, and at equal corpus fraction finer
+    partitioning beats coarser (32/4 > 16/2, both touch ~12%)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    truth = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=10).collect()}
+
+    def recall(cells: int, probes: int) -> float:
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_cosine_topk(
+                emb, queries, k=10, n_cells=cells, n_probe=probes
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r2, r4, r8 = recall(16, 2), recall(16, 4), recall(16, 8)
+    assert r2 <= r4 <= r8, (r2, r4, r8)
+    assert recall(32, 4) > r2  # same 12% fraction, finer cells
