@@ -603,3 +603,34 @@ def part_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").rlike("^Brand#[0-9]+$").alias("brand_like"),
         F.regexp_count("p_type", F.lit("[A-Z]+")).alias("n_capruns"),
     )
+
+
+@register(
+    "doc_content_hashes",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha_hex,
+           substr(sha256(text), 1, 16) AS short_id,
+           base64(encode(substr(text, 1, 8))) AS head_b64,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+    FROM documents
+    """,
+    doc="Content-addressing functions (op E33 primitive): md5 / sha2 / "
+    "base64 / hex — the stable content ids that exact dedup, caching, "
+    "and provenance tracking key on (operators/dedup.py groups on the "
+    "md5-derived key). Cross-engine byte-identical digests, verified by "
+    "the hash gate itself.",
+    tags=("E33", "R14"),
+)
+def doc_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sha = F.sha2("text", 256)
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        sha.alias("sha_hex"),
+        F.substring(sha, 1, 16).alias("short_id"),
+        F.base64(F.substring("text", 1, 8).cast("binary")).alias("head_b64"),
+        F.lower(F.hex(F.substring("text", 1, 4).cast("binary"))).alias("head_hex"),
+    )
