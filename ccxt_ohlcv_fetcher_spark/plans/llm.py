@@ -747,13 +747,12 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_), "tok")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "score", F.col("tf") * F.col("n_docs") * F.lit(1.0) / F.col("df")
-        )
+    # corpus size folded to a literal (parquet-footer count at plan
+    # build): a one-row cross join would plan as CartesianProduct and
+    # every downstream op loses its partitioning info
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "tok").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (

@@ -7,6 +7,7 @@ long before it shows up as a 100 TB incident.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ccxt_ohlcv_fetcher_spark.plans import load_all
 
@@ -62,3 +63,27 @@ def test_star_joins_broadcast_dims(spark, sf_dir):
     _, plan = _plan(spark, sf_dir, "revenue_by_nation")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_observe_metrics_piggyback(spark, sf_dir):
+    """Observation metrics ride the existing action (no second scan) —
+    the built-in way to get row counts / sums out of a pipeline run,
+    replacing the reference's debug print-back (ccxt-ohlcv-fetch.py:81-83)
+    without a recount."""
+    from pyspark.sql import Observation
+
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    obs = Observation("ingest_stats")
+    li = load_table(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"),
+    )
+    li.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    expect = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("qty"),
+    ).collect()[0]
+    assert got["rows"] == expect["rows"] and got["qty"] == expect["qty"]
