@@ -634,3 +634,68 @@ def doc_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.substring("text", 1, 8).cast("binary")).alias("head_b64"),
         F.lower(F.hex(F.substring("text", 1, 4).cast("binary"))).alias("head_hex"),
     )
+
+
+@register(
+    "lineitem_minmax_scaled",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+           CASE WHEN mx > mn THEN (l_extendedprice - mn) / (mx - mn)
+                ELSE 0.0 END AS price_scaled
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+             min(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn,
+             max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx
+      FROM lineitem
+    )
+    """,
+    doc="Grouped-map UDF tier (op §2.10, applyInPandas): per-group "
+    "min-max normalization where the whole group crosses to pandas as "
+    "one Arrow frame. The oracle is the pure window-function "
+    "formulation — min/max are exact picks and the scale is one IEEE "
+    "sub+div, so the Python kernel hashes identically to SQL (the rare "
+    "float kernel where that holds). The window form is also the "
+    "100 TB path; the UDF form is for when the per-group logic outgrows "
+    "SQL (model fits, iterative passes).",
+    tags=("E17",),
+)
+def lineitem_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.grouped import minmax_scale_prices
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return minmax_scale_prices(li)
+
+
+@register(
+    "doc_tokens_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 25
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, toks[u.pos + 1] AS token,
+           CAST(length(toks[u.pos + 1]) AS INT) AS token_len
+    FROM t, UNNEST(range(len(t.toks))) AS u(pos)
+    """,
+    doc="Python UDTF tier (op §2.10, Spark 3.5+ @udtf): a row-to-rows "
+    "table function callable from SQL via LATERAL — here a tokenizer "
+    "emitting (pos, token, len). Covers the API tier; the plan-shape "
+    "twin doc_tokens_posexplode stays on the built-in generator, which "
+    "is the hot-path choice (no Python boundary).",
+    tags=("E25", "E36"),
+)
+def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.grouped import register_token_udtf
+
+    register_token_udtf(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 25
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM _udtf_docs d, LATERAL token_stats(d.text) t
+        """
+    )
