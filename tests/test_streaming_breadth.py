@@ -361,3 +361,58 @@ def test_sessionize_events_gap_and_timeout_close(spark, tmp_path):
     # session_window.end = last_event + gap; subtracting the gap aligns
     # both representations on last-event time
     assert native == expect
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join (E28s family): each micro-batch joins against
+    the CURRENT state of a static dim — the standard streaming
+    enrichment shape (ticks x instrument metadata). The static side is
+    re-resolved per batch, so dim updates between batches are visible
+    without restarting the query; the dim is broadcast, the stream
+    never shuffles."""
+    tick_dir, dim_dir = str(tmp_path / "ticks"), str(tmp_path / "dim")
+    tschema = "ts long, symbol string, price double, amount double"
+    _write(spark, tick_dir, [(T0 + i * SEC, "XRPUSD", 100.0 + i, 1.0) for i in range(5)], tschema)
+    spark.createDataFrame(
+        [("XRPUSD", "ripple", 4)], "symbol string, asset string, scale int"
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # the static side resolves its file listing when the DataFrame is
+        # built — a restarted query re-resolves, which is exactly how dim
+        # updates become visible (same as REFRESH TABLE on a catalog dim)
+        ticks = _ts(
+            spark.readStream.schema(tschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tick_dir),
+            "ts",
+        )
+        dim = spark.read.parquet(dim_dir)
+        enriched = ticks.join(F.broadcast(dim), "symbol", "left").select(
+            "symbol", F.unix_millis("ts").alias("ms"), "price", "asset", "scale"
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out1 = spark.read.parquet(out_dir).collect()
+    assert len(out1) == 5 and all(r["asset"] == "ripple" for r in out1)
+
+    # dim update between runs: new rows see the NEW metadata
+    spark.createDataFrame(
+        [("XRPUSD", "ripple-v2", 6)], "symbol string, asset string, scale int"
+    ).write.mode("overwrite").parquet(dim_dir)
+    _write(spark, tick_dir, [(T0 + 100 * SEC, "XRPUSD", 200.0, 1.0)], tschema)
+    run()
+    out2 = {r["ms"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert out2[T0 + 100 * SEC]["asset"] == "ripple-v2"
+    assert out2[T0]["asset"] == "ripple"  # earlier batch kept its join-time view
