@@ -283,3 +283,42 @@ def hot_user_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, dim, ["skew_key"], n_salts=8, how="left").select(
         "event_id", "user_id", "skew_key", "n_cust", "avg_bal"
     )
+
+
+@register(
+    "price_balance_bucket_full_outer",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(floor(c_acctbal / 2000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    )
+    SELECT coalesce(a.bucket, b.bucket) AS bucket, a.n_orders, b.n_cust
+    FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+    """,
+    doc="Full outer join (op E7): order-value buckets vs account-balance "
+    "buckets — each side holds keys the other lacks (high price buckets "
+    "have no balance twin; the negative-balance bucket has no price "
+    "twin), so both null-extension directions are exercised. Right "
+    "outer is this shape's one-sided sugar (covered by symmetry with "
+    "the left joins elsewhere). Two tiny aggregates, SMJ on ~12 keys.",
+    tags=("E7",),
+)
+def price_balance_bucket_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    a = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = customer.groupBy(
+        F.floor(F.col("c_acctbal") / 2000).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    return (
+        a.join(b, "bucket", "full_outer")
+        .select("bucket", "n_orders", "n_cust")
+    )
