@@ -65,3 +65,22 @@ def register_token_udtf(spark) -> None:
                 yield i, tok, len(tok)
 
     spark.udtf.register("token_stats", TokenStats)
+
+
+def mad_udaf():
+    """Grouped-aggregate pandas UDF (§2.10's last tier): median absolute
+    deviation — the robust dispersion measure. Chosen for the oracle's
+    sake: MAD is exclusively order-statistic picks and midpoint
+    averages, so the numpy kernel is order-insensitive and bit-identical
+    to any engine's median-based mad() (unlike mean/std kernels, whose
+    float sum order differs per partitioning). Usable in groupBy().agg
+    and over windows; one Arrow batch per group crosses to Python."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad(values: pd.Series) -> float:
+        x = values.to_numpy(dtype="float64")
+        return float(np.median(np.abs(x - np.median(x))))
+
+    return mad

@@ -699,3 +699,33 @@ def doc_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL token_stats(d.text) t
         """
     )
+
+
+@register(
+    "price_mad_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(mad(l_extendedprice) AS DOUBLE) AS price_mad,
+           CAST(mad(l_quantity) AS DOUBLE) AS qty_mad
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Grouped-aggregate pandas UDF (op §2.10 grouped-agg tier): "
+    "median absolute deviation per group, numpy kernel against DuckDB's "
+    "native mad() — order-statistic picks and midpoints only, so the "
+    "Python path hash-matches SQL exactly. Whole group buffers per agg "
+    "call (like exact percentiles): fine for low-cardinality keys, use "
+    "approx sketches for high-cardinality at 100 TB.",
+    tags=("E17",),
+)
+def price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.grouped import mad_udaf
+
+    mad = mad_udaf()
+    li = load_table(spark, sf_dir, "lineitem")
+    # note: grouped-agg pandas UDFs cannot mix with JVM aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — keep the agg pure-pandas
+    return li.groupBy("l_returnflag").agg(
+        mad("l_extendedprice").alias("price_mad"),
+        mad("l_quantity").alias("qty_mad"),
+    )
