@@ -729,3 +729,44 @@ def price_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad("l_extendedprice").alias("price_mad"),
         mad("l_quantity").alias("qty_mad"),
     )
+
+
+@register(
+    "rolling_price_mad",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(mad(o_totalprice) OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_orderkey
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS mad20
+    FROM orders
+    WHERE o_orderkey < 30000
+    """,
+    doc="Pandas UDF as a window function (op §2.10 x E20): rolling "
+    "20-row median absolute deviation of order value — a robust "
+    "volatility band no built-in expression covers. Spark evaluates "
+    "the grouped-agg UDF once per frame (Arrow batch per slide), so at "
+    "100 TB bound the frame; the oracle is DuckDB's native windowed "
+    "mad() — exact-pick arithmetic keeps them bit-identical. Ordered "
+    "by the UNIQUE o_orderkey: a tied window order would make frames "
+    "engine-dependent (lineitem's (orderkey,linenumber) is non-unique "
+    "in this fixture — found the hard way).",
+    tags=("E20", "E17"),
+)
+def rolling_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ccxt_ohlcv_fetcher_spark.operators.grouped import mad_udaf
+
+    mad = mad_udaf()
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 30000)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(-19, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        mad("o_totalprice").over(w).alias("mad20"),
+    )
