@@ -120,3 +120,31 @@ def test_resume_offset_and_legacy_parity(spark, ds, tmp_path):
         == legacy.resume_offset("e", "S/X", "1h")
         == T0 + 29 * 3600_000
     )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Dataset lifecycle: a column added by a later writer (e.g. trade
+    count per candle) must not break readers of the mixed dataset —
+    parquet mergeSchema unions the fields, old files read NULL for the
+    new column. Pins the upgrade path for the candle schema."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import (
+        CandleDataset,
+        project_ohlcv_rows,
+    )
+
+    ds = CandleDataset(spark, str(tmp_path / "c"))
+    rows = hourly_rows(4)
+    ds.append_idempotent(project_ohlcv_rows(spark, rows, "e", "S/X", "1h"))
+    # later writer adds n_trades
+    newer = project_ohlcv_rows(
+        spark, hourly_rows(4, T0 + 4 * 3600_000), "e", "S/X", "1h"
+    ).withColumn("n_trades", F.lit(17).cast("long"))
+    ds.append_idempotent(newer)
+
+    merged = spark.read.option("mergeSchema", True).parquet(ds.path)
+    assert "n_trades" in merged.columns and merged.count() == 8
+    by_ts = {r["timestamp"]: r["n_trades"] for r in merged.collect()}
+    assert by_ts[T0] is None  # pre-evolution file -> NULL
+    assert by_ts[T0 + 4 * 3600_000] == 17
