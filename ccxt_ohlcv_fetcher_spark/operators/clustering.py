@@ -1,0 +1,114 @@
+"""Iterative DataFrame algorithms (SURVEY.md oracle note: the
+"iterative algorithms" class): Lloyd's k-means over the embedding
+corpus, expressed entirely as DataFrame ops — the template for any
+fixed-point computation on Spark (PageRank, label propagation, EM).
+
+Spark-first shape per iteration: centroids are a *driver-side list
+folded into one matrix literal* (k x dim doubles — tiny), assignment is
+the same single nested-HOF argmin the IVF operator uses (one codegen'd
+loop, no UDF, no shuffle), and the centroid update is one groupBy over
+(cluster) with array-wise sums via ``posexplode`` + component groupBy —
+partial-aggregated map-side. The only data-sized state between
+iterations is the corpus itself; nothing iterative is cached, so the
+loop re-reads the (columnar, pruned) scan each pass — at 100 TB you
+would ``persist(DISK_ONLY)`` the projected (id, vector) frame once.
+
+Determinism: init = the k lowest-id vectors (same convention as
+``ivf_cosine_topk`` seeds), iteration count fixed, and every update is
+an exact-decimal mean, so the trajectory is reproducible across runs
+and cluster sizes — the property the rows-only driver check leans on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 — one matrix literal,
+    one nested HOF (see PERFORMANCE.md §5 on HOF literals)."""
+    cmat = F.lit(centroids)
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pairs = F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    return F.array_sort(pairs)[0]["i"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; returns (id, cluster, dist2).
+
+    Each iteration: executor-side argmin assignment (pure codegen) ->
+    per-cluster component means via posexplode + two-level groupBy ->
+    collected back to a k x dim literal (k*dim doubles through the
+    driver — the algorithm's irreducible synchronization point, same
+    data volume every MLlib/parameter-server implementation moves).
+    Empty clusters keep their previous centroid.
+    """
+    seeds = (
+        df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("_c")).collect()
+    )
+    centroids = [list(map(float, r["_c"])) for r in seeds]
+
+    for _ in range(n_iter):
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _assign(vec_col, centroids).alias("_cl"),
+        )
+        comp = assigned.select(
+            "_cl", F.posexplode(vec_col).alias("_j", "_x")
+        )
+        means = (
+            comp.groupBy("_cl", "_j")
+            # exact-decimal mean -> deterministic under any partitioning
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .groupBy("_cl")
+            .agg(F.array_sort(F.collect_list(F.struct("_j", "_m"))).alias("_ms"))
+            .select("_cl", F.col("_ms._m").alias("_mean"))
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep position
+        for r in means:
+            new_centroids[r["_cl"]] = [float(x) for x in r["_mean"]]
+        centroids = new_centroids
+
+    return df.select(
+        F.col(id_col),
+        _assign(vec_col, centroids).alias("cluster"),
+        F.transform(
+            F.lit(centroids),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )[_assign(vec_col, centroids)].alias("dist2"),
+    )
+
+
+def kmeans_inertia(df: DataFrame, assigned: DataFrame, *_args) -> float:
+    """Sum of squared distances to assigned centroids (convergence
+    metric; must be non-increasing over Lloyd iterations)."""
+    return assigned.agg(F.sum("dist2").alias("s")).collect()[0]["s"]

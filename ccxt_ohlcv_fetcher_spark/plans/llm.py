@@ -760,3 +760,23 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("doc_id", "tok", "tf", "df", "score", "rnk")
     )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=None,  # iterative algorithm (driver note: non-SQL-expressible);
+    # determinism + convergence pinned in tests/test_clustering.py
+    doc="Iterative DataFrame algorithm (Lloyd's k-means, 3 fixed "
+    "iterations, deterministic lowest-id init): per-vector cluster "
+    "assignment over the embedding corpus. Each iteration is one "
+    "codegen'd argmin pass + one exact-decimal component-mean groupBy; "
+    "only k x dim doubles cross the driver per iteration. The shape "
+    "generalizes to any fixed-point computation (EM, label "
+    "propagation) without MLlib.",
+    tags=("E35",),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, n_iter=3)
