@@ -770,3 +770,28 @@ def rolling_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         mad("o_totalprice").over(w).alias("mad20"),
     )
+
+
+@register(
+    "price_approx_percentiles",
+    oracle=None,  # sketch output is merge-order-dependent (t-digest-like
+    # GK summaries); accuracy vs the exact path is pinned in
+    # tests/test_sketches.py
+    doc="approx_percentile (op E17 sketch tier): quantile summaries with "
+    "bounded error (accuracy parameter = 1/eps), partial-aggregable — "
+    "the high-cardinality-key counterpart to the exact percentile "
+    "queries (price_percentiles), whose per-group full sort does not "
+    "scale past low-cardinality keys.",
+    tags=("E17",),
+)
+def price_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ap = F.percentile_approx(
+        "l_extendedprice", F.lit([0.5, 0.9, 0.99]), F.lit(10_000)
+    )
+    return li.groupBy("l_returnflag").agg(
+        ap[0].alias("p50_approx"),
+        ap[1].alias("p90_approx"),
+        ap[2].alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
