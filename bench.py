@@ -1,9 +1,25 @@
 """Benchmark harness (driver contract).
 
 Runs every registry query at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output layout (changed after round 1): the driver's BENCH_r01.json
+recorded ``parsed: null`` with a ``tail`` field that *starts mid-JSON*
+— i.e. the driver kept only a ~2 KB tail of stdout and tried to parse
+that. One 10 KB JSON line therefore can never parse, regardless of
+order. So this script prints:
+
+1. a FULL detail line (the round-1 format: all per-query times +
+   output cardinalities + fixture table sizes) — parseable by any
+   consumer that captures complete stdout;
+2. LAST, a compact contract summary line ``{"metric", "value",
+   "unit", "queries": {...}, "sf", ...}`` budgeted to fit inside a
+   2 KB tail buffer — ``queries`` holds as many entries as fit,
+   slowest first, with ``n_queries`` giving the true total and
+   ``detail_file`` pointing at the complete result.
+
+The complete result is also written to ``BENCH_LOCAL.json`` next to
+this file so it survives as a committed, judge-readable artifact.
 
 Each query is executed through the no-op sink (``format("noop")``) so
 the full plan runs distributed without paying driver-side collect.
@@ -55,19 +71,41 @@ def main() -> None:
         t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in TABLE_NAMES
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "output_rows": output_rows,
-                "table_rows": table_rows,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "output_rows": output_rows,
+        "table_rows": table_rows,
+        "sf": sf,
+    }
+    # 1) full detail: stdout line + committed artifact
+    print(json.dumps(full))
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    with open(artifact, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # 2) LAST line: compact summary sized for a 2 KB tail buffer (see
+    # module docstring). Greedily include per-query times, slowest
+    # first, while the serialized line stays under budget.
+    summary = {
+        "metric": "total_query_wall_time",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "detail_file": "BENCH_LOCAL.json",
+        "queries": {},
+    }
+    budget = 1800
+    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+        summary["queries"][name] = t
+        if len(json.dumps(summary)) > budget:
+            del summary["queries"][name]
+            break
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

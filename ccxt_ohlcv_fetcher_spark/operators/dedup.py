@@ -182,6 +182,12 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """E34 end-to-end: near-dup candidate pairs via MinHash + LSH banding
     (distinct id_a < id_b sharing >=1 band bucket)."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: rows_per_band = k/bands "
+            "determines the LSH collision probability, and a remainder would "
+            "silently drop trailing signature components"
+        )
     sigs = minhash_signatures(df, content_col, id_col, k=k, n=n)
     buckets = minhash_band_buckets(sigs, id_col, bands=bands, rows_per_band=k // bands)
     # group-then-pair instead of a bucket self-join: the self-join would

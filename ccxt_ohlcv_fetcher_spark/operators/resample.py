@@ -37,6 +37,14 @@ def bucket_start(ts: Column | str, timeframe: str) -> Column:
     if n == 1 and unit in ("m", "h", "d", "w"):
         name = {"m": "minute", "h": "hour", "d": "day", "w": "week"}[unit]
         return F.date_trunc(name, ts)
+    if unit == "w":
+        # Monday-anchor every week width: window()'s tumbling grid is
+        # epoch-anchored and 1970-01-01 is a Thursday, so shift the grid
+        # by 4 days to 1970-01-05 (a Monday). This keeps 'Nw' buckets on
+        # the same grid as date_trunc('week') ('1w'), preserving the
+        # aligned-bucket nesting a rollup ladder ('1w' -> '2w') relies on.
+        interval = timeframe_to_spark_interval(timeframe)
+        return F.window(ts, interval, interval, "4 days")["start"]
     # general fixed-width bucket via window() (tumbling)
     return F.window(ts, timeframe_to_spark_interval(timeframe))["start"]
 

@@ -125,14 +125,14 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR {sql_ms("ts")} - lag({sql_ms("ts")}) OVER w > 1800000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

@@ -110,7 +110,7 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN {sql_ms("ts")} - lag({sql_ms("ts")})
                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   > 1800000 OR lag(ts) OVER (PARTITION BY user_id
@@ -118,7 +118,7 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -146,7 +146,12 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered = flagged.withColumn(
         "session_id",
         F.sum("new_session").over(
-            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+            # event_id tie-break matches the lag() window: tied-ts rows at a
+            # session boundary must take session ids in one deterministic
+            # peer order on both engines
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
         ),
     )
     return numbered.groupBy("user_id", "session_id").agg(

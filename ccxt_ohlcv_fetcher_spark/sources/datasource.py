@@ -63,6 +63,10 @@ class _FixtureFeed:
     def __init__(self, path: str, page_size: int):
         with open(path) as fh:
             self.rows = json.load(fh)
+        # exchanges return ascending pages (`:98`); enforce it here so the
+        # cursor-advance invariant (page[-1][0] is the max ts) holds even
+        # for hand-written fixture files
+        self.rows = {s: sorted(rs, key=lambda r: r[0]) for s, rs in self.rows.items()}
         self.page_size = page_size
 
     def fetch(self, symbol: str, since_ms: int) -> list[list]:
@@ -131,7 +135,10 @@ class CandleBatchReader(DataSourceReader):
                     int(ts), float(o), float(h), float(lo), float(c), float(v),
                 )
             new_cursor = page[-1][0]  # `:119-120`
-            if new_cursor == cursor and len(page) <= 1:
+            if new_cursor <= cursor:
+                # no forward progress: a sorted feed only hits this when the
+                # page is the single candle at ``cursor`` (already emitted);
+                # a misbehaving feed (dup/unsorted tail) must never spin
                 break
             caught_up = len(page) < feed.page_size or new_cursor + tf_ms > now_ms
             cursor, first = new_cursor, False

@@ -107,6 +107,44 @@ def _make_sessionizer(gap_ms: int):
     return _sessionize
 
 
+# every fixed-duration unit spelling Spark's interval parser accepts
+# (CalendarInterval: millisecond/second/minute/hour/day/week + shorthands)
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "ms": 1,
+    "second": 1000,
+    "sec": 1000,
+    "s": 1000,
+    "minute": 60_000,
+    "min": 60_000,
+    "m": 60_000,
+    "hour": 3_600_000,
+    "h": 3_600_000,
+    "day": 86_400_000,
+    "d": 86_400_000,
+    "week": 604_800_000,
+    "w": 604_800_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a fixed-duration Spark interval string ('30 mins', '2 days',
+    '90 seconds') to milliseconds, raising ValueError (not KeyError) with
+    the accepted spellings on bad input."""
+    parts = interval.strip().split()
+    if len(parts) == 2 and parts[0].lstrip("-").isdigit():
+        raw = parts[1].lower()
+        # exact spelling first ('ms', 's'), then de-pluralized ('mins' -> 'min')
+        unit = raw if raw in _INTERVAL_UNIT_MS else raw.removesuffix("s")
+        if unit in _INTERVAL_UNIT_MS:
+            return int(parts[0]) * _INTERVAL_UNIT_MS[unit]
+    raise ValueError(
+        f"invalid interval {interval!r}: expected '<n> <unit>' with unit one of "
+        + ", ".join(sorted(set(_INTERVAL_UNIT_MS)))
+        + " (plural forms accepted)"
+    )
+
+
 def sessionize_events(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -118,16 +156,7 @@ def sessionize_events(
     ``session_window``) or when the event-time watermark passes
     ``session_end + gap`` (timer-driven close — sessions ended by
     silence, which no windowed aggregation can flush)."""
-    n, unit = gap.split()
-    unit_ms = {
-        "seconds": 1000,
-        "second": 1000,
-        "minutes": 60_000,
-        "minute": 60_000,
-        "hours": 3_600_000,
-        "hour": 3_600_000,
-    }[unit]
-    gap_ms = int(n) * unit_ms
+    gap_ms = _interval_ms(gap)
     return (
         events.withWatermark("ts", watermark_delay)
         .groupBy("user_id")

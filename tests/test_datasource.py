@@ -188,3 +188,51 @@ def test_datasource_to_candle_sink_e2e(spark, fixture_file, tmp_path):
     before = out.count()
     run_once()
     assert ds.read().count() == before
+
+
+def test_unsorted_fixture_terminates_and_sorts(spark, tmp_path):
+    """ADVICE r1: an unsorted fixture (or dup trailing timestamps) must
+    never spin the cursor loop — the feed sorts rows on load and the
+    reader breaks on any non-advancing cursor."""
+    register(spark)
+    rows = {"XRPUSD": list(reversed(grid(100)))}  # fully descending
+    path = str(tmp_path / "unsorted.json")
+    with open(path, "w") as fh:
+        json.dump(rows, fh)
+    out = (
+        spark.read.format("ccxt_ohlcv")
+        .option("fixture", path)
+        .option("symbols", "XRPUSD")
+        .option("timeframe", "1m")
+        .option("since", str(T0))
+        .option("now", str(T0 + 500 * MIN))
+        .option("page_size", "30")
+        .load()
+        .collect()
+    )
+    assert len(out) == 100
+    assert len({r["timestamp"] for r in out}) == 100
+
+
+def test_duplicate_tail_timestamps_terminate(spark, tmp_path):
+    """A page whose max ts equals the cursor (dup tail) breaks the loop
+    instead of refetching the same page forever."""
+    register(spark)
+    base = grid(3)
+    dup = list(base[-1])
+    dup[1] += 999.0  # same ts, different values
+    path = str(tmp_path / "dup.json")
+    with open(path, "w") as fh:
+        json.dump({"XRPUSD": base + [dup]}, fh)
+    out = (
+        spark.read.format("ccxt_ohlcv")
+        .option("fixture", path)
+        .option("symbols", "XRPUSD")
+        .option("timeframe", "1m")
+        .option("since", str(T0))
+        .option("now", str(T0 + 500 * MIN))
+        .option("page_size", "2")
+        .load()
+        .collect()
+    )
+    assert len({r["timestamp"] for r in out}) == 3

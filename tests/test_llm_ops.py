@@ -225,3 +225,11 @@ def test_ivf_recall_monotone_and_finer_cells_win(spark):
     r2, r4, r8 = recall(16, 2), recall(16, 4), recall(16, 8)
     assert r2 <= r4 <= r8, (r2, r4, r8)
     assert recall(32, 4) > r2  # same 12% fraction, finer cells
+
+
+def test_minhash_candidate_pairs_rejects_indivisible_bands(spark):
+    """ADVICE r1: k % bands != 0 would silently drop trailing signature
+    components (wrong LSH collision probability) — must raise instead."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_candidate_pairs(docs, "text", "doc_id", k=10, bands=4)

@@ -56,3 +56,29 @@ def test_rollup_bucket_values(spark):
     assert row["high"] == max(r["high"] for r in raw.values())
     assert row["low"] == min(r["low"] for r in raw.values())
     assert row["volume"] == sum(r["volume"] for r in raw.values())
+
+
+def test_week_buckets_share_monday_anchor(spark):
+    """ADVICE r1: '1w' (date_trunc, Monday) and 'Nw' (window) must sit on
+    one grid — window() is epoch-anchored (Thursday) unless offset."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.resample import bucket_start
+
+    ts0 = 1700000000000  # 2023-11-14, a Tuesday
+    df = spark.range(12).select(
+        F.timestamp_millis(
+            F.lit(ts0) + F.col("id") * F.lit(86_400_000 * 5)
+        ).alias("ts")
+    )
+    # one window() expression per projection (Spark rejects multiple)
+    w1 = [r["w"] for r in df.select(bucket_start("ts", "1w").alias("w")).collect()]
+    w2 = [r["w"] for r in df.select(bucket_start("ts", "2w").alias("w")).collect()]
+    w3 = [r["w"] for r in df.select(bucket_start("ts", "3w").alias("w")).collect()]
+    week_ms = 7 * 86_400_000
+    for b1, b2, b3 in zip(w1, w2, w3):
+        for b in (b1, b2, b3):
+            assert b.isoweekday() == 1, b  # Monday-anchored, every width
+        # each 1w bucket nests inside its 2w/3w bucket on the same grid
+        assert ((b1 - b2).total_seconds() * 1000) in (0, week_ms)
+        assert ((b1 - b3).total_seconds() * 1000) in (0, week_ms, 2 * week_ms)

@@ -416,3 +416,20 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     out2 = {r["ms"]: r for r in spark.read.parquet(out_dir).collect()}
     assert out2[T0 + 100 * SEC]["asset"] == "ripple-v2"
     assert out2[T0]["asset"] == "ripple"  # earlier batch kept its join-time view
+
+
+def test_sessionize_gap_accepts_spark_interval_spellings():
+    """ADVICE r1: every fixed-duration Spark interval spelling parses;
+    bad input raises ValueError (not KeyError) naming accepted forms."""
+    from ccxt_ohlcv_fetcher_spark.streaming.sessions import _interval_ms
+
+    assert _interval_ms("30 mins") == 1_800_000
+    assert _interval_ms("30 minutes") == 1_800_000
+    assert _interval_ms("2 days") == 172_800_000
+    assert _interval_ms("90 seconds") == 90_000
+    assert _interval_ms("1 week") == 604_800_000
+    assert _interval_ms("250 ms") == 250
+    with pytest.raises(ValueError, match="expected"):
+        _interval_ms("5 parsecs")
+    with pytest.raises(ValueError, match="expected"):
+        _interval_ms("soon")
