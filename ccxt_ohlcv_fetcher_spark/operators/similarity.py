@@ -230,6 +230,96 @@ def ann_cosine_topk(
     )
 
 
+def allpairs_cosine_topk(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 4,
+    multiprobe: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus x corpus all-k-NN (op E35, self-similarity form): for EVERY
+    row, its k nearest neighbors by cosine — the whole-corpus workload
+    (semantic dedup, graph construction) where the "query set" is the
+    corpus itself and therefore NOT broadcastable.
+
+    Plan shape: one ``sign_lsh_buckets`` pass over the corpus, then a
+    shuffle-partitioned **self-join on the bucket id** (SortMergeJoin /
+    shuffled hash — deliberately no ``F.broadcast`` anywhere), exact
+    re-rank inside buckets, per-row top-k. Work is quadratic only within
+    a bucket (~|corpus|/2^planes rows each), so total candidate volume
+    is ~|corpus|^2 / 2^planes spread evenly across shuffle partitions —
+    the standard blocked all-pairs formulation. At 100 TB you size
+    ``n_planes`` so the expected bucket fits a task (PERFORMANCE.md §6
+    discusses the recall/cost trade).
+
+    ``multiprobe=m`` additionally probes, per row, its ``m``
+    tightest-margin neighbor buckets (same adaptive rule as
+    :func:`ann_cosine_topk`) on the LEFT side only — each candidate pair
+    still appears at most once per direction because the right side
+    keeps its single home bucket. Recall rises without touching
+    corpus-side storage.
+
+    Output: (vec_id, neighbor_id, score, rank), rank 1..k per vec_id,
+    ties broken by neighbor id. Self-pairs are excluded.
+    """
+    bucketed = sign_lsh_buckets(_with_norm(corpus, vec_col, "_n"), vec_col, n_planes, dim)
+    right = bucketed.select(
+        F.col("bucket"),
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rvec"),
+        F.col("_n").alias("_rn"),
+    )
+    left = bucketed
+    if multiprobe:
+        m = min(multiprobe, n_planes)
+        dots = plane_dots(vec_col, n_planes, dim)
+        margins = F.transform(
+            dots, lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("j"))
+        )
+        flip_bits = F.slice(F.array_sort(margins), 1, m)["j"]
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                flip_bits,
+                lambda j: F.col("bucket").bitwiseXOR(
+                    F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
+                ),
+            ),
+        )
+        left = left.withColumn("bucket", F.explode(probes))
+    left = left.select(
+        F.col("bucket"),
+        F.col(id_col),
+        F.col(vec_col).alias("_lvec"),
+        F.col("_n").alias("_ln"),
+    )
+    candidates = (
+        left.join(right, "bucket")  # NOT broadcast: co-partitioned self-join
+        .filter(F.col(id_col) != F.col("_rid"))
+        .select(
+            id_col,
+            F.col("_rid").alias("neighbor_id"),
+            (dot_product("_lvec", "_rvec") / (F.col("_ln") * F.col("_rn"))).alias(
+                "score"
+            ),
+        )
+    )
+    item = F.struct((-F.col("score")).alias("neg"), F.col("neighbor_id").alias("id"))
+    return (
+        candidates.groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_set(item)), 1, k).alias("_top"))
+        .select(id_col, F.posexplode("_top").alias("pos", "item"))
+        .select(
+            id_col,
+            F.col("item.id").alias("neighbor_id"),
+            (-F.col("item.neg")).alias("score"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -34,6 +34,7 @@ from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
     media_from_documents,
 )
 from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+    allpairs_cosine_topk,
     ann_cosine_topk,
     cosine_topk,
     ivf_cosine_topk,
@@ -432,6 +433,24 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+
+
+@register(
+    "ann_allpairs_topk",
+    oracle=None,  # approximate by construction; recall vs the exact
+    # all-pairs truth is asserted in tests/test_llm_ops.py
+    doc="Corpus x corpus all-k-NN via bucketed LSH SELF-join (op E35, "
+    "self-similarity form): every row's k nearest neighbors with NO "
+    "broadcast of either side — the semantic-dedup / similarity-graph "
+    "workload where the query set IS the corpus. Shuffle-partitioned "
+    "join on the bucket id keeps pair generation bounded per bucket "
+    "(~|corpus|/2^planes rows), so it scales where the broadcast-query "
+    "formulations (cosine_topk, ann_cosine_topk) cannot.",
+    tags=("E35", "E33"),
+)
+def ann_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return allpairs_cosine_topk(emb, k=3, dim=64, n_planes=4, multiprobe=2)
 
 
 @register(

@@ -96,6 +96,49 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert self_pairs <= a
 
 
+def test_allpairs_topk_recall_and_no_broadcast(spark, sf_dir):
+    """Corpus x corpus all-k-NN (allpairs_cosine_topk): recall vs the
+    exact all-pairs truth, self-pairs excluded, ranks well-formed, and —
+    the point of the formulation — neither side of the candidate join is
+    broadcast (the query set is the corpus; at scale there is nothing
+    small enough to broadcast)."""
+    from pyspark.sql.window import Window as W
+
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import allpairs_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 3
+    # exact truth: every row queries the whole corpus; drop self-match,
+    # keep the top k strictly-other neighbors
+    queries = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = (
+        cosine_topk(emb, queries, k=k + 1)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.desc("score"), "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= k)
+    )
+    approx = allpairs_cosine_topk(emb, k=k, dim=64, n_planes=4, multiprobe=2)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    rows = approx.collect()
+    a = {(r["vec_id"], r["neighbor_id"]) for r in rows}
+    assert not any(r["vec_id"] == r["neighbor_id"] for r in rows), "self-pair leaked"
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_id.values())
+    recall = len(e & a) / len(e)
+    # 4 planes + 2 adaptive probes on Gaussian vectors: modest but real
+    assert recall >= 0.3, f"all-pairs recall collapsed: {recall}"
+    # scale posture: the self-join must not plan a broadcast of the corpus
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_cosine_topk
 
