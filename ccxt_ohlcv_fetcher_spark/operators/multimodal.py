@@ -5,14 +5,20 @@ structs in one table; heavy per-item work (decode, resize, feature
 extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` so
 each Python worker sees a columnar batch, not a row.
 
-The container has no image/audio codecs, so the decode kernel is a
-clearly-marked STUB (deterministic fake features). Everything around
-it — schema, binary round-trip, batch shapes, partitioning — is real
-and tested; swapping in a real decoder is a one-function change.
+``decode_media`` is a REAL container-header decoder: pure-Python
+parsing of PNG (IHDR chunk incl. CRC check), GIF, BMP, JPEG (SOF scan)
+and RIFF/WAV (fmt + data chunks -> sample rate, channels, duration),
+straight from the public file-format specs — no codec libraries needed.
+Pixel/sample decoding (the part that genuinely needs libjpeg/libsndfile
+etc., absent from this container) stays a clearly-marked STUB in the
+feature kernels; the decode -> metadata path is end-to-end real and
+oracle-checked (``multimodal_probe`` in plans/llm.py).
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,12 +57,229 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_media(payload: bytes, meta: dict) -> object:
-    """REAL decode hook — requires codec libraries absent from this
-    container. Deliberately unimplemented (see module docstring)."""
-    raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in this "
-        "environment; extract_features uses the deterministic stub kernel"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_media(payload: bytes, meta: dict | None = None) -> dict:
+    """Real container-header decode: identify the format from magic bytes
+    and parse its dimension/duration metadata. Pure Python over the
+    public file-format specs (PNG RFC 2083 §3; GIF87a/89a; BMP
+    BITMAPINFOHEADER; JPEG ISO 10918 marker stream; RIFF/WAVE).
+
+    Returns ``{"container", "width", "height", "duration_ms",
+    "channels", "sample_rate"}`` (absent aspects ``None``). Raises
+    ``ValueError`` on unrecognized or truncated payloads — callers in
+    Spark kernels catch it and emit an error row, never crash the task.
+
+    Pixel/sample decoding beyond the header (needs real codec libs)
+    remains out of scope — see module docstring.
+    """
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty or truncated payload")
+    b = bytes(payload)
+    out: dict = {
+        "container": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "channels": None,
+        "sample_rate": None,
+    }
+    if b.startswith(_PNG_MAGIC):
+        # PNG: 8-byte magic, then chunks of (len, type, data, crc32).
+        # IHDR must come first: width/height are big-endian uint32.
+        if len(b) < 33 or b[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        (length,) = struct.unpack(">I", b[8:12])
+        if length != 13:
+            raise ValueError("PNG IHDR wrong length")
+        data = b[16:29]
+        (crc,) = struct.unpack(">I", b[29:33])
+        if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG IHDR CRC mismatch")
+        out["container"] = "png"
+        out["width"], out["height"] = struct.unpack(">II", data[:8])
+        return out
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            raise ValueError("GIF truncated")
+        out["container"] = "gif"
+        out["width"], out["height"] = struct.unpack("<HH", b[6:10])
+        return out
+    if b[:2] == b"BM":
+        # BMP: BITMAPINFOHEADER at offset 14; int32 LE width, height
+        # (height may be negative for top-down rows — abs it)
+        if len(b) < 26:
+            raise ValueError("BMP truncated")
+        w, h = struct.unpack("<ii", b[18:26])
+        out["container"] = "bmp"
+        out["width"], out["height"] = w, abs(h)
+        return out
+    if b[:2] == b"\xff\xd8":
+        # JPEG: walk the marker stream to the first SOFn frame header
+        # (C0-CF excluding C4/C8/CC which are tables, not frames)
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                out["container"] = "jpeg"
+                out["width"], out["height"] = w, h
+                return out
+            i += 2 + seglen
+        raise ValueError("JPEG has no SOF frame header")
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # WAV: chunk walk for fmt (channels, sample rate, byte rate)
+        # and data (payload size) -> duration = data / byte_rate
+        i = 12
+        fmt = None
+        data_size = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                fmt = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None:
+            raise ValueError("WAV missing fmt chunk")
+        _, channels, sample_rate, byte_rate, _, _ = fmt
+        out["container"] = "wav"
+        out["channels"] = channels
+        out["sample_rate"] = sample_rate
+        if data_size is not None and byte_rate:
+            out["duration_ms"] = int(data_size * 1000 // byte_rate)
+        return out
+    raise ValueError(f"unrecognized container (magic {b[:4]!r})")
+
+
+def encode_minimal_png(width: int, height: int) -> bytes:
+    """Smallest standards-valid PNG prefix a header decoder accepts:
+    magic + IHDR chunk (8-bit RGB) with a correct CRC32. Used to
+    synthesize image payloads in tests and the ``multimodal_probe``
+    fixture query (no image libs in this container)."""
+    data = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_minimal_wav(
+    n_samples: int, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Minimal PCM16 RIFF/WAVE container with a silent data chunk —
+    real, spec-conformant bytes (plays in any audio tool)."""
+    data = b"\x00\x00" * n_samples * channels
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Distributed header decode (op E37, the real path): Arrow-batched
+    ``mapInPandas`` running :func:`decode_media` per payload. Malformed
+    payloads yield a row with ``decode_error`` set — a bad file never
+    fails the task (at 100 TB some inputs are always corrupt).
+
+    Header parsing is O(header) per row regardless of payload size and
+    embarrassingly parallel: no shuffle, columnar batches in and out.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PROBE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                try:
+                    d = decode_media(payload)
+                    err = None
+                except ValueError as e:
+                    d = dict.fromkeys(
+                        ("container", "width", "height", "duration_ms",
+                         "channels", "sample_rate")
+                    )
+                    err = str(e)
+                rows["container"].append(d["container"])
+                rows["width"].append(d["width"])
+                rows["height"].append(d["height"])
+                rows["duration_ms"].append(d["duration_ms"])
+                rows["channels"].append(d["channels"])
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["decode_error"].append(err)
+            yield pd.DataFrame(rows).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "duration_ms": "Int64",
+                    "channels": "Int32",
+                    "sample_rate": "Int32",
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, PROBE_SCHEMA)
+
+
+def typed_media_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL container payloads from the documents fixture:
+    even doc_ids become PNGs (width = n_chars, height = 1 + n_chars mod
+    7), odd become WAVs (n_chars samples at 8 kHz mono). The bytes are
+    spec-valid (correct magics, CRCs, chunk sizes), so the
+    encode -> ``probe_media`` decode round-trip exercises the real
+    parser and is DuckDB-oracle-checkable from the encoding rule."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            kinds = []
+            for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n)
+                if did % 2 == 0:
+                    payloads.append(encode_minimal_png(n, 1 + n % 7))
+                    kinds.append("image")
+                else:
+                    payloads.append(encode_minimal_wav(n))
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads, "kind": kinds}
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        kernel,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+                T.StructField("kind", T.StringType(), True),
+            ]
+        ),
     )
 
 

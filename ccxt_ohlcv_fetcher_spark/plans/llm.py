@@ -632,6 +632,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_probe",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 7 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars * 2 * 1000 // 16000 AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS INT) END AS channels,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate
+    FROM documents
+    """,
+    doc="Multimodal header decode (op E37, REAL path): spec-valid PNG / "
+    "RIFF-WAV payloads are synthesized from the documents fixture "
+    "(correct magics, CRC32-checked IHDR, chunked RIFF), then "
+    "probe_media parses them back — pure-Python container parsing in an "
+    "Arrow-batched mapInPandas, malformed bytes degrade to an error "
+    "column, never a task failure. The oracle re-derives the metadata "
+    "from the encoding rule, so the encode->decode round-trip is "
+    "value-checked end to end.",
+    tags=("E37",),
+)
+def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+        probe_media,
+        typed_media_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = typed_media_from_documents(docs)
+    return probe_media(media).select(
+        "media_id", "container", "width", "height",
+        "duration_ms", "channels", "sample_rate",
+    )
+
+
+@register(
     "jaccard_dup_pairs_capped",
     oracle=f"""
     WITH sh0 AS (
