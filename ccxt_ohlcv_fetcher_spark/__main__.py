@@ -121,6 +121,7 @@ def build_parser() -> argparse.ArgumentParser:
     fx.add_argument("-r", "--rate-limit", type=int, default=None)
     fx.add_argument("-q", "--quit", action="store_true", dest="quit_")
     fx.add_argument("--data-dir", type=str, default="./candles")
+    fx.add_argument("--date-bucket", choices=["day", "month"], default=None)
 
     ex = sub.add_parser("export-csv", help="dataset slice -> headered CSV")
     ex.add_argument("out", type=str)
@@ -158,6 +159,38 @@ def build_parser() -> argparse.ArgumentParser:
     vac.add_argument("--date-bucket", choices=["day", "month"], required=True)
     vac.add_argument(
         "--older-than", type=str, required=True, help="ISO-8601 retention cutoff"
+    )
+
+    ru = sub.add_parser(
+        "rollup", help="refresh materialized coarse-candle rollups (1m->1h->1d)"
+    )
+    ru.add_argument("--data-dir", type=str, required=True, help="base candle dataset")
+    ru.add_argument("--rollup-dir", type=str, required=True, help="rollup store root")
+    ru.add_argument(
+        "--levels",
+        type=str,
+        default="1h,1d",
+        help="comma-separated coarsening ladder (each a multiple of the previous)",
+    )
+    ru.add_argument("--base-timeframe", type=str, default="1m")
+    ru.add_argument(
+        "--date-bucket",
+        choices=["day", "month"],
+        default=None,
+        help="dt= layout of the ROLLUP store (bounded refresh + retention)",
+    )
+    ru.add_argument(
+        "--base-date-bucket",
+        choices=["day", "month"],
+        default=None,
+        help="dt= layout the BASE dataset was written with",
+    )
+    ru.add_argument(
+        "--vacuum-older-than",
+        type=str,
+        default=None,
+        help="ISO-8601 cutoff: after refreshing, drop rollup date buckets "
+        "older than this (requires --date-bucket)",
     )
     return parser
 
@@ -198,7 +231,7 @@ def main(argv: list[str] | None = None) -> int:
             s: CcxtPagingSource(exchange, s, args.timeframe)
             for s in catalog.symbols_of(args.exchange)
         }
-        dataset = CandleDataset(spark, args.data_dir)
+        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
         results = ingest_exchange(
             spark,
             catalog,
@@ -250,6 +283,30 @@ def main(argv: list[str] | None = None) -> int:
         dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
         n = dataset.vacuum(_parse_since(args.older_than))
         print(f"vacuumed buckets={n}")
+        return 0
+
+    if args.command == "rollup":
+        from ccxt_ohlcv_fetcher_spark.operators.rollup import (  # noqa: PLC0415
+            MaterializedRollups,
+        )
+
+        if args.vacuum_older_than and not args.date_bucket:
+            raise SystemExit("--vacuum-older-than requires --date-bucket")
+        base = CandleDataset(spark, args.data_dir, date_bucket=args.base_date_bucket)
+        rollups = MaterializedRollups(
+            spark,
+            base,
+            args.rollup_dir,
+            levels=tuple(s.strip() for s in args.levels.split(",") if s.strip()),
+            base_timeframe=args.base_timeframe,
+            date_bucket=args.date_bucket,
+        )
+        appended = rollups.refresh()
+        parts = " ".join(f"{lvl}={n}" for lvl, n in appended.items())
+        if args.vacuum_older_than:
+            dropped = rollups.store.vacuum(_parse_since(args.vacuum_older_than))
+            parts += f" vacuumed_buckets={dropped}"
+        print(f"rollup rows appended: {parts}")
         return 0
 
     raise AssertionError(f"unhandled command {args.command}")  # pragma: no cover

@@ -101,3 +101,46 @@ def test_compact_and_vacuum_subcommands(spark, tmp_path, capsys):
     ) == 0
     assert "vacuumed buckets=1" in capsys.readouterr().out
     assert ds.read().count() == 24
+
+
+def test_rollup_subcommand(spark, tmp_path, capsys):
+    """`rollup` refreshes the 1m->1h ladder offline, is idempotent on a
+    second run, and `--vacuum-older-than` drops old rollup buckets."""
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import (
+        CandleDataset,
+        project_ohlcv_rows,
+    )
+
+    DAY_T0 = 1700000000000 - (1700000000000 % 86_400_000)
+    base = CandleDataset(spark, str(tmp_path / "base"))
+    rows = [[DAY_T0 + i * 60_000, 1.0, 2.0, 0.5, 1.5, 3.0] for i in range(180)]
+    base.append_idempotent(project_ohlcv_rows(spark, rows, "e", "S/X", "1m"))
+
+    argv = [
+        "rollup", "--data-dir", base.path, "--rollup-dir", str(tmp_path / "r"),
+        "--levels", "1h", "--date-bucket", "month",
+    ]
+    assert main(argv) == 0
+    out = capsys.readouterr().out
+    # 180 minutes: last candle opens at +179m, horizon = +180m, which is
+    # exactly hour 3's bucket end -> all three hourly buckets are closed
+    assert "1h=3" in out
+
+    assert main(argv) == 0  # refresh is idempotent: nothing new appended
+    assert "1h=0" in capsys.readouterr().out
+
+    import datetime
+
+    cutoff = datetime.datetime.fromtimestamp(
+        (DAY_T0 + 40 * 86_400_000) / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    assert main(argv + ["--vacuum-older-than", cutoff]) == 0
+    assert "vacuumed_buckets=1" in capsys.readouterr().out
+
+
+def test_rollup_vacuum_requires_date_bucket(tmp_path):
+    with pytest.raises(SystemExit):
+        main([
+            "rollup", "--data-dir", str(tmp_path / "b"), "--rollup-dir",
+            str(tmp_path / "r"), "--vacuum-older-than", "2024-01-01T00:00:00Z",
+        ])
