@@ -418,12 +418,14 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="Exact percentiles (op E17): percentile_cont (interpolating) and "
-    "percentile_disc (order-statistic) WITHIN GROUP, plus median. Exact "
-    "percentile needs the group's values together (a sort per group), so "
-    "at 100 TB this runs per-group after a key shuffle — fine for "
-    "low-cardinality group keys; for high-cardinality use "
-    "approx_percentile (t-digest, partial-aggregable) instead.",
-    tags=("E17",),
+    "percentile_disc (order-statistic) WITHIN GROUP, plus median. "
+    "DEMO-SCALE FORM: exact percentile buffers every value of a group on "
+    "one reducer — with only 3 group keys, a reducer holds ~1/3 of the "
+    "column at 100 TB. Inherent to exact order statistics, not to this "
+    "plan; the scale path is price_approx_percentiles (GK/t-digest "
+    "summaries, partial-aggregable, error-bound-tested in "
+    "tests/test_sketches.py).",
+    tags=("E17", "demo-scale"),
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

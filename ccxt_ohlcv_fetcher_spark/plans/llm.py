@@ -139,8 +139,13 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact n-gram Jaccard near-dup pairs (op E34 exact path): shingle "
     "inverted index self-join — only pairs sharing a shingle are scored, "
-    "never the N^2 cross product.",
-    tags=("E34", "E36"),
+    "never the N^2 cross product. DEMO-SCALE FORM: a boilerplate shingle "
+    "appearing in d docs still fans out d^2/2 pairs; at 100 TB use the "
+    "document-frequency-capped variant (jaccard_dup_pairs_capped, "
+    "max_doc_freq in operators/dedup.py) which bounds per-shingle "
+    "fan-out, or MinHash-LSH banding (minhash_candidate_pairs_docs) as "
+    "the candidate generator.",
+    tags=("E34", "E36", "demo-scale"),
 )
 def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -349,8 +354,11 @@ def label_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "family): all pairs above a cosine threshold — the exact "
     "verification tier; the LSH bucket path (ann_cosine_topk_lsh) is "
     "the candidate generator at corpus scale. Broadcast self-join: "
-    "pair generation never shuffles the corpus.",
-    tags=("E33", "E35", "E12"),
+    "pair generation never shuffles the corpus. DEMO-SCALE FORM: the "
+    "broadcast side is the whole corpus, so this exact tier only runs "
+    "standalone at demo scale — at 100 TB it is the per-candidate "
+    "re-verification step behind ann_allpairs_topk's bucketed self-join.",
+    tags=("E33", "E35", "E12", "demo-scale"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product, l2_norm
