@@ -122,6 +122,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 13,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train/test decontamination (north-star LLM-pipeline op): find
+    training documents that contain n-grams from evaluation documents —
+    the standard leakage check run before any model training (13-gram
+    overlap is the common published choice; the fixture queries use
+    n=3 so the synthetic corpus actually collides).
+
+    Output: (test_id, train_id, n_shared, n_test, overlap_frac) where
+    ``n_shared`` counts distinct shared shingles and ``overlap_frac`` =
+    n_shared / |test doc's shingles| — 1.0 means the test doc is wholly
+    contained (up to n-gram set equality) in the training doc.
+
+    Scale posture: eval sets are small next to a 100 TB training corpus,
+    so the test-side shingle index broadcasts (``broadcast_test=True``)
+    and the training corpus is scanned ONCE with a map-side hash join —
+    no shuffle of the train side at all. For giant test sets, flip to a
+    shuffle join on the 60-bit shingle hash (8 bytes/row). Either way
+    cost is |train shingles| + |collisions|, never |train| x |test|.
+    """
+    tr = shingle_sets(train, content_col, id_col, n).withColumnRenamed(
+        id_col, "train_id"
+    )
+    te = shingle_sets(test, content_col, id_col, n).withColumnRenamed(
+        id_col, "test_id"
+    )
+    te_sizes = te.groupBy("test_id").agg(F.count(F.lit(1)).alias("n_test"))
+    te_side = F.broadcast(te) if broadcast_test else te
+    pairs = (
+        tr.join(te_side, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes_side = F.broadcast(te_sizes) if broadcast_test else te_sizes
+    return pairs.join(sizes_side, "test_id").select(
+        "test_id",
+        "train_id",
+        "n_shared",
+        "n_test",
+        (F.col("n_shared").cast("double") / F.col("n_test")).alias("overlap_frac"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 13,
+    min_overlap_frac: float = 0.0,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop training docs flagged by :func:`ngram_contamination_pairs`
+    (>= ``min_shared`` shared n-grams AND >= ``min_overlap_frac`` of the
+    test doc covered). One anti-join on the train id — the flagged-id
+    set is small (it's bounded by |collisions|), so it broadcasts."""
+    flagged = (
+        ngram_contamination_pairs(train, test, content_col, id_col, n)
+        .filter(
+            (F.col("n_shared") >= min_shared)
+            & (F.col("overlap_frac") >= min_overlap_frac)
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame, content_col: str, id_col: str, k: int = 16, n: int = 3
 ) -> DataFrame:

@@ -132,3 +132,36 @@ def doc_fingerprint(tokens: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
     )
+
+
+# --- PII scrubbing (north-star pipeline op: pre-training redaction) ---------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Chained global regexp_replace over the PII pattern table (emails,
+    phone numbers, IPv4) — the standard pre-training redaction pass.
+    Pure JVM expression: no UDF, embarrassingly parallel, and the same
+    patterns run verbatim in the DuckDB oracle. Order matters (emails
+    before IPs so `user@1.2.3.4` redacts as one email, not an IP inside
+    an email) and is pinned by dict order."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pattern, token in PII_PATTERNS.values():
+        col = F.regexp_replace(col, pattern, token)
+    return col
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (audit metric for the scrub pass)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(col, F.lit(pattern))
+        for kind, (pattern, _) in PII_PATTERNS.items()
+    }

@@ -444,6 +444,49 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_test_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+    te AS (SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % 10 = 0),
+    sizes AS (SELECT test_id, count(*) AS n_test FROM te GROUP BY 1),
+    hits AS (
+      SELECT te.test_id, tr.train_id, count(*) AS n_shared
+      FROM tr JOIN te USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT test_id, train_id, n_shared, sizes.n_test,
+           n_shared * 1.0 / sizes.n_test AS overlap_frac
+    FROM hits JOIN sizes USING (test_id)
+    """,
+    doc="Train/test decontamination (north-star LLM-pipeline op, E34 "
+    "family): training docs sharing word n-grams with a held-out eval "
+    "slice (here doc_id %% 10 = 0, n=3 so the synthetic corpus "
+    "collides; production uses 13-grams). The eval-side shingle index "
+    "broadcasts, so the 100 TB training corpus is scanned once with a "
+    "map-side join — no train-side shuffle. operators/dedup.py also "
+    "ships decontaminate(): the anti-join that drops flagged docs.",
+    tags=("E34", "E36"),
+)
+def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import ngram_contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_contamination_pairs(train, test, "text", "doc_id", n=3)
+
+
+@register(
     "ann_allpairs_topk",
     oracle=None,  # approximate by construction; recall vs the exact
     # all-pairs truth is asserted in tests/test_llm_ops.py
@@ -517,6 +560,68 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALL_MARKERS_SQL = ", ".join(
     f"'{w}'" for ws in LANG_MARKERS.values() for w in ws
 )
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.org or 555-010-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+             AS scrubbed_md5,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4
+    FROM aug
+    """,
+    doc="PII scrubbing (north-star pipeline op, E36/R14 family): chained "
+    "global regexp_replace over a pattern table (emails, phones, IPv4 — "
+    "syntax chosen to behave identically under Java regex and RE2), "
+    "plus per-kind audit counts. PII is synthesized deterministically "
+    "per doc so the redaction actually fires; the oracle runs the same "
+    "patterns and md5-compares the scrubbed text. Pure JVM expressions: "
+    "no UDF, no shuffle.",
+    tags=("E36", "R14"),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    counts = pii_counts("t")
+    return aug.select(
+        "doc_id",
+        F.md5(scrub_pii("t")).alias("scrubbed_md5"),
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+    )
 
 
 @register(

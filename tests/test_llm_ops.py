@@ -340,3 +340,37 @@ def test_minhash_candidate_pairs_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_candidate_pairs(docs, "text", "doc_id", k=10, bands=4)
+
+
+def test_contamination_planted_leak(spark):
+    """Planted leak: a train doc containing a test doc's exact text must
+    be flagged at overlap_frac 1.0; an unrelated doc must not appear,
+    and decontaminate() must drop exactly the flagged doc."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        decontaminate,
+        ngram_contamination_pairs,
+    )
+
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over dogs suffix"),
+            (2, "completely different content about spark engines here"),
+            (3, "the quick brown cat sleeps all day long"),  # partial 1-gram overlap only
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["test_id"], r["train_id"]): r
+        for r in ngram_contamination_pairs(train, test, "text", "doc_id", n=3).collect()
+    }
+    assert (100, 1) in pairs and pairs[(100, 1)]["overlap_frac"] == 1.0
+    assert (100, 2) not in pairs
+    # doc 3 shares "the quick brown" (one 3-gram)
+    assert pairs.get((100, 3), None) is not None and pairs[(100, 3)]["n_shared"] == 1
+
+    clean = decontaminate(train, test, "text", "doc_id", n=3, min_shared=2)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
