@@ -403,5 +403,172 @@ def ivf_cosine_topk(
     )
 
 
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (op E35, compression tier): split each
+    vector into ``m`` subspaces and store, per subspace, the index of
+    the nearest codeword — ``m`` small ints instead of ``dim`` doubles
+    (16 codewords -> 4 bits/subspace; 64-dim float64 -> 8 bytes at
+    m=8, a 64x compression). The decoded approximation is the
+    concatenation of chosen codewords; scoring against it never touches
+    the original vector (Jégou et al., TPAMI'11 — public PQ/ADC method).
+
+    Codewords are argmin-by-L2 per subspace, computed with nested HOFs
+    over ONE codebook literal (plan size independent of m * n_codes,
+    same staging lesson as plane_dots/ivf). Adds a ``codes`` column.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = F.lit(codebooks)  # array<array<array<double>>> literal
+    v = F.col(vec_col)
+
+    def code_for(j: Column) -> Column:
+        subvec = F.slice(v, j * sub + 1, sub)
+        dists = F.transform(
+            F.element_at(cb, j + 1),
+            lambda cw, c: F.struct(
+                F.aggregate(
+                    F.zip_with(subvec, cw, lambda x, y: (x.cast("double") - y) ** 2),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                c.alias("c"),
+            ),
+        )
+        return F.array_sort(dists)[0]["c"].cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    return corpus.withColumn("codes", codes)
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: the query stays full-precision, the corpus side is its
+    ``m`` codeword indices — score = dot(query_sub_j, codeword_j)
+    summed over subspaces, normalized by the *reconstructed* corpus
+    norm. The candidate scan reads |corpus| * m ints instead of
+    |corpus| * dim doubles; at 100 TB that's the difference between
+    scanning the full embedding store and an in-memory code table
+    (the standard IVF-PQ layout pairs this with ivf_cosine_topk's cell
+    pruning). Codebooks are the n_codes lowest-id corpus vectors'
+    subvectors — deterministic stand-in for k-means training, same plan
+    shape as trained codebooks.
+
+    ``rerank=r`` adds the standard second stage: shortlist ``r*k`` by
+    ADC, then score ONLY the shortlist exactly (one semi-join back to
+    the full-precision vectors — touches r*k*|Q| vectors, not the
+    corpus). Quantization error then only costs recall where the true
+    neighbor fell out of the shortlist, not rank accuracy.
+
+    Output schema matches :func:`cosine_topk`; scores are approximate
+    (quantization error), so registry exposure is rows-only with a
+    recall test against the exact path.
+    """
+    assert dim % m == 0
+    sub = dim // m
+    seeds = (
+        corpus.orderBy(corpus_id)
+        .limit(n_codes)
+        .select(F.col(corpus_vec).alias("_v"))
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in seeds]
+        for j in range(m)
+    ]
+    cb = F.lit(codebooks)
+    encoded = pq_encode(corpus, codebooks, corpus_vec).select(
+        corpus_id,
+        "codes",
+        # reconstructed norm: ||concat_j codebook[j][codes[j]]|| — pure
+        # code-table math, no original vector at scoring time
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.aggregate(
+                        F.transform(
+                            F.element_at(F.element_at(cb, j + 1), c + 1),
+                            lambda x: x * x,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s,
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s,
+            )
+        ).alias("_rn"),
+    )
+    q = _with_norm(queries, query_vec, "_qn")
+    qv = F.col(query_vec)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * sub + 1, sub),
+                    F.element_at(F.element_at(cb, j + 1), c + 1),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+    scored = encoded.join(F.broadcast(q)).select(
+        query_id,
+        F.col(corpus_id),
+        (adc / (F.col("_rn") * F.col("_qn"))).alias("score"),
+    )
+
+    def topk(df: DataFrame, n: int) -> DataFrame:
+        item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+        return (
+            df.groupBy(query_id)
+            .agg(F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("_top"))
+            .select(query_id, F.posexplode("_top").alias("pos", "item"))
+            .select(
+                query_id,
+                F.col("item.id").alias(corpus_id),
+                (-F.col("item.neg")).alias("score"),
+                (F.col("pos") + 1).alias("rank"),
+            )
+        )
+
+    if not rerank:
+        return topk(scored, k)
+    shortlist = topk(scored, rerank * k).select(query_id, corpus_id)
+    exact = shortlist.join(
+        _with_norm(corpus, corpus_vec, "_cn"), corpus_id
+    ).join(F.broadcast(q), query_id).select(
+        query_id,
+        F.col(corpus_id),
+        (
+            dot_product(corpus_vec, query_vec) / (F.col("_cn") * F.col("_qn"))
+        ).alias("score"),
+    )
+    return topk(exact, k)
+
+
 def _norm(vec: list[float]) -> float:
     return sum(x * x for x in vec) ** 0.5

@@ -444,6 +444,29 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_pq",
+    oracle=None,  # approximate by construction (quantization error);
+    # recall + rerank monotonicity pinned in tests/test_llm_ops.py
+    doc="ANN top-k via product quantization + asymmetric distance (op "
+    "E35 compression tier, Jégou et al. TPAMI'11): corpus vectors "
+    "stored as m=8 codeword indices (64x smaller than float64), scored "
+    "against full-precision queries from the code table alone, then an "
+    "exact re-rank of the r*k ADC shortlist. The candidate scan reads "
+    "codes, not vectors — at 100 TB the embedding store stays on disk "
+    "and the code table fits in memory.",
+    tags=("E35",),
+)
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_cosine_topk(emb, queries, k=5, dim=64, m=8, n_codes=16, rerank=4)
+
+
+@register(
     "train_test_contamination",
     oracle=f"""
     WITH sh AS (

@@ -374,3 +374,37 @@ def test_contamination_planted_leak(spark):
 
     clean = decontaminate(train, test, "text", "doc_id", n=3, min_shared=2)
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_pq_adc_recall_and_rerank_monotone(spark, sf_dir):
+    """PQ/ADC tier: recall vs exact has a real floor, exact re-rank of a
+    larger ADC shortlist is monotonically better, and rank-1 scores from
+    the re-ranked path are TRUE cosines (bit-equal to the exact path for
+    pairs both retrieve)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact_rows = cosine_topk(emb, queries, k=5).collect()
+    e = {(r["q_id"], r["vec_id"]) for r in exact_rows}
+    escore = {(r["q_id"], r["vec_id"]): r["score"] for r in exact_rows}
+
+    def run(rerank):
+        rows = pq_cosine_topk(
+            emb, queries, k=5, dim=64, m=8, n_codes=16, rerank=rerank
+        ).collect()
+        return rows, len(e & {(r["q_id"], r["vec_id"]) for r in rows}) / len(e)
+
+    rows0, r0 = run(0)
+    rows4, r4 = run(4)
+    _, r8 = run(8)
+    assert r0 >= 0.25, f"raw ADC recall collapsed: {r0}"
+    assert r4 >= r0 and r8 >= r4, f"rerank not monotone: {r0} {r4} {r8}"
+    assert r8 >= 0.7, f"reranked recall too low: {r8}"
+    # re-ranked scores are exact cosines (ADC-only scores are not)
+    for r in rows4:
+        key = (r["q_id"], r["vec_id"])
+        if key in escore:
+            assert r["score"] == escore[key]
