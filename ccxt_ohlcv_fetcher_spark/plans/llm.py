@@ -444,6 +444,78 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    dedup AS (
+      SELECT t.* FROM train t
+      JOIN (SELECT min(doc_id) AS doc_id FROM train
+            GROUP BY {md5_long_sql("text")}) w USING (doc_id)
+    ),
+    quality AS (
+      SELECT * FROM (
+        SELECT doc_id, text, lang, len({SQL_WORDS}) AS n_tokens FROM dedup
+      ) WHERE n_tokens >= 30
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0) tr
+      JOIN (SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % 10 = 0) te
+        USING (shingle)
+      GROUP BY tr.doc_id, te.test_id
+      HAVING count(*) >= 4
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'))
+             AS clean_md5
+    FROM quality
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    doc="End-to-end training-corpus cleaning pipeline (north-star "
+    "composition): exact dedup (hash-groupBy winners) -> quality gate "
+    "(Gopher-style token floor) -> n-gram decontamination vs the eval "
+    "slice -> PII scrub, emitting the content hash of the cleaned text. "
+    "Every stage is an already-verified operator; this query pins that "
+    "they COMPOSE (one plan, no driver-side loop between stages). At "
+    "100 TB the stages are one scan + two hash-key shuffles (dedup "
+    "winners, shingle join) — the dims (winner ids, flagged ids, eval "
+    "shingles) all broadcast.",
+    tags=("E33", "E34", "E36"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import decontaminate
+    from ccxt_ohlcv_fetcher_spark.operators.text import scrub_pii, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    deduped = exact_dedup(train, "text", "doc_id")
+    quality = deduped.withColumn("n_tokens", token_count("text")).filter(
+        F.col("n_tokens") >= 30
+    )
+    clean = decontaminate(quality, test, "text", "doc_id", n=3, min_shared=4)
+    return clean.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(scrub_pii("text")).alias("clean_md5"),
+    )
+
+
+@register(
     "ann_cosine_topk_pq",
     oracle=None,  # approximate by construction (quantization error);
     # recall + rerank monotonicity pinned in tests/test_llm_ops.py
