@@ -331,3 +331,61 @@ def simhash(tokens: Column) -> Column:
     for j in range(1, SIMHASH_BITS):
         out = out + F.when(votes[f"c{j}"] > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out.cast("bigint")
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation — the step that
+    turns near-dup PAIRS (Jaccard / MinHash / embedding threshold) into
+    dedup GROUPS: every document labeled with the smallest id reachable
+    through any chain of near-dup edges, so "keep one per component" is
+    a single filter (id = component).
+
+    Algorithm: labels start as each node's own id; each round every node
+    takes the min of its label and its neighbors' labels; stop when a
+    round changes nothing. Rounds needed = component diameter — small
+    for dedup clusters (near-clique blobs), so this converges in a few
+    rounds where a 100 TB web graph would want large-star/small-star
+    (Kiveris et al.) to cut diameters first; the round body here IS the
+    large-star primitive (min over neighborhood), so that upgrade slots
+    in without changing the dataflow.
+
+    Scale notes: each round is one shuffle (explode edges both ways,
+    groupBy node, min) plus a broadcast-back join; lineage is cut per
+    round with localCheckpoint (iterative DataFrames otherwise stack
+    plans); convergence check is a 1-row aggregate, the only driver
+    value per round. Deterministic: min is order-insensitive.
+    """
+    und = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    labels = nodes.select(F.col(id_col).alias("_n"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["_d"] == labels["_n"])
+            .groupBy("_s")
+            .agg(F.min("comp").alias("_nc"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["_n"] == neighbor_min["_s"], "left")
+            .select(
+                "_n",
+                F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("_nc") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("c")
+        ).collect()[0]["c"]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    return labels.select(F.col("_n").alias(id_col), "comp")

@@ -444,6 +444,63 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_doc_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
+    ),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.d, r.comp FROM reach r JOIN und u ON u.s = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY 1
+    """,
+    doc="Near-dup components (E33/E34 closure): min-label-propagation "
+    "connected components over the Jaccard>=0.2 near-dup graph — every "
+    "doc labeled with the smallest id transitively reachable, so 'keep "
+    "one per dup group' is the filter doc_id = comp. The iterative "
+    "DataFrame loop (operators/dedup.py:connected_components) converges "
+    "in diameter rounds, one shuffle per round, lineage cut per round; "
+    "the oracle derives the same closure with a recursive CTE. The "
+    "round body is the large-star primitive, so the published "
+    "log-diameter variants slot in unchanged at web-graph scale.",
+    tags=("E33", "E34"),
+)
+def dup_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
+    )
+
+
+@register(
     "corpus_clean_pipeline",
     oracle=f"""
     WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),

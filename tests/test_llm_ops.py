@@ -408,3 +408,20 @@ def test_pq_adc_recall_and_rerank_monotone(spark, sf_dir):
         key = (r["q_id"], r["vec_id"])
         if key in escore:
             assert r["score"] == escore[key]
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A chain a-b-c collapses to one component via transitivity (needs
+    >1 propagation round), isolated nodes keep their own id, and two
+    disjoint clusters never merge."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 1), (6, 7)],  # chain 1-3-5 (min label must hop twice), pair 6-7
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert comp[1] == comp[3] == comp[5] == 1
+    assert comp[6] == comp[7] == 6
+    assert comp[2] == 2 and comp[4] == 4
