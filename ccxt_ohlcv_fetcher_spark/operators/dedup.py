@@ -362,10 +362,23 @@ def connected_components(
     plans); convergence check is a 1-row aggregate, the only driver
     value per round. Deterministic: min is order-insensitive.
     """
-    und = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-    labels = nodes.select(F.col(id_col).alias("_n"), F.col(id_col).alias("comp"))
+    und = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        # materialize ONCE: the edge list is often an expensive upstream
+        # pipeline (a Jaccard/MinHash candidate join) and every round
+        # joins it twice — without the checkpoint each round re-executes
+        # that pipeline (measured 5.4 s -> 2.9 s on dup_doc_components
+        # at sf0.1; PERFORMANCE.md §7)
+        .localCheckpoint(eager=True)
+    )
+    # propagation only ever changes labels of nodes that touch an edge;
+    # isolated nodes are their own component and join back at the end.
+    # For a near-dup graph that shrinks the iterated table from |corpus|
+    # to |docs in any dup pair| — orders of magnitude at clean corpora.
+    labels = (
+        und.select(F.col("_s").alias("_n")).distinct().withColumn("comp", F.col("_n"))
+    )
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["_d"] == labels["_n"])
@@ -388,4 +401,14 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if not changed:
             break
-    return labels.select(F.col("_n").alias(id_col), "comp")
+    # no broadcast hint: the label table is |docs in any dup pair| —
+    # usually tiny (stats/AQE will broadcast it), but unbounded in
+    # principle, so the choice stays with the optimizer
+    return nodes.select(F.col(id_col).alias("_n")).join(
+        labels.withColumnRenamed("_n", "_ln"),
+        F.col("_n") == F.col("_ln"),
+        "left",
+    ).select(
+        F.col("_n").alias(id_col),
+        F.coalesce(F.col("comp"), F.col("_n")).alias("comp"),
+    )

@@ -553,7 +553,7 @@ def dup_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E33", "E34", "E36"),
 )
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.operators.dedup import decontaminate
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import ngram_contamination_pairs
     from ccxt_ohlcv_fetcher_spark.operators.text import scrub_pii, token_count
 
     docs = load_table(spark, sf_dir, "documents")
@@ -563,7 +563,18 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = deduped.withColumn("n_tokens", token_count("text")).filter(
         F.col("n_tokens") >= 30
     )
-    clean = decontaminate(quality, test, "text", "doc_id", n=3, min_shared=4)
+    # flag contamination from the RAW train slice, not the dedup+quality
+    # subtree: a doc's flag depends only on its own shingles, so the
+    # result is identical, but the expensive join tree above isn't
+    # re-executed a second time just to grow shingles (measured ~1.3x
+    # on the whole pipeline; PERFORMANCE.md §7)
+    flagged = (
+        ngram_contamination_pairs(train, test, "text", "doc_id", n=3)
+        .filter(F.col("n_shared") >= 4)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = quality.join(F.broadcast(flagged), "doc_id", "left_anti")
     return clean.select(
         "doc_id",
         "lang",

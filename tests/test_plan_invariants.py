@@ -16,6 +16,7 @@ from ccxt_ohlcv_fetcher_spark.plans import load_all
 ALLOWED_NESTED_LOOP = {
     "embedding_near_dup",
     "cosine_topk_exact",  # deliberate broadcast cross join: corpus x |Q| queries
+    "ann_cosine_topk_pq",  # same shape: PQ code table x broadcast queries (ADC)
     "label_best_match",  # label-blocked pair join (non-equi residual)
     "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
 }
