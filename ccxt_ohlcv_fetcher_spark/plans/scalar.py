@@ -307,6 +307,51 @@ def event_props_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_props_map_entries",
+    oracle="""
+    SELECT event_id,
+           CAST(len(list_filter(json_keys(props),
+                k -> CAST(json_extract(props, '$.' || k) AS BIGINT) % 2 = 0))
+             AS INT) AS n_even,
+           coalesce(array_to_string(list_sort(list_filter(json_keys(props),
+                k -> CAST(json_extract(props, '$.' || k) AS BIGINT) % 2 = 0)), ','),
+                '') AS even_keys,
+           CAST(list_aggregate(list_transform(json_keys(props),
+                k -> CAST(json_extract(props, '$.' || k) AS BIGINT)), 'sum')
+             AS BIGINT) AS val_sum
+    FROM events
+    """,
+    doc="Map entries round-trip (op E26 long tail): map_entries -> "
+    "entry-level filter (keep even values) -> map_from_entries back to "
+    "a map, plus an entries-HOF value sum — the decompose/recompose "
+    "pattern for map surgery that key-wise functions can't express. "
+    "The oracle re-derives entries key-wise from the JSON (DuckDB's MAP "
+    "is a different type family).",
+    tags=("E26",),
+)
+def event_props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", F.from_json("props", "map<string,bigint>").alias("_m")
+    ).withColumn(
+        "_kept",
+        F.map_from_entries(
+            F.filter(F.map_entries("_m"), lambda e: e["value"] % 2 == 0)
+        ),
+    )
+    return base.select(
+        "event_id",
+        F.size(F.map_keys("_kept")).alias("n_even"),
+        F.array_join(F.array_sort(F.map_keys("_kept")), ",").alias("even_keys"),
+        F.aggregate(
+            F.map_entries("_m"),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e["value"],
+        ).alias("val_sum"),
+    )
+
+
 _STOPWORDS = ("the", "a", "and", "of", "data", "spark")
 
 
