@@ -565,9 +565,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # flag contamination from the RAW train slice, not the dedup+quality
     # subtree: a doc's flag depends only on its own shingles, so the
-    # result is identical, but the expensive join tree above isn't
-    # re-executed a second time just to grow shingles (measured ~1.3x
-    # on the whole pipeline; PERFORMANCE.md §7)
+    # result is identical, but the dedup+quality join tree isn't
+    # re-executed a second time just to grow shingles (whole pipeline
+    # 6.7 -> 1.8 s at sf0.1; PERFORMANCE.md §7)
     flagged = (
         ngram_contamination_pairs(train, test, "text", "doc_id", n=3)
         .filter(F.col("n_shared") >= 4)
