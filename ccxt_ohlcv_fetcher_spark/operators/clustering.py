@@ -43,22 +43,18 @@ def _assign(vec_col: str, centroids: list[list[float]]) -> Column:
     return F.array_sort(pairs)[0]["i"]
 
 
-def kmeans_assign(
+def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means; returns (id, cluster, dist2).
-
-    Each iteration: executor-side argmin assignment (pure codegen) ->
-    per-cluster component means via posexplode + two-level groupBy ->
-    collected back to a k x dim literal (k*dim doubles through the
-    driver — the algorithm's irreducible synchronization point, same
-    data volume every MLlib/parameter-server implementation moves).
-    Empty clusters keep their previous centroid.
-    """
+) -> list[list[float]]:
+    """The Lloyd loop alone: returns the trained k x dim centroid list
+    (the reusable piece — PQ codebook training consumes it per
+    subspace). Init = the k lowest-id vectors; empty clusters keep
+    their previous centroid; exact-decimal means keep the trajectory
+    deterministic under any partitioning."""
     seeds = (
         df.orderBy(id_col).limit(k).select(F.col(vec_col).alias("_c")).collect()
     )
@@ -66,7 +62,6 @@ def kmeans_assign(
 
     for _ in range(n_iter):
         assigned = df.select(
-            F.col(id_col),
             F.col(vec_col),
             _assign(vec_col, centroids).alias("_cl"),
         )
@@ -91,6 +86,26 @@ def kmeans_assign(
         for r in means:
             new_centroids[r["_cl"]] = [float(x) for x in r["_mean"]]
         centroids = new_centroids
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; returns (id, cluster, dist2).
+
+    Each iteration: executor-side argmin assignment (pure codegen) ->
+    per-cluster component means via posexplode + two-level groupBy ->
+    collected back to a k x dim literal (k*dim doubles through the
+    driver — the algorithm's irreducible synchronization point, same
+    data volume every MLlib/parameter-server implementation moves).
+    Empty clusters keep their previous centroid.
+    """
+    centroids = kmeans_centroids(df, k, n_iter, id_col, vec_col)
 
     return df.select(
         F.col(id_col),

@@ -444,6 +444,117 @@ def pq_encode(
     return corpus.withColumn("codes", codes)
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int,
+    n_codes: int,
+    n_iter: int = 3,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks with per-subspace Lloyd's k-means — ALL m
+    subspaces jointly in one job per iteration (one explode to
+    (subspace, subvector) rows; assignment keys on (subspace, code), so
+    the m trainings share every scan and shuffle instead of running m
+    separate k-means loops). Init and update rules match
+    operators/clustering.py (lowest-id seeds, exact-decimal means,
+    empty codes keep position) — deterministic trajectory.
+
+    Driver traffic per iteration: m * n_codes * (dim/m) = n_codes * dim
+    doubles — the same k-means synchronization point, independent of
+    corpus size.
+    """
+    sub = dim // m
+    rows = corpus.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("s"), F.slice(F.col(vec_col), j * sub + 1, sub).alias("v")
+                ),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.s").alias("_s"), F.col("_e.v").alias("_v"))
+    seeds = (
+        corpus.orderBy(corpus_id).limit(n_codes).select(F.col(vec_col).alias("_c")).collect()
+    )
+    codebooks = [
+        [[float(x) for x in r["_c"][j * sub : (j + 1) * sub]] for r in seeds]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        cb = F.lit(codebooks)
+        cbj = F.element_at(cb, F.col("_s") + 1)
+        dists = F.transform(
+            cbj,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("_v"), c, lambda x, y: (x.cast("double") - y) ** 2),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        code = F.array_sort(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )[0]["i"]
+        means = (
+            rows.select("_s", code.alias("_c"), "_v")
+            .select("_s", "_c", F.posexplode("_v").alias("_j", "_x"))
+            .groupBy("_s", "_c", "_j")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(28,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m")
+            )
+            .groupBy("_s", "_c")
+            .agg(F.array_sort(F.collect_list(F.struct("_j", "_m"))).alias("_ms"))
+            .select("_s", "_c", F.col("_ms._m").alias("_mean"))
+            .collect()
+        )
+        new = [[list(cw) for cw in cb_j] for cb_j in codebooks]
+        for r in means:
+            new[r["_s"]][r["_c"]] = [float(x) for x in r["_mean"]]
+        codebooks = new
+    return codebooks
+
+
+def pq_quantization_error(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Total squared reconstruction error of a PQ codebook over the
+    corpus (sum over rows and subspaces of the distance to the chosen
+    codeword) — the objective k-means training minimizes. One scan, one
+    scalar to the driver."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = F.lit(codebooks)
+    per_row = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    F.element_at(cb, j + 1),
+                    lambda cw: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            cw,
+                            lambda x, y: (x.cast("double") - y) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ),
+                )
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return corpus.agg(F.sum(per_row).alias("e")).collect()[0]["e"]
+
+
 def pq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -456,6 +567,7 @@ def pq_cosine_topk(
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     rerank: int = 0,
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: the query stays full-precision, the corpus side is its
@@ -481,16 +593,24 @@ def pq_cosine_topk(
     """
     assert dim % m == 0
     sub = dim // m
-    seeds = (
-        corpus.orderBy(corpus_id)
-        .limit(n_codes)
-        .select(F.col(corpus_vec).alias("_v"))
-        .collect()
-    )
-    codebooks = [
-        [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in seeds]
-        for j in range(m)
-    ]
+    if train_iters:
+        # trained codebooks (``train_pq_codebooks``): lower quantization
+        # error -> whole recall curve shifts up at identical query cost
+        codebooks = train_pq_codebooks(
+            corpus, dim, m, n_codes, n_iter=train_iters,
+            corpus_id=corpus_id, vec_col=corpus_vec,
+        )
+    else:
+        seeds = (
+            corpus.orderBy(corpus_id)
+            .limit(n_codes)
+            .select(F.col(corpus_vec).alias("_v"))
+            .collect()
+        )
+        codebooks = [
+            [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in seeds]
+            for j in range(m)
+        ]
     cb = F.lit(codebooks)
     encoded = pq_encode(corpus, codebooks, corpus_vec).select(
         corpus_id,

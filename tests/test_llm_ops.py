@@ -425,3 +425,32 @@ def test_connected_components_chain_and_isolates(spark):
     assert comp[1] == comp[3] == comp[5] == 1
     assert comp[6] == comp[7] == 6
     assert comp[2] == 2 and comp[4] == 4
+
+
+def test_pq_training_reduces_quantization_error(spark, sf_dir):
+    """train_pq_codebooks must strictly reduce total reconstruction
+    error vs the untrained (lowest-id seed) codebook — the k-means
+    objective. (On this isotropic-Gaussian fixture lower error does NOT
+    translate into higher ADC recall — there is no cluster structure to
+    exploit — so recall is pinned on the untrained path and error here;
+    see PERFORMANCE.md §7.)"""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        pq_quantization_error,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, m, n_codes = 64, 8, 16
+    sub = dim // m
+    seeds = emb.orderBy("vec_id").limit(n_codes).select("embedding").collect()
+    untrained = [
+        [[float(x) for x in r["embedding"][j * sub : (j + 1) * sub]] for r in seeds]
+        for j in range(m)
+    ]
+    trained = train_pq_codebooks(emb, dim, m, n_codes, n_iter=3)
+    e0 = pq_quantization_error(emb, untrained)
+    e1 = pq_quantization_error(emb, trained)
+    assert e1 < e0 * 0.8, f"training did not reduce error: {e0} -> {e1}"
+    # determinism: same seeds + exact-decimal means -> same codebooks
+    again = train_pq_codebooks(emb, dim, m, n_codes, n_iter=3)
+    assert trained == again
