@@ -690,5 +690,153 @@ def pq_cosine_topk(
     return topk(exact, k)
 
 
+def ivf_pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """IVF-PQ: Voronoi cell pruning (``ivf_cosine_topk``'s layout)
+    composed with PQ/ADC scoring (``pq_cosine_topk``'s code table) —
+    the standard billion-scale ANN index layout (FAISS's IVFPQ): a
+    query touches ~n_probe/n_cells of the corpus, and what it touches
+    is scored from m codeword indices, not full vectors; only the final
+    ``rerank*k`` shortlist reads real embeddings.
+
+    Plan shape improvement over pure PQ: the candidate join becomes an
+    EQUI-join on the cell id (broadcast hash, not the broadcast
+    nested-loop cross join a full ADC scan needs), so AQE/stats can
+    pick the join strategy and the scan prunes by cell. At 100 TB the
+    corpus side is (cell, codes, id, norm) — write it partitioned by
+    cell and the probe reads only n_probe directories.
+    """
+    assert dim % m == 0
+    sub = dim // m
+    # --- cell layout (same deterministic seeds as ivf_cosine_topk)
+    cseeds = (
+        corpus.orderBy(corpus_id)
+        .limit(n_cells)
+        .select(F.col(corpus_vec).alias("_c"))
+        .collect()
+    )
+    centroids = [list(map(float, r["_c"])) for r in cseeds]
+    cmat = F.lit(centroids)
+    cnorms = F.lit([float(_norm(c)) for c in centroids])
+
+    def top_cells(vec: str, n: int) -> Column:
+        dots = F.transform(
+            cmat,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec), c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        pairs = F.transform(
+            F.zip_with(dots, cnorms, lambda s, n_: s / n_),
+            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+        )
+        return F.slice(F.array_sort(pairs), 1, n)["cell"]
+
+    # --- PQ code table (untrained seeds; pass through train_pq_codebooks
+    # for structured corpora — identical downstream plan)
+    pseeds = (
+        corpus.orderBy(corpus_id)
+        .limit(n_codes)
+        .select(F.col(corpus_vec).alias("_v"))
+        .collect()
+    )
+    codebooks = [
+        [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in pseeds]
+        for j in range(m)
+    ]
+    cb = F.lit(codebooks)
+    encoded = pq_encode(corpus, codebooks, corpus_vec).select(
+        corpus_id,
+        "codes",
+        top_cells(corpus_vec, 1)[0].alias("_cell"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.aggregate(
+                        F.transform(
+                            F.element_at(F.element_at(cb, j + 1), c + 1),
+                            lambda x: x * x,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s,
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s,
+            )
+        ).alias("_rn"),
+    )
+    probes = _with_norm(queries, query_vec, "_qn").withColumn(
+        "_cell", F.explode(top_cells(query_vec, n_probe))
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(query_vec), j * sub + 1, sub),
+                    F.element_at(F.element_at(cb, j + 1), c + 1),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+    scored = encoded.join(F.broadcast(probes), "_cell").select(
+        query_id,
+        F.col(corpus_id),
+        (adc / (F.col("_rn") * F.col("_qn"))).alias("score"),
+    )
+
+    def topk(df: DataFrame, n: int) -> DataFrame:
+        item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+        return (
+            df.groupBy(query_id)
+            .agg(F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("_top"))
+            .select(query_id, F.posexplode("_top").alias("pos", "item"))
+            .select(
+                query_id,
+                F.col("item.id").alias(corpus_id),
+                (-F.col("item.neg")).alias("score"),
+                (F.col("pos") + 1).alias("rank"),
+            )
+        )
+
+    if not rerank:
+        return topk(scored, k)
+    shortlist = topk(scored, rerank * k).select(query_id, corpus_id)
+    exact = shortlist.join(
+        _with_norm(corpus, corpus_vec, "_cn"), corpus_id
+    ).join(F.broadcast(_with_norm(queries, query_vec, "_qn")), query_id).select(
+        query_id,
+        F.col(corpus_id),
+        (
+            dot_product(corpus_vec, query_vec) / (F.col("_cn") * F.col("_qn"))
+        ).alias("score"),
+    )
+    return topk(exact, k)
+
+
 def _norm(vec: list[float]) -> float:
     return sum(x * x for x in vec) ** 0.5

@@ -607,6 +607,32 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_ivfpq",
+    oracle=None,  # approximate by construction; recall pinned in
+    # tests/test_llm_ops.py alongside the IVF and PQ tiers
+    doc="ANN top-k via IVF-PQ (op E35, the billion-scale composition — "
+    "FAISS's IVFPQ layout): Voronoi cell pruning bounds WHAT is scored "
+    "(~n_probe/n_cells of the corpus), PQ/ADC bounds what scoring "
+    "READS (m codeword indices, not vectors), exact re-rank on the "
+    "r*k shortlist restores true cosines. Unlike the pure-PQ scan, the "
+    "candidate join is an EQUI-join on the cell id — at 100 TB the "
+    "(cell, codes) table is written partitioned by cell and a query "
+    "reads n_probe directories.",
+    tags=("E35",),
+)
+def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_pq_cosine_topk(
+        emb, queries, k=5, dim=64, n_cells=16, n_probe=6, m=8, n_codes=16, rerank=4
+    )
+
+
+@register(
     "train_test_contamination",
     oracle=f"""
     WITH sh AS (

@@ -454,3 +454,26 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     # determinism: same seeds + exact-decimal means -> same codebooks
     again = train_pq_codebooks(emb, dim, m, n_codes, n_iter=3)
     assert trained == again
+
+
+def test_ivfpq_recall_and_exact_rerank_scores(spark, sf_dir):
+    """IVF-PQ composition: recall floor at n_probe=6/rerank=4, and the
+    re-ranked scores are true cosines (bit-equal to the exact path)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact_rows = cosine_topk(emb, queries, k=5).collect()
+    e = {(r["q_id"], r["vec_id"]) for r in exact_rows}
+    escore = {(r["q_id"], r["vec_id"]): r["score"] for r in exact_rows}
+    rows = ivf_pq_cosine_topk(
+        emb, queries, k=5, dim=64, n_cells=16, n_probe=6, m=8, n_codes=16, rerank=4
+    ).collect()
+    a = {(r["q_id"], r["vec_id"]) for r in rows}
+    assert len(e & a) / len(e) >= 0.6, f"IVF-PQ recall collapsed: {len(e&a)/len(e)}"
+    for r in rows:
+        key = (r["q_id"], r["vec_id"])
+        if key in escore:
+            assert r["score"] == escore[key]
