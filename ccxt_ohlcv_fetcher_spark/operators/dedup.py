@@ -340,6 +340,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation — the step that
     turns near-dup PAIRS (Jaccard / MinHash / embedding threshold) into
@@ -355,6 +356,15 @@ def connected_components(
     (Kiveris et al.) to cut diameters first; the round body here IS the
     large-star primitive (min over neighborhood), so that upgrade slots
     in without changing the dataflow.
+
+    ``pointer_jumping=True`` adds the other published accelerator: after
+    each propagation, labels are resolved one hop through themselves
+    (label <- label[label], the path-halving step of pointer-jumping /
+    Shiloach-Vishkin). Label chains then collapse geometrically, so a
+    path of length L converges in O(log L) rounds instead of O(L) — the
+    variant to use when components may be long and thin (link chains,
+    time-adjacent near-dups) rather than near-cliques. Cost: one extra
+    self-join on the (small) label table per round.
 
     Scale notes: each round is one shuffle (explode edges both ways,
     groupBy node, min) plus a broadcast-back join; lineage is cut per
@@ -385,16 +395,32 @@ def connected_components(
             .groupBy("_s")
             .agg(F.min("comp").alias("_nc"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["_n"] == neighbor_min["_s"], "left")
-            .select(
-                "_n",
-                F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
-                    "comp"
-                ),
-                (F.col("_nc") < F.col("comp")).alias("_changed"),
+        new_labels = labels.join(
+            neighbor_min, labels["_n"] == neighbor_min["_s"], "left"
+        ).select(
+            "_n",
+            F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
+                "comp"
+            ),
+            (F.col("_nc") < F.col("comp")).alias("_changed"),
+        )
+        if pointer_jumping:
+            # path halving: comp <- comp[comp] (a node pointing at a
+            # non-root label jumps to its label's label). comp ids ARE
+            # node ids, so the hop is a self-join on the label table.
+            hop = new_labels.select(
+                F.col("_n").alias("_hn"), F.col("comp").alias("_hc")
             )
-        ).localCheckpoint(eager=True)
+            new_labels = new_labels.join(
+                hop, new_labels["comp"] == hop["_hn"], "left"
+            ).select(
+                "_n",
+                F.coalesce(F.col("_hc"), F.col("comp")).alias("comp"),
+                (F.col("_changed") | (F.col("_hc") < F.col("comp"))).alias(
+                    "_changed"
+                ),
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.agg(
             F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("c")
         ).collect()[0]["c"]

@@ -477,3 +477,26 @@ def test_ivfpq_recall_and_exact_rerank_scores(spark, sf_dir):
         key = (r["q_id"], r["vec_id"])
         if key in escore:
             assert r["score"] == escore[key]
+
+
+def test_pointer_jumping_collapses_long_paths(spark):
+    """A 64-node path is the worst case for plain min-propagation
+    (needs ~63 rounds — one hop per round); path halving must collapse
+    it within O(log L) rounds. Run both at max_iter=12: pointer jumping
+    fully converges, plain provably hasn't."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import connected_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    jumped = connected_components(
+        nodes, edges, max_iter=12, pointer_jumping=True
+    ).collect()
+    assert all(r["comp"] == 0 for r in jumped), "pointer jumping didn't converge"
+    plain = connected_components(nodes, edges, max_iter=12).collect()
+    assert any(r["comp"] != 0 for r in plain), (
+        "plain propagation unexpectedly converged in 12 rounds — the "
+        "pointer-jumping variant would be pointless"
+    )
