@@ -75,3 +75,14 @@ def test_bucket_keys_are_stable(spark):
     k1 = {(r["band"], r["bucket"]) for r in batch_buckets(df, "text", "doc_id").collect()}
     k2 = {(r["band"], r["bucket"]) for r in batch_buckets(df, "text", "doc_id").collect()}
     assert k1 == k2 and len(k1) == 4
+
+
+def test_gate_absorbs_redelivered_batch(spark):
+    """foreachBatch is at-least-once: a re-delivered batch must accept
+    NOTHING (every accepted doc collides with its own stored buckets),
+    so the output sink never double-appends."""
+    b = spark.createDataFrame([(1, TEXT_A), (3, TEXT_B)], DOCS_SCHEMA)
+    acc1, buck1 = neardup_gate_batch(b, None, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in acc1.collect()) == [1, 3]
+    acc2, buck2 = neardup_gate_batch(b, buck1, "text", "doc_id")
+    assert acc2.count() == 0 and buck2.count() == 0
