@@ -971,6 +971,95 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_rollup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             length(text) AS n_bytes,
+             greatest(1, length(text) // 100) AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, text, n_bytes, n_frames, unnest(range(n_frames)) AS i
+      FROM m
+    ),
+    feat AS (
+      SELECT media_id, n_frames,
+             (i * 64) % n_bytes AS lo,
+             len(list_filter(range((i * 64) % n_bytes + 1,
+                                   (i * 64) % n_bytes + 65),
+                             j -> j <= n_bytes)) AS frame_len,
+             list_aggregate(list_transform(
+                 list_filter(range((i * 64) % n_bytes + 1,
+                                   (i * 64) % n_bytes + 65),
+                             j -> j <= n_bytes),
+                 j -> ascii(substr(text, j, 1))), 'sum') % 2147483647
+               AS frame_checksum
+      FROM f
+    )
+    SELECT media_id,
+           CAST(max(n_frames) AS BIGINT) AS n_frames,
+           CAST(sum(frame_len) AS BIGINT) AS bytes_total,
+           CAST(sum(frame_checksum) AS BIGINT) AS checksum_total
+    FROM feat
+    GROUP BY 1
+    """,
+    doc="Video-style frame pipeline (op E37 end-to-end): binary media "
+    "with a duration -> sample_frames (row fan-out, one row per "
+    "sampled frame) -> per-frame Arrow-batched feature kernel "
+    "(extract_features reused verbatim on the frame column) -> "
+    "per-media rollup — the decode/sample/featurize/aggregate chain "
+    "every video pipeline runs, as ONE plan. Deterministic stub "
+    "decode (byte slicing) lets DuckDB re-derive every frame's bytes "
+    "from the encoding rule, so the whole chain is value-checked, "
+    "fan-out arithmetic included.",
+    tags=("E37", "§2.10"),
+)
+def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            # duration in ms = byte length; at every_ms=100 that samples
+            # ~n_bytes/100 frames — enough fan-out to exercise the chain
+            F.col("n_chars").cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=100, frame_bytes=64)
+    feats = extract_features(
+        frames.select(
+            # frame keyed by a synthetic id so the kernel stays reusable;
+            # media_id recovered afterwards by integer division
+            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+            F.col("frame").alias("payload"),
+        )
+    )
+    return (
+        feats.select(
+            (F.col("media_id") / 1000).cast("long").alias("media_id"),
+            "n_bytes",
+            "checksum",
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_bytes").alias("bytes_total"),
+            F.sum("checksum").alias("checksum_total"),
+        )
+    )
+
+
+@register(
     "jaccard_dup_pairs_capped",
     oracle=f"""
     WITH sh0 AS (
