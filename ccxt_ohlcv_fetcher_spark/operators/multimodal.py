@@ -135,6 +135,15 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
                 return out
             i += 2 + seglen
         raise ValueError("JPEG has no SOF frame header")
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # MP3 with an ID3v2 envelope: header = "ID3" + version(2) +
+        # flags(1) + 4-byte syncsafe tag size (7 bits per byte). Audio
+        # duration needs frame-by-frame parsing (out of header scope) —
+        # report the container + tag size as metadata presence.
+        if any(x & 0x80 for x in b[6:10]):
+            raise ValueError("ID3v2 size bytes must be syncsafe")
+        out["container"] = "mp3"
+        return out
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         # WAV: chunk walk for fmt (channels, sample rate, byte rate)
         # and data (payload size) -> duration = data / byte_rate

@@ -214,6 +214,9 @@ def test_decode_media_parses_real_headers():
     jpg = decode_media(b"\xff\xd8" + sof + b"\x03" + b"\x00" * 12)
     assert (jpg["container"], jpg["width"], jpg["height"]) == ("jpeg", 80, 120)
 
+    mp3 = decode_media(b"ID3\x04\x00\x00\x00\x00\x02\x01" + b"\x00" * 20)
+    assert mp3["container"] == "mp3"
+
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG")  # truncated magic, no IHDR
     with pytest.raises(ValueError):
