@@ -43,6 +43,101 @@ def resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "candle_indicators",
+    oracle=f"""
+    WITH c AS (
+      SELECT {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT bucket_ms, close,
+             CAST(sum(CAST(close AS DECIMAL(18,6))) OVER f AS DOUBLE) AS s5,
+             CAST(sum(CAST(close * close AS DECIMAL(18,6))) OVER f AS DOUBLE)
+               AS ss5,
+             CAST(count(*) OVER f AS DOUBLE) AS n5,
+             close - lag(close) OVER (ORDER BY bucket_ms) AS diff,
+             max(close) OVER (ORDER BY bucket_ms
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c
+      WINDOW f AS (ORDER BY bucket_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ),
+    g AS (
+      SELECT *,
+             CAST(sum(CAST(greatest(diff, 0) AS DECIMAL(18,6))) OVER f
+                  AS DOUBLE) AS gain5,
+             CAST(sum(CAST(greatest(-diff, 0) AS DECIMAL(18,6))) OVER f
+                  AS DOUBLE) AS loss5
+      FROM w
+      WINDOW f AS (ORDER BY bucket_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ms, close,
+           s5 / n5 AS sma5,
+           sqrt(greatest((ss5 - s5 * s5 / n5) / nullif(n5 - 1, 0), 0))
+             AS boll_hw,
+           CASE WHEN loss5 = 0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + gain5 / loss5) END AS rsi5,
+           close / peak - 1.0 AS drawdown
+    FROM g
+    """,
+    doc="Technical indicators over resampled candles (the reference "
+    "users' actual workload on the data the reference fetches): 5-bucket "
+    "SMA, Bollinger half-width, RSI, and running-peak drawdown — all "
+    "frame/cumulative windows (E20/E21) over the hourly OHLCV rollup, "
+    "one shuffle total. This demo computes ONE global series (single "
+    "window partition, inherently sequential); the production form "
+    "partitions every window by (exchange, symbol) and parallelizes "
+    "across keys. Determinism: every frame aggregate is an "
+    "exact-decimal sum folded to double BEFORE the float arithmetic, so "
+    "Spark's and DuckDB's window-fold orders cannot diverge; variance "
+    "uses the sum/sumsq identity on those exact sums.",
+    tags=("E20", "E21", "E13"),
+)
+def candle_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dec
+
+    events = load_table(spark, sf_dir, "events")
+    candles = resample_ohlcv(events, "1h", ts_col="ts", price_col="value").select(
+        ms("bucket_ts").alias("bucket_ms"), "close"
+    )
+    f5 = W.orderBy("bucket_ms").rowsBetween(-4, 0)
+    cum = W.orderBy("bucket_ms").rowsBetween(W.unboundedPreceding, 0)
+    lag1 = W.orderBy("bucket_ms")
+    close = F.col("close")
+    w = candles.select(
+        "bucket_ms",
+        "close",
+        F.sum(dec(close)).over(f5).cast("double").alias("s5"),
+        F.sum(dec(close * close)).over(f5).cast("double").alias("ss5"),
+        F.count(F.lit(1)).over(f5).cast("double").alias("n5"),
+        (close - F.lag("close").over(lag1)).alias("diff"),
+        F.max("close").over(cum).alias("peak"),
+    )
+    diff = F.col("diff")
+    g = w.select(
+        "*",
+        F.sum(dec(F.greatest(diff, F.lit(0.0)))).over(f5).cast("double").alias("gain5"),
+        F.sum(dec(F.greatest(-diff, F.lit(0.0)))).over(f5).cast("double").alias("loss5"),
+    )
+    return g.select(
+        "bucket_ms",
+        "close",
+        (F.col("s5") / F.col("n5")).alias("sma5"),
+        F.sqrt(
+            F.greatest(
+                (F.col("ss5") - F.col("s5") * F.col("s5") / F.col("n5"))
+                / F.nullif(F.col("n5") - 1, F.lit(0.0)),
+                F.lit(0.0),
+            )
+        ).alias("boll_hw"),
+        F.when(F.col("loss5") == 0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("gain5") / F.col("loss5")))
+        .alias("rsi5"),
+        (close / F.col("peak") - F.lit(1.0)).alias("drawdown"),
+    )
+
+
+@register(
     "resume_offsets",
     oracle=f"""
     SELECT user_id,
