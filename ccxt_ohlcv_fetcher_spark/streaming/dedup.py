@@ -101,6 +101,40 @@ def neardup_gate_batch(
     return survivors, surv_buckets.select("band", "bucket", id_col)
 
 
+def compact_bucket_store(spark, store_dir: str) -> int:
+    """Rewrite the bucket store to one file per ``band=`` partition.
+
+    Every micro-batch appends one small parquet file per band, so a
+    long-running gate accumulates thousands of tiny files and the
+    per-batch probe join pays open/footer cost per file — the same
+    small-file problem the candle dataset's ``compact()`` solves, with
+    the same fix: read, coalesce(1) per partition, write to a temp
+    root, atomic directory swap. Run while the stream is stopped (the
+    gate reads the store at batch start, so a swap mid-batch could
+    serve a partial listing on non-atomic filesystems).
+
+    Returns the number of band partitions rewritten.
+    """
+    import shutil
+    import tempfile
+
+    df = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+    bands = [r["band"] for r in df.select("band").distinct().collect()]
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(os.path.abspath(store_dir)))
+    (
+        df.repartition(len(bands) or 1, "band")
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp)
+    )
+    old = store_dir.rstrip("/") + ".old"
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old)
+    return len(bands)
+
+
 def start_neardup_gate(
     docs_stream: DataFrame,
     out_dir: str,

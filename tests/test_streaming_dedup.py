@@ -86,3 +86,51 @@ def test_gate_absorbs_redelivered_batch(spark):
     assert sorted(r["doc_id"] for r in acc1.collect()) == [1, 3]
     acc2, buck2 = neardup_gate_batch(b, buck1, "text", "doc_id")
     assert acc2.count() == 0 and buck2.count() == 0
+
+
+def test_bucket_store_compaction(spark, tmp_path):
+    """After two micro-batch appends each band dir holds 2 files;
+    compaction rewrites to 1 file per band with identical rows, and the
+    gate still dedupes against the compacted store."""
+    import glob
+
+    from ccxt_ohlcv_fetcher_spark.streaming.dedup import compact_bucket_store
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    store_dir, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    for batch in ([(1, TEXT_A)], [(2, TEXT_B)]):
+        spark.createDataFrame(batch, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        q = start_neardup_gate(
+            spark.readStream.schema(DOCS_SCHEMA).parquet(in_dir),
+            out_dir, store_dir, ckpt,
+        )
+        q.awaitTermination(120)
+
+    def files_per_band():
+        return {
+            d: len(glob.glob(d + "/*.parquet"))
+            for d in glob.glob(store_dir + "/band=*")
+        }
+
+    before_rows = sorted(
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(store_dir).collect()
+    )
+    assert all(n == 2 for n in files_per_band().values())
+    assert compact_bucket_store(spark, store_dir) == 4
+    assert all(n == 1 for n in files_per_band().values())
+    after_rows = sorted(
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(store_dir).collect()
+    )
+    assert after_rows == before_rows
+    # gate still dedupes against the compacted store
+    store = spark.read.parquet(store_dir)
+    acc, _ = neardup_gate_batch(
+        spark.createDataFrame([(9, TEXT_A), (10, TEXT_C)], DOCS_SCHEMA),
+        store, "text", "doc_id",
+    )
+    assert [r["doc_id"] for r in acc.collect()] == [10]
