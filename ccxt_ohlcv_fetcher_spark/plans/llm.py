@@ -814,6 +814,118 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_WORDS} AS words FROM documents
+    ),
+    b AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) >= 2 THEN
+               list_transform(range(1, len(words)),
+                              i -> array_to_string(words[i:i+1], ' '))
+             ELSE [] END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+           CASE WHEN len(words) > 0
+                THEN 1.0 - len(list_distinct(words)) * 1.0 / len(words)
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(bigrams) > 0
+                THEN list_max(list_transform(list_distinct(bigrams),
+                     x -> len(list_filter(bigrams, y -> y = x))))
+                     * 1.0 / len(bigrams)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM b
+    """,
+    doc="Within-document repetition signals (op E36, the Gopher/MassiveText "
+    "repetition filters): duplicate-word fraction and the fraction of "
+    "all bigrams taken by the single most repeated bigram — the signals "
+    "that catch boilerplate and degenerate generated text, which "
+    "length/stopword features (doc_quality) miss. Pure array HOFs per "
+    "row, no shuffle; the per-doc distinct-count loop is O(u*n) in the "
+    "doc's own tokens — row-local, never cross-row.",
+    tags=("E36",),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.text import word_ngrams, words as words_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = words_fn(F.col("text"))
+    base = docs.select(
+        "doc_id", w.alias("_w"), word_ngrams(w, 2).alias("_b")
+    )
+    nb = F.size("_b")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("_b"),
+            lambda x: F.size(F.filter(F.col("_b"), lambda y: y == x)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("_w").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("_w")).cast("bigint").alias("n_distinct_words"),
+        F.when(
+            F.size("_w") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("_w")) / F.size("_w"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        F.when(nb > 0, top_count / nb).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len({SQL_WORDS}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    doc="Sequence packing for training (north-star prep op): assign each "
+    "doc a (pack_id, offset) inside fixed 2048-token training sequences "
+    "— the packing step every pre-training pipeline runs between "
+    "cleaning and tokenized shards. Deterministic streaming bin-fill: "
+    "cumulative token sum per language shard (one window, partitioned "
+    "by shard key so packing parallelizes across shards), pack = "
+    "cumsum div seq_len. Docs straddling a boundary spill into the "
+    "next pack at the recorded offset (the standard concat-then-chunk "
+    "formulation, not per-doc padding).",
+    tags=("E21", "E36"),
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ccxt_ohlcv_fetcher_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    cum = F.sum("n_tokens").over(
+        W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        ((cum - F.col("n_tokens")) / 2048).cast("bigint").alias("pack_id"),
+        ((cum - F.col("n_tokens")) % 2048).cast("bigint").alias("pack_offset"),
+    )
+
+
+@register(
     "doc_quality",
     oracle=f"""
     SELECT doc_id,
