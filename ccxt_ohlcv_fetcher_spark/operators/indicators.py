@@ -1,0 +1,81 @@
+"""Technical indicators over candle series (the reference's users'
+downstream workload on the data `ccxt-ohlcv-fetch.py` collects).
+
+All indicators are frame/cumulative window expressions (E20/E21) with
+the exact-decimal-sum discipline from plans/registry.py: every frame
+aggregate folds through DECIMAL before any float arithmetic, so the
+result is independent of Spark's window fold order (and bit-matches
+the DuckDB oracle in the registry demo).
+
+Keyed form: pass ``keys=("exchange", "symbol")`` and every window
+partitions by the key — one independent series per key, parallel
+across keys, state bounded by the frame width. The unkeyed form
+(keys=()) is a single global series: inherently sequential, fine for
+one symbol, a deliberate non-goal at 100 TB (Spark warns about the
+single-partition window — that warning is the design feedback).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W, WindowSpec
+
+
+def _dec(col: Column) -> Column:
+    return col.cast("decimal(18,6)")
+
+
+def candle_indicator_frame(
+    candles: DataFrame,
+    keys: tuple[str, ...] = ("exchange", "symbol"),
+    close_col: str = "close",
+    order_col: str = "timestamp",
+    periods: int = 5,
+) -> DataFrame:
+    """Adds sma / boll_hw / rsi / drawdown columns over each key's
+    candle series (``periods``-row frames; drawdown vs the running
+    peak). Input must be one row per (keys..., order_col)."""
+
+    def over(base: WindowSpec) -> WindowSpec:
+        return base.partitionBy(*keys) if keys else base
+
+    f = over(W.orderBy(order_col)).rowsBetween(-(periods - 1), 0)
+    cum = over(W.orderBy(order_col)).rowsBetween(W.unboundedPreceding, 0)
+    lag1 = over(W.orderBy(order_col))
+    close = F.col(close_col).cast("double")
+
+    w = candles.withColumns(
+        {
+            "_s": F.sum(_dec(close)).over(f).cast("double"),
+            "_ss": F.sum(_dec(close * close)).over(f).cast("double"),
+            "_n": F.count(F.lit(1)).over(f).cast("double"),
+            "_diff": close - F.lag(close).over(lag1),
+            "_peak": F.max(close).over(cum),
+        }
+    )
+    d = F.col("_diff")
+    g = w.withColumns(
+        {
+            "_gain": F.sum(_dec(F.greatest(d, F.lit(0.0)))).over(f).cast("double"),
+            "_loss": F.sum(_dec(F.greatest(-d, F.lit(0.0)))).over(f).cast("double"),
+        }
+    )
+    out = g.withColumns(
+        {
+            "sma": F.col("_s") / F.col("_n"),
+            "boll_hw": F.sqrt(
+                F.greatest(
+                    (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+                    / F.nullif(F.col("_n") - 1, F.lit(0.0)),
+                    F.lit(0.0),
+                )
+            ),
+            "rsi": F.when(F.col("_loss") == 0, F.lit(100.0)).otherwise(
+                F.lit(100.0)
+                - F.lit(100.0) / (F.lit(1.0) + F.col("_gain") / F.col("_loss"))
+            ),
+            "drawdown": close / F.col("_peak") - F.lit(1.0),
+        }
+    )
+    return out.drop("_s", "_ss", "_n", "_diff", "_peak", "_gain", "_loss")

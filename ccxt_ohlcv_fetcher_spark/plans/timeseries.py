@@ -94,46 +94,22 @@ def resample_ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E20", "E21", "E13"),
 )
 def candle_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.plans.registry import dec
+    from ccxt_ohlcv_fetcher_spark.operators.indicators import candle_indicator_frame
 
     events = load_table(spark, sf_dir, "events")
     candles = resample_ohlcv(events, "1h", ts_col="ts", price_col="value").select(
         ms("bucket_ts").alias("bucket_ms"), "close"
     )
-    f5 = W.orderBy("bucket_ms").rowsBetween(-4, 0)
-    cum = W.orderBy("bucket_ms").rowsBetween(W.unboundedPreceding, 0)
-    lag1 = W.orderBy("bucket_ms")
-    close = F.col("close")
-    w = candles.select(
+    out = candle_indicator_frame(
+        candles, keys=(), close_col="close", order_col="bucket_ms", periods=5
+    )
+    return out.select(
         "bucket_ms",
         "close",
-        F.sum(dec(close)).over(f5).cast("double").alias("s5"),
-        F.sum(dec(close * close)).over(f5).cast("double").alias("ss5"),
-        F.count(F.lit(1)).over(f5).cast("double").alias("n5"),
-        (close - F.lag("close").over(lag1)).alias("diff"),
-        F.max("close").over(cum).alias("peak"),
-    )
-    diff = F.col("diff")
-    g = w.select(
-        "*",
-        F.sum(dec(F.greatest(diff, F.lit(0.0)))).over(f5).cast("double").alias("gain5"),
-        F.sum(dec(F.greatest(-diff, F.lit(0.0)))).over(f5).cast("double").alias("loss5"),
-    )
-    return g.select(
-        "bucket_ms",
-        "close",
-        (F.col("s5") / F.col("n5")).alias("sma5"),
-        F.sqrt(
-            F.greatest(
-                (F.col("ss5") - F.col("s5") * F.col("s5") / F.col("n5"))
-                / F.nullif(F.col("n5") - 1, F.lit(0.0)),
-                F.lit(0.0),
-            )
-        ).alias("boll_hw"),
-        F.when(F.col("loss5") == 0, F.lit(100.0))
-        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("gain5") / F.col("loss5")))
-        .alias("rsi5"),
-        (close / F.col("peak") - F.lit(1.0)).alias("drawdown"),
+        F.col("sma").alias("sma5"),
+        "boll_hw",
+        F.col("rsi").alias("rsi5"),
+        "drawdown",
     )
 
 

@@ -83,3 +83,39 @@ def test_ngram_count_invariant(tokens_idx, n):
     # spark-side equivalence for this kernel is asserted once (not per
     # example — JVM round-trips per hypothesis example would be minutes)
     # in test_llm_ops.py via the shingle-based oracle queries.
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_decode_media_total_on_arbitrary_bytes(payload):
+    """decode_media is TOTAL over arbitrary bytes: it either returns a
+    well-formed metadata dict or raises ValueError — never any other
+    exception (probe_media turns ValueError into error rows; anything
+    else would kill a task at 100 TB, where corrupt inputs are
+    guaranteed)."""
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import decode_media
+
+    try:
+        out = decode_media(payload)
+    except ValueError:
+        return
+    assert out["container"] in ("png", "gif", "bmp", "jpeg", "wav", "mp3")
+    for key in ("width", "height", "duration_ms", "channels", "sample_rate"):
+        assert out[key] is None or isinstance(out[key], int)
+
+
+@given(
+    st.binary(min_size=0, max_size=300),
+    st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8",
+                     b"RIFF", b"ID3"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_decode_media_total_on_magic_prefixed_garbage(tail, magic):
+    """Same totality property but adversarially prefixed with real
+    container magics, which drives the format-specific parse paths."""
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import decode_media
+
+    try:
+        decode_media(magic + tail)
+    except ValueError:
+        pass

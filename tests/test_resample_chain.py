@@ -5,6 +5,8 @@ intermediate timeframe must equal the direct rollup exactly.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ccxt_ohlcv_fetcher_spark.operators.ingest import project_ohlcv_rows
 from ccxt_ohlcv_fetcher_spark.operators.resample import resample_candles
 
@@ -82,3 +84,33 @@ def test_week_buckets_share_monday_anchor(spark):
         # each 1w bucket nests inside its 2w/3w bucket on the same grid
         assert ((b1 - b2).total_seconds() * 1000) in (0, week_ms)
         assert ((b1 - b3).total_seconds() * 1000) in (0, week_ms, 2 * week_ms)
+
+
+def test_keyed_indicators_independent_series(spark):
+    """candle_indicator_frame with keys: each symbol's indicator series
+    must equal the series computed on that symbol alone (windows never
+    leak across keys), and frames/peaks behave per key."""
+    from ccxt_ohlcv_fetcher_spark.operators.indicators import candle_indicator_frame
+
+    rows = []
+    for sym, base in (("AAA", 100.0), ("BBB", 50.0)):
+        for i in range(12):
+            rows.append((sym, i, base + (i % 5) - (2 if sym == "BBB" else 0)))
+    df = spark.createDataFrame(rows, "symbol string, t long, close double")
+
+    keyed = candle_indicator_frame(
+        df, keys=("symbol",), close_col="close", order_col="t"
+    ).collect()
+    for sym in ("AAA", "BBB"):
+        solo = candle_indicator_frame(
+            df.filter(F.col("symbol") == sym),
+            keys=(),
+            close_col="close",
+            order_col="t",
+        ).collect()
+        solo_by_t = {r["t"]: r for r in solo}
+        for r in (x for x in keyed if x["symbol"] == sym):
+            s = solo_by_t[r["t"]]
+            assert (r["sma"], r["boll_hw"], r["rsi"], r["drawdown"]) == (
+                s["sma"], s["boll_hw"], s["rsi"], s["drawdown"]
+            ), f"window leaked across keys at {sym} t={r['t']}"
