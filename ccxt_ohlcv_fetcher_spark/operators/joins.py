@@ -41,14 +41,28 @@ def asof_join(
     right_payload: list[str],
     strict: bool = False,
     prefix: str = "asof_",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (``<`` when strict) and equal keys.
 
     Left columns are preserved; matched right payload columns arrive as
     ``{prefix}{col}`` (null when no prior right row exists).
+
+    ``tolerance`` bounds the lookback: a prior right row older than
+    ``left.ts - tolerance`` does NOT match (pandas
+    ``merge_asof(tolerance=...)`` semantics — the stale-quote cutoff
+    every market-data join wants). Units: SECONDS when the ts columns
+    are timestamps (compared via ``unix_micros``), the column's native
+    units when numeric (e.g. epoch-ms bigints). Implemented by
+    carrying the matched row's own timestamp in the payload and
+    nulling the match afterwards — same single-shuffle plan, no extra
+    join.
     """
-    payload = F.struct(*[F.col(c) for c in right_payload])
+    payload = F.struct(
+        *[F.col(c) for c in right_payload],
+        F.col(right_ts).alias("_match_ts"),
+    )
     # _side orders right rows BEFORE left rows at equal ts for inclusive
     # semantics (so an equal-ts right row is visible), AFTER for strict.
     right_side, left_side = (0, 1) if not strict else (1, 0)
@@ -75,9 +89,29 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    valid = F.col("_m").isNotNull()
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        lt = left.schema[left_ts].dataType
+        if isinstance(lt, (T.TimestampType, T.TimestampNTZType)):
+            delta = F.unix_micros(F.col("_ts").cast("timestamp")) - F.unix_micros(
+                F.col("_m")["_match_ts"].cast("timestamp")
+            )
+            bound = F.lit(int(tolerance * 1_000_000))
+        else:
+            delta = (
+                F.col("_ts").cast("double")
+                - F.col("_m")["_match_ts"].cast("double")
+            )
+            bound = F.lit(float(tolerance))
+        valid = valid & (delta <= bound)
     out = matched.filter(F.col("_side") == left_side).select(
         *left.columns,
-        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in right_payload],
+        *[
+            F.when(valid, F.col("_m")[c]).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
     )
     return out
 

@@ -138,6 +138,56 @@ def purchase_last_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purchase_last_error_asof_tol",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, {sql_ms("p.ts")} AS ts_ms,
+           e.event_id AS last_error_id,
+           {sql_ms("e.ts")} AS last_error_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT * FROM events e
+      WHERE e.event_type = 'error' AND e.user_id = p.user_id
+        AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY e.ts DESC LIMIT 1
+    ) e ON TRUE
+    """,
+    doc="As-of join with TOLERANCE (op E10, pandas merge_asof "
+    "tolerance semantics): nearest prior error per purchase, but only "
+    "within the last hour — the stale-quote cutoff every market-data "
+    "join needs. Same single-shuffle union+window plan as the "
+    "unbounded form (operators/joins.py:asof_join): the matched row's "
+    "own timestamp rides in the payload and out-of-window matches "
+    "null out afterwards, no extra join. Oracle: LATERAL top-1 with "
+    "the window predicate.",
+    tags=("E10",),
+)
+def purchase_last_error_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        right_payload=["err_id", "err_ts"],
+        tolerance=3600,  # seconds (TimestampType delta domain)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        F.col("asof_err_id").alias("last_error_id"),
+        ms("asof_err_ts").alias("last_error_ms"),
+    )
+
+
+@register(
     "events_in_error_windows",
     oracle=f"""
     SELECT w.err_id, count(e.event_id) AS n_events,
