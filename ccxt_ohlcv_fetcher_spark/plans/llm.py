@@ -501,6 +501,65 @@ def dup_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
+    ),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.d, r.comp FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comps AS (
+      SELECT node, min(comp) AS comp FROM reach GROUP BY 1
+    ),
+    per_comp AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY 1)
+    SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components,
+           CAST(comp_size * count(*) AS BIGINT) AS n_docs
+    FROM per_comp GROUP BY 1
+    """,
+    doc="Dup-group size histogram (E33/E34 analytics): how many near-dup "
+    "components of each size the corpus contains and how many docs "
+    "they cover — the dedup-rate report every cleaning run emits "
+    "(singletons = unique docs; the tail of big components = "
+    "boilerplate families). Two aggregations over the connected-"
+    "components output; scales as the CC step does.",
+    tags=("E33", "E34", "E13"),
+)
+def dup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = dup_doc_components(spark, sf_dir)
+    per_comp = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
+    return per_comp.groupBy("comp_size").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("comp_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+@register(
     "corpus_clean_pipeline",
     oracle=f"""
     WITH train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
