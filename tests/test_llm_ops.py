@@ -503,3 +503,36 @@ def test_pointer_jumping_collapses_long_paths(spark):
         "plain propagation unexpectedly converged in 12 rounds — the "
         "pointer-jumping variant would be pointless"
     )
+
+
+def test_persisted_ann_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """Stored LSH index: query results equal the in-memory ann path
+    (same planes, same probes), and the scan carries a static
+    PartitionFilters on the probed buckets — the index is read
+    directory-pruned, never in full."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "ann_index")
+    assert build_ann_index(emb, path, dim=64, n_planes=4) == 16
+
+    stored = query_ann_index(
+        spark, path, queries, k=5, dim=64, n_planes=4, multiprobe=2
+    )
+    mem = ann_cosine_topk(
+        emb, queries, k=5, dim=64, n_planes=4, multiprobe=2, adaptive=True
+    )
+    s = {(r["q_id"], r["vec_id"], r["rank"]) for r in stored.collect()}
+    m = {(r["q_id"], r["vec_id"], r["rank"]) for r in mem.collect()}
+    assert s == m, "stored-index results diverge from the in-memory path"
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or (
+        "PartitionFilters" in plan and "bucket#" in plan
+    ), "probe set did not become a partition filter"
