@@ -149,7 +149,14 @@ class CandleBatchReader(DataSourceReader):
 class CandleStreamReader(SimpleDataSourceStreamReader):
     """Offset = {symbol: next_since_ms}: the reference's sink-derived
     resume cursor (`:86-91,:275`) as a checkpointed streaming offset.
-    Each micro-batch pulls at most one page per symbol."""
+    Each micro-batch pulls at most one page per symbol.
+
+    ``maxRowsPerBatch`` (per symbol, per micro-batch) additionally caps
+    how far the cursor advances in one batch — the admission-control
+    knob (Kafka's ``maxOffsetsPerTrigger`` analog, and the streaming
+    face of the reference's rate-limit concern, `:219,:226-228`): a
+    backfill over years of history proceeds in bounded batches instead
+    of one giant first micro-batch."""
 
     def __init__(self, options: dict):
         self.options = options
@@ -158,6 +165,7 @@ class CandleStreamReader(SimpleDataSourceStreamReader):
         self.symbols = [s for s in options.get("symbols", "").split(",") if s]
         self.since_ms = int(options.get("since", "1388534400000"))
         self.now_ms = int(options["now"]) if "now" in options else None
+        self.max_rows = int(options.get("maxRowsPerBatch", "0")) or None
         self._feed = None
 
     def _get_feed(self):
@@ -182,11 +190,16 @@ class CandleStreamReader(SimpleDataSourceStreamReader):
             # last_emitted + tf — no overlap row can ever re-emit
             cursor = int(start.get(symbol, self.since_ms))
             advanced = cursor
+            emitted = 0
             for ts, o, h, lo, c, v in feed.fetch(symbol, cursor):
+                if self.max_rows is not None and emitted >= self.max_rows:
+                    break  # admission control: cursor stops here; the
+                    # next batch resumes from `advanced` exactly
                 if ts < cursor:
                     continue
                 if ts + tf_ms > now_ms:
                     break  # incomplete tail (`:141-163`): a later batch's
+                emitted += 1
                 rows.append(
                     (
                         self.exchange, symbol, self.timeframe,

@@ -236,3 +236,60 @@ def test_duplicate_tail_timestamps_terminate(spark, tmp_path):
         .collect()
     )
     assert len({r["timestamp"] for r in out}) == 3
+
+
+def test_stream_max_rows_per_batch_bounds_and_drains(spark, fixture_file, tmp_path):
+    """maxRowsPerBatch (maxOffsetsPerTrigger analog). Contract level:
+    each read() emits at most N candles per symbol and the returned
+    offset resumes exactly after the emitted prefix. Pipeline level:
+    the capped stream still drains the feed exactly-once."""
+    from ccxt_ohlcv_fetcher_spark.sources.datasource import CandleStreamReader
+
+    path, rows = fixture_file
+    reader = CandleStreamReader(
+        {
+            "fixture": path,
+            "symbols": "XRPUSD",
+            "timeframe": "1m",
+            "since": str(T0),
+            "now": str(T0 + 500 * MIN),
+            "page_size": "200",  # a page would deliver everything...
+            "maxRowsPerBatch": "25",  # ...but admission caps each batch
+        }
+    )
+    offset = reader.initialOffset()
+    seen = []
+    for _ in range(10):
+        batch, offset = reader.read(offset)
+        batch = list(batch)
+        assert len(batch) <= 25, f"batch cap exceeded: {len(batch)}"
+        if not batch:
+            break
+        # offset resumes exactly one bucket after the last emitted candle
+        assert offset["XRPUSD"] == batch[-1][3] + 60_000
+        seen.extend(batch)
+    assert len(seen) == 120 and len({r[3] for r in seen}) == 120  # exactly-once
+
+    # pipeline level: capped source -> parquet sink drains to 120 rows
+    register(spark)
+    stream = (
+        spark.readStream.format("ccxt_ohlcv")
+        .option("fixture", path)
+        .option("symbols", "XRPUSD")
+        .option("timeframe", "1m")
+        .option("since", str(T0))
+        .option("now", str(T0 + 500 * MIN))
+        .option("page_size", "200")
+        .option("maxRowsPerBatch", "25")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.select("timestamp").distinct().count() == out.count()
