@@ -753,6 +753,36 @@ def ann_allpairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="strat")} % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 ELSE 5 END
+    """,
+    doc="Deterministic stratified sampling (north-star pipeline op): "
+    "per-stratum rates (50%% en / 20%% de / 5%% other — the language "
+    "rebalancing every multilingual training mix does) via salted "
+    "hash-mod bucketing. Unlike sampleBy(), the draw is a pure row "
+    "expression: reproducible across engines, runs, and cluster sizes, "
+    "stable under corpus growth (a doc never flips), no shuffle, and "
+    "the SAME salt with a different rate table yields nested samples "
+    "(a 5%% sample is a subset of the 50%% one) — the property that "
+    "makes ablation subsets comparable.",
+    tags=("E36", "E33"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string"), salt="strat") % 100
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50))
+        .when(F.col("lang") == "de", F.lit(20))
+        .otherwise(F.lit(5))
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
     "doc_train_test_split",
     oracle=f"""
     SELECT doc_id, lang,
