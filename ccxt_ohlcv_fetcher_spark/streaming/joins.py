@@ -99,6 +99,40 @@ def join_trades_quotes_outer(
     )
 
 
+def join_trades_quotes_full_outer(
+    trades: DataFrame,
+    quotes: DataFrame,
+    max_quote_age: str = "60 seconds",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """FULL OUTER stream-stream join: every trade AND every quote is
+    eventually emitted — matched rows immediately, unmatched rows of
+    EITHER side null-extended once the watermark proves their join
+    window closed. Completes the E7 matrix on streams: left-outer
+    answers "which trades had no quote", full-outer additionally
+    answers "which quotes never served a trade" (stale-feed detection)
+    in the same query. Spark requires a watermark on both sides and
+    the two-sided time bound for state eviction — identical condition
+    to the inner/left forms, so memory stays O(window x rate)."""
+    t = trades.withWatermark("ts", watermark_delay).alias("t")
+    q = quotes.withWatermark("qts", watermark_delay).alias("q")
+    cond = (
+        (F.col("t.symbol") == F.col("q.symbol"))
+        & (F.col("q.qts") <= F.col("t.ts"))
+        & (F.col("q.qts") >= F.col("t.ts") - F.expr(f"INTERVAL {max_quote_age}"))
+    )
+    return t.join(q, cond, "fullOuter").select(
+        F.coalesce(F.col("t.symbol"), F.col("q.symbol")).alias("symbol"),
+        F.unix_millis("t.ts").alias("trade_ms"),
+        F.unix_millis("q.qts").alias("quote_ms"),
+        F.col("t.price").alias("price"),
+        F.col("t.amount").alias("amount"),
+        F.col("q.bid").alias("bid"),
+        F.col("q.ask").alias("ask"),
+        (F.col("q.ask") - F.col("q.bid")).alias("spread"),
+    )
+
+
 def dedup_tick_stream(
     ticks: DataFrame,
     keys: tuple[str, ...] = ("symbol", "ts"),

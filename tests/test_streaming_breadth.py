@@ -433,3 +433,87 @@ def test_sessionize_gap_accepts_spark_interval_spellings():
         _interval_ms("5 parsecs")
     with pytest.raises(ValueError, match="expected"):
         _interval_ms("soon")
+
+
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """FULL OUTER: unmatched trades AND unmatched quotes both surface
+    null-extended after the watermark closes their windows; matched
+    rows agree with the inner join."""
+    from ccxt_ohlcv_fetcher_spark.streaming.joins import (
+        join_trades_quotes_full_outer,
+    )
+
+    # XRPUSD matches; BTCUSD trades have no quotes; ETHUSD quotes have
+    # no trades (the stale-feed case only FULL outer can show).
+    trade_rows = [(T0 + i * 10 * SEC, "XRPUSD", 100.0 + i, 2.0) for i in range(4)] + [
+        (T0 + 40 * SEC, "BTCUSD", 40_000.0, 0.1),
+    ]
+    quote_rows = [(T0 + i * 15 * SEC, "XRPUSD", 99.0 + i, 101.0 + i) for i in range(3)] + [
+        (T0 + 20 * SEC, "ETHUSD", 2_000.0, 2_001.0),
+    ]
+    flush_t = [(T0 + 3600 * SEC, "FLUSH", 0.0, 0.0)]
+    flush_q = [(T0 + 3600 * SEC, "FLUSH", 0.0, 0.0)]
+    tdir, qdir = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    tschema = "ts long, symbol string, price double, amount double"
+    qschema = "qts long, symbol string, bid double, ask double"
+    _write(spark, tdir, trade_rows, tschema)
+    _write(spark, tdir, flush_t, tschema)
+    _write(spark, qdir, quote_rows, qschema)
+    _write(spark, qdir, flush_q, qschema)
+
+    trades = _ts(
+        spark.readStream.schema(tschema).option("maxFilesPerTrigger", 1).parquet(tdir),
+        "ts",
+    )
+    quotes = _ts(
+        spark.readStream.schema(qschema).option("maxFilesPerTrigger", 1).parquet(qdir),
+        "qts",
+    )
+    q = (
+        join_trades_quotes_full_outer(trades, quotes, max_quote_age="60 seconds")
+        .writeStream.format("memory")
+        .queryName("tq_full_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = [r for r in spark.table("tq_full_outer").collect() if r["symbol"] != "FLUSH"]
+
+    # trade-side unmatched: BTCUSD trade, null quote columns
+    btc = [r for r in out if r["symbol"] == "BTCUSD"]
+    assert btc and all(
+        r["quote_ms"] is None and r["bid"] is None and r["price"] is not None
+        for r in btc
+    )
+    # quote-side unmatched: ETHUSD quote emitted with null trade columns
+    eth = [r for r in out if r["symbol"] == "ETHUSD"]
+    assert eth and all(
+        r["trade_ms"] is None and r["price"] is None and r["bid"] is not None
+        for r in eth
+    )
+    # matched side == batch inner join
+    bt = _ts(spark.createDataFrame(trade_rows, tschema), "ts").alias("t")
+    bq = _ts(spark.createDataFrame(quote_rows, qschema), "qts").alias("q")
+    expect_inner = {
+        (r["symbol"], r["trade_ms"], r["quote_ms"])
+        for r in bt.join(
+            bq,
+            (F.col("t.symbol") == F.col("q.symbol"))
+            & (F.col("q.qts") <= F.col("t.ts"))
+            & (F.col("q.qts") >= F.col("t.ts") - F.expr("INTERVAL 60 seconds")),
+        )
+        .select(
+            F.col("t.symbol").alias("symbol"),
+            F.unix_millis("t.ts").alias("trade_ms"),
+            F.unix_millis("q.qts").alias("quote_ms"),
+        )
+        .collect()
+    }
+    got_matched = {
+        (r["symbol"], r["trade_ms"], r["quote_ms"])
+        for r in out
+        if r["trade_ms"] is not None and r["quote_ms"] is not None
+    }
+    assert got_matched == expect_inner
