@@ -287,3 +287,44 @@ def test_exchange_fanout_concurrent_symbols(spark, dataset):
     # caught-up re-run: every symbol resumes from its offset, appends nothing
     rerun = ingest_exchange(spark, catalog, sources, dataset, "kraken", "1m", now_ms=now)
     assert all(st.rows_appended == 0 for st in rerun.values())
+
+
+def test_candle_quality_rules_catch_planted_violations(spark):
+    """check_rules flags exactly the planted invariant breaches (one
+    long-format row per failed rule), quarantine() splits clean/bad,
+    and a clean resample output passes everything."""
+    from ccxt_ohlcv_fetcher_spark.operators.quality import (
+        candle_rules,
+        check_rules,
+        quarantine,
+    )
+
+    tf = 60_000
+    rows = [
+        # timestamp, open, high, low, close, volume
+        (0 * tf, 10.0, 12.0, 9.0, 11.0, 5.0),        # clean
+        (1 * tf, 10.0, 12.0, 10.5, 11.0, 5.0),       # low above open
+        (2 * tf, 10.0, 10.5, 9.0, 11.0, 5.0),        # high below close
+        (3 * tf, 10.0, 12.0, 9.0, 11.0, -1.0),       # negative volume
+        (3 * tf + 7, 10.0, 12.0, 9.0, 11.0, 5.0),    # off-grid timestamp
+        (5 * tf, 10.0, 12.0, 9.0, 11.0, None),       # NULL volume -> violation
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "timestamp long, open double, high double, low double, close double, "
+        "volume double",
+    )
+    viol = {
+        (r["timestamp"], r["rule"])
+        for r in check_rules(df, candle_rules(tf), ("timestamp",)).collect()
+    }
+    assert viol == {
+        (1 * tf, "low_le_body"),
+        (2 * tf, "high_ge_body"),
+        (3 * tf, "volume_non_negative"),
+        (3 * tf + 7, "ts_grid_aligned"),
+        (5 * tf, "volume_non_negative"),
+    }
+    clean, bad = quarantine(df, candle_rules(tf), ("timestamp",))
+    assert {r["timestamp"] for r in clean.collect()} == {0}
+    assert bad.count() == 5
