@@ -114,6 +114,71 @@ def candle_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "candle_quality_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_min(value, ts) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             arg_max(value, ts) AS close,
+             CAST(count(*) AS DOUBLE) AS volume
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      -- deterministic perturbation so the rules actually fire on the
+      -- (clean) fixture: drain volume, lift low on every 7th bucket
+      SELECT bucket_ms, open,
+             high,
+             low * CASE WHEN (bucket_ms / 3600000) % 7 = 0
+                        THEN 1.5 ELSE 1.0 END AS low,
+             close,
+             volume - 15 AS volume
+      FROM c
+    )
+    SELECT bucket_ms, 'low_le_body' AS rule FROM p
+    WHERE NOT coalesce(low <= least(open, close), FALSE)
+    UNION ALL
+    SELECT bucket_ms, 'high_ge_body' FROM p
+    WHERE NOT coalesce(high >= greatest(open, close), FALSE)
+    UNION ALL
+    SELECT bucket_ms, 'volume_non_negative' FROM p
+    WHERE NOT coalesce(volume >= 0, FALSE)
+    UNION ALL
+    SELECT bucket_ms, 'ts_grid_aligned' FROM p
+    WHERE NOT coalesce(bucket_ms % 3600000 = 0, FALSE)
+    """,
+    doc="Data-quality audit as a query (operators/quality.py over the "
+    "OHLCV rollup): long-format rule violations on deterministically "
+    "perturbed candles (the fixture is clean, so the perturbation — "
+    "drained volume, lifted lows on every 7th bucket — makes the gate "
+    "actually fire and the oracle verify WHICH rows each rule flags, "
+    "not just that zero rows fail). Union of filtered projections over "
+    "one scan; no shuffle beyond the rollup's own.",
+    tags=("E13", "R12"),
+)
+def candle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.quality import candle_rules, check_rules
+
+    events = load_table(spark, sf_dir, "events")
+    candles = resample_ohlcv(events, "1h", ts_col="ts", price_col="value").select(
+        ms("bucket_ts").alias("timestamp"), "open", "high", "low", "close", "volume"
+    )
+    perturbed = candles.withColumns(
+        {
+            "low": F.col("low")
+            * F.when((F.col("timestamp") / 3600000) % 7 == 0, F.lit(1.5)).otherwise(
+                F.lit(1.0)
+            ),
+            "volume": F.col("volume") - 15,
+        }
+    )
+    return check_rules(perturbed, candle_rules(3_600_000), ("timestamp",)).select(
+        F.col("timestamp").alias("bucket_ms"), "rule"
+    )
+
+
+@register(
     "candle_ema",
     oracle=f"""
     WITH c AS (
