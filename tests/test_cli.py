@@ -144,3 +144,31 @@ def test_rollup_vacuum_requires_date_bucket(tmp_path):
             "rollup", "--data-dir", str(tmp_path / "b"), "--rollup-dir",
             str(tmp_path / "r"), "--vacuum-older-than", "2024-01-01T00:00:00Z",
         ])
+
+
+def test_fetch_exchange_date_bucket_flag():
+    ns = build_parser().parse_args(
+        ["fetch-exchange", "bitfinex", "-t", "1m", "--date-bucket", "month"]
+    )
+    assert ns.date_bucket == "month"
+
+
+def test_rollup_subcommand_on_bucketed_base(spark, tmp_path, capsys):
+    """`rollup --base-date-bucket`: refreshing from a date-bucketed BASE
+    dataset works (the directory-pruned read path feeds the ladder)."""
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import (
+        CandleDataset,
+        project_ohlcv_rows,
+    )
+
+    DAY_T0 = 1700000000000 - (1700000000000 % 86_400_000)
+    base = CandleDataset(spark, str(tmp_path / "base"), date_bucket="month")
+    rows = [[DAY_T0 + i * 60_000, 1.0, 2.0, 0.5, 1.5, 3.0] for i in range(120)]
+    base.append_idempotent(project_ohlcv_rows(spark, rows, "e", "S/X", "1m"))
+
+    assert main([
+        "rollup", "--data-dir", base.path, "--rollup-dir", str(tmp_path / "r"),
+        "--levels", "1h", "--base-date-bucket", "month",
+    ]) == 0
+    # 120 minutes: horizon exactly closes both hourly buckets
+    assert "1h=2" in capsys.readouterr().out
