@@ -59,3 +59,34 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_left", "bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_asof_join_tolerance_numeric_ts(spark):
+    """tolerance on NUMERIC ts columns (epoch-ms bigints): the delta is
+    in the column's native units; an in-window prior row matches, an
+    older one nulls out, and tolerance=None keeps it (control)."""
+    from ccxt_ohlcv_fetcher_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10_000), (2, "k", 50_000)], "id long, key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 9_000, 1.5), ("k", 20_000, 2.5)], "key string, rts long, px double"
+    )
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, keys=["key"], left_ts="ts", right_ts="rts",
+            right_payload=["px"], tolerance=5_000,
+        ).collect()
+    }
+    assert out[1] == 1.5          # 10_000 - 9_000 = 1_000 <= 5_000
+    assert out[2] is None         # 50_000 - 20_000 = 30_000 > 5_000
+    unbounded = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, keys=["key"], left_ts="ts", right_ts="rts",
+            right_payload=["px"],
+        ).collect()
+    }
+    assert unbounded == {1: 1.5, 2: 2.5}
