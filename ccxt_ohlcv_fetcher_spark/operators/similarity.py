@@ -403,6 +403,128 @@ def ivf_cosine_topk(
     )
 
 
+def _fold_sumsq(xs: list[float]) -> float:
+    """Left-fold sum of squares — the exact addition order of
+    ``F.aggregate(F.transform(cw, x*x), 0.0, acc+s)``, so values
+    computed driver-side stay bit-identical to the former in-plan form."""
+    acc = 0.0
+    for x in xs:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _codebook_row(
+    spark,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The PQ codebook as broadcastable DATA, not plan text: one row
+    carrying ``_cb`` (m x n_codes x sub codewords) and ``_cwsq``
+    (m x n_codes squared codeword norms), optionally ``_cent``/``_cnorm``
+    (IVF centroids). Joined to corpus/queries on a constant key (a
+    1-row BroadcastHashJoin), the codebook reaches every executor the
+    way FAISS ships it — as bytes — while the query PLAN stays small:
+    the former nested array literals (1024 doubles at m=8, n_codes=16,
+    dim=64) dominated plan compile/codegen time on every PQ query
+    (round-4 profile: ann_cosine_topk_pq/ivfpq were compile-bound)."""
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField(
+            "_cb", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+        ),
+        T.StructField("_cwsq", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+    cwsq = [[_fold_sumsq(cw) for cw in cb_j] for cb_j in codebooks]
+    data: tuple = (codebooks, cwsq)
+    if centroids is not None:
+        fields += [
+            T.StructField("_cent", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("_cnorm", T.ArrayType(T.DoubleType())),
+        ]
+        data = data + (centroids, [float(_norm(c)) for c in centroids])
+    fields.append(T.StructField("_one", T.IntegerType()))
+    return spark.createDataFrame([data + (1,)], T.StructType(fields))
+
+
+def _pq_codes(vec_col: str, sub: int) -> Column:
+    """Per-subspace argmin-by-L2 codeword index, as a HOF over the
+    joined ``_cb`` COLUMN (see :func:`_codebook_row`) — identical values
+    and tie-breaks to the former literal form, but the plan carries a
+    column reference instead of the codebook."""
+    v = F.col(vec_col)
+    return F.transform(
+        F.col("_cb"),
+        lambda cbj, j: F.array_sort(
+            F.transform(
+                cbj,
+                lambda cw, c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(v, j * sub + 1, sub),
+                            cw,
+                            lambda x, y: (x.cast("double") - y) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("d"),
+                    c.alias("c"),
+                ),
+            )
+        )[0]["c"].cast("int"),
+    )
+
+
+def _pq_recon_norm() -> Column:
+    """Reconstructed corpus norm from the code table alone: ||concat_j
+    codebook[j][codes[j]]|| — m lookups into the squared-norm table."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("_cwsq"), lambda c, sq: F.element_at(sq, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s,
+        )
+    )
+
+
+def _pq_query_lut(query_vec: str, sub: int) -> Column:
+    """The classic ADC lookup table, per query: partial dot products of
+    each query subvector against every codeword — m x n_codes doubles
+    computed ONCE per query (not per candidate pair). Pair scoring then
+    reduces to m array lookups + adds."""
+    qv = F.col(query_vec)
+    return F.transform(
+        F.col("_cb"),
+        lambda cbj, j: F.transform(
+            cbj,
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * sub + 1, sub),
+                    cw,
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+    )
+
+
+def _pq_adc() -> Column:
+    """ADC score from the per-query LUT: sum_j lut[j][codes[j]] — fold
+    order over j matches the former inline form, so scores are
+    bit-identical to scoring against the codebook directly."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("_lut"), lambda c, lj: F.element_at(lj, c + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s,
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -416,32 +538,19 @@ def pq_encode(
     concatenation of chosen codewords; scoring against it never touches
     the original vector (Jégou et al., TPAMI'11 — public PQ/ADC method).
 
-    Codewords are argmin-by-L2 per subspace, computed with nested HOFs
-    over ONE codebook literal (plan size independent of m * n_codes,
-    same staging lesson as plane_dots/ivf). Adds a ``codes`` column.
+    The codebook travels as broadcast DATA (:func:`_codebook_row`), not
+    as plan literals: a 1-row BroadcastHashJoin delivers it to every
+    executor and the argmin HOF references the joined column. Adds a
+    ``codes`` column.
     """
-    m = len(codebooks)
     sub = len(codebooks[0][0])
-    cb = F.lit(codebooks)  # array<array<array<double>>> literal
-    v = F.col(vec_col)
-
-    def code_for(j: Column) -> Column:
-        subvec = F.slice(v, j * sub + 1, sub)
-        dists = F.transform(
-            F.element_at(cb, j + 1),
-            lambda cw, c: F.struct(
-                F.aggregate(
-                    F.zip_with(subvec, cw, lambda x, y: (x.cast("double") - y) ** 2),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ).alias("d"),
-                c.alias("c"),
-            ),
-        )
-        return F.array_sort(dists)[0]["c"].cast("int")
-
-    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
-    return corpus.withColumn("codes", codes)
+    cb_row = _codebook_row(corpus.sparkSession, codebooks)
+    return (
+        corpus.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cb_row), "_one")
+        .withColumn("codes", _pq_codes(vec_col, sub))
+        .drop("_one", "_cb", "_cwsq")
+    )
 
 
 def train_pq_codebooks(
@@ -581,6 +690,11 @@ def pq_cosine_topk(
     subvectors — deterministic stand-in for k-means training, same plan
     shape as trained codebooks.
 
+    The codebook is broadcast DATA (:func:`_codebook_row`), and each
+    query precomputes the classic ADC lookup table
+    (:func:`_pq_query_lut`) — pair scoring is m table lookups, and the
+    plan carries no codebook literals (the round-4 compile-cost fix).
+
     ``rerank=r`` adds the standard second stage: shortlist ``r*k`` by
     ADC, then score ONLY the shortlist exactly (one semi-join back to
     the full-precision vectors — touches r*k*|Q| vectors, not the
@@ -611,54 +725,23 @@ def pq_cosine_topk(
             [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in seeds]
             for j in range(m)
         ]
-    cb = F.lit(codebooks)
-    encoded = pq_encode(corpus, codebooks, corpus_vec).select(
-        corpus_id,
-        "codes",
-        # reconstructed norm: ||concat_j codebook[j][codes[j]]|| — pure
-        # code-table math, no original vector at scoring time
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda c, j: F.aggregate(
-                        F.transform(
-                            F.element_at(F.element_at(cb, j + 1), c + 1),
-                            lambda x: x * x,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s,
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s,
-            )
-        ).alias("_rn"),
+    cb_row = _codebook_row(corpus.sparkSession, codebooks)
+    encoded = (
+        corpus.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cb_row), "_one")
+        .withColumn("codes", _pq_codes(corpus_vec, sub))
+        .select("_one", corpus_id, "codes", _pq_recon_norm().alias("_rn"))
     )
     q = _with_norm(queries, query_vec, "_qn")
-    qv = F.col(query_vec)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.aggregate(
-                F.zip_with(
-                    F.slice(qv, j * sub + 1, sub),
-                    F.element_at(F.element_at(cb, j + 1), c + 1),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, s: acc + s,
+    q_lut = (
+        q.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cb_row), "_one")
+        .select("_one", query_id, "_qn", _pq_query_lut(query_vec, sub).alias("_lut"))
     )
-    scored = encoded.join(F.broadcast(q)).select(
+    scored = encoded.join(F.broadcast(q_lut), "_one").select(
         query_id,
         F.col(corpus_id),
-        (adc / (F.col("_rn") * F.col("_qn"))).alias("score"),
+        (_pq_adc() / (F.col("_rn") * F.col("_qn"))).alias("score"),
     )
 
     def topk(df: DataFrame, n: int) -> DataFrame:
@@ -729,12 +812,12 @@ def ivf_pq_cosine_topk(
         .collect()
     )
     centroids = [list(map(float, r["_c"])) for r in cseeds]
-    cmat = F.lit(centroids)
-    cnorms = F.lit([float(_norm(c)) for c in centroids])
 
     def top_cells(vec: str, n: int) -> Column:
+        # HOFs over the joined _cent/_cnorm COLUMNS (broadcast data, not
+        # plan literals — same compile-cost fix as the PQ codebook)
         dots = F.transform(
-            cmat,
+            F.col("_cent"),
             lambda c: F.aggregate(
                 F.zip_with(F.col(vec), c, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
@@ -742,7 +825,7 @@ def ivf_pq_cosine_topk(
             ),
         )
         pairs = F.transform(
-            F.zip_with(dots, cnorms, lambda s, n_: s / n_),
+            F.zip_with(dots, F.col("_cnorm"), lambda s, n_: s / n_),
             lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
         )
         return F.slice(F.array_sort(pairs), 1, n)["cell"]
@@ -759,54 +842,33 @@ def ivf_pq_cosine_topk(
         [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in pseeds]
         for j in range(m)
     ]
-    cb = F.lit(codebooks)
-    encoded = pq_encode(corpus, codebooks, corpus_vec).select(
-        corpus_id,
-        "codes",
-        top_cells(corpus_vec, 1)[0].alias("_cell"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda c, j: F.aggregate(
-                        F.transform(
-                            F.element_at(F.element_at(cb, j + 1), c + 1),
-                            lambda x: x * x,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s,
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, s: acc + s,
-            )
-        ).alias("_rn"),
+    cb_row = _codebook_row(corpus.sparkSession, codebooks, centroids=centroids)
+    encoded = (
+        corpus.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cb_row), "_one")
+        .withColumn("codes", _pq_codes(corpus_vec, sub))
+        .select(
+            corpus_id,
+            "codes",
+            top_cells(corpus_vec, 1)[0].alias("_cell"),
+            _pq_recon_norm().alias("_rn"),
+        )
     )
-    probes = _with_norm(queries, query_vec, "_qn").withColumn(
-        "_cell", F.explode(top_cells(query_vec, n_probe))
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.aggregate(
-                F.zip_with(
-                    F.slice(F.col(query_vec), j * sub + 1, sub),
-                    F.element_at(F.element_at(cb, j + 1), c + 1),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, s: acc + s,
+    probes = (
+        _with_norm(queries, query_vec, "_qn")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(cb_row), "_one")
+        .select(
+            query_id,
+            "_qn",
+            _pq_query_lut(query_vec, sub).alias("_lut"),
+            F.explode(top_cells(query_vec, n_probe)).alias("_cell"),
+        )
     )
     scored = encoded.join(F.broadcast(probes), "_cell").select(
         query_id,
         F.col(corpus_id),
-        (adc / (F.col("_rn") * F.col("_qn"))).alias("score"),
+        (_pq_adc() / (F.col("_rn") * F.col("_qn"))).alias("score"),
     )
 
     def topk(df: DataFrame, n: int) -> DataFrame:

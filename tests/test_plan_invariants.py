@@ -17,6 +17,11 @@ ALLOWED_NESTED_LOOP = {
     "embedding_near_dup",
     "cosine_topk_exact",  # deliberate broadcast cross join: corpus x |Q| queries
     "ann_cosine_topk_pq",  # same shape: PQ code table x broadcast queries (ADC)
+    # 1-row codebook-delivery joins (codebook as broadcast DATA, not plan
+    # literals): the join key is a foldable constant, so Spark plans the
+    # 1-row broadcast as BNLJ — the candidate join itself is still the
+    # equi BHJ on the cell id.
+    "ann_cosine_topk_ivfpq",
     "label_best_match",  # label-blocked pair join (non-equi residual)
     "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
 }
