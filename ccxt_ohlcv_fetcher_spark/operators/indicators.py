@@ -79,3 +79,52 @@ def candle_indicator_frame(
         }
     )
     return out.drop("_s", "_ss", "_n", "_diff", "_peak", "_gain", "_loss")
+
+
+def ema_fold(
+    candles: DataFrame,
+    keys: tuple[str, ...] = ("exchange", "symbol"),
+    close_col: str = "close",
+    order_col: str = "timestamp",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponential moving average — the one indicator a plain
+    window frame cannot express (weights decay over the whole history).
+
+    Shape: ONE shuffle (groupBy keys -> collect_list), then a row-local
+    prefix LEFT FOLD of ``E = alpha*x + (1-alpha)*E`` per output row.
+    Both Spark's ``aggregate`` and DuckDB's ``list_reduce`` fold
+    sequentially left-to-right, so the float trajectory is bit-identical
+    across engines (no pow(), whose libm rounding could differ).
+
+    O(n^2) per key but parallel ACROSS keys — the per-series length n is
+    bounded by the key's own history (per-(exchange,symbol) candles),
+    never by corpus size, so the shape survives adding symbols (how a
+    candle store grows at 100 TB). For a single key with unbounded
+    history, slice the prefix to a truncation window W before folding:
+    (1-alpha)^W underflows a double's ulp at W≈128 for alpha=0.25 —
+    numerically exact, but no longer bit-pinnable against a full-prefix
+    oracle, so it is a documented option rather than the default.
+    """
+    a, b = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    item = F.struct(
+        F.col(order_col).alias("o"), F.col(close_col).cast("double").alias("c")
+    )
+    series = candles.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(item)).alias("_s")
+    )
+    rows = series.select(*keys, F.posexplode("_s").alias("_i", "_row"), "_s")
+    prefix = F.transform(
+        F.slice(F.col("_s"), 1, F.col("_i") + 1), lambda r: r["c"]
+    )
+    ema = F.aggregate(
+        prefix,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(a * x + b * acc),
+    )
+    return rows.select(
+        *keys,
+        F.col("_row.o").alias(order_col),
+        F.col("_row.c").alias(close_col),
+        ema.alias("ema"),
+    )

@@ -182,68 +182,53 @@ def candle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candle_ema",
     oracle=f"""
     WITH c AS (
-      SELECT {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
              arg_max(value, ts) AS close
-      FROM events GROUP BY 1
+      FROM events GROUP BY 1, 2
     ),
     s AS (
-      SELECT list(close ORDER BY bucket_ms) AS closes,
+      SELECT event_type,
+             list(close ORDER BY bucket_ms) AS closes,
              list(bucket_ms ORDER BY bucket_ms) AS buckets
-      FROM c
+      FROM c GROUP BY event_type
     ),
     e AS (
-      SELECT unnest(buckets) AS bucket_ms,
+      SELECT event_type,
+             unnest(buckets) AS bucket_ms,
              unnest(range(1, len(closes) + 1)) AS t,
              closes
       FROM s
     )
-    SELECT bucket_ms,
+    SELECT event_type,
+           bucket_ms,
            closes[t] AS close,
            list_reduce(closes[1:t], (acc, x) -> 0.25 * x + 0.75 * acc)
              AS ema
     FROM e
     """,
-    doc="Exponential moving average (op E20 family; the one indicator a "
-    "plain window frame cannot express — EMA weights decay over the "
-    "whole history). Formulation: per-series collect_list + per-row "
-    "LEFT FOLD of the recurrence E = a*x + (1-a)*E over the prefix "
-    "array — both engines fold sequentially left-to-right, so the "
-    "float trajectory is bit-identical (no pow(), whose libm rounding "
-    "could differ). O(n^2) per series but row-local after ONE shuffle; "
-    "the keyed production form bounds n per (exchange,symbol) series. "
-    "A recursive-CTE EMA would cost one scheduled job per step "
-    "(ROUND_NOTES: ~0.3 s each) — the array fold is the Spark-shaped "
-    "answer.",
+    doc="Per-series exponential moving average (op E20 family; "
+    "operators/indicators.py:ema_fold — the keyed production form): "
+    "one candle series per event_type, EMA as a per-row LEFT FOLD of "
+    "E = a*x + (1-a)*E over the prefix array. Both engines fold "
+    "left-to-right, so the float trajectory is bit-identical. O(n^2) "
+    "per key but parallel across keys and row-local after ONE shuffle "
+    "— n is bounded by a key's own history, never corpus size, so the "
+    "shape survives adding symbols. A recursive-CTE EMA would cost one "
+    "scheduled job per step (ROUND_NOTES: ~0.3 s each) — the keyed "
+    "array fold is the Spark-shaped answer.",
     tags=("E20", "E25"),
 )
 def candle_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.indicators import ema_fold
+
     events = load_table(spark, sf_dir, "events")
-    candles = resample_ohlcv(events, "1h", ts_col="ts", price_col="value").select(
-        ms("bucket_ts").alias("bucket_ms"), "close"
-    )
-    series = candles.groupBy().agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("bucket_ms").alias("b"), F.col("close").alias("c")))
-        ).alias("_s")
-    )
-    rows = series.select(
-        F.posexplode(F.col("_s")).alias("_i", "_row"), F.col("_s")
-    )
-    prefix = F.transform(
-        F.slice(F.col("_s"), 1, F.col("_i") + 1), lambda r: r["c"]
-    )
-    ema = F.aggregate(
-        prefix,
-        F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x).otherwise(
-            F.lit(0.25) * x + F.lit(0.75) * acc
-        ),
-    )
-    return rows.select(
-        F.col("_row.b").alias("bucket_ms"),
-        F.col("_row.c").alias("close"),
-        ema.alias("ema"),
-    )
+    candles = resample_ohlcv(
+        events, "1h", ts_col="ts", price_col="value", keys=("event_type",)
+    ).select("event_type", ms("bucket_ts").alias("bucket_ms"), "close")
+    return ema_fold(
+        candles, keys=("event_type",), close_col="close", order_col="bucket_ms"
+    ).select("event_type", "bucket_ms", "close", "ema")
 
 
 @register(
