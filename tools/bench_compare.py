@@ -16,11 +16,30 @@ import sys
 FLOOR_SECS = 0.3
 
 
+def load_queries(path: str) -> dict[str, float]:
+    """Per-query seconds from either bench format: bench.py's own JSON
+    line ({"queries": ...}) or the driver's BENCH_r{N}.json wrapper
+    ({"parsed": {bench line}, "tail": "<raw stdout>"})."""
+    doc = json.load(open(path))
+    if "queries" in doc:
+        return doc["queries"]
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed["queries"]
+    for line in reversed(doc.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            cand = json.loads(line)
+            if "queries" in cand:
+                return cand["queries"]
+    raise SystemExit(f"{path}: no per-query timings found")
+
+
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old = load_queries(old_path)
+    new = load_queries(new_path)
 
     regressions, improvements = [], []
     for name, t_new in sorted(new.items()):
