@@ -389,6 +389,7 @@ def connected_components(
     labels = (
         und.select(F.col("_s").alias("_n")).distinct().withColumn("comp", F.col("_n"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["_d"] == labels["_n"])
@@ -427,6 +428,17 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if not changed:
             break
+    else:
+        if changed:
+            # exhausting max_iter with labels still moving means the
+            # returned components are PARTIAL (possible for long chains
+            # without pointer_jumping) — callers must not treat them as
+            # a converged closure
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing); raise max_iter or use "
+                "pointer_jumping=True for long chain-shaped components"
+            )
     # no broadcast hint: the label table is |docs in any dup pair| —
     # usually tiny (stats/AQE will broadcast it), but unbounded in
     # principle, so the choice stays with the optimizer

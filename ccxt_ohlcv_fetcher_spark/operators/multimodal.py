@@ -46,14 +46,15 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+FEATURE_FIELDS = (
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("head_byte", T.IntegerType(), True),
+    T.StructField("checksum", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+)
+
 FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("head_byte", T.IntegerType(), True),
-        T.StructField("checksum", T.LongType(), True),
-        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
-    ]
+    [T.StructField("media_id", T.LongType(), False), *FEATURE_FIELDS]
 )
 
 
@@ -117,18 +118,31 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         return out
     if b[:2] == b"\xff\xd8":
         # JPEG: walk the marker stream to the first SOFn frame header
-        # (C0-CF excluding C4/C8/CC which are tables, not frames)
+        # (C0-CF excluding C4/C8/CC which are tables, not frames).
+        # Markers may be preceded by any number of 0xFF fill bytes
+        # (ISO 10918-1 B.1.1.2); the walk must stop at SOS/EOI because
+        # entropy-coded data is not marker-structured.
         i = 2
-        while i + 9 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 i += 1
                 continue
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1  # legal fill bytes before the marker
+            if i + 2 > len(b):
+                break
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length field
                 continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS
+                break
+            if i + 4 > len(b):
+                break
             (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(b):
+                    break
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 out["container"] = "jpeg"
                 out["width"], out["height"] = w, h
@@ -300,12 +314,19 @@ def _stub_features(payload: bytes, dim: int) -> list[float]:
     return [payload[i % len(payload)] / 255.0 for i in range(dim)]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = 8, id_cols: tuple[str, ...] = ("media_id",)
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` streams columnar batches through Python; the kernel
     is vectorizable per batch (real decoders would release the GIL /
     use native code). Output is a stable, declared schema.
+
+    ``id_cols`` pass through the kernel untouched — compound keys (e.g.
+    ``(media_id, frame_idx)`` in a frame pipeline) stay separate typed
+    columns instead of being packed into one integer, which would
+    silently collide once the packed range overflows.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -325,17 +346,20 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             sums = np.add.reduceat(blob, starts) if len(safe) else np.zeros(0, np.int64)
             checksum = np.where(lens > 0, sums, 0) % 2_147_483_647
             head = np.where(lens > 0, blob[starts], -1)
-            yield pd.DataFrame(
+            out = {c: pdf[c] for c in id_cols}
+            out.update(
                 {
-                    "media_id": pdf["media_id"],
                     "n_bytes": lens,
                     "head_byte": head.astype(np.int32),
                     "checksum": checksum,
                     "feature": [_stub_features(b, dim) for b in safe],
                 }
             )
+            yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+    key_fields = [media.schema[c] for c in id_cols]
+    schema = T.StructType(key_fields + list(FEATURE_FIELDS))
+    return media.select(*id_cols, "payload").mapInPandas(kernel, schema)
 
 
 def media_from_documents(documents: DataFrame) -> DataFrame:

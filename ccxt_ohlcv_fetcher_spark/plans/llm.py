@@ -1238,19 +1238,11 @@ def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames(media, every_ms=100, frame_bytes=64)
     feats = extract_features(
-        frames.select(
-            # frame keyed by a synthetic id so the kernel stays reusable;
-            # media_id recovered afterwards by integer division
-            (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
-            F.col("frame").alias("payload"),
-        )
+        frames.select("media_id", "frame_idx", F.col("frame").alias("payload")),
+        id_cols=("media_id", "frame_idx"),
     )
     return (
-        feats.select(
-            (F.col("media_id") / 1000).cast("long").alias("media_id"),
-            "n_bytes",
-            "checksum",
-        )
+        feats.select("media_id", "n_bytes", "checksum")
         .groupBy("media_id")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),

@@ -217,6 +217,17 @@ def test_decode_media_parses_real_headers():
     mp3 = decode_media(b"ID3\x04\x00\x00\x00\x00\x02\x01" + b"\x00" * 20)
     assert mp3["container"] == "mp3"
 
+    # 0xFF fill bytes before a marker are legal padding (ISO 10918-1
+    # B.1.1.2) — the walk must skip them, not read a length from them
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    padded = decode_media(b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof + b"\x03" + b"\x00" * 12)
+    assert (padded["width"], padded["height"]) == (80, 120)
+    # SOS before any SOF: entropy-coded data is not marker-structured,
+    # so the walk must stop there and reject, not scan into the scan data
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x3f\x00\x00"
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8" + sos + b"\xff\xc0\x00\x00" * 4)
+
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG")  # truncated magic, no IHDR
     with pytest.raises(ValueError):
@@ -498,11 +509,10 @@ def test_pointer_jumping_collapses_long_paths(spark):
         nodes, edges, max_iter=12, pointer_jumping=True
     ).collect()
     assert all(r["comp"] == 0 for r in jumped), "pointer jumping didn't converge"
-    plain = connected_components(nodes, edges, max_iter=12).collect()
-    assert any(r["comp"] != 0 for r in plain), (
-        "plain propagation unexpectedly converged in 12 rounds — the "
-        "pointer-jumping variant would be pointless"
-    )
+    # plain propagation provably can't converge in 12 rounds on a
+    # 64-path — exhausting max_iter must RAISE, not return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=12).collect()
 
 
 def test_persisted_ann_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
