@@ -85,6 +85,10 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         "duration_ms": None,
         "channels": None,
         "sample_rate": None,
+        "title": None,
+        "artist": None,
+        "album": None,
+        "year": None,
     }
     if b.startswith(_PNG_MAGIC):
         # PNG: 8-byte magic, then chunks of (len, type, data, crc32).
@@ -151,12 +155,51 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         raise ValueError("JPEG has no SOF frame header")
     if b[:3] == b"ID3" and len(b) >= 10:
         # MP3 with an ID3v2 envelope: header = "ID3" + version(2) +
-        # flags(1) + 4-byte syncsafe tag size (7 bits per byte). Audio
-        # duration needs frame-by-frame parsing (out of header scope) —
-        # report the container + tag size as metadata presence.
+        # flags(1) + 4-byte syncsafe tag size (7 bits per byte). Text
+        # frames (TIT2/TPE1/TALB/TYER/TDRC, informal standard id3.org
+        # id3v2.3/2.4) parse into typed tag fields; a trailing ID3v1
+        # block fills any gaps. Audio duration needs frame-by-frame
+        # parsing (out of header scope).
         if any(x & 0x80 for x in b[6:10]):
             raise ValueError("ID3v2 size bytes must be syncsafe")
         out["container"] = "mp3"
+        version = b[3]
+        tag_size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        region = b[10 : 10 + tag_size]
+        field_map = {
+            b"TIT2": "title",
+            b"TPE1": "artist",
+            b"TALB": "album",
+            b"TYER": "year",
+            b"TDRC": "year",  # v2.4 renamed TYER
+        }
+        i = 0
+        while i + 10 <= len(region):
+            fid = region[i : i + 4]
+            if fid[0] == 0:  # zero padding ends the frame list
+                break
+            size_bytes = region[i + 4 : i + 8]
+            if version >= 4:
+                if any(x & 0x80 for x in size_bytes):
+                    break  # malformed v2.4 size: stop, keep parsed tags
+                fsize = (
+                    (size_bytes[0] << 21)
+                    | (size_bytes[1] << 14)
+                    | (size_bytes[2] << 7)
+                    | size_bytes[3]
+                )
+            else:
+                (fsize,) = struct.unpack(">I", size_bytes)
+            if fsize <= 0 or i + 10 + fsize > len(region):
+                break
+            key = field_map.get(fid)
+            data = region[i + 10 : i + 10 + fsize]
+            if key is not None and len(data) >= 1:
+                txt = _decode_id3_text(data[0], data[1:])
+                if txt:
+                    out[key] = txt
+            i += 10 + fsize
+        _fill_from_id3v1(b, out)
         return out
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         # WAV: chunk walk for fmt (channels, sample rate, byte rate)
@@ -182,6 +225,82 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
             out["duration_ms"] = int(data_size * 1000 // byte_rate)
         return out
     raise ValueError(f"unrecognized container (magic {b[:4]!r})")
+
+
+def _decode_id3_text(enc: int, raw: bytes) -> str | None:
+    """ID3v2 text-frame payload: 1 encoding byte then the string
+    (0 latin-1, 1 utf-16 w/BOM, 2 utf-16be, 3 utf-8). Undecodable or
+    unknown-encoding data degrades to None, never an exception."""
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}.get(enc)
+    if codec is None:
+        return None
+    try:
+        return raw.decode(codec).rstrip("\x00") or None
+    except UnicodeDecodeError:
+        return None
+
+
+def _fill_from_id3v1(b: bytes, out: dict) -> None:
+    """ID3v1: a fixed-layout 128-byte trailer ("TAG" + title[30] +
+    artist[30] + album[30] + year[4] + comment[30] + genre[1]).
+    Fills only fields ID3v2 frames did not already set (v2 wins —
+    it is the richer, better-specified block)."""
+    if len(b) < 128 or b[-128:-125] != b"TAG":
+        return
+    t = b[-128:]
+    for key, lo, n in (
+        ("title", 3, 30),
+        ("artist", 33, 30),
+        ("album", 63, 30),
+        ("year", 93, 4),
+    ):
+        if out.get(key) is None:
+            val = t[lo : lo + n].decode("latin-1", "replace").rstrip("\x00 ")
+            out[key] = val or None
+
+
+def encode_id3v2_mp3(
+    title: str | None = None,
+    artist: str | None = None,
+    album: str | None = None,
+    year: str | None = None,
+    id3v1_trailer: bool = False,
+) -> bytes:
+    """Minimal spec-valid MP3 metadata envelope: an ID3v2.3 tag with
+    latin-1 text frames (optionally plus an ID3v1 trailer). Used to
+    synthesize audio payloads with parseable tags in tests and the
+    ``multimodal_probe`` fixture (no audio libs in this container)."""
+    frames = b""
+    for fid, val in (
+        (b"TIT2", title),
+        (b"TPE1", artist),
+        (b"TALB", album),
+        (b"TYER", year),
+    ):
+        if val is None:
+            continue
+        data = b"\x00" + val.encode("latin-1")
+        frames += fid + struct.pack(">I", len(data)) + b"\x00\x00" + data
+    size = len(frames)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    payload = b"ID3\x03\x00\x00" + syncsafe + frames
+    if id3v1_trailer:
+
+        def field(s: str | None, n: int) -> bytes:
+            return (s or "").encode("latin-1")[:n].ljust(n, b"\x00")
+
+        payload += (
+            b"TAG"
+            + field(title, 30)
+            + field(artist, 30)
+            + field(album, 30)
+            + field(year, 4)
+            + b"\x00" * 30
+            + b"\xff"  # genre: none
+        )
+    return payload
 
 
 def encode_minimal_png(width: int, height: int) -> bytes:
@@ -221,8 +340,17 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("year", T.StringType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
+)
+
+_PROBE_FIELDS = (
+    "container", "width", "height", "duration_ms",
+    "channels", "sample_rate", "title", "artist", "album", "year",
 )
 
 
@@ -245,17 +373,10 @@ def probe_media(media: DataFrame) -> DataFrame:
                     d = decode_media(payload)
                     err = None
                 except ValueError as e:
-                    d = dict.fromkeys(
-                        ("container", "width", "height", "duration_ms",
-                         "channels", "sample_rate")
-                    )
+                    d = dict.fromkeys(_PROBE_FIELDS)
                     err = str(e)
-                rows["container"].append(d["container"])
-                rows["width"].append(d["width"])
-                rows["height"].append(d["height"])
-                rows["duration_ms"].append(d["duration_ms"])
-                rows["channels"].append(d["channels"])
-                rows["sample_rate"].append(d["sample_rate"])
+                for f in _PROBE_FIELDS:
+                    rows[f].append(d[f])
                 rows["decode_error"].append(err)
             yield pd.DataFrame(rows).astype(
                 {
@@ -272,19 +393,36 @@ def probe_media(media: DataFrame) -> DataFrame:
 
 def typed_media_from_documents(documents: DataFrame) -> DataFrame:
     """Synthesize REAL container payloads from the documents fixture:
-    even doc_ids become PNGs (width = n_chars, height = 1 + n_chars mod
-    7), odd become WAVs (n_chars samples at 8 kHz mono). The bytes are
-    spec-valid (correct magics, CRCs, chunk sizes), so the
-    encode -> ``probe_media`` decode round-trip exercises the real
-    parser and is DuckDB-oracle-checkable from the encoding rule."""
+    doc_id % 8 == 1 becomes a tagged MP3 (ID3v2.3 frames + ID3v1
+    trailer, tag values derived from doc fields), other even doc_ids
+    become PNGs (width = n_chars, height = 1 + n_chars mod 7), other
+    odd become WAVs (n_chars samples at 8 kHz mono). The bytes are
+    spec-valid (correct magics, CRCs, chunk sizes, syncsafe tag sizes),
+    so the encode -> ``probe_media`` decode round-trip exercises the
+    real parser and is DuckDB-oracle-checkable from the encoding rule."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             kinds = []
-            for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
+            for did, n, lang, source in zip(
+                pdf["doc_id"], pdf["n_chars"], pdf["lang"], pdf["source"]
+            ):
                 n = int(n)
-                if did % 2 == 0:
+                if did % 8 == 1:
+                    # tagged MP3: metadata derived from doc fields so the
+                    # oracle can re-derive every tag value
+                    payloads.append(
+                        encode_id3v2_mp3(
+                            title=f"doc-{did}",
+                            artist=lang,
+                            album=source,
+                            year=str(1970 + did % 50),
+                            id3v1_trailer=True,
+                        )
+                    )
+                    kinds.append("audio")
+                elif did % 2 == 0:
                     payloads.append(encode_minimal_png(n, 1 + n % 7))
                     kinds.append("image")
                 else:
@@ -294,7 +432,7 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads, "kind": kinds}
             )
 
-    return documents.select("doc_id", "n_chars").mapInPandas(
+    return documents.select("doc_id", "n_chars", "lang", "source").mapInPandas(
         kernel,
         T.StructType(
             [

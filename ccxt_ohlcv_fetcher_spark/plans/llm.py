@@ -1138,23 +1138,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_probe",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
+           CASE WHEN doc_id % 8 = 1 THEN 'mp3'
+                WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
            CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS INT) END AS width,
            CASE WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 7 AS INT) END AS height,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(n_chars * 2 * 1000 // 16000 AS BIGINT)
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 != 1
+                THEN CAST(n_chars * 2 * 1000 // 16000 AS BIGINT)
            END AS duration_ms,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS INT) END AS channels,
-           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 != 1
+                THEN CAST(1 AS INT) END AS channels,
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 != 1
+                THEN CAST(8000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 8 = 1 THEN 'doc-' || doc_id END AS title,
+           CASE WHEN doc_id % 8 = 1 THEN lang END AS artist,
+           CASE WHEN doc_id % 8 = 1 THEN source END AS album,
+           CASE WHEN doc_id % 8 = 1
+                THEN CAST(1970 + doc_id % 50 AS VARCHAR) END AS year
     FROM documents
     """,
     doc="Multimodal header decode (op E37, REAL path): spec-valid PNG / "
-    "RIFF-WAV payloads are synthesized from the documents fixture "
-    "(correct magics, CRC32-checked IHDR, chunked RIFF), then "
-    "probe_media parses them back — pure-Python container parsing in an "
+    "RIFF-WAV / ID3-tagged MP3 payloads are synthesized from the "
+    "documents fixture (correct magics, CRC32-checked IHDR, chunked "
+    "RIFF, syncsafe ID3v2.3 frames + ID3v1 trailer), then probe_media "
+    "parses them back — pure-Python container parsing in an "
     "Arrow-batched mapInPandas, malformed bytes degrade to an error "
-    "column, never a task failure. The oracle re-derives the metadata "
-    "from the encoding rule, so the encode->decode round-trip is "
-    "value-checked end to end.",
+    "column, never a task failure. The oracle re-derives every metadata "
+    "AND tag field from the encoding rule, so the encode->decode "
+    "round-trip is value-checked end to end.",
     tags=("E37",),
 )
 def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,6 +1178,7 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_media(media).select(
         "media_id", "container", "width", "height",
         "duration_ms", "channels", "sample_rate",
+        "title", "artist", "album", "year",
     )
 
 

@@ -216,6 +216,38 @@ def test_decode_media_parses_real_headers():
 
     mp3 = decode_media(b"ID3\x04\x00\x00\x00\x00\x02\x01" + b"\x00" * 20)
     assert mp3["container"] == "mp3"
+    assert mp3["title"] is None  # no frames, no trailer
+
+    # ID3v2.3 text frames parse into typed tag fields
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import encode_id3v2_mp3
+
+    tagged = decode_media(
+        encode_id3v2_mp3(title="Song", artist="Band", album="LP", year="1999")
+    )
+    assert (tagged["title"], tagged["artist"], tagged["album"], tagged["year"]) == (
+        "Song", "Band", "LP", "1999"
+    )
+    # ID3v1 trailer fills fields v2 frames did not set
+    v1_only = decode_media(
+        encode_id3v2_mp3(title="OnlyTitle")
+        + b"TAG" + b"\x00" * 30 + b"Tailer".ljust(30, b"\x00")
+        + b"\x00" * 30 + b"2001" + b"\x00" * 30 + b"\xff"
+    )
+    assert v1_only["title"] == "OnlyTitle"  # v2 wins
+    assert v1_only["artist"] == "Tailer" and v1_only["year"] == "2001"
+    # ID3v2.4 syncsafe frame sizes + utf-8 encoding byte
+    data = b"\x03" + "naïve".encode("utf-8")
+    frame = b"TIT2" + bytes([0, 0, 0, len(data)]) + b"\x00\x00" + data
+    size = len(frame)
+    v24 = (
+        b"ID3\x04\x00\x00"
+        + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F])
+        + frame
+    )
+    assert decode_media(v24)["title"] == "naïve"
+    # truncated/garbage frame region degrades to container-only, no raise
+    junk = decode_media(b"ID3\x03\x00\x00\x00\x00\x00\x7f" + b"\xde\xad\xbe\xef" * 8)
+    assert junk["container"] == "mp3" and junk["title"] is None
 
     # 0xFF fill bytes before a marker are legal padding (ISO 10918-1
     # B.1.1.2) — the walk must skip them, not read a length from them
