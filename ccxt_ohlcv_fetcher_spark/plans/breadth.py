@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ccxt_ohlcv_fetcher_spark.plans.registry import register
+from ccxt_ohlcv_fetcher_spark.plans.registry import register, sql_ms
 from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
 
 
@@ -291,6 +291,104 @@ def order_datetime_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame
         F.weekofyear(d).alias("woy"),
         F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+    )
+
+
+@register(
+    "order_interval_arithmetic",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_ms("o_orderdate + to_months(CAST(o_orderkey % 3 AS INT)) "
+                   "+ to_days(CAST(o_orderkey % 10 AS INT)) + to_hours(12)")}
+             AS due_ms,
+           {sql_ms("o_orderdate - to_years(1)")} AS year_ago_ms,
+           {sql_ms("o_orderdate + to_hours(36) + to_minutes(30)")} AS plus36h_ms
+    FROM orders
+    """,
+    doc="Interval arithmetic (op R15, SURVEY §1.5/§2.8 tail — the "
+    "reference's relativedelta calendar math, ccxt-ohlcv-fetch.py:"
+    "159-162): make_interval with DATA-DEPENDENT month/day amounts "
+    "(calendar intervals clamp to month end in both engines), a "
+    "year-month subtraction, and a make_dt_interval fixed-duration "
+    "add. All row-local codegen; outputs epoch-ms bigints per the "
+    "exactness discipline.",
+    tags=("R15",),
+)
+def order_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    zero = F.lit(0)
+    due = ts + F.make_interval(
+        zero,
+        (F.col("o_orderkey") % 3).cast("int"),
+        zero,
+        (F.col("o_orderkey") % 10).cast("int"),
+        F.lit(12),
+        zero,
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.unix_millis(due).alias("due_ms"),
+        F.unix_millis(ts - F.make_interval(F.lit(1))).alias("year_ago_ms"),
+        F.unix_millis(
+            ts + F.make_dt_interval(zero, F.lit(36), F.lit(30))
+        ).alias("plus36h_ms"),
+    )
+
+
+@register(
+    "doc_sentences_locale",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '? ' || substr(text, 41, 80) || '? '
+               || substr(text, 121) AS st
+      FROM documents WHERE n_chars >= 200
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(st, '? '),
+               seg -> list_filter(string_split(trim(seg), ' '), w -> w != '')
+             ) AS sents
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS INT) AS n_sentences,
+           CAST(len(sents[1]) AS INT) AS n_first,
+           CAST(len(flatten(sents)) AS INT) AS n_words,
+           sents[1][1] AS first_word,
+           sents[-1][-1] AS last_word
+    FROM s
+    """,
+    doc="Locale-aware sentence segmentation (op R14/E36 tail): "
+    "sentences(str, 'en', 'US') — java.text.BreakIterator under the "
+    "hood — over deterministic synthesized sentence boundaries (the "
+    "fixture text is punctuation-free, so '? ' boundaries are injected "
+    "at fixed offsets both engines replicate; '.' is NOT used because "
+    "BreakIterator only breaks on it before an uppercase start). Checks the nested "
+    "array<array<string>> shape end to end: per-sentence word lists, "
+    "flatten, negative indexing.",
+    tags=("R14", "E36"),
+)
+def doc_sentences_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    st = F.concat(
+        F.substring("text", 1, 40),
+        F.lit("? "),
+        F.substring("text", 41, 80),
+        F.lit("? "),
+        F.expr("substring(text, 121)"),
+    )
+    s = F.sentences(st, F.lit("en"), F.lit("US"))
+    return docs.select(
+        "doc_id",
+        F.size(s).alias("n_sentences"),
+        F.size(F.element_at(s, 1)).alias("n_first"),
+        F.size(F.flatten(s)).alias("n_words"),
+        F.element_at(F.element_at(s, 1), 1).alias("first_word"),
+        F.element_at(F.element_at(s, -1), -1).alias("last_word"),
     )
 
 
