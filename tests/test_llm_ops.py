@@ -502,6 +502,69 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
     assert trained == again
 
 
+def _clustered_embeddings(n=512, dim=64, n_clusters=2, noise=0.2):
+    """Deterministic mixture-of-Gaussians fixture with BLOCK cluster
+    assignment (i // (n/n_clusters)): vec ids correlate with content —
+    the realistic crawl-order shape — so the lowest-id PQ seeds all come
+    from ONE cluster. This is exactly the seed bias codebook TRAINING
+    exists to fix (k-means redistributes codewords over the data the
+    seeds missed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(2026)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    per = n // n_clusters
+    rows = []
+    for i in range(n):
+        v = centers[i // per] + noise * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_pq_training_lifts_recall_on_clustered_fixture(spark):
+    """Where PQ codebook training pays, measured: on the isotropic sf
+    embeddings fixture training reduces quantization error but NOT
+    recall (PERFORMANCE.md §7's negative result). On a clustered corpus
+    whose ids correlate with content (block-assigned mixture — the
+    crawl-order shape), lowest-id seeds cover only the first cluster
+    and raw-ADC recall collapses for the rest; 3 Lloyd iterations
+    redistribute codewords and lift recall (measured 0.30 -> 0.42 at
+    rerank=0). Sweep note: when codes ~= clusters and seeds are well
+    spread, training can even COST recall by collapsing intra-cluster
+    resolution into identical codes — the lift is specifically a
+    seed-bias fix, not a universal win."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
+
+    emb = spark.createDataFrame(
+        _clustered_embeddings(), "vec_id long, embedding array<double>"
+    )
+    # queries spread across the id range -> both clusters probed
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(train_iters):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_cosine_topk(
+                emb, queries, k=5, dim=64, m=8, n_codes=16,
+                rerank=0, train_iters=train_iters,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_untrained, r_trained = recall(0), recall(3)
+    assert r_trained > r_untrained + 0.05, (
+        f"training did not lift recall on the biased-seed clustered "
+        f"fixture: {r_untrained:.3f} -> {r_trained:.3f}"
+    )
+
+
 def test_ivfpq_recall_and_exact_rerank_scores(spark, sf_dir):
     """IVF-PQ composition: recall floor at n_probe=6/rerank=4, and the
     re-ranked scores are true cosines (bit-equal to the exact path)."""
