@@ -65,26 +65,64 @@ def zorder_value(cols: list[Column | str], mins: list[float], maxs: list[float],
     return z
 
 
+def rank_quantized(df: DataFrame, col: str, bits: int) -> Column:
+    """Quantile (rank) quantization of ``col`` to ``[0, 2^bits)``: bucket
+    id = number of approx-percentile boundaries <= value. This is what
+    Delta's OPTIMIZE ZORDER does before interleaving — and it matters:
+    linear min/max quantization DEGENERATES on heavy-tailed columns
+    (most rows collapse into a few low cells, so that dimension's curve
+    bits stop varying and the layout regresses to single-column sort;
+    measured on the events fixture, tests/test_layout.py). Cost: one
+    approx-percentile aggregate per dimension (driver gets 2^bits - 1
+    doubles) and an O(2^bits) HOF per row — layout-time only."""
+    n_bounds = (1 << bits) - 1
+    probs = [i / float(1 << bits) for i in range(1, 1 << bits)]
+    bounds = df.agg(
+        F.percentile_approx(F.col(col).cast("double"), probs).alias("b")
+    ).collect()[0]["b"]
+    assert len(bounds) == n_bounds
+    return F.size(
+        F.filter(F.lit([float(b) for b in bounds]), lambda b: b <= F.col(col).cast("double"))
+    ).cast("bigint")
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
     cols: list[str],
     n_files: int = 8,
     bits: int = 15,
+    quantize: str = "rank",
+    rank_bits: int = 6,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the
     Z-curve of ``cols``: range-partition on the z-value (equal-size
     files along the curve) and sort within each file, so every file
     covers a tight box in all dimensions and row-group stats prune box
     queries. One extra shuffle vs a plain write — paid once at layout
-    time, saved on every subsequent multi-predicate scan."""
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
-    ).collect()[0]
-    mins = [stats[f"_lo{i}"] for i in range(len(cols))]
-    maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
-    z = zorder_value(cols, mins, maxs, bits=bits)
+    time, saved on every subsequent multi-predicate scan.
+
+    ``quantize="rank"`` (default) interleaves quantile-bucket ids
+    (``rank_bits`` per dimension, see :func:`rank_quantized`) — robust
+    to skewed distributions. ``quantize="linear"`` interleaves min/max-
+    scaled values at ``bits`` per dimension — fine for uniform columns,
+    degenerate for heavy-tailed ones."""
+    if quantize == "rank":
+        qcols = [rank_quantized(df, c, rank_bits) for c in cols]
+        z = zorder_value(
+            qcols,
+            [0.0] * len(cols),
+            [float((1 << rank_bits) - 1)] * len(cols),
+            bits=rank_bits,
+        )
+    else:
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        mins = [stats[f"_lo{i}"] for i in range(len(cols))]
+        maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+        z = zorder_value(cols, mins, maxs, bits=bits)
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
