@@ -489,6 +489,25 @@ def _pq_recon_norm() -> Column:
     )
 
 
+def _top_cells(vec: str, n: int) -> Column:
+    """Top-n IVF cells by cosine against the joined ``_cent``/``_cnorm``
+    COLUMNS (broadcast data, not plan literals — same compile-cost fix
+    as the PQ codebook)."""
+    dots = F.transform(
+        F.col("_cent"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec), c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pairs = F.transform(
+        F.zip_with(dots, F.col("_cnorm"), lambda s, n_: s / n_),
+        lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+    )
+    return F.slice(F.array_sort(pairs), 1, n)["cell"]
+
+
 def _pq_query_lut(query_vec: str, sub: int) -> Column:
     """The classic ADC lookup table, per query: partial dot products of
     each query subvector against every codeword — m x n_codes doubles
@@ -812,23 +831,7 @@ def ivf_pq_cosine_topk(
         .collect()
     )
     centroids = [list(map(float, r["_c"])) for r in cseeds]
-
-    def top_cells(vec: str, n: int) -> Column:
-        # HOFs over the joined _cent/_cnorm COLUMNS (broadcast data, not
-        # plan literals — same compile-cost fix as the PQ codebook)
-        dots = F.transform(
-            F.col("_cent"),
-            lambda c: F.aggregate(
-                F.zip_with(F.col(vec), c, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        pairs = F.transform(
-            F.zip_with(dots, F.col("_cnorm"), lambda s, n_: s / n_),
-            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-        )
-        return F.slice(F.array_sort(pairs), 1, n)["cell"]
+    top_cells = _top_cells
 
     # --- PQ code table (untrained seeds; pass through train_pq_codebooks
     # for structured corpora — identical downstream plan)

@@ -19,6 +19,18 @@ the SCAN (PartitionFilters, no shuffle, no full-corpus read):
 At 100 TB: the index write is one shuffle on bucket; a query touches
 ``|probes| / 2^n_planes`` of the directories. Rebuild = rerun build
 (deterministic hyperplanes -> same layout).
+
+``build_ivfpq_index`` / ``query_ivfpq_index`` persist the IVF-PQ
+composition the same way (FAISS's on-disk IVFPQ layout): the corpus is
+written partitioned by Voronoi ``cell=`` with its PQ codes and
+reconstructed norms; centroids + codebooks live in a ``_meta`` sidecar
+(underscore-prefixed — invisible to the index scan's file listing). A
+query prunes to ``n_probe`` cell directories STATICALLY
+(PartitionFilters), and the ADC candidate scan reads ONLY
+(id, codes, rn) — parquet column pruning keeps the embedding column on
+disk until the final ``rerank*k`` shortlist re-reads it for exact
+scores. That is the full billion-scale serving story: directory
+pruning x column pruning x code-table scoring.
 """
 
 from __future__ import annotations
@@ -26,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product
+from ccxt_ohlcv_fetcher_spark.functions.arrays import dot_product, l2_norm
 from ccxt_ohlcv_fetcher_spark.operators.similarity import (
     _with_norm,
     plane_dots,
@@ -109,3 +121,159 @@ def query_ann_index(
             (F.col("pos") + 1).alias("rank"),
         )
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+) -> int:
+    """Write the cell-partitioned IVF-PQ index; returns #cells written.
+
+    Deterministic lowest-id seeds for centroids and codebooks (same
+    rule as ``ivf_pq_cosine_topk``, so a rebuild reproduces the layout
+    bit-for-bit); ``train_iters`` routes codebooks through
+    ``train_pq_codebooks`` for id-biased corpora (see the clustered-
+    fixture recall pin). One shuffle on cell; the sidecar is one row.
+    """
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        _codebook_row,
+        _pq_codes,
+        _pq_recon_norm,
+        _top_cells,
+        train_pq_codebooks,
+    )
+
+    assert dim % m == 0
+    sub = dim // m
+    spark = corpus.sparkSession
+    cseeds = (
+        corpus.orderBy(id_col).limit(n_cells).select(F.col(vec_col).alias("_c")).collect()
+    )
+    centroids = [list(map(float, r["_c"])) for r in cseeds]
+    if train_iters:
+        codebooks = train_pq_codebooks(
+            corpus, dim, m, n_codes, n_iter=train_iters,
+            corpus_id=id_col, vec_col=vec_col,
+        )
+    else:
+        pseeds = (
+            corpus.orderBy(id_col).limit(n_codes).select(F.col(vec_col).alias("_v")).collect()
+        )
+        codebooks = [
+            [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in pseeds]
+            for j in range(m)
+        ]
+    cb_row = _codebook_row(spark, codebooks, centroids=centroids)
+    encoded = (
+        corpus.withColumn("_one", F.lit(1))
+        .join(F.broadcast(cb_row), "_one")
+        .withColumn("codes", _pq_codes(vec_col, sub))
+        .select(
+            id_col,
+            vec_col,
+            "codes",
+            _pq_recon_norm().alias("rn"),
+            _top_cells(vec_col, 1)[0].alias("cell"),
+        )
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cb_row.write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
+    return n_cells
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Top-k against the stored IVF-PQ index, bit-equal to the
+    in-memory ``ivf_pq_cosine_topk`` at the same parameters.
+
+    Probe cells become a STATIC ``cell IN (...)`` partition filter (a
+    tiny driver collect of |Q| * n_probe cell ids); the candidate scan
+    selects only (id, codes, rn) so parquet never materializes the
+    embedding column for non-shortlist rows; the exact re-rank re-reads
+    the probed cells' (id, vector) columns for ``rerank*k`` ids only.
+    """
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        _pq_adc,
+        _pq_query_lut,
+        _top_cells,
+        _with_norm,
+    )
+
+    meta = spark.read.parquet(path.rstrip("/") + "/_meta")
+    mrow = meta.collect()[0]
+    m, sub = len(mrow["_cb"]), len(mrow["_cb"][0][0])
+    probes = (
+        _with_norm(queries, query_vec, "_qn")
+        .withColumn("_one", F.lit(1))
+        .join(F.broadcast(meta), "_one")
+        .select(
+            query_id,
+            "_qn",
+            _pq_query_lut(query_vec, sub).alias("_lut"),
+            F.explode(_top_cells(query_vec, n_probe)).alias("cell"),
+        )
+    )
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(id_col, "codes", "rn", "cell")
+    )
+    scored = index.join(F.broadcast(probes), "cell").select(
+        query_id,
+        F.col(id_col),
+        (_pq_adc() / (F.col("rn") * F.col("_qn"))).alias("score"),
+    )
+
+    def topk(df: DataFrame, n: int) -> DataFrame:
+        item = F.struct((-F.col("score")).alias("neg"), F.col(id_col).alias("id"))
+        return (
+            df.groupBy(query_id)
+            .agg(F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("_top"))
+            .select(query_id, F.posexplode("_top").alias("pos", "item"))
+            .select(
+                query_id,
+                F.col("item.id").alias(id_col),
+                (-F.col("item.neg")).alias("score"),
+                (F.col("pos") + 1).alias("rank"),
+            )
+        )
+
+    if not rerank:
+        return topk(scored, k)
+    shortlist = topk(scored, rerank * k).select(query_id, id_col)
+    vecs = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(id_col, vec_col)
+    )
+    exact = (
+        shortlist.join(vecs, id_col)
+        .join(F.broadcast(_with_norm(queries, query_vec, "_qn")), query_id)
+        .withColumn("_cn", l2_norm(vec_col))
+        .select(
+            query_id,
+            F.col(id_col),
+            (dot_product(vec_col, query_vec) / (F.col("_cn") * F.col("_qn"))).alias(
+                "score"
+            ),
+        )
+    )
+    return topk(exact, k)

@@ -610,6 +610,47 @@ def test_pointer_jumping_collapses_long_paths(spark):
         connected_components(nodes, edges, max_iter=12).collect()
 
 
+def test_persisted_ivfpq_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    """Stored IVF-PQ index (the FAISS on-disk layout): query results are
+    bit-equal to the in-memory ivf_pq_cosine_topk at the same seeds and
+    parameters; the candidate scan carries a static PartitionFilters on
+    the probed cells AND its ReadSchema excludes the embedding column
+    (codes-only ADC — column pruning is the other half of the 100 TB
+    story)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_pq_cosine_topk
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "ivfpq_index")
+    assert build_ivfpq_index(emb, path, dim=64, n_cells=16, m=8, n_codes=16) == 16
+
+    stored = query_ivfpq_index(
+        spark, path, queries, k=5, n_probe=6, rerank=4
+    )
+    inmem = ivf_pq_cosine_topk(
+        emb, queries, k=5, dim=64, n_cells=16, n_probe=6, m=8, n_codes=16, rerank=4
+    )
+    srows = sorted(map(tuple, stored.collect()))
+    mrows = sorted(map(tuple, inmem.collect()))
+    assert srows == mrows, "stored index diverged from the in-memory path"
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the ADC candidate scan reads codes, never the embedding column
+    scan_lines = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln and "codes" in ln
+    ]
+    assert scan_lines and all("embedding" not in ln for ln in scan_lines), (
+        "ADC scan materializes the embedding column:\n" + "\n".join(scan_lines)
+    )
+
+
 def test_persisted_ann_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
     """Stored LSH index: query results equal the in-memory ann path
     (same planes, same probes), and the scan carries a static
