@@ -450,3 +450,93 @@ def connected_components(
         F.col("_n").alias(id_col),
         F.coalesce(F.col("comp"), F.col("_n")).alias("comp"),
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    block_cols: list[str],
+    prefix_len: int = 40,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Edit-distance near-dup pairs via blocking — the sixth dedup
+    family (exact / Jaccard / MinHash / LSH / SimHash / **edit
+    distance**). Classic record-linkage shape: a cheap equality block
+    key bounds the candidate set, then ``levenshtein`` (JVM built-in,
+    codegen'd) verifies each in-block pair on a fixed-length prefix.
+
+    Cost model: |block|^2 pairs per block — the block key IS the knob.
+    At 100 TB the key must bound block size by construction (add a
+    length band, a shingle-prefix bucket, or use MinHash-LSH as the
+    candidate generator and keep levenshtein purely as the verifier);
+    prefix_len bounds per-pair cost at O(prefix_len^2) independent of
+    document length. The self-join shuffles each side once on the block
+    key; id_a < id_b halves the square and drops self-pairs.
+    """
+    pre = F.substring(F.col(content_col), 1, prefix_len)
+    base = df.select(
+        *block_cols, F.col(id_col).alias("_id"), pre.alias("_pre")
+    )
+    a = base.select(
+        *block_cols, F.col("_id").alias("id_a"), F.col("_pre").alias("pre_a")
+    )
+    b = base.select(
+        *block_cols, F.col("_id").alias("id_b"), F.col("_pre").alias("pre_b")
+    )
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", F.levenshtein("pre_a", "pre_b"))
+        .filter(F.col("lev") <= max_dist)
+        .select("id_a", "id_b", "lev")
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 3,
+    df_permille: int = 10,
+) -> DataFrame:
+    """C4-style boilerplate detection: shingles whose document frequency
+    is >= ``df_permille``/1000 of the corpus are "boilerplate" (nav
+    bars, license headers, cookie banners — text shared verbatim across
+    many documents); each document is scored by the fraction of its
+    distinct shingles that are boilerplate.
+
+    Output: (id, n_shingles, n_boiler, boiler_ratio) — the ratio is the
+    standard drop/scrub signal (C4 removes boilerplate *lines*; over
+    word-soup fixtures the shingle granularity is the analog).
+
+    Scale shape: document frequency is one groupBy over the shingle
+    inverted index (map-side combine: the partial count per shingle is
+    tiny); the boilerplate vocabulary (df above a corpus-relative
+    threshold) is by construction small — at most 1000/df_permille
+    distinct shingles can each cover >= that corpus fraction times the
+    mean doc size, so the membership join broadcasts. The threshold is
+    corpus-RELATIVE (df * 1000 >= N * df_permille, exact integer
+    compare): the same query text scales from the 500-doc fixture to a
+    100 TB corpus without retuning an absolute count.
+    """
+    sh = shingle_sets(df, content_col, id_col, n)
+    n_docs = df.select(id_col).count()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    boiler = dfreq.filter(F.col("_df") * 1000 >= F.lit(n_docs * df_permille)).select(
+        "shingle"
+    )
+    flagged = sh.join(
+        F.broadcast(boiler).withColumn("_is_b", F.lit(1)), "shingle", "left"
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_is_b"), F.lit(0))).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boiler") * F.lit(1.0) / F.col("n_shingles"),
+        )
+    )

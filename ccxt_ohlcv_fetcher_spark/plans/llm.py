@@ -23,6 +23,8 @@ from ccxt_ohlcv_fetcher_spark.functions.hashing import (
 )
 from ccxt_ohlcv_fetcher_spark.operators.dedup import (
     SIMHASH_BITS,
+    blocked_levenshtein_pairs,
+    boilerplate_stats,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -1431,3 +1433,229 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, k=8, n_iter=3)
+
+
+# --- round 5: retrieval scoring, boilerplate, edit-distance dedup,
+# --- quota sampling ---------------------------------------------------------
+
+BM25_TERMS = ("vector", "stream", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len({SQL_WORDS}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents
+      )
+      WHERE tok IN ('vector', 'stream', 'hash')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT tok,
+             round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 9) AS idf
+      FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(
+             idf * (tf * ({BM25_K1} + 1)) /
+             (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+             AS DECIMAL(18,9))) AS DOUBLE) AS score
+    FROM tf
+    JOIN dfreq USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 document ranking (op E36, the retrieval tier above "
+    "doc_tfidf_top_terms): Okapi BM25 with k1=1.2, b=0.75 over a fixed "
+    "query term set. Cross-engine exactness: idf (the only "
+    "transcendental, ln) is rounded to 9 decimals BEFORE any "
+    "arithmetic — everything downstream is identical IEEE mul/div in "
+    "both engines — and per-term contributions are summed as "
+    "DECIMAL(18,9), so the sum is association-order-insensitive "
+    "(Spark's partial aggregation vs DuckDB's sequential scan). avgdl "
+    "and N fold to plan literals from one parquet-footer-cheap "
+    "aggregate. Scale shape: tf is one groupBy over (doc, term) with "
+    "the term filter pushed into the scan, the per-term df/idf table "
+    "is |query terms| rows (broadcast), and the final top-10 is "
+    "TakeOrderedAndProject (per-partition heaps, no global sort).",
+    tags=("E36", "E18"),
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(words(F.col("text"))).alias("dl"))
+    row = dl.agg(
+        F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    avgdl = float(row["s"]) / float(row["n"])
+    n_docs = int(row["n"])
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(*BM25_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "tok",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+            9,
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_c",
+            F.col("idf")
+            * (F.col("tf") * F.lit(BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+                )
+            ),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(F.col("_c").cast("decimal(18,9)")).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "doc_boilerplate_ratio",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+      SELECT shingle FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+      ) CROSS JOIN n
+      WHERE df * 1000 >= n_docs * 10
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) AS boiler_ratio
+    FROM sh LEFT JOIN boiler b ON sh.shingle = b.shingle
+    GROUP BY 1
+    """,
+    doc="C4-style boilerplate detection (north-star pipeline op): "
+    "shingles present in >= 1%% of documents are boilerplate (license "
+    "headers, nav text); each doc scored by its boilerplate-shingle "
+    "fraction — the standard scrub/drop signal. The threshold is "
+    "corpus-RELATIVE (df*1000 >= N*10, exact integer compare), so the "
+    "query text scales unchanged from the 500-doc fixture to a 100 TB "
+    "corpus; the boilerplate vocabulary is small by construction "
+    "(<= 100 shingles can each cover >= 1%% of corpus shingle mass), "
+    "hence the broadcast membership join.",
+    tags=("E34", "E36"),
+)
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_stats(docs, "text", "doc_id", n=3, df_permille=10).select(
+        "doc_id", "n_shingles", "n_boiler", "boiler_ratio"
+    )
+
+
+@register(
+    "levenshtein_near_dup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang, source, substr(text, 1, 40) AS pre
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pre, b.pre) AS INT) AS lev
+    FROM p a JOIN p b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pre, b.pre) <= 20
+    """,
+    doc="Edit-distance near-dup pairs (the sixth dedup family beside "
+    "exact/Jaccard/MinHash/LSH/SimHash): equality blocking on "
+    "(lang, source), then JVM-builtin levenshtein verification on a "
+    "40-char prefix — O(prefix^2) per pair independent of document "
+    "length. The block key is the scale knob: |block|^2 pairs per "
+    "block, so at 100 TB the key must bound block size by construction "
+    "(add a length band / shingle-prefix bucket, or generate candidates "
+    "with MinHash-LSH and keep levenshtein purely as the verifier).",
+    tags=("E34",),
+)
+def levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return blocked_levenshtein_pairs(
+        docs, "text", "doc_id", ["lang", "source"], prefix_len=40, max_dist=20
+    )
+
+
+@register(
+    "doc_quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)", salt="quota")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    doc="Exact-k-per-stratum deterministic sample (north-star pipeline "
+    "op, the fixed-SIZE complement of doc_stratified_sample's fixed-"
+    "RATE draw): rank docs per language by a salted hash of their "
+    "stable id and keep the first k — a reproducible 'reservoir' that "
+    "doesn't depend on partitioning or run order, for eval-set carving "
+    "and per-source quota caps. One shuffle (rank window per stratum); "
+    "at 100 TB with skewed strata, pre-filter with the rate form first "
+    "(hash-mod < ~4k/|stratum|) so the window sorts a bounded "
+    "candidate set instead of the full stratum.",
+    tags=("E36", "E18"),
+)
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        md5_long(F.col("doc_id").cast("string"), salt="quota"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang", "rn")
+    )

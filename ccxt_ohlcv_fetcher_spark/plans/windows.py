@@ -201,3 +201,60 @@ def order_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
         F.last_value("o_orderkey").over(wf).alias("priciest_key"),
     )
+
+
+@register(
+    "user_state_scd2",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, state,
+           {sql_ms("ts")} AS valid_from_ms,
+           lead({sql_ms("ts")}) OVER w AS valid_to_ms,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current,
+           CAST(row_number() OVER w AS INT) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD type-2 snapshot from an event log (warehouse/CDC op, ops "
+    "E18/E19): collapse each user's event stream into state validity "
+    "intervals [valid_from, valid_to) — rows where the state differs "
+    "from its predecessor open a version, the next change closes it, "
+    "the open interval is flagged current. Two windows over the same "
+    "(user_id, ts, event_id) sort: Catalyst plans ONE shuffle + ONE "
+    "sort and chains both Window operators on it — the change-point "
+    "filter between them preserves the ordering and partitioning, so "
+    "the SCD2 build costs exactly one exchange at any scale.",
+    tags=("E18", "E19"),
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_in = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev_type", F.lag("event_type").over(w_in))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ms("ts")
+    return changes.select(
+        "user_id",
+        "state",
+        t.alias("valid_from_ms"),
+        F.lead(t).over(w).alias("valid_to_ms"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )
