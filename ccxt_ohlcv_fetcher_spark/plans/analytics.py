@@ -1,0 +1,655 @@
+"""Product-analytics queries over the event log: cohort retention,
+funnel conversion, distributional outliers, token-pair PMI, and
+co-purchase graph statistics.
+
+These are the classic "analytics engine" workloads a user of the
+reference's candle store would run one tier up from OHLCV rollups
+(the reference's own resample loop, ccxt-ohlcv-fetch.py:86-104, is the
+same shape: per-key time bucketing + aggregation). All five are fully
+SQL-expressible and DuckDB-oracled; cross-engine exactness follows the
+registry conventions (decimal sums, epoch-ms bigints, ln rounded to 9dp
+before any arithmetic, identical IEEE expression order in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long, md5_long_sql
+from ccxt_ohlcv_fetcher_spark.operators.text import words
+from ccxt_ohlcv_fetcher_spark.plans.registry import (
+    dec,
+    ms,
+    register,
+    sql_ms,
+)
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+_DAY_MS = 86_400_000
+
+
+@register(
+    "user_cohort_retention",
+    oracle=f"""
+    WITH user_day AS (
+      SELECT DISTINCT user_id,
+             {sql_ms("date_trunc('day', ts)")} AS day_ms
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(day_ms) AS cohort_ms FROM user_day GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_ms, count(*) AS cohort_size FROM cohort GROUP BY 1
+    ),
+    activity AS (
+      SELECT c.cohort_ms,
+             CAST((d.day_ms - c.cohort_ms) // {_DAY_MS} AS INT) AS day_offset,
+             count(DISTINCT d.user_id) AS active_users
+      FROM user_day d JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_ms, day_offset, active_users, cohort_size,
+           CAST(active_users AS DOUBLE) / cohort_size AS retention
+    FROM activity JOIN sizes USING (cohort_ms)
+    """,
+    doc="Cohort retention matrix: users grouped by first-active day, "
+    "activity counted per (cohort, day-offset). Scale shape: the only "
+    "heavy stage is the distinct user-day projection (partial-distinct "
+    "combines map-side before the shuffle); the cohort table is one row "
+    "per user and the sizes table one row per day — the final join "
+    "broadcasts. day_offset is pure integer arithmetic (// on epoch-ms), "
+    "retention a single IEEE division, so the matrix is bit-exact.",
+    tags=("E13", "E14"),
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_day = events.select(
+        "user_id", ms(F.date_trunc("day", F.col("ts"))).alias("day_ms")
+    ).distinct()
+    cohort = user_day.groupBy("user_id").agg(F.min("day_ms").alias("cohort_ms"))
+    sizes = cohort.groupBy("cohort_ms").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = (
+        user_day.join(cohort, "user_id")
+        .select(
+            "cohort_ms",
+            F.expr(f"(day_ms - cohort_ms) div {_DAY_MS}")
+            .cast("int")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_ms", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return activity.join(F.broadcast(sizes), "cohort_ms").select(
+        "cohort_ms",
+        "day_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
+
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "event_funnel_conversion",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min({sql_ms("ts")}) FILTER (event_type = 'signup')   AS t1,
+             min({sql_ms("ts")}) FILTER (event_type = 'view')     AS t2,
+             min({sql_ms("ts")}) FILTER (event_type = 'click')    AS t3,
+             min({sql_ms("ts")}) FILTER (event_type = 'purchase') AS t4
+      FROM events GROUP BY 1
+    ),
+    staged AS (
+      SELECT CASE
+               WHEN t1 IS NULL THEN 0
+               WHEN t2 IS NULL OR t2 <= t1 THEN 1
+               WHEN t3 IS NULL OR t3 <= t2 THEN 2
+               WHEN t4 IS NULL OR t4 <= t3 THEN 3
+               ELSE 4
+             END AS max_stage
+      FROM per_user
+    ),
+    counts AS (
+      SELECT count(*) FILTER (max_stage >= 1) AS n1,
+             count(*) FILTER (max_stage >= 2) AS n2,
+             count(*) FILTER (max_stage >= 3) AS n3,
+             count(*) FILTER (max_stage >= 4) AS n4
+      FROM staged
+    )
+    SELECT stage, stage_name, users,
+           CAST(users AS DOUBLE) / nullif(prev_users, 0) AS conv_from_prev,
+           CAST(users AS DOUBLE) / nullif(first_users, 0) AS conv_from_start
+    FROM (
+      SELECT * FROM (
+        SELECT 1 AS stage, 'signup' AS stage_name, n1 AS users,
+               n1 AS prev_users, n1 AS first_users FROM counts
+        UNION ALL
+        SELECT 2, 'view', n2, n1, n1 FROM counts
+        UNION ALL
+        SELECT 3, 'click', n3, n2, n1 FROM counts
+        UNION ALL
+        SELECT 4, 'purchase', n4, n3, n1 FROM counts
+      )
+    )
+    """,
+    doc="Ordered funnel conversion (signup -> view -> click -> purchase): "
+    "a user reaches stage k only if their first stage-k event strictly "
+    "follows their first stage-(k-1) event. One groupBy(user) with "
+    "conditional min aggregates (no pivot, no self-joins — the standard "
+    "scale shape: a 100 TB event log folds to one row per user in a "
+    "single shuffle), then a 4-row unpivot of the count cascade. "
+    "Conversion ratios are single IEEE divisions of exact counts.",
+    tags=("E13", "E23"),
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t = ms("ts")
+    mins = [
+        F.min(F.when(F.col("event_type") == s, t)).alias(f"t{i + 1}")
+        for i, s in enumerate(_FUNNEL)
+    ]
+    per_user = events.groupBy("user_id").agg(*mins)
+    staged = per_user.select(
+        F.when(F.col("t1").isNull(), 0)
+        .when(F.col("t2").isNull() | (F.col("t2") <= F.col("t1")), 1)
+        .when(F.col("t3").isNull() | (F.col("t3") <= F.col("t2")), 2)
+        .when(F.col("t4").isNull() | (F.col("t4") <= F.col("t3")), 3)
+        .otherwise(4)
+        .alias("max_stage")
+    )
+    counts = staged.agg(
+        *[
+            F.count(F.when(F.col("max_stage") >= k, 1)).alias(f"n{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+    # 4-row unpivot of the cascade: stack puts stage/prev/first side by side
+    rows = counts.select(
+        F.expr(
+            "stack(4, "
+            "1, 'signup',   n1, n1, n1, "
+            "2, 'view',     n2, n1, n1, "
+            "3, 'click',    n3, n2, n1, "
+            "4, 'purchase', n4, n3, n1) "
+            "AS (stage, stage_name, users, prev_users, first_users)"
+        )
+    )
+    return rows.select(
+        "stage",
+        "stage_name",
+        "users",
+        (
+            F.col("users").cast("double")
+            / F.nullif(F.col("prev_users"), F.lit(0))
+        ).alias("conv_from_prev"),
+        (
+            F.col("users").cast("double")
+            / F.nullif(F.col("first_users"), F.lit(0))
+        ).alias("conv_from_start"),
+    )
+
+
+@register(
+    "event_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6)))
+                       AS DECIMAL(38,6)) AS DOUBLE) AS sq
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           (value - s / n) / sqrt((sq - s * s / n) / (n - 1)) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((value - s / n) / sqrt((sq - s * s / n) / (n - 1))) > 2.5
+    """,
+    doc="Distributional outlier flagging: per-event-type z-score from "
+    "exact decimal moments (sum, sum-of-squares), outliers at |z| > 2.5. "
+    "The stats table is one row per event type and rides a broadcast "
+    "join, so the whole query is one partial-aggregated shuffle plus a "
+    "map-side scan — the standard anomaly-screen shape at 100 TB. "
+    "Cross-engine exactness: moments are decimal-exact, and mu/sigma/z "
+    "are written as the SAME IEEE expression tree ((value - s/n) / "
+    "sqrt((sq - s*s/n)/(n-1))) in both engines — division and sqrt are "
+    "correctly-rounded IEEE ops, so the doubles agree bit-for-bit.",
+    tags=("E17", "E6"),
+)
+def event_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("decimal(38,6)").cast("double").alias("sq"),
+    )
+    joined = events.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        joined.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+_PMI_MIN_DF = 25
+_PMI_MIN_PAIR = 10
+_PMI_TOP = 15
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH doc_tok AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_filter(string_split_regex(text, '\\s+'), w -> w <> '')
+      ) AS tok
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT tok, count(*) AS df FROM doc_tok GROUP BY 1
+      HAVING count(*) >= {_PMI_MIN_DF}
+    ),
+    kept AS (SELECT doc_id, tok FROM doc_tok JOIN dfreq USING (tok)),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS pair_n
+      FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= {_PMI_MIN_PAIR}
+    )
+    SELECT tok_a, tok_b, pair_n, da.df AS df_a, db.df AS df_b,
+           round(ln(
+             CAST(pair_n AS DOUBLE) * n_docs
+             / (CAST(da.df AS DOUBLE) * db.df)
+           ), 9) AS pmi
+    FROM pairs
+    JOIN dfreq da ON da.tok = pairs.tok_a
+    JOIN dfreq db ON db.tok = pairs.tok_b
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT {_PMI_TOP}
+    """,
+    doc="Token co-occurrence PMI (the collocation-mining primitive of "
+    "corpus analysis): within-document distinct token pairs, pointwise "
+    "mutual information ln(P(a,b)/(P(a)P(b))) over document frequencies. "
+    "Scale shape: the df >= {df} vocabulary filter (a broadcast "
+    "semi-join) bounds the per-document self-join fan-out to the kept "
+    "vocabulary — the same cap top-V PMI builds use — and the pair count "
+    "partial-aggregates before its shuffle. The marginal-df joins "
+    "broadcast (vocabulary-sized). ln is rounded to 9dp as the LAST op "
+    "(inputs are exact-integer-derived IEEE divisions), the bm25 "
+    "convention. Top-15 is TakeOrderedAndProject.".format(df=_PMI_MIN_DF),
+    tags=("E36", "E5"),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    doc_tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("tok")
+    )
+    dfreq = (
+        doc_tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _PMI_MIN_DF)
+    )
+    kept = doc_tok.join(F.broadcast(dfreq.select("tok")), "tok")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _PMI_MIN_PAIR)
+    )
+    da = dfreq.select(
+        F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    db = dfreq.select(
+        F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pmi = F.round(
+        F.log(
+            F.col("pair_n").cast("double")
+            * F.lit(n_docs)
+            / (F.col("df_a").cast("double") * F.col("df_b"))
+        ),
+        9,
+    )
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select("tok_a", "tok_b", "pair_n", "df_a", "df_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(_PMI_TOP)
+    )
+
+
+_COPURCHASE_MIN_ORDERS = 2
+
+
+@register(
+    "copurchase_graph_stats",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_COPURCHASE_MIN_ORDERS}
+    ),
+    degrees AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges ab
+      JOIN edges bc ON ab.pb = bc.pa
+      JOIN edges ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+    ),
+    wedge AS (
+      SELECT SUM(deg * (deg - 1) / 2) AS n_wedges FROM degrees
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM degrees) AS BIGINT) AS n_vertices,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3.0 * n_triangles AS DOUBLE) / n_wedges
+             AS global_clustering
+    FROM tri CROSS JOIN wedge
+    """,
+    doc="Co-purchase graph statistics: parts bought together in >= 2 "
+    "orders form an undirected edge; count vertices, edges, wedges "
+    "(sum of C(deg,2)) and triangles, and derive the global clustering "
+    "coefficient 3T/W. Triangle counting uses the a<b<c edge "
+    "orientation, so each triangle is joined exactly once and the "
+    "worst-case join fan-out is bounded by the oriented out-degree — "
+    "the standard distributed triangle-count trick (node-iterator++). "
+    "Scale shape: two shuffling self-joins on the edge list, both "
+    "partial-aggregated; the per-order pair fan-out is C(items,2) per "
+    "order, bounded by basket size, not table size.",
+    tags=("E5", "E13"),
+)
+def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .filter(F.col("n_ord") >= _COPURCHASE_MIN_ORDERS)
+        .select("pa", "pb")
+    )
+    edges = edges.localCheckpoint()  # consumed 4x below; cut the lineage
+    degrees = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.pb") == F.col("bc.pa"))
+        .join(
+            ac,
+            (F.col("ac.pa") == F.col("ab.pa"))
+            & (F.col("ac.pb") == F.col("bc.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = degrees.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_vertices = degrees.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        tri.crossJoin(wedges)
+        .crossJoin(n_edges)
+        .crossJoin(n_vertices)
+        .select(
+            "n_edges",
+            "n_vertices",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges")
+            ).alias("global_clustering"),
+        )
+    )
+
+
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_bucket_sql(i: int) -> str:
+    return f"{md5_long_sql('CAST(user_id AS VARCHAR)', salt=f'cms{i}')} % {_CMS_W}"
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH hashed AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS i, {_cms_bucket_sql(i)} AS bucket, user_id FROM events"
+          for i in range(_CMS_D)
+      )}
+    ),
+    sketch AS (
+      SELECT i, bucket, count(*) AS c FROM hashed GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT DISTINCT i, bucket, user_id FROM hashed
+    ),
+    truth AS (
+      SELECT user_id, count(*) AS true_n FROM events GROUP BY 1
+    ),
+    est AS (
+      SELECT k.user_id, min(c) AS est_n
+      FROM keys k JOIN sketch USING (i, bucket)
+      GROUP BY 1
+    )
+    SELECT user_id, CAST(est_n AS BIGINT) AS est_n,
+           CAST(true_n AS BIGINT) AS true_n
+    FROM est JOIN truth USING (user_id)
+    ORDER BY est_n DESC, user_id
+    LIMIT 10
+    """,
+    doc="Count-min-sketch heavy hitters, fully oracle-checked — the "
+    "sketch itself is deterministic because the d=4 row hashes derive "
+    "from the cross-engine md5 family (functions/hashing.py), so DuckDB "
+    "rebuilds the identical d x w=64 counter table and the identical "
+    "min-over-rows estimates. Scale shape: the sketch build is one "
+    "groupBy over (row, bucket) — partial aggregation compresses every "
+    "partition to at most d*w counters before the shuffle, the classic "
+    "mergeable-sketch property — and the estimate join broadcasts the "
+    "256-row sketch. The CMS guarantee est >= true is pinned in "
+    "tests/test_analytics.py.",
+    tags=("E14", "E36"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    hashed = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (md5_long(uid, salt=f"cms{i}") % _CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("ib"),
+        "user_id",
+    ).select("ib.i", "ib.bucket", "user_id")
+    sketch = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = hashed.distinct()
+    truth = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = (
+        keys.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.join(truth, "user_id")
+        .select("user_id", "est_n", "true_n")
+        .orderBy(F.desc("est_n"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max({sql_ms("o_orderdate")}) AS last_ms,
+             count(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT c.c_nationkey, p.*,
+             ntile(5) OVER (PARTITION BY c.c_nationkey
+                            ORDER BY last_ms DESC, o_custkey) AS r_score,
+             ntile(5) OVER (PARTITION BY c.c_nationkey
+                            ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (PARTITION BY c.c_nationkey
+                            ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    )
+    SELECT CAST(r_score AS INT) || '-' || CAST(f_score AS INT)
+             || '-' || CAST(m_score AS INT) AS segment,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE)
+             AS segment_revenue
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: "
+    "per-customer order stats, quintile scores via ntile, segment "
+    "rollup. The ntile windows PARTITION BY nation (per-market "
+    "segmentation) — deliberately NOT a global ntile, which would "
+    "serialize the whole table through one window partition at scale; "
+    "partitioned quintiles keep every window bounded by the largest "
+    "market. Ties break on custkey, so quintile boundaries are "
+    "deterministic in both engines.",
+    tags=("E18", "E13", "E17"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(ms("o_orderdate")).alias("last_ms"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    joined = per_cust.join(
+        customer.select("c_custkey", "c_nationkey"),
+        per_cust.o_custkey == F.col("c_custkey"),
+    )
+    def quint(order_col: str):
+        return F.ntile(5).over(
+            W.partitionBy("c_nationkey").orderBy(
+                F.desc(order_col), F.asc("o_custkey")
+            )
+        )
+
+    scored = joined.select(
+        "monetary",
+        quint("last_ms").alias("r_score"),
+        quint("freq").alias("f_score"),
+        quint("monetary").alias("m_score"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_score").cast("int").cast("string"),
+        F.col("f_score").cast("int").cast("string"),
+        F.col("m_score").cast("int").cast("string"),
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec("monetary")).cast("double").alias("segment_revenue"),
+    )
+
+
+_WSAMPLE_K = 20
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           round(ln(({md5_long_sql("CAST(doc_id AS VARCHAR)", salt="wsample")}
+                     + 1) / {_TWO60}) / n_chars, 9) AS sample_key
+    FROM documents
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+    doc="Weighted sampling without replacement (algorithm A-ES, "
+    "Efraimidis-Spirakis): per-doc key u^(1/w) with u a deterministic "
+    "md5-derived uniform and w = n_chars; the top-k keys ARE the "
+    "weighted sample. Computed in log space (ln(u)/w, order-preserving) "
+    "and fully distributed: one map-side projection + "
+    "TakeOrderedAndProject per-partition heaps — no RNG state, no "
+    "driver pass, reproducible across engines and retries. This is the "
+    "100 TB way to draw a length-biased training subsample in one scan.",
+    tags=("E22", "E36"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.col("doc_id").cast("string"), salt="wsample") + 1
+    ) / F.lit(_TWO60)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(_WSAMPLE_K)
+    )

@@ -1,0 +1,166 @@
+"""Semantic invariants for the product-analytics queries beyond oracle
+parity (tests/test_oracle_parity.py covers the bit-exact hash match):
+retention-matrix axioms, funnel monotonicity, z-score recomputation,
+PMI bounds, and a brute-force triangle count cross-check.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from ccxt_ohlcv_fetcher_spark.plans.analytics import (
+    copurchase_graph_stats,
+    event_funnel_conversion,
+    event_zscore_outliers,
+    token_pmi_pairs,
+    user_cohort_retention,
+)
+
+
+def test_cohort_retention_axioms(spark, sf_dir):
+    rows = user_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["day_offset"] >= 0
+        assert 0 < r["active_users"] <= r["cohort_size"]
+        assert 0.0 < r["retention"] <= 1.0
+        by_cohort.setdefault(r["cohort_ms"], {})[r["day_offset"]] = r
+    # day 0 always exists and is complete: every cohort member was active
+    # on their own first day by construction
+    for offsets in by_cohort.values():
+        day0 = offsets[0]
+        assert day0["active_users"] == day0["cohort_size"]
+        assert day0["retention"] == 1.0
+
+
+def test_funnel_monotone_and_bounded(spark, sf_dir):
+    rows = {r["stage"]: r for r in event_funnel_conversion(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    users = [rows[k]["users"] for k in (1, 2, 3, 4)]
+    assert users == sorted(users, reverse=True)  # each stage loses users
+    assert users[0] > 0
+    for k in (2, 3, 4):
+        r = rows[k]
+        assert 0.0 <= r["conv_from_prev"] <= 1.0
+        assert 0.0 <= r["conv_from_start"] <= 1.0
+    assert rows[1]["conv_from_start"] == 1.0
+
+
+def test_zscore_outliers_recompute(spark, sf_dir):
+    import math
+
+    out = event_zscore_outliers(spark, sf_dir).collect()
+    assert out
+    # recompute one event type's stats naively and check a flagged z
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    et = out[0]["event_type"]
+    vals = [r["value"] for r in events.filter(f"event_type = '{et}'").collect()]
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / (n - 1))
+    for r in out:
+        if r["event_type"] == et:
+            assert abs(r["z"] - (r["value"] - mu) / sd) < 1e-9
+            assert abs(r["z"]) > 2.5
+
+
+def test_pmi_pairs_ordered_and_bounded(spark, sf_dir):
+    rows = token_pmi_pairs(spark, sf_dir).collect()
+    assert rows
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["pair_n"] >= 10
+        # PMI upper bound: P(a,b) <= min(P(a), P(b)) -> pmi <= -ln(max marginal P)
+        assert r["pair_n"] <= min(r["df_a"], r["df_b"])
+
+
+def test_copurchase_triangles_match_bruteforce(spark, sf_dir):
+    row = copurchase_graph_stats(spark, sf_dir).collect()[0]
+    # brute-force the same graph driver-side at test scale
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders: dict[int, set[int]] = {}
+    for r in li:
+        orders.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_n: dict[tuple[int, int], int] = {}
+    for parts in orders.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    edges = {p for p, n in pair_n.items() if n >= 2}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if b < c
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    assert row["n_edges"] == len(edges)
+    assert row["n_vertices"] == len(adj)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    if wedges:
+        assert abs(row["global_clustering"] - 3.0 * tri / wedges) < 1e-12
+
+
+def test_cms_estimates_dominate_truth(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # the one-sided CMS error guarantee: min over rows never undercounts
+        assert r["est_n"] >= r["true_n"] > 0
+    ests = [r["est_n"] for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_rfm_segment_counts_cover_customers(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import customer_rfm_segments
+
+    rows = customer_rfm_segments(spark, sf_dir).collect()
+    assert rows
+    n_custs_with_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_custs_with_orders
+    for r in rows:
+        a, b, c = r["segment"].split("-")
+        assert all(1 <= int(x) <= 5 for x in (a, b, c))
+
+
+def test_weighted_sample_matches_driver_recompute(spark, sf_dir):
+    import hashlib
+    import math
+
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import weighted_doc_sample
+
+    rows = weighted_doc_sample(spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def key(doc_id: int, n_chars: int) -> float:
+        h = int(hashlib.md5(f"wsample|{doc_id}".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / n_chars, 9)
+
+    expect = sorted(
+        ((key(d["doc_id"], d["n_chars"]), d["doc_id"]) for d in docs),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [(r["sample_key"], r["doc_id"]) for r in rows]
+    assert got == expect

@@ -24,6 +24,10 @@ ALLOWED_NESTED_LOOP = {
     "ann_cosine_topk_ivfpq",
     "label_best_match",  # label-blocked pair join (non-equi residual)
     "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
+    # 1-row x 1-row scalar-combine crossJoins (triangle count x wedge
+    # count x edge/vertex counts) — each side is a full aggregate, so
+    # the BNLJ moves exactly one row regardless of data scale.
+    "copurchase_graph_stats",
 }
 
 
