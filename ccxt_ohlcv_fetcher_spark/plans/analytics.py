@@ -390,27 +390,39 @@ _COPURCHASE_MIN_ORDERS = 2
     "orientation, so each triangle is joined exactly once and the "
     "worst-case join fan-out is bounded by the oriented out-degree — "
     "the standard distributed triangle-count trick (node-iterator++). "
-    "Scale shape: two shuffling self-joins on the edge list, both "
-    "partial-aggregated; the per-order pair fan-out is C(items,2) per "
-    "order, bounded by basket size, not table size.",
+    "Scale shape: pair generation is ONE shuffle — fold each order to "
+    "a sorted distinct basket (groupBy + collect_set), then expand "
+    "C(items,2) pairs map-side with a nested HOF (no self-join, no "
+    "second exchange); fan-out is bounded by basket size, not table "
+    "size. The triangle join shuffles only the filtered edge list.",
     tags=("E5", "E13"),
 )
 def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # one shuffle: basket per order; collect_set order is engine-dependent,
+    # array_sort makes the pair expansion deterministic (and pa < pb)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("parts") - 1),
+                lambda i: F.transform(
+                    F.slice(F.col("parts"), i + 1, F.size("parts") - i),
+                    lambda p: F.struct(
+                        F.get("parts", i - 1).alias("pa"), p.alias("pb")
+                    ),
+                ),
+            )
+        )
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.filter(F.size("parts") >= 2)
+        .select(pair.alias("e"))
+        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ord"))
         .filter(F.col("n_ord") >= _COPURCHASE_MIN_ORDERS)
         .select("pa", "pb")
@@ -653,3 +665,232 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(_WSAMPLE_K)
     )
+
+
+@register(
+    "events_table_profile",
+    oracle=f"""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(event_id) AS null_event_id,
+             count(DISTINCT event_id) AS dist_event_id,
+             CAST(min(event_id) AS DOUBLE) AS min_event_id,
+             CAST(max(event_id) AS DOUBLE) AS max_event_id,
+             count(*) - count(user_id) AS null_user_id,
+             count(DISTINCT user_id) AS dist_user_id,
+             CAST(min(user_id) AS DOUBLE) AS min_user_id,
+             CAST(max(user_id) AS DOUBLE) AS max_user_id,
+             count(*) - count(value) AS null_value,
+             count(DISTINCT value) AS dist_value,
+             min(value) AS min_value,
+             max(value) AS max_value,
+             count(*) - count(ts) AS null_ts,
+             count(DISTINCT ts) AS dist_ts,
+             CAST({sql_ms("min(ts)")} AS DOUBLE) AS min_ts,
+             CAST({sql_ms("max(ts)")} AS DOUBLE) AS max_ts,
+             count(*) - count(event_type) AS null_event_type,
+             count(DISTINCT event_type) AS dist_event_type,
+             min(event_type) AS smin_event_type,
+             max(event_type) AS smax_event_type
+      FROM events
+    )
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+           min_str, max_str
+    FROM (
+      SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_nulls,
+             dist_event_id AS n_distinct, min_event_id AS min_num,
+             max_event_id AS max_num, NULL AS min_str, NULL AS max_str
+      FROM agg
+      UNION ALL
+      SELECT 'user_id', n_rows, null_user_id, dist_user_id,
+             min_user_id, max_user_id, NULL, NULL FROM agg
+      UNION ALL
+      SELECT 'value', n_rows, null_value, dist_value,
+             min_value, max_value, NULL, NULL FROM agg
+      UNION ALL
+      SELECT 'ts', n_rows, null_ts, dist_ts, min_ts, max_ts, NULL, NULL
+      FROM agg
+      UNION ALL
+      SELECT 'event_type', n_rows, null_event_type, dist_event_type,
+             NULL, NULL, smin_event_type, smax_event_type FROM agg
+    )
+    """,
+    doc="Single-pass dataset profiler (the describe/Deequ-analyzer "
+    "shape): per column — row count, null count, exact distinct count, "
+    "typed min/max (numeric as double, timestamps as epoch-ms doubles, "
+    "strings verbatim) — unpivoted to one long-format row per column. "
+    "One scan; the multiple exact COUNT(DISTINCT)s plan through "
+    "Spark's Expand operator (one duplicated pass per distinct column). "
+    "At 100 TB swap the exact distincts for approx_count_distinct / "
+    "HLL sketches (the `daily_user_sketch_rollup` machinery) — the "
+    "unpivot scaffold and every other measure stay identical.",
+    tags=("E13", "E14", "E17"),
+)
+def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cnt = F.count(F.lit(1))
+    agg = events.agg(
+        cnt.alias("n_rows"),
+        (cnt - F.count("event_id")).alias("null_event_id"),
+        F.countDistinct("event_id").alias("dist_event_id"),
+        F.min("event_id").cast("double").alias("min_event_id"),
+        F.max("event_id").cast("double").alias("max_event_id"),
+        (cnt - F.count("user_id")).alias("null_user_id"),
+        F.countDistinct("user_id").alias("dist_user_id"),
+        F.min("user_id").cast("double").alias("min_user_id"),
+        F.max("user_id").cast("double").alias("max_user_id"),
+        (cnt - F.count("value")).alias("null_value"),
+        F.countDistinct("value").alias("dist_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        (cnt - F.count("ts")).alias("null_ts"),
+        F.countDistinct("ts").alias("dist_ts"),
+        ms(F.min("ts")).cast("double").alias("min_ts"),
+        ms(F.max("ts")).cast("double").alias("max_ts"),
+        (cnt - F.count("event_type")).alias("null_event_type"),
+        F.countDistinct("event_type").alias("dist_event_type"),
+        F.min("event_type").alias("smin_event_type"),
+        F.max("event_type").alias("smax_event_type"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "'event_id', n_rows, null_event_id, dist_event_id, "
+            "  min_event_id, max_event_id, "
+            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'user_id', n_rows, null_user_id, dist_user_id, "
+            "  min_user_id, max_user_id, "
+            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'value', n_rows, null_value, dist_value, "
+            "  min_value, max_value, "
+            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'ts', n_rows, null_ts, dist_ts, min_ts, max_ts, "
+            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
+            "'event_type', n_rows, null_event_type, dist_event_type, "
+            "  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "  smin_event_type, smax_event_type) "
+            "AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
+            "    min_str, max_str)"
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT prev_type, sum(n) AS total FROM pairs GROUP BY 1
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / total AS p
+    FROM pairs JOIN totals USING (prev_type)
+    """,
+    doc="First-order Markov transition matrix over the per-user event "
+    "sequence: lag(event_type) within user, transition counts, and "
+    "row-normalized probabilities P(next|prev). One window pass on the "
+    "user_id key + one partial-aggregated count shuffle; the totals "
+    "table is |event types| rows and broadcasts. The session-behavior "
+    "model every product-analytics stack derives.",
+    tags=("E19", "E13"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p"),
+    )
+
+
+@register(
+    "theta_audience_overlap",
+    oracle=None,  # DataSketches theta estimates have no DuckDB counterpart;
+    # accuracy vs exact set sizes is pinned in tests/test_sketches.py
+    doc="Audience overlap via theta sketches (the set-operation sketch "
+    "HLL cannot do): per-event-type theta sketch of user_id, then "
+    "|view UNION purchase|, |view INTERSECT purchase| and "
+    "|view EXCEPT purchase| estimated sketch-side. Theta sketches are "
+    "mergeable — build per partition/day, combine with "
+    "theta_union_agg — so audience overlap at 100 TB is a "
+    "sketch-rollup read, not a distinct-join; exactness pinned within "
+    "2% in tests/test_sketches.py.",
+    tags=("E14",),
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.theta_sketch_agg(F.col("user_id")).alias("sk")
+    )
+    view = sk.filter(F.col("event_type") == "view").select(
+        F.col("sk").alias("sk_view")
+    )
+    buy = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_buy")
+    )
+    both = view.crossJoin(buy)  # 1 row x 1 row
+    return both.select(
+        F.theta_sketch_estimate(F.col("sk_view")).alias("est_view"),
+        F.theta_sketch_estimate(F.col("sk_buy")).alias("est_purchase"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_view"), F.col("sk_buy"))
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_view"), F.col("sk_buy"))
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_view"), F.col("sk_buy"))
+        ).alias("est_view_only"),
+    )
+
+
+@register(
+    "kll_value_quantiles",
+    oracle=None,  # KLL quantile estimates have no DuckDB counterpart;
+    # rank-error accuracy is pinned in tests/test_sketches.py
+    doc="Streaming-mergeable quantiles via KLL sketches (Karnin-Lang-"
+    "Liberty): per-event-type p50/p90/p99 of value from one "
+    "kll_sketch_agg_double pass. Unlike percentile_disc (whole-group "
+    "buffer per reducer) and approx_percentile (GK, not mergeable "
+    "across stores), KLL sketches union associatively — per-day "
+    "sketches roll up to any window, the same pattern as the HLL/theta "
+    "rollups; merge==direct and rank-error bounds pinned in "
+    "tests/test_sketches.py.",
+    tags=("E14", "E17"),
+)
+def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sk = events.groupBy("event_type").agg(
+        F.kll_sketch_agg_double(F.col("value")).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sk.select(
+        "event_type",
+        "n",
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.9)).alias("p90"),
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)).alias(
+            "p99"
+        ),
+    ).orderBy("event_type")

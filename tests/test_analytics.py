@@ -164,3 +164,29 @@ def test_weighted_sample_matches_driver_recompute(spark, sf_dir):
     )[:20]
     got = [(r["sample_key"], r["doc_id"]) for r in rows]
     assert got == expect
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r["p"])
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 1e-9, prev
+
+
+def test_table_profile_known_facts(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import events_table_profile
+
+    prof = {r["col_name"]: r for r in events_table_profile(spark, sf_dir).collect()}
+    assert set(prof) == {"event_id", "user_id", "value", "ts", "event_type"}
+    n = prof["event_id"]["n_rows"]
+    assert prof["event_id"]["n_distinct"] == n  # event_id is unique
+    assert prof["event_id"]["n_nulls"] == 0
+    assert prof["event_type"]["n_distinct"] == 5
+    assert prof["event_type"]["min_str"] == "click"
+    assert prof["event_type"]["max_str"] == "view"
+    assert prof["value"]["min_num"] is not None

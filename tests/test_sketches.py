@@ -63,3 +63,72 @@ def test_approx_percentile_within_error_bound(spark, sf_dir):
         e50, e90 = exact[flag]
         assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
         assert abs(a90 - e90) / e90 < 0.01, (flag, a90, e90)
+
+
+def test_theta_overlap_accuracy_and_set_algebra(spark, sf_dir):
+    """Theta sketches support intersection/difference (HLL cannot):
+    estimates must track the exact set sizes, and the algebra must be
+    consistent: |A| ~ |A-B| + |A&B| and |AuB| ~ |A| + |B| - |A&B|."""
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import theta_audience_overlap
+
+    r = theta_audience_overlap(spark, sf_dir).collect()[0]
+    events = load_table(spark, sf_dir, "events")
+    view = {x["user_id"] for x in events.filter("event_type='view'").collect()}
+    buy = {
+        x["user_id"] for x in events.filter("event_type='purchase'").collect()
+    }
+    checks = [
+        (r["est_view"], len(view)),
+        (r["est_purchase"], len(buy)),
+        (r["est_union"], len(view | buy)),
+        (r["est_intersection"], len(view & buy)),
+        (r["est_view_only"], len(view - buy)),
+    ]
+    for est, exact in checks:
+        if exact == 0:
+            assert est < 1
+        else:
+            assert abs(est - exact) / exact < 0.02, (est, exact)
+    assert abs(r["est_view"] - (r["est_view_only"] + r["est_intersection"])) \
+        <= 0.05 * max(r["est_view"], 1)
+
+
+def test_kll_quantiles_rank_error_and_merge(spark, sf_dir):
+    """KLL rank error (default k=200) is ~1.3%: the estimated quantile's
+    TRUE rank must be within 2.5% of the requested rank. Also the
+    mergeability law: per-day sketches merged == whole-span sketch."""
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import kll_value_quantiles
+
+    rows = kll_value_quantiles(spark, sf_dir).collect()
+    events = load_table(spark, sf_dir, "events")
+    by_type = {}
+    for r in events.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        n = len(vals)
+        for q, est in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            true_rank = sum(1 for v in vals if v <= est) / n
+            assert abs(true_rank - q) < 0.025, (r["event_type"], q, est)
+    # kll_sketch_merge_double is a binary scalar merge — fold the per-day
+    # sketches pairwise (associative, so fold order is free)
+    merged = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.kll_sketch_get_quantile_double(
+                F.aggregate(
+                    F.slice("sks", 2, F.size("sks") - 1),
+                    F.get("sks", 0),
+                    lambda acc, x: F.kll_sketch_merge_double(acc, x),
+                ),
+                F.lit(0.5),
+            ).alias("p50")
+        )
+        .collect()[0]["p50"]
+    )
+    vals = sorted(v for vs in by_type.values() for v in vs)
+    n = len(vals)
+    true_rank = sum(1 for v in vals if v <= merged) / n
+    assert abs(true_rank - 0.5) < 0.025
