@@ -42,9 +42,16 @@ def asof_join(
     strict: bool = False,
     prefix: str = "asof_",
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` (``<`` when strict) and equal keys.
+
+    ``direction="forward"`` mirrors it (pandas ``merge_asof``'s other
+    mode): the EARLIEST right row with ``right.ts >= left.ts`` (``>``
+    when strict) — same single-shuffle union + window plan, with the
+    running ``last`` over the preceding frame replaced by a running
+    ``first`` over the following frame.
 
     Left columns are preserved; matched right payload columns arrive as
     ``{prefix}{col}`` (null when no prior right row exists).
@@ -63,9 +70,16 @@ def asof_join(
         *[F.col(c) for c in right_payload],
         F.col(right_ts).alias("_match_ts"),
     )
-    # _side orders right rows BEFORE left rows at equal ts for inclusive
-    # semantics (so an equal-ts right row is visible), AFTER for strict.
-    right_side, left_side = (0, 1) if not strict else (1, 0)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    # _side orders right rows so an equal-ts right row is inside the
+    # frame for inclusive semantics and outside it for strict:
+    # backward (frame = preceding): right BEFORE left unless strict;
+    # forward (frame = following): right AFTER left unless strict.
+    if direction == "backward":
+        right_side, left_side = (0, 1) if not strict else (1, 0)
+    else:
+        right_side, left_side = (1, 0) if not strict else (0, 1)
     l_tagged = left.select(
         *left.columns,
         F.col(left_ts).alias("_ts"),
@@ -83,12 +97,24 @@ def asof_join(
         payload.alias("_payload"),
     ).select(*l_tagged.columns)  # align column order for union
     u = l_tagged.unionByName(r_tagged)
-    w = (
-        W.partitionBy(*keys)
-        .orderBy("_ts", "_side")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    if direction == "backward":
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        matched = u.withColumn(
+            "_m", F.last("_payload", ignorenulls=True).over(w)
+        )
+    else:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("_ts", "_side")
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        matched = u.withColumn(
+            "_m", F.first("_payload", ignorenulls=True).over(w)
+        )
     valid = F.col("_m").isNotNull()
     if tolerance is not None:
         from pyspark.sql import types as T
@@ -105,6 +131,8 @@ def asof_join(
                 - F.col("_m")["_match_ts"].cast("double")
             )
             bound = F.lit(float(tolerance))
+        if direction == "forward":
+            delta = -delta  # match is ahead of the left row
         valid = valid & (delta <= bound)
     out = matched.filter(F.col("_side") == left_side).select(
         *left.columns,

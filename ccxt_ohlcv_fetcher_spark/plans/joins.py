@@ -372,3 +372,47 @@ def price_balance_bucket_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
         a.join(b, "bucket", "full_outer")
         .select("bucket", "n_orders", "n_cust")
     )
+
+
+@register(
+    "purchase_next_error_asof",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, {sql_ms("p.ts")} AS ts_ms,
+           e.event_id AS next_error_id,
+           {sql_ms("e.ts")} AS next_error_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+    doc="Forward as-of join (op E10, the merge_asof direction='forward' "
+    "mode): EARLIEST error at-or-after each purchase, per user — the "
+    "\"what broke next\" formulation. Same single-shuffle union + "
+    "window plan as the backward form, with a running first() over the "
+    "following frame (operators/joins.py asof_join direction=). "
+    "Oracle: DuckDB native ASOF with the inequality flipped.",
+    tags=("E10",),
+)
+def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        right_payload=["err_id", "err_ts"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        F.col("asof_err_id").alias("next_error_id"),
+        ms("asof_err_ts").alias("next_error_ms"),
+    )

@@ -90,3 +90,74 @@ def test_asof_join_tolerance_numeric_ts(spark):
         ).collect()
     }
     assert unbounded == {1: 1.5, 2: 2.5}
+
+
+def test_asof_join_forward_inclusive_strict_tolerance(spark):
+    """direction='forward': earliest right at-or-after left; strict
+    excludes the equal-ts row; tolerance bounds the look-AHEAD."""
+    from ccxt_ohlcv_fetcher_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10_000), (2, "k", 30_000), (3, "k", 90_000)],
+        "id long, key string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10_000, 1.0), ("k", 40_000, 2.0)],
+        "key string, rts long, px double",
+    )
+
+    def run(**kw):
+        return {
+            r["id"]: r["asof_px"]
+            for r in asof_join(
+                left, right, keys=["key"], left_ts="ts", right_ts="rts",
+                right_payload=["px"], direction="forward", **kw,
+            ).collect()
+        }
+
+    assert run() == {1: 1.0, 2: 2.0, 3: None}  # inclusive: equal ts matches
+    assert run(strict=True) == {1: 2.0, 2: 2.0, 3: None}  # equal ts excluded
+    # tolerance: row 2 needs a 10_000-unit look-ahead; 5_000 cuts it off
+    assert run(tolerance=5_000) == {1: 1.0, 2: None, 3: None}
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's runtime row-level bloom filter (on by default) guards on
+    applicationSideScanSizeThreshold=10GB — i.e. it exists FOR the
+    100 TB regime and correctly stays out of the way on small scans.
+    Pin both halves: (a) default thresholds -> no bloom at test scale,
+    (b) thresholds simulating a big application-side scan -> Catalyst
+    injects bloom_filter_agg on the filtered dim and probes it on the
+    fact side before the shuffle, and the result is unchanged."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    prev_thr = spark.conf.get(thr)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size = 1")
+
+        def build():
+            return (
+                li.join(part, li.l_partkey == part.p_partkey)
+                .groupBy("p_brand")
+                .count()
+            )
+
+        base = build()
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" not in base_plan  # small scan: guarded off
+        expected = {(r["p_brand"], r["count"]) for r in base.collect()}
+
+        spark.conf.set(thr, "0")
+        boosted = build()
+        plan = boosted._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        got = {(r["p_brand"], r["count"]) for r in boosted.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(thr, prev_thr)

@@ -28,6 +28,8 @@ ALLOWED_NESTED_LOOP = {
     # count x edge/vertex counts) — each side is a full aggregate, so
     # the BNLJ moves exactly one row regardless of data scale.
     "copurchase_graph_stats",
+    "theta_audience_overlap",  # 1-row sketch x 1-row sketch combine
+    "bitmap_distinct_rollup",  # daily rows x 1-row span total
 }
 
 
