@@ -941,3 +941,171 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.crossJoin(F.broadcast(span)).select(
         "day_ms", "day_users", "span_users"
     )
+
+
+@register(
+    "user_activity_streaks",
+    oracle=f"""
+    WITH user_day AS (
+      SELECT DISTINCT user_id,
+             CAST({sql_ms("date_trunc('day', ts)")} // {_DAY_MS} AS BIGINT)
+               AS day_idx
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS island
+      FROM user_day
+    ),
+    streaks AS (
+      SELECT user_id, count(*) AS streak_len,
+             min(day_idx) AS streak_start_day, max(day_idx) AS streak_end_day
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, streak_len, streak_start_day, streak_end_day
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY streak_len DESC,
+                                            streak_start_day) AS rn
+      FROM streaks
+    ) WHERE rn = 1
+    """,
+    doc="Longest consecutive-day activity streak per user — the "
+    "gaps-and-islands pattern: distinct user-days, day_idx minus "
+    "row_number collapses each consecutive run to one island id, one "
+    "groupBy sizes the islands, a ranked pick keeps the longest "
+    "(earliest on ties). Everything partitions on user_id: the distinct "
+    "projection is the only full-data shuffle, the window and island "
+    "aggregation reuse its partitioning.",
+    tags=("E18", "E13"),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    user_day = events.select(
+        "user_id",
+        (ms(F.date_trunc("day", F.col("ts"))) / _DAY_MS)
+        .cast("long")
+        .alias("day_idx"),
+    ).distinct()
+    islands = user_day.withColumn(
+        "island",
+        F.col("day_idx")
+        - F.row_number().over(W.partitionBy("user_id").orderBy("day_idx")),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day_idx").alias("streak_start_day"),
+        F.max("day_idx").alias("streak_end_day"),
+    )
+    ranked = streaks.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(
+                F.desc("streak_len"), F.asc("streak_start_day")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id", "streak_len", "streak_start_day", "streak_end_day"
+    )
+
+
+@register(
+    "monthly_revenue_mom",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+             CAST(date_part('month', o_orderdate) AS INT) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM monthly
+    )
+    SELECT yr, mo, revenue,
+           revenue / total AS share_of_total,
+           revenue - lag(revenue) OVER (ORDER BY yr, mo) AS mom_delta,
+           revenue / lag(revenue) OVER (ORDER BY yr, mo) - 1 AS mom_pct
+    FROM monthly CROSS JOIN tot
+    """,
+    doc="Month-over-month revenue report: exact-decimal monthly sums, "
+    "share-of-total (ratio_to_report), and lag-based MoM delta/pct. "
+    "The lag window is global but over ONE ROW PER MONTH — the "
+    "aggregation has already collapsed the data, so the single-partition "
+    "window moves |months| rows, not |orders|; the grand total joins "
+    "back as a 1-row broadcast. Divisions/subtractions are single IEEE "
+    "ops on decimal-derived doubles, written identically in both "
+    "engines.",
+    tags=("E13", "E19", "E17"),
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    tot = monthly.agg(
+        F.sum(dec("revenue")).cast("double").alias("total")
+    )
+    w = W.orderBy("yr", "mo")
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            "yr",
+            "mo",
+            "revenue",
+            (F.col("revenue") / F.col("total")).alias("share_of_total"),
+            (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+            (F.col("revenue") / F.lag("revenue").over(w) - 1).alias("mom_pct"),
+        )
+    )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle=f"""
+    WITH first_day AS (
+      SELECT user_id,
+             min({sql_ms("date_trunc('day', ts)")}) AS first_ms
+      FROM events GROUP BY 1
+    ),
+    new_per_day AS (
+      SELECT first_ms AS day_ms, count(*) AS new_users
+      FROM first_day GROUP BY 1
+    )
+    SELECT day_ms, new_users,
+           sum(new_users) OVER (ORDER BY day_ms
+                                ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM new_per_day
+    """,
+    doc="Cumulative distinct users over time WITHOUT a running distinct "
+    "aggregate: attribute each user to their first-touch day (one "
+    "groupBy), count new users per day, prefix-sum the per-day counts. "
+    "A naive cumulative COUNT(DISTINCT) window re-deduplicates the "
+    "whole prefix per day; this shape shuffles each user once and runs "
+    "its only window over |days| rows. The standard growth-curve "
+    "rewrite.",
+    tags=("E13", "E21"),
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(ms(F.date_trunc("day", F.col("ts")))).alias("first_ms")
+    )
+    new_per_day = first_day.groupBy(
+        F.col("first_ms").alias("day_ms")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day_ms").rowsBetween(W.unboundedPreceding, 0)
+    return new_per_day.select(
+        "day_ms",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -190,3 +190,42 @@ def test_table_profile_known_facts(spark, sf_dir):
     assert prof["event_type"]["min_str"] == "click"
     assert prof["event_type"]["max_str"] == "view"
     assert prof["value"]["min_num"] is not None
+
+
+def test_streaks_within_span_and_consistent(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import user_activity_streaks
+
+    rows = user_activity_streaks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        span = r["streak_end_day"] - r["streak_start_day"] + 1
+        assert r["streak_len"] == span  # consecutive by construction
+        assert r["streak_len"] >= 1
+
+
+def test_cumulative_users_monotone_and_totals(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import cumulative_unique_users
+
+    rows = sorted(
+        cumulative_unique_users(spark, sf_dir).collect(),
+        key=lambda r: r["day_ms"],
+    )
+    assert rows
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    total = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert cums[-1] == total
+    assert sum(r["new_users"] for r in rows) == total
+
+
+def test_monthly_mom_shares_sum_to_one(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import monthly_revenue_mom
+
+    rows = monthly_revenue_mom(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-9
+    first = min(rows, key=lambda r: (r["yr"], r["mo"]))
+    assert first["mom_delta"] is None and first["mom_pct"] is None
