@@ -89,6 +89,10 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         "artist": None,
         "album": None,
         "year": None,
+        "camera_make": None,
+        "camera_model": None,
+        "orientation": None,
+        "captured_at": None,
     }
     if b.startswith(_PNG_MAGIC):
         # PNG: 8-byte magic, then chunks of (len, type, data, crc32).
@@ -144,6 +148,11 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
             if i + 4 > len(b):
                 break
             (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+                # APP1/Exif: a TIFF block (byte-order II/MM + IFD0) with
+                # camera metadata tags; malformed blocks are skipped,
+                # never fatal — the image geometry still parses from SOF
+                _parse_exif_tiff(b[i + 10 : i + 2 + seglen], out)
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if i + 9 > len(b):
                     break
@@ -259,6 +268,102 @@ def _fill_from_id3v1(b: bytes, out: dict) -> None:
             out[key] = val or None
 
 
+_EXIF_TAGS = {
+    0x010F: "camera_make",   # Make, ASCII
+    0x0110: "camera_model",  # Model, ASCII
+    0x0112: "orientation",   # Orientation, SHORT 1..8
+    0x0132: "captured_at",   # DateTime "YYYY:MM:DD HH:MM:SS", ASCII
+}
+
+
+def _parse_exif_tiff(tiff: bytes, out: dict) -> None:
+    """TIFF 6.0 IFD0 walk (the structure EXIF embeds in JPEG APP1):
+    2-byte byte order (II little / MM big), magic 42, IFD0 offset, then
+    12-byte entries of (tag, type, count, value-or-offset). Parses the
+    four camera tags in :data:`_EXIF_TAGS`; ASCII values longer than 4
+    bytes live at an offset relative to the TIFF start. Every read is
+    bounds-checked; malformed blocks fill nothing and never raise."""
+    if len(tiff) < 8:
+        return
+    order = tiff[:2]
+    if order == b"II":
+        endian = "<"
+    elif order == b"MM":
+        endian = ">"
+    else:
+        return
+    (magic, ifd0) = struct.unpack(endian + "HI", tiff[2:8])
+    if magic != 42 or ifd0 + 2 > len(tiff):
+        return
+    (n_entries,) = struct.unpack(endian + "H", tiff[ifd0 : ifd0 + 2])
+    for k in range(n_entries):
+        e = ifd0 + 2 + 12 * k
+        if e + 12 > len(tiff):
+            return
+        tag, typ, count = struct.unpack(endian + "HHI", tiff[e : e + 8])
+        key = _EXIF_TAGS.get(tag)
+        if key is None:
+            continue
+        if typ == 2:  # ASCII, NUL-terminated, count includes the NUL
+            if count <= 4:
+                raw = tiff[e + 8 : e + 8 + count]
+            else:
+                (off,) = struct.unpack(endian + "I", tiff[e + 8 : e + 12])
+                if off + count > len(tiff):
+                    continue
+                raw = tiff[off : off + count]
+            val = raw.split(b"\x00", 1)[0].decode("latin-1", "replace")
+            if val and key != "orientation":
+                out[key] = val
+        elif typ == 3 and key == "orientation":  # SHORT, inline
+            (v,) = struct.unpack(endian + "H", tiff[e + 8 : e + 10])
+            if 1 <= v <= 8:
+                out[key] = v
+
+
+def encode_exif_jpeg(
+    width: int,
+    height: int,
+    make: str,
+    model: str,
+    orientation: int,
+    captured_at: str,
+) -> bytes:
+    """Minimal spec-valid JPEG with an APP1/Exif TIFF block: SOI, APP1
+    (little-endian TIFF, IFD0 with Make/Model/Orientation/DateTime),
+    SOF0 carrying the geometry, SOS header, EOI. Used by the typed
+    media fixture so the EXIF parse is oracle-checkable end to end."""
+    entries = []
+    data_area = b""
+    # IFD layout: 8-byte TIFF header, 2-byte count, 4 entries x 12,
+    # 4-byte next-IFD pointer -> value data starts at offset 62
+    data_off = 8 + 2 + 4 * 12 + 4
+
+    def ascii_entry(tag: int, s: str) -> bytes:
+        nonlocal data_area
+        raw = s.encode("latin-1") + b"\x00"
+        if len(raw) <= 4:
+            return struct.pack("<HHI4s", tag, 2, len(raw), raw.ljust(4, b"\x00"))
+        off = data_off + len(data_area)
+        data_area += raw
+        return struct.pack("<HHII", tag, 2, len(raw), off)
+
+    entries.append(ascii_entry(0x010F, make))
+    entries.append(ascii_entry(0x0110, model))
+    entries.append(struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0))
+    entries.append(ascii_entry(0x0132, captured_at))
+    tiff = (
+        b"II*\x00" + struct.pack("<I", 8)
+        + struct.pack("<H", len(entries)) + b"".join(entries)
+        + struct.pack("<I", 0) + data_area
+    )
+    exif_payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif_payload)) + exif_payload
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app1 + sof0 + sos + b"\xff\xd9"
+
+
 def encode_id3v2_mp3(
     title: str | None = None,
     artist: str | None = None,
@@ -344,6 +449,10 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("artist", T.StringType(), True),
         T.StructField("album", T.StringType(), True),
         T.StructField("year", T.StringType(), True),
+        T.StructField("camera_make", T.StringType(), True),
+        T.StructField("camera_model", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("captured_at", T.StringType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -351,6 +460,7 @@ PROBE_SCHEMA = T.StructType(
 _PROBE_FIELDS = (
     "container", "width", "height", "duration_ms",
     "channels", "sample_rate", "title", "artist", "album", "year",
+    "camera_make", "camera_model", "orientation", "captured_at",
 )
 
 
@@ -385,6 +495,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                     "duration_ms": "Int64",
                     "channels": "Int32",
                     "sample_rate": "Int32",
+                    "orientation": "Int32",
                 }
             )
 
@@ -394,12 +505,14 @@ def probe_media(media: DataFrame) -> DataFrame:
 def typed_media_from_documents(documents: DataFrame) -> DataFrame:
     """Synthesize REAL container payloads from the documents fixture:
     doc_id % 8 == 1 becomes a tagged MP3 (ID3v2.3 frames + ID3v1
-    trailer, tag values derived from doc fields), other even doc_ids
-    become PNGs (width = n_chars, height = 1 + n_chars mod 7), other
-    odd become WAVs (n_chars samples at 8 kHz mono). The bytes are
-    spec-valid (correct magics, CRCs, chunk sizes, syncsafe tag sizes),
-    so the encode -> ``probe_media`` decode round-trip exercises the
-    real parser and is DuckDB-oracle-checkable from the encoding rule."""
+    trailer), doc_id % 8 == 3 an EXIF-tagged JPEG (APP1/TIFF IFD0 with
+    Make/Model/Orientation/DateTime), other even doc_ids PNGs
+    (width = n_chars, height = 1 + n_chars mod 7), other odd WAVs
+    (n_chars samples at 8 kHz mono). All tag values derive from doc
+    fields and the bytes are spec-valid (correct magics, CRCs, chunk
+    sizes, syncsafe tag sizes, TIFF offsets), so the encode ->
+    ``probe_media`` decode round-trip exercises the real parsers and is
+    DuckDB-oracle-checkable from the encoding rule."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -422,6 +535,20 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
                         )
                     )
                     kinds.append("audio")
+                elif did % 8 == 3:
+                    # EXIF-tagged JPEG: camera metadata derived from doc
+                    # fields so the oracle re-derives every tag value
+                    payloads.append(
+                        encode_exif_jpeg(
+                            width=n,
+                            height=1 + n % 5,
+                            make=f"make-{lang}",
+                            model=source,
+                            orientation=1 + (did // 8) % 8,
+                            captured_at=f"2024:01:{1 + did % 28:02d} 12:00:00",
+                        )
+                    )
+                    kinds.append("image")
                 elif did % 2 == 0:
                     payloads.append(encode_minimal_png(n, 1 + n % 7))
                     kinds.append("image")

@@ -1141,31 +1141,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 8 = 1 THEN 'mp3'
+                WHEN doc_id % 8 = 3 THEN 'jpeg'
                 WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS INT) END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 7 AS INT) END AS height,
-           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 != 1
+           CASE WHEN doc_id % 2 = 0 OR doc_id % 8 = 3
+                THEN CAST(n_chars AS INT) END AS width,
+           CASE WHEN doc_id % 8 = 3 THEN CAST(1 + n_chars % 5 AS INT)
+                WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 7 AS INT)
+           END AS height,
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
                 THEN CAST(n_chars * 2 * 1000 // 16000 AS BIGINT)
            END AS duration_ms,
-           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 != 1
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
                 THEN CAST(1 AS INT) END AS channels,
-           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 != 1
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
                 THEN CAST(8000 AS INT) END AS sample_rate,
            CASE WHEN doc_id % 8 = 1 THEN 'doc-' || doc_id END AS title,
            CASE WHEN doc_id % 8 = 1 THEN lang END AS artist,
            CASE WHEN doc_id % 8 = 1 THEN source END AS album,
            CASE WHEN doc_id % 8 = 1
-                THEN CAST(1970 + doc_id % 50 AS VARCHAR) END AS year
+                THEN CAST(1970 + doc_id % 50 AS VARCHAR) END AS year,
+           CASE WHEN doc_id % 8 = 3 THEN 'make-' || lang END AS camera_make,
+           CASE WHEN doc_id % 8 = 3 THEN source END AS camera_model,
+           CASE WHEN doc_id % 8 = 3
+                THEN CAST(1 + (doc_id // 8) % 8 AS INT) END AS orientation,
+           CASE WHEN doc_id % 8 = 3
+                THEN '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                     || ' 12:00:00' END AS captured_at
     FROM documents
     """,
     doc="Multimodal header decode (op E37, REAL path): spec-valid PNG / "
-    "RIFF-WAV / ID3-tagged MP3 payloads are synthesized from the "
-    "documents fixture (correct magics, CRC32-checked IHDR, chunked "
-    "RIFF, syncsafe ID3v2.3 frames + ID3v1 trailer), then probe_media "
-    "parses them back — pure-Python container parsing in an "
+    "RIFF-WAV / ID3-tagged MP3 / EXIF-tagged JPEG payloads are "
+    "synthesized from the documents fixture (correct magics, "
+    "CRC32-checked IHDR, chunked RIFF, syncsafe ID3v2.3 frames + ID3v1 "
+    "trailer, TIFF IFD0 with offset-addressed ASCII values), then "
+    "probe_media parses them back — pure-Python container parsing in an "
     "Arrow-batched mapInPandas, malformed bytes degrade to an error "
     "column, never a task failure. The oracle re-derives every metadata "
-    "AND tag field from the encoding rule, so the encode->decode "
+    "AND tag field (ID3 text frames, EXIF Make/Model/Orientation/"
+    "DateTime) from the encoding rule, so the encode->decode "
     "round-trip is value-checked end to end.",
     tags=("E37",),
 )
@@ -1181,6 +1194,7 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "container", "width", "height",
         "duration_ms", "channels", "sample_rate",
         "title", "artist", "album", "year",
+        "camera_make", "camera_model", "orientation", "captured_at",
     )
 
 

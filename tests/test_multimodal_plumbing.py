@@ -43,3 +43,43 @@ def test_frame_sampling_fanout(spark):
     assert [r["frame_ts_ms"] for r in sorted(per_id[1], key=lambda r: r["frame_idx"])] == [0, 1000]
     assert len(per_id[2]) == 1  # no duration -> single frame
     assert per_id[3][0]["frame"] is None
+
+
+def test_exif_roundtrip_and_robustness():
+    """encode_exif_jpeg -> decode_media recovers every tag; big-endian
+    TIFF parses too; malformed TIFF blocks degrade to no tags (the
+    geometry still parses from SOF)."""
+    import struct
+
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+        _parse_exif_tiff,
+        decode_media,
+        encode_exif_jpeg,
+    )
+
+    b = encode_exif_jpeg(320, 200, "Acme", "X100", 6, "2024:02:03 04:05:06")
+    d = decode_media(b)
+    assert d["container"] == "jpeg"
+    assert (d["width"], d["height"]) == (320, 200)
+    assert d["camera_make"] == "Acme"
+    assert d["camera_model"] == "X100"
+    assert d["orientation"] == 6
+    assert d["captured_at"] == "2024:02:03 04:05:06"
+
+    # big-endian (MM) TIFF with one Orientation entry
+    tiff = (
+        b"MM\x00\x2a" + struct.pack(">I", 8) + struct.pack(">H", 1)
+        + struct.pack(">HHIHH", 0x0112, 3, 1, 3, 0) + struct.pack(">I", 0)
+    )
+    out = dict.fromkeys(
+        ("camera_make", "camera_model", "orientation", "captured_at")
+    )
+    _parse_exif_tiff(tiff, out)
+    assert out["orientation"] == 3
+
+    # corrupt the APP1 TIFF bytes: decode must still yield the geometry
+    corrupt = bytearray(b)
+    corrupt[12:16] = b"XXXX"  # clobber the TIFF byte-order/magic
+    d2 = decode_media(bytes(corrupt))
+    assert (d2["width"], d2["height"]) == (320, 200)
+    assert d2["camera_make"] is None
