@@ -727,52 +727,76 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E13", "E14", "E17"),
 )
 def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.profile import profile_table
+
     events = load_table(spark, sf_dir, "events")
-    cnt = F.count(F.lit(1))
-    agg = events.agg(
-        cnt.alias("n_rows"),
-        (cnt - F.count("event_id")).alias("null_event_id"),
-        F.countDistinct("event_id").alias("dist_event_id"),
-        F.min("event_id").cast("double").alias("min_event_id"),
-        F.max("event_id").cast("double").alias("max_event_id"),
-        (cnt - F.count("user_id")).alias("null_user_id"),
-        F.countDistinct("user_id").alias("dist_user_id"),
-        F.min("user_id").cast("double").alias("min_user_id"),
-        F.max("user_id").cast("double").alias("max_user_id"),
-        (cnt - F.count("value")).alias("null_value"),
-        F.countDistinct("value").alias("dist_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        (cnt - F.count("ts")).alias("null_ts"),
-        F.countDistinct("ts").alias("dist_ts"),
-        ms(F.min("ts")).cast("double").alias("min_ts"),
-        ms(F.max("ts")).cast("double").alias("max_ts"),
-        (cnt - F.count("event_type")).alias("null_event_type"),
-        F.countDistinct("event_type").alias("dist_event_type"),
-        F.min("event_type").alias("smin_event_type"),
-        F.max("event_type").alias("smax_event_type"),
+    return profile_table(
+        events, cols=["event_id", "user_id", "value", "ts", "event_type"]
     )
-    return agg.select(
-        F.expr(
-            "stack(5, "
-            "'event_id', n_rows, null_event_id, dist_event_id, "
-            "  min_event_id, max_event_id, "
-            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
-            "'user_id', n_rows, null_user_id, dist_user_id, "
-            "  min_user_id, max_user_id, "
-            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
-            "'value', n_rows, null_value, dist_value, "
-            "  min_value, max_value, "
-            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
-            "'ts', n_rows, null_ts, dist_ts, min_ts, max_ts, "
-            "  CAST(NULL AS STRING), CAST(NULL AS STRING), "
-            "'event_type', n_rows, null_event_type, dist_event_type, "
-            "  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
-            "  smin_event_type, smax_event_type) "
-            "AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
-            "    min_str, max_str)"
-        )
+
+
+@register(
+    "part_table_profile",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             count(*) - count(p_partkey) AS null_pk,
+             count(DISTINCT p_partkey) AS dist_pk,
+             CAST(min(p_partkey) AS DOUBLE) AS min_pk,
+             CAST(max(p_partkey) AS DOUBLE) AS max_pk,
+             count(*) - count(p_name) AS null_name,
+             count(DISTINCT p_name) AS dist_name,
+             min(p_name) AS smin_name, max(p_name) AS smax_name,
+             count(*) - count(p_brand) AS null_brand,
+             count(DISTINCT p_brand) AS dist_brand,
+             min(p_brand) AS smin_brand, max(p_brand) AS smax_brand,
+             count(*) - count(p_type) AS null_type,
+             count(DISTINCT p_type) AS dist_type,
+             min(p_type) AS smin_type, max(p_type) AS smax_type,
+             count(*) - count(p_size) AS null_size,
+             count(DISTINCT p_size) AS dist_size,
+             CAST(min(p_size) AS DOUBLE) AS min_size,
+             CAST(max(p_size) AS DOUBLE) AS max_size,
+             count(*) - count(p_retailprice) AS null_price,
+             count(DISTINCT p_retailprice) AS dist_price,
+             min(p_retailprice) AS min_price, max(p_retailprice) AS max_price
+      FROM part
     )
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+           min_str, max_str
+    FROM (
+      SELECT 'p_partkey' AS col_name, n_rows, null_pk AS n_nulls,
+             dist_pk AS n_distinct, min_pk AS min_num, max_pk AS max_num,
+             NULL AS min_str, NULL AS max_str FROM agg
+      UNION ALL
+      SELECT 'p_name', n_rows, null_name, dist_name, NULL, NULL,
+             smin_name, smax_name FROM agg
+      UNION ALL
+      SELECT 'p_brand', n_rows, null_brand, dist_brand, NULL, NULL,
+             smin_brand, smax_brand FROM agg
+      UNION ALL
+      SELECT 'p_type', n_rows, null_type, dist_type, NULL, NULL,
+             smin_type, smax_type FROM agg
+      UNION ALL
+      SELECT 'p_size', n_rows, null_size, dist_size, min_size, max_size,
+             NULL, NULL FROM agg
+      UNION ALL
+      SELECT 'p_retailprice', n_rows, null_price, dist_price,
+             min_price, max_price, NULL, NULL FROM agg
+    )
+    """,
+    doc="Schema-driven profiler on a second table (op E13/E14/E17): "
+    "the same operators/profile.py profile_table over part — the "
+    "measure list and stack unpivot derive from df.schema, proving the "
+    "profiler generalizes beyond the hand-picked events columns. One "
+    "scan, exact distincts via Expand; exact_distinct=False swaps in "
+    "HLL approx_count_distinct for the 100 TB path.",
+    tags=("E13", "E14", "E17"),
+)
+def part_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "part"))
 
 
 @register(

@@ -229,3 +229,26 @@ def test_monthly_mom_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-9
     first = min(rows, key=lambda r: (r["yr"], r["mo"]))
     assert first["mom_delta"] is None and first["mom_pct"] is None
+
+
+def test_profile_operator_approx_mode_and_col_selection(spark, sf_dir):
+    """exact vs approx distinct: same scaffold, approx within HLL error;
+    unsupported column types are skipped from the default selection."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.profile import profile_table
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet").withColumn(
+        "arr", F.array(F.col("p_partkey"))
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert "arr" not in prof  # complex types skipped by default
+    approx = {
+        r["col_name"]: r
+        for r in profile_table(df, exact_distinct=False).collect()
+    }
+    for c, r in prof.items():
+        a = approx[c]
+        assert a["n_rows"] == r["n_rows"] and a["n_nulls"] == r["n_nulls"]
+        assert abs(a["n_distinct"] - r["n_distinct"]) <= 0.05 * r["n_distinct"] + 2
+        assert a["min_num"] == r["min_num"] and a["max_str"] == r["max_str"]

@@ -682,3 +682,58 @@ def test_persisted_ann_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path
     assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or (
         "PartitionFilters" in plan and "bucket#" in plan
     ), "probe set did not become a partition filter"
+
+
+def test_star_cc_equivalent_on_random_graph(spark):
+    """large-star/small-star must produce the identical component
+    labeling as min-label propagation on a random graph (including
+    isolates), with roots = component minima."""
+    import random
+
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 120
+    edges_py = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges_py = [(a, b) for a, b in edges_py if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    ref = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            nodes, edges, pointer_jumping=True
+        ).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == ref
+    for node, comp in got.items():
+        assert comp <= node  # root is the component minimum
+
+
+def test_star_cc_collapses_long_path_in_log_rounds(spark):
+    """A 256-node path needs ~255 rounds of plain propagation;
+    alternating star rounds must converge within 10 (incl. the
+    fixpoint-detection round) — the O(log^2 n) bound that makes it
+    the web-graph-scale variant."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 256
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components_star(nodes, edges, max_iter=10).collect()
+    }
+    assert set(comp.values()) == {0}

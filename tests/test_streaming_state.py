@@ -90,3 +90,54 @@ def test_gap_monitor_restart_resumes_state(spark, tmp_path):
     assert {(r["gap_start"], r["gap_end"], r["n_missing"]) for r in collected} == {
         (T0 + 2 * MIN, T0 + 3 * MIN, 2)
     }
+
+
+def test_streaming_funnel_matches_batch_over_prefix(spark, tmp_path):
+    """The stateful funnel's final per-user stage must EQUAL the batch
+    event_funnel_conversion staging over the same events, including a
+    cross-batch conversion (stage event arriving batches later) and an
+    out-of-order event absorbed by the min-fold."""
+    from datetime import datetime, timedelta
+
+    from ccxt_ohlcv_fetcher_spark.streaming.funnel import streaming_funnel
+
+    src = str(tmp_path / "events")
+    schema = "user_id long, event_type string, ts timestamp"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t = datetime(2024, 1, 1)
+    s = timedelta(seconds=1)
+    # user 1: full ordered funnel split across batches
+    # user 2: view before signup (stage stalls at 1 after signup arrives)
+    # user 3: signup only
+    write([(1, "signup", t), (1, "view", t + s), (2, "view", t)])
+    write([(1, "click", t + 2 * s), (3, "signup", t), (2, "signup", t + s)])
+    write([(1, "purchase", t + 3 * s), (1, "view", t + 9 * s)])  # late dup view
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per user wins (update mode appends one row per batch)
+    import collections
+
+    last: dict = collections.OrderedDict()
+    for r in spark.table("funnel").collect():
+        last[r["user_id"]] = r["max_stage"]
+    assert last == {1: 4, 2: 1, 3: 1}
