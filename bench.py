@@ -104,6 +104,9 @@ def main() -> None:
         if len(json.dumps(summary)) > budget:
             del summary["queries"][name]
             break
+    # make truncation explicit: consumers (bench_compare) must not treat
+    # a query absent from the compact map as removed
+    summary["queries_truncated"] = len(summary["queries"]) < len(times)
     sys.stdout.flush()
     print(json.dumps(summary))
 

@@ -93,6 +93,8 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         "camera_model": None,
         "orientation": None,
         "captured_at": None,
+        "exposure_s": None,
+        "focal_mm": None,
     }
     if b.startswith(_PNG_MAGIC):
         # PNG: 8-byte magic, then chunks of (len, type, data, crc32).
@@ -273,15 +275,20 @@ _EXIF_TAGS = {
     0x0110: "camera_model",  # Model, ASCII
     0x0112: "orientation",   # Orientation, SHORT 1..8
     0x0132: "captured_at",   # DateTime "YYYY:MM:DD HH:MM:SS", ASCII
+    0x829A: "exposure_s",    # ExposureTime, RATIONAL (in the Exif sub-IFD)
+    0x920A: "focal_mm",      # FocalLength, RATIONAL (in the Exif sub-IFD)
 }
+_EXIF_IFD_POINTER = 0x8769  # tag whose LONG value is the sub-IFD offset
 
 
-def _parse_exif_tiff(tiff: bytes, out: dict) -> None:
-    """TIFF 6.0 IFD0 walk (the structure EXIF embeds in JPEG APP1):
+def _parse_exif_tiff(tiff: bytes, out: dict, _ifd: int | None = None) -> None:
+    """TIFF 6.0 IFD walk (the structure EXIF embeds in JPEG APP1):
     2-byte byte order (II little / MM big), magic 42, IFD0 offset, then
     12-byte entries of (tag, type, count, value-or-offset). Parses the
-    four camera tags in :data:`_EXIF_TAGS`; ASCII values longer than 4
-    bytes live at an offset relative to the TIFF start. Every read is
+    camera tags in :data:`_EXIF_TAGS` — ASCII values longer than 4
+    bytes and RATIONAL (num/den uint32 pair) values live at an offset
+    relative to the TIFF start — and follows the ExifIFD pointer
+    (0x8769) one level for the photographic tags. Every read is
     bounds-checked; malformed blocks fill nothing and never raise."""
     if len(tiff) < 8:
         return
@@ -293,14 +300,22 @@ def _parse_exif_tiff(tiff: bytes, out: dict) -> None:
     else:
         return
     (magic, ifd0) = struct.unpack(endian + "HI", tiff[2:8])
-    if magic != 42 or ifd0 + 2 > len(tiff):
+    if magic != 42:
         return
-    (n_entries,) = struct.unpack(endian + "H", tiff[ifd0 : ifd0 + 2])
+    ifd = ifd0 if _ifd is None else _ifd
+    if ifd + 2 > len(tiff):
+        return
+    (n_entries,) = struct.unpack(endian + "H", tiff[ifd : ifd + 2])
     for k in range(n_entries):
-        e = ifd0 + 2 + 12 * k
+        e = ifd + 2 + 12 * k
         if e + 12 > len(tiff):
             return
         tag, typ, count = struct.unpack(endian + "HHI", tiff[e : e + 8])
+        if tag == _EXIF_IFD_POINTER and typ == 4 and _ifd is None:
+            (sub,) = struct.unpack(endian + "I", tiff[e + 8 : e + 12])
+            if 0 < sub < len(tiff):
+                _parse_exif_tiff(tiff, out, _ifd=sub)  # one level only
+            continue
         key = _EXIF_TAGS.get(tag)
         if key is None:
             continue
@@ -313,12 +328,20 @@ def _parse_exif_tiff(tiff: bytes, out: dict) -> None:
                     continue
                 raw = tiff[off : off + count]
             val = raw.split(b"\x00", 1)[0].decode("latin-1", "replace")
-            if val and key != "orientation":
+            if val and key in ("camera_make", "camera_model", "captured_at"):
                 out[key] = val
         elif typ == 3 and key == "orientation":  # SHORT, inline
             (v,) = struct.unpack(endian + "H", tiff[e + 8 : e + 10])
             if 1 <= v <= 8:
                 out[key] = v
+        elif typ == 5 and key in ("exposure_s", "focal_mm") and count == 1:
+            # RATIONAL: two uint32 (numerator, denominator) at offset
+            (off,) = struct.unpack(endian + "I", tiff[e + 8 : e + 12])
+            if off + 8 > len(tiff):
+                continue
+            num, den = struct.unpack(endian + "II", tiff[off : off + 8])
+            if den:
+                out[key] = num / den
 
 
 def encode_exif_jpeg(
@@ -328,16 +351,28 @@ def encode_exif_jpeg(
     model: str,
     orientation: int,
     captured_at: str,
+    exposure: tuple[int, int] | None = None,
+    focal: tuple[int, int] | None = None,
 ) -> bytes:
     """Minimal spec-valid JPEG with an APP1/Exif TIFF block: SOI, APP1
-    (little-endian TIFF, IFD0 with Make/Model/Orientation/DateTime),
-    SOF0 carrying the geometry, SOS header, EOI. Used by the typed
-    media fixture so the EXIF parse is oracle-checkable end to end."""
+    (little-endian TIFF, IFD0 with Make/Model/Orientation/DateTime and,
+    when ``exposure``/``focal`` (num, den) rationals are given, an Exif
+    sub-IFD pointer (0x8769) to ExposureTime/FocalLength), SOF0
+    carrying the geometry, SOS header, EOI. Used by the typed media
+    fixture so the EXIF parse is oracle-checkable end to end."""
+    has_sub = exposure is not None or focal is not None
+    sub_tags = [
+        (0x829A, exposure),
+        (0x920A, focal),
+    ]
+    sub_tags = [(t, v) for t, v in sub_tags if v is not None]
+    n_ifd0 = 4 + (1 if has_sub else 0)
+    ifd0_off = 8
+    sub_off = ifd0_off + 2 + n_ifd0 * 12 + 4
+    rat_off = sub_off + (2 + len(sub_tags) * 12 + 4 if has_sub else 0)
+    data_off = rat_off + 8 * len(sub_tags)  # ASCII area after rationals
     entries = []
     data_area = b""
-    # IFD layout: 8-byte TIFF header, 2-byte count, 4 entries x 12,
-    # 4-byte next-IFD pointer -> value data starts at offset 62
-    data_off = 8 + 2 + 4 * 12 + 4
 
     def ascii_entry(tag: int, s: str) -> bytes:
         nonlocal data_area
@@ -352,10 +387,24 @@ def encode_exif_jpeg(
     entries.append(ascii_entry(0x0110, model))
     entries.append(struct.pack("<HHIHH", 0x0112, 3, 1, orientation, 0))
     entries.append(ascii_entry(0x0132, captured_at))
+    sub_block = b""
+    rat_area = b""
+    if has_sub:
+        entries.append(struct.pack("<HHII", 0x8769, 4, 1, sub_off))
+        sub_entries = []
+        for j, (tag, (num, den)) in enumerate(sub_tags):
+            sub_entries.append(
+                struct.pack("<HHII", tag, 5, 1, rat_off + 8 * j)
+            )
+            rat_area += struct.pack("<II", num, den)
+        sub_block = (
+            struct.pack("<H", len(sub_entries)) + b"".join(sub_entries)
+            + struct.pack("<I", 0)
+        )
     tiff = (
-        b"II*\x00" + struct.pack("<I", 8)
+        b"II*\x00" + struct.pack("<I", ifd0_off)
         + struct.pack("<H", len(entries)) + b"".join(entries)
-        + struct.pack("<I", 0) + data_area
+        + struct.pack("<I", 0) + sub_block + rat_area + data_area
     )
     exif_payload = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif_payload)) + exif_payload
@@ -453,6 +502,8 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("camera_model", T.StringType(), True),
         T.StructField("orientation", T.IntegerType(), True),
         T.StructField("captured_at", T.StringType(), True),
+        T.StructField("exposure_s", T.DoubleType(), True),
+        T.StructField("focal_mm", T.DoubleType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -461,6 +512,7 @@ _PROBE_FIELDS = (
     "container", "width", "height", "duration_ms",
     "channels", "sample_rate", "title", "artist", "album", "year",
     "camera_make", "camera_model", "orientation", "captured_at",
+    "exposure_s", "focal_mm",
 )
 
 
@@ -546,6 +598,10 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
                             model=source,
                             orientation=1 + (did // 8) % 8,
                             captured_at=f"2024:01:{1 + did % 28:02d} 12:00:00",
+                            # power-of-two denominator: 1/2^k is an exact
+                            # binary fraction, so the double is engine-exact
+                            exposure=(1, 2 ** (did % 10)),
+                            focal=(10 + did % 290, 1),
                         )
                     )
                     kinds.append("image")

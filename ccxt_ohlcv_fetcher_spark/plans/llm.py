@@ -1166,7 +1166,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN CAST(1 + (doc_id // 8) % 8 AS INT) END AS orientation,
            CASE WHEN doc_id % 8 = 3
                 THEN '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
-                     || ' 12:00:00' END AS captured_at
+                     || ' 12:00:00' END AS captured_at,
+           CASE WHEN doc_id % 8 = 3
+                THEN 1.0 / CAST(2 ** (doc_id % 10) AS DOUBLE) END AS exposure_s,
+           CASE WHEN doc_id % 8 = 3
+                THEN CAST(10 + doc_id % 290 AS DOUBLE) END AS focal_mm
     FROM documents
     """,
     doc="Multimodal header decode (op E37, REAL path): spec-valid PNG / "
@@ -1195,6 +1199,7 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", "channels", "sample_rate",
         "title", "artist", "album", "year",
         "camera_make", "camera_model", "orientation", "captured_at",
+        "exposure_s", "focal_mm",
     )
 
 

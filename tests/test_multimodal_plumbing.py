@@ -57,7 +57,10 @@ def test_exif_roundtrip_and_robustness():
         encode_exif_jpeg,
     )
 
-    b = encode_exif_jpeg(320, 200, "Acme", "X100", 6, "2024:02:03 04:05:06")
+    b = encode_exif_jpeg(
+        320, 200, "Acme", "X100", 6, "2024:02:03 04:05:06",
+        exposure=(1, 128), focal=(50, 1),
+    )
     d = decode_media(b)
     assert d["container"] == "jpeg"
     assert (d["width"], d["height"]) == (320, 200)
@@ -65,6 +68,8 @@ def test_exif_roundtrip_and_robustness():
     assert d["camera_model"] == "X100"
     assert d["orientation"] == 6
     assert d["captured_at"] == "2024:02:03 04:05:06"
+    assert d["exposure_s"] == 1 / 128  # Exif sub-IFD rational
+    assert d["focal_mm"] == 50.0
 
     # big-endian (MM) TIFF with one Orientation entry
     tiff = (

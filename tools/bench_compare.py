@@ -16,30 +16,41 @@ import sys
 FLOOR_SECS = 0.3
 
 
-def load_queries(path: str) -> dict[str, float]:
-    """Per-query seconds from either bench format: bench.py's own JSON
-    line ({"queries": ...}) or the driver's BENCH_r{N}.json wrapper
-    ({"parsed": {bench line}, "tail": "<raw stdout>"})."""
+def load_queries(path: str) -> tuple[dict[str, float], bool]:
+    """(per-query seconds, truncated?) from either bench format:
+    bench.py's own JSON line ({"queries": ...}) or the driver's
+    BENCH_r{N}.json wrapper ({"parsed": {bench line}, "tail": ...}).
+    ``truncated`` is True when the compact contract line carried only
+    the slowest queries (queries_truncated flag, or fewer entries than
+    n_queries) — absent queries then mean "not reported", not "gone"."""
     doc = json.load(open(path))
+
+    def extract(d: dict) -> tuple[dict[str, float], bool]:
+        qs = d["queries"]
+        trunc = bool(d.get("queries_truncated")) or (
+            "n_queries" in d and len(qs) < d["n_queries"]
+        )
+        return qs, trunc
+
     if "queries" in doc:
-        return doc["queries"]
+        return extract(doc)
     parsed = doc.get("parsed")
     if isinstance(parsed, dict) and "queries" in parsed:
-        return parsed["queries"]
+        return extract(parsed)
     for line in reversed(doc.get("tail", "").splitlines()):
         line = line.strip()
         if line.startswith("{"):
             cand = json.loads(line)
             if "queries" in cand:
-                return cand["queries"]
+                return extract(cand)
     raise SystemExit(f"{path}: no per-query timings found")
 
 
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = load_queries(old_path)
-    new = load_queries(new_path)
+    old, old_trunc = load_queries(old_path)
+    new, new_trunc = load_queries(new_path)
 
     regressions, improvements = [], []
     for name, t_new in sorted(new.items()):
@@ -52,7 +63,11 @@ def main() -> int:
         elif t_old > t_new * ratio and t_old - t_new > FLOOR_SECS:
             improvements.append((name, t_old, t_new))
     for name in sorted(set(old) - set(new)):
-        print(f"GONE   {name} (was {old[name]:.2f}s)")
+        if new_trunc:
+            print(f"ABSENT {name} (was {old[name]:.2f}s; new file truncated "
+                  "-- compare against its BENCH_LOCAL.json detail)")
+        else:
+            print(f"GONE   {name} (was {old[name]:.2f}s)")
     for name, a, b in improvements:
         print(f"FASTER {name}: {a:.2f}s -> {b:.2f}s")
     for name, a, b in regressions:
