@@ -1,0 +1,189 @@
+"""Snapshot/manifest table format (a minimal Delta-style commit log)
+for parquet datasets: atomic appends, snapshot-isolated reads, time
+travel, and safe vacuum — without a table-format dependency.
+
+Why: plain `df.write.mode("append").parquet(path)` has two failure
+modes this repo has already hit (ROUND_NOTES "Decisions"): concurrent
+appends collide in the shared ``_temporary`` staging dir (forcing
+`ingest_exchange` to serialize commits behind a lock), and a reader
+racing a writer can list a half-written file set. The standard fix is
+the log-structured table format (Delta/Iceberg): data files are
+immutable once written, and a COMMIT is the atomic creation of the
+next numbered manifest that references them.
+
+Layout::
+
+    path/data/commit-<token>/part-*.parquet   (one dir per commit)
+    path/_manifests/v00000001.json            (file list, parent, op)
+
+Protocol (Delta's, scaled down):
+
+- a writer stages its parquet files into a fresh ``commit-<token>``
+  dir (its own ``_temporary`` — no cross-writer collision), then
+  creates ``v{N+1}.json`` with ``open(..., "x")``: the exclusive
+  create IS the compare-and-swap. If another writer won version N+1,
+  the create fails and the writer rebases: re-reads the new head,
+  re-merges its (already staged, immutable) file list, and retries at
+  N+2. Data files are never rewritten on retry.
+- readers resolve the head by listing manifests (max N), then read
+  exactly the files that manifest names — a consistent snapshot, never
+  a half-commit; ``version=`` pins any historical snapshot.
+- ``vacuum()`` deletes commit dirs referenced by NO retained manifest
+  — which is also what makes a crashed writer harmless: its staged
+  dir was never referenced, so it is invisible and reclaimable.
+
+Scale notes: on a real object store the exclusive create maps to
+put-if-absent (S3 conditional PUT / GCS generation-0 precondition),
+exactly how open-source Delta commits on those stores. Manifests list
+file PATHS (O(files), compacted by rewriting a base manifest), and
+reads bypass directory listing entirely — the slow operation at
+100 TB. Cite: reference stores one SQLite file per symbol with no
+multi-writer story (ccxt-ohlcv-fetch.py:125-139); this is the
+warehouse-grade replacement.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Raised when max_retries rebases all lose the CAS race."""
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._manifest_dir = os.path.join(path, "_manifests")
+        self._data_dir = os.path.join(path, "data")
+
+    # --- log inspection ---------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:08d}.json")
+
+    def latest_version(self) -> int:
+        """Head of the log; 0 = empty table (no commits)."""
+        if not os.path.isdir(self._manifest_dir):
+            return 0
+        versions = [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._manifest_dir, "v*.json"))
+        ]
+        return max(versions, default=0)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "parent": None, "files": [], "operation": "empty"}
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """Every committed manifest, oldest first (op, version, counts)."""
+        out = []
+        for v in range(1, self.latest_version() + 1):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                }
+            )
+        return out
+
+    # --- writes -----------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        token = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self._data_dir, f"commit-{token}")
+        df.write.parquet(commit_dir)
+        files = sorted(
+            glob.glob(os.path.join(commit_dir, "*.parquet"))
+            + glob.glob(os.path.join(commit_dir, "**", "*.parquet"))
+        )
+        # store paths relative to the table root so the table can move
+        return [os.path.relpath(f, self.path) for f in files]
+
+    def _try_commit(
+        self, base_version: int, files: list[str], operation: str
+    ) -> bool:
+        version = base_version + 1
+        manifest = {
+            "version": version,
+            "parent": base_version,
+            "operation": operation,
+            "files": files,
+        }
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        try:
+            # exclusive create = the atomic compare-and-swap of the log
+            with open(self._manifest_path(version), "x") as fh:
+                json.dump(manifest, fh)
+        except FileExistsError:
+            return False
+        return True
+
+    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+        """Atomic append; returns the committed version. Loser of a
+        concurrent race rebases onto the winner's manifest and retries —
+        staged data files are immutable and reused across retries."""
+        new_files = self._stage(df)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            merged = self.manifest(base)["files"] + new_files
+            if self._try_commit(base, merged, "append"):
+                return base + 1
+        raise CommitConflict(f"append lost the CAS race {max_retries} times")
+
+    def overwrite(self, df: DataFrame, max_retries: int = 10) -> int:
+        """Atomic full replace (the snapshot references ONLY the new
+        files; history still reaches the old ones until vacuum)."""
+        new_files = self._stage(df)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if self._try_commit(base, new_files, "overwrite"):
+                return base + 1
+        raise CommitConflict(f"overwrite lost the CAS race {max_retries} times")
+
+    # --- reads ------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: exactly the files the (pinned or
+        head) manifest names — never a half-commit, no dir listing."""
+        m = self.manifest(version)
+        if not m["files"]:
+            raise ValueError("empty table (version 0) has no schema")
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in m["files"]]
+        )
+
+    # --- maintenance ------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Delete commit dirs referenced by none of the last
+        ``retain_versions`` manifests (older time travel breaks, space
+        is reclaimed; uncommitted/crashed stage dirs go too). Returns
+        the deleted dirs."""
+        head = self.latest_version()
+        keep_versions = range(max(1, head - retain_versions + 1), head + 1)
+        referenced = set()
+        for v in keep_versions:
+            for f in self.manifest(v)["files"]:
+                # data/commit-<token>/...
+                referenced.add(f.split(os.sep)[1])
+        deleted = []
+        for d in sorted(glob.glob(os.path.join(self._data_dir, "commit-*"))):
+            if os.path.basename(d) not in referenced:
+                shutil.rmtree(d)
+                deleted.append(d)
+        return deleted
