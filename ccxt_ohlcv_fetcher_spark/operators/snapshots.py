@@ -115,14 +115,25 @@ class SnapshotStore:
         return [os.path.relpath(f, self.path) for f in files]
 
     def _try_commit(
-        self, base_version: int, files: list[str], operation: str
+        self,
+        base_version: int,
+        files: list[str],
+        operation: str,
+        txn: tuple[str, int] | None = None,
     ) -> bool:
         version = base_version + 1
+        # txn map carries forward through every commit (Delta's
+        # SetTransaction): the head manifest always knows the last
+        # applied batch per streaming writer
+        txns = dict(self.manifest(base_version).get("txn", {}))
+        if txn is not None:
+            txns[txn[0]] = txn[1]
         manifest = {
             "version": version,
             "parent": base_version,
             "operation": operation,
             "files": files,
+            "txn": txns,
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
         try:
@@ -133,15 +144,38 @@ class SnapshotStore:
             return False
         return True
 
-    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest batch id committed by ``app_id`` (None = never)."""
+        return self.manifest().get("txn", {}).get(app_id)
+
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Atomic append; returns the committed version. Loser of a
         concurrent race rebases onto the winner's manifest and retries —
-        staged data files are immutable and reused across retries."""
+        staged data files are immutable and reused across retries.
+
+        ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT per
+        writer: a batch id at or below the app's last committed one is
+        skipped (returns None) — re-delivered foreachBatch micro-batches
+        commit exactly once, checked under the same CAS that orders the
+        commits (no window between check and commit)."""
+        if txn is not None:
+            last = self.last_txn(txn[0])
+            if last is not None and txn[1] <= last:
+                return None
         new_files = self._stage(df)
         for _ in range(max_retries):
             base = self.latest_version()
+            if txn is not None:
+                last = self.manifest(base).get("txn", {}).get(txn[0])
+                if last is not None and txn[1] <= last:
+                    return None  # another attempt of this batch already won
             merged = self.manifest(base)["files"] + new_files
-            if self._try_commit(base, merged, "append"):
+            if self._try_commit(base, merged, "append", txn=txn):
                 return base + 1
         raise CommitConflict(f"append lost the CAS race {max_retries} times")
 
@@ -187,3 +221,33 @@ class SnapshotStore:
                 shutil.rmtree(d)
                 deleted.append(d)
         return deleted
+
+
+def streaming_snapshot_sink(
+    stream: DataFrame,
+    store: SnapshotStore,
+    app_id: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Exactly-once streaming sink into a SnapshotStore: foreachBatch
+    appends with ``txn=(app_id, batch_id)``, so a re-delivered
+    micro-batch (at-least-once foreachBatch) is skipped by the commit
+    log itself — no content-based dedup needed, and readers only ever
+    see whole committed batches (snapshot isolation). This is the
+    table-format complement to the anti-join sink in
+    streaming/candles.py: that one dedups by KEY (absorbs overlapping
+    re-fetches), this one dedups by BATCH (absorbs replays byte-free).
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        store.append(batch, txn=(app_id, batch_id))
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -522,3 +522,44 @@ def price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 6).alias("avgy_r"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_r"),
     )
+
+
+@register(
+    "user_type_pivot_multi",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')  AS click_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'click'), 0) AS DOUBLE)
+             AS click_sum,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6)))
+                FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+             AS purchase_sum
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Multi-aggregate pivot (op E13 wide form, the tail "
+    "user_type_pivot doesn't cover): each pinned pivot value fans out "
+    "one column PER aggregate (count + exact-decimal sum). Spark's "
+    "pivot with a multi-agg agg() names columns value_alias — aliased "
+    "back to the oracle's names; still one shuffle, static schema.",
+    tags=("E13",),
+)
+def user_type_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum"),
+        )
+    )
+    return piv.select(
+        "user_id",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
+        F.coalesce(F.col("click_sum"), F.lit(0.0)).alias("click_sum"),
+        F.coalesce(F.col("purchase_n"), F.lit(0)).alias("purchase_n"),
+        F.coalesce(F.col("purchase_sum"), F.lit(0.0)).alias("purchase_sum"),
+    )

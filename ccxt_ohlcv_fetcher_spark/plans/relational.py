@@ -178,3 +178,49 @@ def top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "priority_multiset_ops",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'F'
+    ),
+    b AS (
+      SELECT o_orderpriority AS pri FROM orders WHERE o_orderstatus = 'O'
+    ),
+    i AS (SELECT pri FROM a INTERSECT ALL SELECT pri FROM b),
+    e AS (SELECT pri FROM a EXCEPT ALL SELECT pri FROM b)
+    SELECT 'intersect_all' AS op, pri, count(*) AS n FROM i GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', pri, count(*) AS n FROM e GROUP BY 2
+    """,
+    doc="Multiset set operations (op E24 tail): INTERSECT ALL keeps "
+    "min(multiplicity) per value, EXCEPT ALL subtracts multiplicities — "
+    "the bag semantics DISTINCT set ops lose. Spark plans both as a "
+    "single aggregate computing per-value counts on each side then "
+    "replicating rows (no join); the summary groupBy keeps the output "
+    "deterministic.",
+    tags=("E24",),
+)
+def priority_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "pri", "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "pri", "n")
+    )
+    return i.unionAll(e)

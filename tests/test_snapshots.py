@@ -80,7 +80,7 @@ def test_cas_exhaustion_raises(spark, tmp_path):
     store.append(_df(spark, 0, 2))
 
     class Rigged(SnapshotStore):
-        def _try_commit(self, base, files, op):  # always lose
+        def _try_commit(self, base, files, op, txn=None):  # always lose
             return False
 
     rigged = Rigged(spark, str(tmp_path / "t"))
@@ -96,3 +96,42 @@ def test_relative_paths_table_is_movable(spark, tmp_path):
     shutil.move(str(tmp_path / "t"), str(tmp_path / "moved"))
     moved = SnapshotStore(spark, str(tmp_path / "moved"))
     assert moved.read().count() == 7
+
+
+def test_txn_append_idempotent_per_writer(spark, tmp_path):
+    """Delta-style SetTransaction semantics: same (app, batch) commits
+    once; later batches commit; a second app is independent."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    assert store.append(_df(spark, 0, 5), txn=("app1", 0)) == 1
+    assert store.append(_df(spark, 0, 5), txn=("app1", 0)) is None  # replay
+    assert store.read().count() == 5
+    assert store.append(_df(spark, 5, 8), txn=("app1", 1)) == 2
+    assert store.append(_df(spark, 100, 101), txn=("app2", 0)) == 3
+    assert store.read().count() == 9
+    assert store.last_txn("app1") == 1 and store.last_txn("app2") == 0
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """foreachBatch replays absorb at the commit log: run the stream,
+    then re-run the same batch function with an already-committed
+    batch_id — the store must not grow."""
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        streaming_snapshot_sink,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).withColumnRenamed("id", "v").coalesce(1).write.parquet(src)
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    stream = spark.readStream.schema("v long").parquet(src)
+    q = streaming_snapshot_sink(
+        stream, store, app_id="sink-test", checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert store.read().count() == 10
+    committed = store.last_txn("sink-test")
+    # simulate foreachBatch redelivery of the last batch
+    store.append(
+        spark.range(0, 10).withColumnRenamed("id", "v"),
+        txn=("sink-test", committed),
+    )
+    assert store.read().count() == 10  # replay was a no-op
