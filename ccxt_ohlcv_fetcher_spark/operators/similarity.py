@@ -823,26 +823,25 @@ def ivf_pq_cosine_topk(
     """
     assert dim % m == 0
     sub = dim // m
-    # --- cell layout (same deterministic seeds as ivf_cosine_topk)
-    cseeds = (
+    # ONE TakeOrdered job seeds both layouts (cell centroids = first
+    # n_cells vectors, PQ codewords = first n_codes) — same deterministic
+    # seeds as the separate collects, half the builder-time jobs
+    seeds = (
         corpus.orderBy(corpus_id)
-        .limit(n_cells)
-        .select(F.col(corpus_vec).alias("_c"))
+        .limit(max(n_cells, n_codes))
+        .select(F.col(corpus_vec).alias("_v"))
         .collect()
     )
-    centroids = [list(map(float, r["_c"])) for r in cseeds]
+    centroids = [list(map(float, r["_v"])) for r in seeds[:n_cells]]
     top_cells = _top_cells
 
     # --- PQ code table (untrained seeds; pass through train_pq_codebooks
     # for structured corpora — identical downstream plan)
-    pseeds = (
-        corpus.orderBy(corpus_id)
-        .limit(n_codes)
-        .select(F.col(corpus_vec).alias("_v"))
-        .collect()
-    )
     codebooks = [
-        [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in pseeds]
+        [
+            [float(x) for x in r["_v"][j * sub : (j + 1) * sub]]
+            for r in seeds[:n_codes]
+        ]
         for j in range(m)
     ]
     cb_row = _codebook_row(corpus.sparkSession, codebooks, centroids=centroids)

@@ -258,3 +258,39 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).isNull().alias("is_current"),
         F.row_number().over(w).alias("version"),
     )
+
+
+@register(
+    "event_trailing_hour_stats",
+    oracle=f"""
+    SELECT event_id, user_id, {sql_ms("ts")} AS ts_ms,
+           count(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {sql_ms("ts")}
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-interval RANGE frame (op E20 tail the rows-frame queries "
+    "don't cover): trailing-one-hour event count and exact-decimal "
+    "value sum per user, framed by the epoch-ms VALUE range rather "
+    "than a row count — the frame width adapts to event density, and "
+    "equal-timestamp peers share a frame deterministically (no "
+    "tie-break needed: RANGE frames are value-defined). One shuffle on "
+    "user_id; Spark evaluates the sliding frame incrementally.",
+    tags=("E20",),
+)
+def event_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ms("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        ms("ts").alias("ts_ms"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_1h"),
+    )
