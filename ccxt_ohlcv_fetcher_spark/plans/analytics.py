@@ -1133,3 +1133,54 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@register(
+    "event_value_winsorized",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_disc(value, 0.01) AS lo,
+             quantile_disc(value, 0.99) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT event_id, e.event_type, value,
+           CASE WHEN value < lo THEN lo
+                WHEN value > hi THEN hi ELSE value END AS value_w,
+           CAST(value < lo OR value > hi AS BOOLEAN) AS clipped
+    FROM events e JOIN cuts USING (event_type)
+    """,
+    doc="Percentile winsorization (feature clipping, the standard "
+    "outlier treatment before model training): per-event-type p01/p99 "
+    "order statistics, values clipped into the band, clip flag kept "
+    "for audit. percentile_disc picks ACTUAL data values, so the "
+    "cutoffs are bit-exact across engines with no interpolation "
+    "arithmetic. DEMO-SCALE FORM: exact order statistics buffer each "
+    "group on one reducer (see price_percentiles); the scale path "
+    "swaps the cuts CTE for approx_percentile / KLL quantiles "
+    "(kll_value_quantiles) — the clipping join is broadcast either "
+    "way.",
+    tags=("E17", "E6", "demo-scale"),
+)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pd_ = F.expr(
+        "percentile_disc(array(0.01, 0.99)) WITHIN GROUP (ORDER BY value)"
+    )
+    cuts = events.groupBy("event_type").agg(pd_.alias("_p")).select(
+        "event_type",
+        F.col("_p")[0].alias("lo"),
+        F.col("_p")[1].alias("hi"),
+    )
+    return events.join(F.broadcast(cuts), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("value_w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )

@@ -1678,3 +1678,89 @@ def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang", "rn")
     )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH doc_bi AS (
+      SELECT doc_id, unnest(bigrams) AS bigram FROM (
+        SELECT doc_id, {_SQL_BIGRAMS} AS bigrams FROM (
+          SELECT doc_id, {SQL_WORDS} AS words FROM documents
+        )
+      )
+    ),
+    c2 AS (SELECT bigram, count(*) AS n2 FROM doc_bi GROUP BY 1),
+    c1 AS (
+      SELECT string_split(bigram, ' ')[1] AS w1, sum(n2) AS n1
+      FROM c2 GROUP BY 1
+    ),
+    v AS (
+      SELECT count(DISTINCT string_split(bigram, ' ')[2]) AS vocab FROM c2
+    ),
+    lm AS (
+      SELECT bigram,
+             round(ln(
+               (CAST(n2 AS DOUBLE) + 1) / (CAST(n1 AS DOUBLE) + vocab)
+             ), 9) AS logp
+      FROM c2
+      JOIN c1 ON c1.w1 = string_split(c2.bigram, ' ')[1]
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+             AS avg_logprob
+    FROM doc_bi JOIN lm USING (bigram)
+    GROUP BY 1
+    """,
+    doc="Bigram language-model scoring — the perplexity-filter primitive "
+    "of LLM data pipelines (filter docs whose avg token log-probability "
+    "under a corpus LM is an outlier): add-1-smoothed bigram LM trained "
+    "on the corpus itself, P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V), each doc "
+    "scored as the mean log-probability of its bigram stream. "
+    "Cross-engine exactness: counts are integers, the probability is "
+    "ONE IEEE division, ln rounds to 9dp before the decimal-summed "
+    "mean (the bm25 convention). Scale shape: the LM is a bigram-count "
+    "table (vocab-bounded — at open vocab, df-threshold it like "
+    "token_pmi_pairs) broadcast onto the doc bigram stream; training "
+    "and scoring are each one partial-aggregated shuffle.",
+    tags=("E36", "E5"),
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W  # noqa: F401 (house import)
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_bi = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(words(F.col("text")), 2)).alias("bigram"),
+    )
+    c2 = doc_bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    w1 = F.split(F.col("bigram"), " ")[0]
+    w2 = F.split(F.col("bigram"), " ")[1]
+    c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("n2").alias("n1"))
+    vocab = c2.select(w2.alias("w2")).distinct().count()
+    lm = (
+        c2.join(F.broadcast(c1), w1 == F.col("w1"))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("n2").cast("double") + F.lit(1.0))
+                    / (F.col("n1").cast("double") + F.lit(float(vocab)))
+                ),
+                9,
+            ).alias("logp"),
+        )
+    )
+    return (
+        doc_bi.join(F.broadcast(lm), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("logp").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )
