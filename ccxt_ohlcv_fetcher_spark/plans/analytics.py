@@ -1184,3 +1184,181 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@register(
+    "part_revenue_abc",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM per_part
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+                  OVER (ORDER BY revenue DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+      FROM per_part
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+             AS class_revenue
+    FROM (
+      SELECT revenue,
+             CASE WHEN cum_rev / total <= 0.8 THEN 'A'
+                  WHEN cum_rev / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked CROSS JOIN tot
+    )
+    GROUP BY 1
+    """,
+    doc="Pareto / ABC inventory classification: parts ranked by revenue, "
+    "cumulative-share cut at 80%%/95%%. The cumulative window is global "
+    "but runs over ONE ROW PER PART post-aggregation (the monthly_"
+    "revenue_mom pattern); cumulative sums are decimal-exact so the "
+    "share thresholds cut identically in both engines; the grand total "
+    "is a 1-row broadcast.",
+    tags=("E21", "E13", "E17"),
+)
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue")
+    )
+    tot = per_part.agg(
+        F.sum(dec("revenue")).cast("double").alias("total")
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = per_part.withColumn(
+        "cum_rev", F.sum(dec("revenue")).over(w).cast("double")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "revenue",
+        F.when(F.col("cum_rev") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum_rev") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(dec("revenue")).cast("double").alias("class_revenue"),
+    )
+
+
+_RULE_MIN_SUPPORT = 2
+_RULE_TOP = 20
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (SELECT l_partkey, count(*) AS item_n FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS pair_n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_RULE_MIN_SUPPORT}
+    )
+    SELECT ante, cons, pair_n,
+           ia.item_n AS ante_n, ic.item_n AS cons_n,
+           CAST(pair_n AS DOUBLE) / ia.item_n AS confidence,
+           CAST(pair_n AS DOUBLE) * n_orders
+             / (CAST(ia.item_n AS DOUBLE) * ic.item_n) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = ante
+    JOIN item ic ON ic.l_partkey = cons
+    CROSS JOIN n
+    ORDER BY lift DESC, ante, cons
+    LIMIT {_RULE_TOP}
+    """,
+    doc="Market-basket association rules (support / confidence / lift): "
+    "co-purchase pairs over distinct order baskets, rule strength as "
+    "lift = P(a,b)/(P(a)P(b)). Unlike PMI this needs NO transcendental "
+    "— counts are integers and lift is two IEEE ops, so no rounding "
+    "convention at all. Scale shape: the pair count is the bounded "
+    "per-basket fan-out (see copurchase_graph_stats), item marginals "
+    "broadcast, top-20 is TakeOrderedAndProject.",
+    tags=("E5", "E13", "E22"),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_n"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _RULE_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("item_n").alias("ante_n"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("item_n").alias("cons_n"))
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante",
+            "cons",
+            "pair_n",
+            "ante_n",
+            "cons_n",
+            (F.col("pair_n").cast("double") / F.col("ante_n")).alias(
+                "confidence"
+            ),
+            (
+                F.col("pair_n").cast("double") * F.lit(n_orders)
+                / (F.col("ante_n").cast("double") * F.col("cons_n"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(_RULE_TOP)
+    )
+
+
+@register(
+    "event_dow_hour_heatmap",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Activity heatmap (dow x hour-of-day): the seasonality matrix "
+    "every ops dashboard draws. One partial-aggregated shuffle onto at "
+    "most 7x24 groups — the reduction is all map-side at any scale. "
+    "Spark's dayofweek is 1=Sunday..7, DuckDB's 0=Sunday..6 -- the oracle adds 1.",
+    tags=("E13", "R15"),
+)
+def event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
+    )

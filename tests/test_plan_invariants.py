@@ -31,6 +31,7 @@ ALLOWED_NESTED_LOOP = {
     "theta_audience_overlap",  # 1-row sketch x 1-row sketch combine
     "bitmap_distinct_rollup",  # daily rows x 1-row span total
     "monthly_revenue_mom",  # monthly rows x 1-row grand total
+    "part_revenue_abc",  # per-part rows x 1-row grand total
 }
 
 
