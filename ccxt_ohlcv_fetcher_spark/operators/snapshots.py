@@ -201,6 +201,51 @@ class SnapshotStore:
             *[os.path.join(self.path, f) for f in m["files"]]
         )
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed for append-only history: the rows added
+        AFTER ``from_version`` up to ``to_version`` (default head) are
+        exactly the files those manifests reference beyond the base
+        file set — an incremental consumer reads only the delta, never
+        rescans the table. Raises if the range crosses a non-append
+        commit (overwrite/compact rewrite history; a row-level diff
+        would need persisted change files, Delta's CDF)."""
+        to_v = self.latest_version() if to_version is None else to_version
+        for v in range(from_version + 1, to_v + 1):
+            op = self.manifest(v)["operation"]
+            if op != "append":
+                raise ValueError(
+                    f"read_changes crosses non-append commit v{v} ({op})"
+                )
+        base = set(self.manifest(from_version)["files"])
+        new = [f for f in self.manifest(to_v)["files"] if f not in base]
+        if not new:
+            raise ValueError("no files added in range (empty change set)")
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in new]
+        )
+
+    def compact(self, target_partitions: int = 1, max_retries: int = 10) -> int:
+        """Rewrite the current snapshot's many small files into
+        ``target_partitions`` files in ONE atomic commit (operation
+        'compact'): readers switch from the fragmented file set to the
+        compacted one at a single manifest version, and the old files
+        become vacuum-able. Unlike append, the rewrite is only valid
+        against the exact version it read — losing the CAS race to a
+        concurrent append means re-reading from the new head and
+        re-staging, or the winner's rows would be silently dropped.
+        The maintenance half of the small-file problem the
+        date-bucketed CandleDataset solves by directory
+        (operators/ingest.py) — here solved by log."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            snapshot = self.read(version=base).coalesce(target_partitions)
+            new_files = self._stage(snapshot)
+            if self._try_commit(base, new_files, "compact"):
+                return base + 1
+        raise CommitConflict(f"compact lost the CAS race {max_retries} times")
+
     # --- maintenance ------------------------------------------------------
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:

@@ -135,3 +135,67 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
         txn=("sink-test", committed),
     )
     assert store.read().count() == 10  # replay was a no-op
+
+
+def test_change_feed_reads_only_the_delta(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    v1 = store.append(_df(spark, 0, 10))
+    v2 = store.append(_df(spark, 10, 13))
+    store.append(_df(spark, 13, 17))
+    changes = store.read_changes(from_version=v1)
+    assert sorted(r["v"] for r in changes.collect()) == list(range(10, 17))
+    only_v2 = store.read_changes(from_version=v1, to_version=v2)
+    assert sorted(r["v"] for r in only_v2.collect()) == [10, 11, 12]
+
+
+def test_change_feed_refuses_across_rewrites(spark, tmp_path):
+    import pytest as _pytest
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    v1 = store.append(_df(spark, 0, 5))
+    store.compact()
+    with _pytest.raises(ValueError, match="non-append"):
+        store.read_changes(from_version=v1 - 1)
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    for lo in range(0, 40, 10):
+        store.append(_df(spark, lo, lo + 10).repartition(4))
+    before = store.manifest()
+    assert len(before["files"]) >= 8
+    v = store.compact(target_partitions=1)
+    after = store.manifest(v)
+    assert after["operation"] == "compact"
+    assert len(after["files"]) == 1
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(40))
+    # fragmented history reclaimed after vacuum, compacted table intact
+    store.vacuum(retain_versions=1)
+    assert store.read().count() == 40
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """A compact that loses the CAS to an append must re-read from the
+    new head — the appended rows survive."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+
+    class Racy(SnapshotStore):
+        def __init__(self, spark, path, sneak):
+            super().__init__(spark, path)
+            self._sneak = sneak
+            self._fired = False
+
+        def _try_commit(self, base, files, op, txn=None):
+            if op == "compact" and not self._fired:
+                self._fired = True
+                self._sneak()  # concurrent append wins version base+1
+            return super()._try_commit(base, files, op, txn=txn)
+
+    plain = SnapshotStore(spark, str(tmp_path / "t"))
+    racy = Racy(
+        spark, str(tmp_path / "t"),
+        sneak=lambda: plain.append(_df(spark, 10, 15)),
+    )
+    racy.compact()
+    assert sorted(r["v"] for r in plain.read().collect()) == list(range(15))
