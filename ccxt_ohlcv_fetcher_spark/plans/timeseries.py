@@ -425,3 +425,97 @@ def event_traffic_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").isNull().cast("int").alias("is_gap"),
         F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_locf"),
     )
+
+
+@register(
+    "candle_log_returns_vol",
+    oracle=f"""
+    WITH c AS (
+      SELECT {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT bucket_ms, close,
+             round(ln(close / lag(close) OVER (ORDER BY bucket_ms)), 6)
+               AS ret
+      FROM c
+    ),
+    ri AS (
+      SELECT bucket_ms, close, ret,
+             CAST(CAST(ret AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+               AS ret_i
+      FROM r
+    ),
+    w AS (
+      SELECT bucket_ms, close, ret,
+             CAST(sum(ret_i) OVER f AS DOUBLE) AS s9,
+             CAST(sum(ret_i * ret_i) OVER f AS DOUBLE) AS ss12,
+             CAST(count(ret_i) OVER f AS DOUBLE) AS n
+      FROM ri
+      WINDOW f AS (ORDER BY bucket_ms ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ms, close, ret,
+           CASE WHEN n >= 2
+                THEN sqrt((ss12 / 1e12 - (s9 / 1e6) * (s9 / 1e6) / n)
+                          / (n - 1)) END AS roll_vol_24,
+           CASE WHEN n >= 1 THEN s9 / 1e6 / n END AS roll_mean_24
+    FROM w
+    """,
+    doc="Log returns + rolling volatility over the hourly OHLCV rollup "
+    "— the returns-analytics tier above candle_indicators (reference "
+    "domain: what a user of the candle store computes next). "
+    "Cross-engine exactness by INTEGER moments: ln(close ratio) rounds "
+    "to 6dp making each return an exact value carried as the bigint "
+    "ret*1e6; frame sums of ret_i and ret_i^2 are pure int64 "
+    "arithmetic whose totals stay under 2^53 (exact as doubles), and "
+    "every downstream op is a single exactly-rounded IEEE expression, "
+    "identical in both engines. Two rejected designs, both measured "
+    "to diverge: decimal(38,18) frame sums hit the high-scale "
+    "decimal->double double-rounding divergence (103/720 rows off by "
+    "1 ulp), and rescaling those sums to a castable scale rounds "
+    "half-cases differently across engines (356/720). Integer units "
+    "sidestep both. The window is global but runs over "
+    "one-row-per-hour post-aggregation (the monthly_revenue_mom "
+    "pattern); the keyed per-symbol form partitions it "
+    "(operators/indicators.py).",
+    tags=("E20", "E19", "E17"),
+)
+def candle_log_returns_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    c = resample_ohlcv(events, "1h", ts_col="ts", price_col="value").select(
+        ms("bucket_ts").alias("bucket_ms"), "close"
+    )
+    wo = W.orderBy("bucket_ms")
+    r = c.withColumn(
+        "ret",
+        F.round(F.log(F.col("close") / F.lag("close").over(wo)), 6),
+    )
+    ri = r.withColumn(
+        "ret_i",
+        (F.col("ret").cast("decimal(18,6)") * F.lit(1_000_000)).cast("long"),
+    )
+    f = wo.rowsBetween(-23, 0)
+    w = (
+        ri.withColumn("s9", F.sum("ret_i").over(f).cast("double"))
+        .withColumn(
+            "ss12", F.sum(F.expr("ret_i * ret_i")).over(f).cast("double")
+        )
+        .withColumn("n", F.count("ret_i").over(f).cast("double"))
+    )
+    s = F.col("s9") / F.lit(1e6)
+    return w.select(
+        "bucket_ms",
+        "close",
+        "ret",
+        F.when(
+            F.col("n") >= 2,
+            F.sqrt(
+                (F.col("ss12") / F.lit(1e12) - s * s / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        ).alias("roll_vol_24"),
+        F.when(F.col("n") >= 1, s / F.col("n")).alias("roll_mean_24"),
+    )
