@@ -103,7 +103,23 @@ class SnapshotStore:
 
     # --- writes -----------------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> list[str]:
+    def _stage(self, df: DataFrame, allow_schema_change: bool = False) -> list[str]:
+        # schema guard: an append whose columns drift from the committed
+        # schema would silently corrupt every future multi-file read —
+        # refuse it at stage time. overwrite() opts out (a full replace
+        # MAY evolve the schema; the manifest records the new one).
+        committed = self.manifest().get("schema")
+        incoming = [[f.name, f.dataType.simpleString()] for f in df.schema]
+        if (
+            not allow_schema_change
+            and committed is not None
+            and incoming != committed
+        ):
+            raise ValueError(
+                f"schema mismatch: table has {committed}, append has "
+                f"{incoming} — use overwrite() for schema changes"
+            )
+        self._pending_schema = incoming
         token = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self._data_dir, f"commit-{token}")
         df.write.parquet(commit_dir)
@@ -134,6 +150,9 @@ class SnapshotStore:
             "operation": operation,
             "files": files,
             "txn": txns,
+            "schema": getattr(
+                self, "_pending_schema", None
+            ) or self.manifest(base_version).get("schema"),
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
         try:
@@ -181,8 +200,9 @@ class SnapshotStore:
 
     def overwrite(self, df: DataFrame, max_retries: int = 10) -> int:
         """Atomic full replace (the snapshot references ONLY the new
-        files; history still reaches the old ones until vacuum)."""
-        new_files = self._stage(df)
+        files; history still reaches the old ones until vacuum). The
+        one operation allowed to change the table schema."""
+        new_files = self._stage(df, allow_schema_change=True)
         for _ in range(max_retries):
             base = self.latest_version()
             if self._try_commit(base, new_files, "overwrite"):
@@ -226,7 +246,12 @@ class SnapshotStore:
             *[os.path.join(self.path, f) for f in new]
         )
 
-    def compact(self, target_partitions: int = 1, max_retries: int = 10) -> int:
+    def compact(
+        self,
+        target_partitions: int = 1,
+        max_retries: int = 10,
+        order_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot's many small files into
         ``target_partitions`` files in ONE atomic commit (operation
         'compact'): readers switch from the fragmented file set to the
@@ -240,7 +265,18 @@ class SnapshotStore:
         (operators/ingest.py) — here solved by log."""
         for _ in range(max_retries):
             base = self.latest_version()
-            snapshot = self.read(version=base).coalesce(target_partitions)
+            snapshot = self.read(version=base)
+            if order_by:
+                # clustered rewrite: range-partition + sort so each output
+                # file owns a disjoint key range — min/max footer stats then
+                # prune whole files on range predicates (OPTIMIZE ... ZORDER
+                # for the 1-D case; compose with operators/layout.py's
+                # Z-order column for multi-D)
+                snapshot = snapshot.repartitionByRange(
+                    target_partitions, *order_by
+                ).sortWithinPartitions(*order_by)
+            else:
+                snapshot = snapshot.coalesce(target_partitions)
             new_files = self._stage(snapshot)
             if self._try_commit(base, new_files, "compact"):
                 return base + 1

@@ -519,3 +519,92 @@ def candle_log_returns_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_vol_24"),
         F.when(F.col("n") >= 1, s / F.col("n")).alias("roll_mean_24"),
     )
+
+
+@register(
+    "candle_log_returns_vol_keyed",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bucket_ms, close,
+             round(ln(close / lag(close)
+                      OVER (PARTITION BY event_type ORDER BY bucket_ms)), 6)
+               AS ret
+      FROM c
+    ),
+    ri AS (
+      SELECT event_type, bucket_ms, close, ret,
+             CAST(CAST(ret AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS ret_i
+      FROM r
+    ),
+    w AS (
+      SELECT event_type, bucket_ms, close, ret,
+             CAST(sum(ret_i) OVER f AS DOUBLE) AS s6,
+             CAST(sum(ret_i * ret_i) OVER f AS DOUBLE) AS ss12,
+             CAST(count(ret_i) OVER f AS DOUBLE) AS n
+      FROM ri
+      WINDOW f AS (PARTITION BY event_type ORDER BY bucket_ms
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket_ms, close, ret,
+           CASE WHEN n >= 2
+                THEN sqrt((ss12 / 1e12 - (s6 / 1e6) * (s6 / 1e6) / n)
+                          / (n - 1)) END AS roll_vol_24,
+           CASE WHEN n >= 1 THEN s6 / 1e6 / n END AS roll_mean_24
+    FROM w
+    """,
+    doc="The PRIMARY (scale-safe) form of candle_log_returns_vol: every "
+    "window PARTITIONs BY the series key (event_type standing in for "
+    "(exchange, symbol)), so frames parallelize across keys and no "
+    "global single-partition window exists anywhere in the plan — the "
+    "shape a 1000-executor cluster wants for thousands of symbols. "
+    "Same integer-moment exactness as the global form.",
+    tags=("E20", "E19", "E17"),
+)
+def candle_log_returns_vol_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.max_by("value", "ts").alias("close")).select(
+        "event_type", ms("bucket_ts").alias("bucket_ms"), "close"
+    )
+    wo = W.partitionBy("event_type").orderBy("bucket_ms")
+    r = c.withColumn(
+        "ret",
+        F.round(F.log(F.col("close") / F.lag("close").over(wo)), 6),
+    )
+    ri = r.withColumn(
+        "ret_i",
+        (F.col("ret").cast("decimal(18,6)") * F.lit(1_000_000)).cast("long"),
+    )
+    f = wo.rowsBetween(-23, 0)
+    w = (
+        ri.withColumn("s6", F.sum("ret_i").over(f).cast("double"))
+        .withColumn(
+            "ss12", F.sum(F.expr("ret_i * ret_i")).over(f).cast("double")
+        )
+        .withColumn("n", F.count("ret_i").over(f).cast("double"))
+    )
+    s = F.col("s6") / F.lit(1e6)
+    return w.select(
+        "event_type",
+        "bucket_ms",
+        "close",
+        "ret",
+        F.when(
+            F.col("n") >= 2,
+            F.sqrt(
+                (F.col("ss12") / F.lit(1e12) - s * s / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        ).alias("roll_vol_24"),
+        F.when(F.col("n") >= 1, s / F.col("n")).alias("roll_mean_24"),
+    )

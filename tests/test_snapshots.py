@@ -199,3 +199,47 @@ def test_compact_rebases_over_concurrent_append(spark, tmp_path):
     )
     racy.compact()
     assert sorted(r["v"] for r in plain.read().collect()) == list(range(15))
+
+
+def test_schema_guard_refuses_drift_allows_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 5))
+    drifted = _df(spark, 5, 8).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(drifted)
+    assert store.read().count() == 5  # table unchanged
+    v = store.overwrite(drifted)  # overwrite may evolve the schema
+    assert store.read().columns == ["v", "extra"]
+    # subsequent appends must match the NEW schema
+    store.append(_df(spark, 8, 9).withColumn("extra", F.lit("y")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(_df(spark, 9, 10))
+    assert store.manifest(v)["schema"] == [["v", "bigint"], ["extra", "string"]]
+
+
+def test_clustered_compact_gives_disjoint_file_ranges(spark, tmp_path):
+    """compact(order_by=...) must leave each output file owning a
+    disjoint key range (verified from parquet footer min/max), so range
+    predicates prune whole files."""
+    import pyarrow.parquet as pq
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    # interleaved appends: every file initially spans the whole range
+    store.append(_df(spark, 0, 100).repartition(4))
+    store.append(_df(spark, 100, 200).repartition(4))
+    v = store.compact(target_partitions=4, order_by=["v"])
+    ranges = []
+    for f in store.manifest(v)["files"]:
+        md = pq.ParquetFile(os.path.join(store.path, f)).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: a range predicate prunes whole files
+    assert store.read().count() == 200
