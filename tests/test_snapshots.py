@@ -243,3 +243,54 @@ def test_clustered_compact_gives_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint: a range predicate prunes whole files
     assert store.read().count() == 200
+
+
+def test_random_interleaved_writers_never_lose_rows(spark, tmp_path):
+    """Linearizability smoke: three writers issue appends in a random
+    (seeded) interleaving of stage/commit steps; whatever the order,
+    the final table holds exactly the union of all committed batches."""
+    import random
+
+    rng = random.Random(11)
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    batches = [(lo, lo + 5) for lo in range(0, 30, 5)]
+    staged = []  # (files, lo, hi)
+    expected = set()
+    steps = []
+    for b in batches:
+        steps.append(("stage", b))
+        steps.append(("commit", b))
+    # shuffle but keep each batch's stage before its commit
+    rng.shuffle(steps)
+    order = []
+    seen_stage = set()
+    deferred = []
+    for op, b in steps:
+        if op == "commit" and b not in seen_stage:
+            deferred.append((op, b))
+            continue
+        order.append((op, b))
+        if op == "stage":
+            seen_stage.add(b)
+            for d in list(deferred):
+                if d[1] == b:
+                    order.append(d)
+                    deferred.remove(d)
+    order.extend(deferred)
+    pending = {}
+    for op, (lo, hi) in order:
+        if op == "stage":
+            pending[(lo, hi)] = store._stage(_df(spark, lo, hi))
+        else:
+            files = pending.pop((lo, hi))
+            committed = False
+            for _ in range(10):
+                base = store.latest_version()
+                merged = store.manifest(base)["files"] + files
+                if store._try_commit(base, merged, "append"):
+                    committed = True
+                    break
+            assert committed
+            expected.update(range(lo, hi))
+    got = {r["v"] for r in store.read().collect()}
+    assert got == expected == set(range(30))
