@@ -521,9 +521,15 @@ def connected_components_star(
 
     sig = signature(e)
     for _ in range(max_iter):
+        prev = e
         e = star(star(e, large=True), large=False)
         new_sig = signature(e)
-        if new_sig == sig:
+        # the (count, hash-sum) signature is a cheap PRE-check; a
+        # hash-sum collision across rounds would end the loop early
+        # with wrong labels, so confirm the fixpoint exactly: equal
+        # counts (from the signature) + empty set difference — both
+        # sides are .distinct(), so that proves set equality
+        if new_sig == sig and e.exceptAll(prev).isEmpty():
             break
         sig = new_sig
     else:

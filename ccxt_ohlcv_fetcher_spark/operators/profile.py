@@ -38,13 +38,26 @@ def _num_expr(name: str, dt: T.DataType) -> Column | None:
     return None
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into F.expr
+    (embedded backticks double, Spark's own escape rule)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _str_lit(name: str) -> str:
+    """Single-quoted SQL string literal with quote/backslash escapes."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,
     exact_distinct: bool = True,
 ) -> DataFrame:
     """Long-format profile of ``cols`` (default: every column whose type
-    is numeric, timestamp, or string; others are skipped)."""
+    is numeric, timestamp, or string; others are skipped). Column names
+    may contain any character: internal aliases are positional and every
+    interpolated identifier/literal in the generated stack() is quoted."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     if cols is None:
         cols = [
@@ -54,31 +67,32 @@ def profile_table(
     cnt = F.count(F.lit(1))
     aggs = [cnt.alias("n_rows")]
     stack_rows = []
-    for name in cols:
+    for i, name in enumerate(cols):
         dt = fields[name]
-        num = _num_expr(name, dt)
+        src = F.col(_bt(name))
+        num = _num_expr(_bt(name), dt)
         distinct = (
-            F.countDistinct(name)
+            F.countDistinct(src)
             if exact_distinct
-            else F.approx_count_distinct(name)
+            else F.approx_count_distinct(src)
         )
-        aggs.append((cnt - F.count(name)).alias(f"_null_{name}"))
-        aggs.append(distinct.alias(f"_dist_{name}"))
+        aggs.append((cnt - F.count(src)).alias(f"_null_{i}"))
+        aggs.append(distinct.alias(f"_dist_{i}"))
         if num is not None:
-            aggs.append(F.min(num).alias(f"_min_{name}"))
-            aggs.append(F.max(num).alias(f"_max_{name}"))
+            aggs.append(F.min(num).alias(f"_min_{i}"))
+            aggs.append(F.max(num).alias(f"_max_{i}"))
             row = (
-                f"'{name}', n_rows, _null_{name}, _dist_{name}, "
-                f"_min_{name}, _max_{name}, "
+                f"{_str_lit(name)}, n_rows, _null_{i}, _dist_{i}, "
+                f"_min_{i}, _max_{i}, "
                 "CAST(NULL AS STRING), CAST(NULL AS STRING)"
             )
         else:
-            aggs.append(F.min(name).alias(f"_min_{name}"))
-            aggs.append(F.max(name).alias(f"_max_{name}"))
+            aggs.append(F.min(src).alias(f"_min_{i}"))
+            aggs.append(F.max(src).alias(f"_max_{i}"))
             row = (
-                f"'{name}', n_rows, _null_{name}, _dist_{name}, "
+                f"{_str_lit(name)}, n_rows, _null_{i}, _dist_{i}, "
                 "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
-                f"_min_{name}, _max_{name}"
+                f"_min_{i}, _max_{i}"
             )
         stack_rows.append(row)
     agg = df.agg(*aggs)

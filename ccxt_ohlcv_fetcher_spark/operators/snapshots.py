@@ -187,13 +187,28 @@ class SnapshotStore:
             if last is not None and txn[1] <= last:
                 return None
         new_files = self._stage(df)
+        staged_schema = self._pending_schema
         for _ in range(max_retries):
             base = self.latest_version()
             if txn is not None:
                 last = self.manifest(base).get("txn", {}).get(txn[0])
                 if last is not None and txn[1] <= last:
                     return None  # another attempt of this batch already won
-            merged = self.manifest(base)["files"] + new_files
+            head_manifest = self.manifest(base)
+            # metadata-conflict check on rebase (Delta's): the schema
+            # guard in _stage ran against the head at STAGE time — if a
+            # concurrent overwrite() evolved the table schema before this
+            # retry wins the CAS, blindly committing would union
+            # old-schema and new-schema files and stamp the manifest with
+            # the stale schema. Surface the conflict instead.
+            head_schema = head_manifest.get("schema")
+            if head_schema is not None and head_schema != staged_schema:
+                raise CommitConflict(
+                    f"table schema changed concurrently: head has "
+                    f"{head_schema}, staged append has {staged_schema} — "
+                    f"re-read and re-append"
+                )
+            merged = head_manifest["files"] + new_files
             if self._try_commit(base, merged, "append", txn=txn):
                 return base + 1
         raise CommitConflict(f"append lost the CAS race {max_retries} times")
@@ -284,11 +299,22 @@ class SnapshotStore:
 
     # --- maintenance ------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete commit dirs referenced by none of the last
         ``retain_versions`` manifests (older time travel breaks, space
         is reclaimed; uncommitted/crashed stage dirs go too). Returns
-        the deleted dirs."""
+        the deleted dirs.
+
+        ``min_age_seconds`` (Delta's vacuum retention, mtime-based):
+        an unreferenced dir younger than this is SKIPPED — it may be a
+        live writer's staged-but-not-yet-committed files, and deleting
+        them would let that writer commit a manifest referencing
+        deleted files (lost rows, broken head reads). Only pass 0 when
+        no writer can possibly be in flight."""
+        import time
+
         head = self.latest_version()
         keep_versions = range(max(1, head - retain_versions + 1), head + 1)
         referenced = set()
@@ -297,10 +323,21 @@ class SnapshotStore:
                 # data/commit-<token>/...
                 referenced.add(f.split(os.sep)[1])
         deleted = []
+        now = time.time()
         for d in sorted(glob.glob(os.path.join(self._data_dir, "commit-*"))):
-            if os.path.basename(d) not in referenced:
-                shutil.rmtree(d)
-                deleted.append(d)
+            if os.path.basename(d) in referenced:
+                continue
+            # newest mtime in the dir tree, not just the dir's: a slow
+            # writer touches files after the dir is created
+            mtimes = [os.path.getmtime(d)] + [
+                os.path.getmtime(p)
+                for p in glob.glob(os.path.join(d, "**"), recursive=True)
+                if os.path.exists(p)
+            ]
+            if now - max(mtimes) < min_age_seconds:
+                continue
+            shutil.rmtree(d)
+            deleted.append(d)
         return deleted
 
 

@@ -1104,8 +1104,9 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first_day GROUP BY 1
     )
     SELECT day_ms, new_users,
-           sum(new_users) OVER (ORDER BY day_ms
-                                ROWS UNBOUNDED PRECEDING) AS cum_users
+           CAST(sum(new_users) OVER (ORDER BY day_ms
+                                     ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
     FROM new_per_day
     """,
     doc="Cumulative distinct users over time WITHOUT a running distinct "

@@ -118,8 +118,10 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

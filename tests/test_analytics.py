@@ -252,3 +252,21 @@ def test_profile_operator_approx_mode_and_col_selection(spark, sf_dir):
         assert a["n_rows"] == r["n_rows"] and a["n_nulls"] == r["n_nulls"]
         assert abs(a["n_distinct"] - r["n_distinct"]) <= 0.05 * r["n_distinct"] + 2
         assert a["min_num"] == r["min_num"] and a["max_str"] == r["max_str"]
+
+
+def test_profile_operator_handles_hostile_column_names(spark):
+    """Identifier safety: quotes, spaces, hyphens, dots, backticks in
+    column names must not break the generated stack() SQL."""
+    from ccxt_ohlcv_fetcher_spark.operators.profile import profile_table
+
+    names = ["it's", "a b", "x-y", "d.o.t", "tick`mark"]
+    df = spark.createDataFrame(
+        [(1, "p", 2.5, 3, "z"), (2, "q", 1.5, None, "z")],
+        schema=names,
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == set(names)
+    assert prof["a b"]["max_str"] == "q"
+    assert prof["x-y"]["min_num"] == 1.5
+    assert prof["d.o.t"]["n_nulls"] == 1
+    assert prof["tick`mark"]["n_distinct"] == 1

@@ -57,9 +57,27 @@ def test_uncommitted_stage_is_invisible_and_vacuumable(spark, tmp_path):
     store.append(_df(spark, 0, 5))
     store._stage(_df(spark, 50, 99))  # staged, never committed ("crash")
     assert store.read().count() == 5
-    deleted = store.vacuum()
+    # default retention REFUSES to touch the fresh stage dir: it could
+    # be a live writer between _stage and its CAS win, and deleting it
+    # would commit a manifest pointing at deleted files
+    assert store.vacuum() == []
+    deleted = store.vacuum(min_age_seconds=0)
     assert len(deleted) == 1
     assert store.read().count() == 5  # referenced files untouched
+
+
+def test_vacuum_spares_inflight_stage_then_append_commits(spark, tmp_path):
+    """ADVICE scenario: writer stages, vacuum runs concurrently, writer
+    commits. With mtime retention the staged files survive and the
+    append's manifest references live files."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 5))
+    writer = SnapshotStore(spark, str(tmp_path / "t"))
+    files = writer._stage(_df(spark, 5, 9))
+    assert store.vacuum() == []  # in-flight stage spared
+    base = writer.latest_version()
+    assert writer._try_commit(base, writer.manifest(base)["files"] + files, "append")
+    assert writer.read().count() == 9  # no lost rows, head read intact
 
 
 def test_overwrite_and_vacuum_retention(spark, tmp_path):
@@ -68,7 +86,7 @@ def test_overwrite_and_vacuum_retention(spark, tmp_path):
     store.overwrite(_df(spark, 0, 3))
     assert store.read().count() == 3
     assert store.read(version=1).count() == 10  # history intact pre-vacuum
-    deleted = store.vacuum(retain_versions=1)
+    deleted = store.vacuum(retain_versions=1, min_age_seconds=0)
     assert len(deleted) == 1  # v1's commit dir reclaimed
     assert store.read().count() == 3
     with pytest.raises(Exception):
@@ -170,7 +188,7 @@ def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
     assert len(after["files"]) == 1
     assert sorted(r["v"] for r in store.read().collect()) == list(range(40))
     # fragmented history reclaimed after vacuum, compacted table intact
-    store.vacuum(retain_versions=1)
+    store.vacuum(retain_versions=1, min_age_seconds=0)
     assert store.read().count() == 40
 
 
@@ -217,6 +235,43 @@ def test_schema_guard_refuses_drift_allows_overwrite(spark, tmp_path):
     with pytest.raises(ValueError, match="schema mismatch"):
         store.append(_df(spark, 9, 10))
     assert store.manifest(v)["schema"] == [["v", "bigint"], ["extra", "string"]]
+
+
+def test_append_rebase_detects_concurrent_schema_change(spark, tmp_path):
+    """ADVICE scenario: append stages against the old schema, a
+    concurrent overwrite() evolves the table schema before the append's
+    CAS retry — the rebase must surface a conflict instead of
+    committing a manifest that unions old- and new-schema files."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 5))
+
+    class Racy(SnapshotStore):
+        def __init__(self, spark, path, sneak):
+            super().__init__(spark, path)
+            self._sneak = sneak
+            self._fired = False
+
+        def _try_commit(self, base, files, op, txn=None):
+            if op == "append" and not self._fired:
+                self._fired = True
+                self._sneak()  # schema-evolving overwrite wins base+1
+                return False  # this append loses the CAS and rebases
+            return super()._try_commit(base, files, op, txn=txn)
+
+    plain = SnapshotStore(spark, str(tmp_path / "t"))
+    racy = Racy(
+        spark, str(tmp_path / "t"),
+        sneak=lambda: plain.overwrite(
+            _df(spark, 0, 3).withColumn("extra", F.lit("x"))
+        ),
+    )
+    with pytest.raises(CommitConflict, match="schema changed concurrently"):
+        racy.append(_df(spark, 5, 9))
+    # table intact on the new schema; the conflicted files never joined it
+    assert plain.read().columns == ["v", "extra"]
+    assert plain.read().count() == 3
 
 
 def test_clustered_compact_gives_disjoint_file_ranges(spark, tmp_path):

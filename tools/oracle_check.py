@@ -58,11 +58,35 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse pandas dtypes into the equivalence classes the driver's
+    value-hash respects.
+
+    Empirically (round 5): integer-width differences (int32 vs int64 vs
+    uint32) hash identically, but int-vs-float does NOT — DuckDB's
+    HUGEINT widening of ``sum(BIGINT) OVER`` materializes as float64 and
+    failed ``cumulative_unique_users`` despite equal values. So integers
+    of any width/sign are one kind; floats, booleans, datetimes, objects
+    each their own.
+    """
+    k = dtype.kind  # i/u/f/b/M/O/...
+    return "i" if k in ("i", "u") else k
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if sc != oc:
         return [f"column mismatch: spark={sc} oracle={oc}"]
+    for c in sc if (len(spark_pdf) and len(oracle_pdf)) else []:
+        sk, ok = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        if sk != ok:
+            problems.append(
+                f"dtype mismatch {c}: spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} (driver hash is dtype-sensitive)"
+            )
+    if problems:
+        return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
         return problems
