@@ -58,9 +58,20 @@ class CommitConflict(RuntimeError):
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stats_cols: list[str] | None = None,
+    ):
+        """``stats_cols``: column names whose per-file min/max are read
+        from the parquet footers at stage time and recorded in the
+        manifest (Iceberg-style file stats). Readers can then prune
+        files from the LOG alone — no footer I/O, the operation that
+        dominates listing-scale cost at 100 TB."""
         self.spark = spark
         self.path = path
+        self.stats_cols = tuple(stats_cols or ())
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
 
@@ -127,8 +138,74 @@ class SnapshotStore:
             glob.glob(os.path.join(commit_dir, "*.parquet"))
             + glob.glob(os.path.join(commit_dir, "**", "*.parquet"))
         )
+        # zero-row part files (empty upstream partitions) carry no data
+        # and no stats — referencing them would defeat stats pruning and
+        # metadata-only retention, so they never enter the manifest
+        import pyarrow.parquet as pq
+
+        files = [f for f in files if pq.ParquetFile(f).metadata.num_rows > 0]
         # store paths relative to the table root so the table can move
-        return [os.path.relpath(f, self.path) for f in files]
+        rel = [os.path.relpath(f, self.path) for f in files]
+        self._pending_stats = (
+            {r: self._footer_stats(f) for r, f in zip(rel, files)}
+            if self.stats_cols
+            else {}
+        )
+        return rel
+
+    def _footer_stats(self, path: str) -> dict:
+        """Per-file [min, max] for each stats col, from parquet footer
+        metadata (no data read). A col missing stats is omitted —
+        readers treat that as "may contain anything"."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        out: dict = {}
+        for col in self.stats_cols:
+            if col not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                lo, hi = min(mins), max(maxs)
+                if all(isinstance(v, (int, float, str, bool)) for v in (lo, hi)):
+                    out[col] = [lo, hi]
+        return out
+
+    def pruned_files(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """Relative paths of the snapshot's files that MAY satisfy
+        ``ranges`` ({col: (lo, hi)}, None bound = unbounded; equality =
+        (v, v)) — decided from manifest stats alone, zero I/O. A file
+        lacking stats for a constrained col is conservatively kept."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            fs = stats.get(f, {})
+            for col, (lo, hi) in ranges.items():
+                if col not in fs:
+                    continue
+                fmin, fmax = fs[col]
+                if (lo is not None and fmax < lo) or (
+                    hi is not None and fmin > hi
+                ):
+                    break
+            else:
+                keep.append(f)
+        return keep
 
     def _try_commit(
         self,
@@ -138,12 +215,19 @@ class SnapshotStore:
         txn: tuple[str, int] | None = None,
     ) -> bool:
         version = base_version + 1
+        base = self.manifest(base_version)
         # txn map carries forward through every commit (Delta's
         # SetTransaction): the head manifest always knows the last
         # applied batch per streaming writer
-        txns = dict(self.manifest(base_version).get("txn", {}))
+        txns = dict(base.get("txn", {}))
         if txn is not None:
             txns[txn[0]] = txn[1]
+        # file stats carry forward for retained files; staged files
+        # bring their own. Entries for dropped files fall away.
+        stats = {
+            **base.get("stats", {}),
+            **getattr(self, "_pending_stats", {}),
+        }
         manifest = {
             "version": version,
             "parent": base_version,
@@ -152,8 +236,10 @@ class SnapshotStore:
             "txn": txns,
             "schema": getattr(
                 self, "_pending_schema", None
-            ) or self.manifest(base_version).get("schema"),
+            ) or base.get("schema"),
         }
+        if self.stats_cols:
+            manifest["stats"] = {f: stats.get(f, {}) for f in files}
         os.makedirs(self._manifest_dir, exist_ok=True)
         try:
             # exclusive create = the atomic compare-and-swap of the log

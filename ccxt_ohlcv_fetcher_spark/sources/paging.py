@@ -172,17 +172,26 @@ def ingest_exchange(
     pruned scan instead of an N-file glob.
 
     Per-symbol validation runs first (R12, `check_args` order: the
-    reference validates before fetching). Appends are serialized by a
-    shared lock: plain parquet appends into one root share a
-    ``_temporary`` staging directory, so concurrent write *jobs* could
-    clobber each other's staging — fetch/transform still overlap, only
-    the commit is single-file. On a transactional table format (Delta /
-    Iceberg) the lock disappears: optimistic concurrent appends are the
-    committer's job. Fixes `fetch_exchange.sh:21` hardcoding ``-e
-    bitfinex`` regardless of the requested exchange (SURVEY §3.2).
+    reference validates before fetching). On a plain-parquet
+    `CandleDataset`, appends are serialized by a shared lock: parquet
+    appends into one root share a ``_temporary`` staging directory, so
+    concurrent write *jobs* could clobber each other's staging —
+    fetch/transform still overlap, only the commit is single-file. On a
+    `SnapshotCandleDataset` (operators/candle_log.py) the lock is
+    dropped entirely: every append is an optimistic commit-log
+    transaction with conflict-resolving rebase, so the 4-way fan-out
+    commits concurrently — the transactional-table-format story,
+    in-repo. Fixes `fetch_exchange.sh:21` hardcoding ``-e bitfinex``
+    regardless of the requested exchange (SURVEY §3.2).
     """
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+
     symbols = catalog.symbols_of(exchange)
-    write_lock = threading.Lock()
+    write_lock = (
+        None if isinstance(dataset, SnapshotCandleDataset) else threading.Lock()
+    )
     results: dict[str, IngestStats] = {}
 
     def run(symbol: str) -> IngestStats:
