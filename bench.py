@@ -79,6 +79,14 @@ def main() -> None:
         "output_rows": output_rows,
         "table_rows": table_rows,
         "sf": sf,
+        # provenance: lets a later reader judge comparability of two
+        # detail artifacts (same box? same parallelism? same fixtures?)
+        "provenance": {
+            "sf_dir": sf_dir,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "unix_time": int(time.time()),
+            "timing": "best-of-2 after warm pass, noop sink",
+        },
     }
     # 1) full detail: stdout line + committed artifact
     print(json.dumps(full))

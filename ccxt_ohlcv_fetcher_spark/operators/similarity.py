@@ -320,6 +320,29 @@ def allpairs_cosine_topk(
     )
 
 
+def collect_seed_vectors(
+    corpus: DataFrame,
+    n: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The ``n`` lowest-id corpus vectors — the shared deterministic
+    seed set every untrained ANN tier derives its layout from (IVF
+    centroids = first n_cells seeds, PQ codebooks = first n_codes
+    seeds' subvectors). One TakeOrdered job. Callers running several
+    tiers over the same corpus collect ONCE and pass ``seed_vectors=``
+    to each — the cold-start fix for the per-query seed scan
+    (round-5 perf item: the builder collect dominated IVF-PQ's
+    driver-visible time)."""
+    rows = (
+        corpus.orderBy(corpus_id)
+        .limit(n)
+        .select(F.col(vec_col).alias("_v"))
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -330,6 +353,7 @@ def ivf_cosine_topk(
     corpus_vec: str = "embedding",
     query_id: str = "q_id",
     query_vec: str = "q_vec",
+    seed_vectors: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN (op E35 scale path, complementing sign-LSH):
     partition the corpus into ``n_cells`` Voronoi cells around seed
@@ -342,13 +366,9 @@ def ivf_cosine_topk(
     list, probe = equi-join on cell id). Touches ~n_probe/n_cells of the
     corpus per query; one shuffle on the cell id.
     """
-    seeds = (
-        corpus.orderBy(corpus_id)
-        .limit(n_cells)
-        .select(F.col(corpus_vec).alias("_c"))
-        .collect()
-    )
-    centroids = [list(map(float, r["_c"])) for r in seeds]
+    if seed_vectors is None:
+        seed_vectors = collect_seed_vectors(corpus, n_cells, corpus_id, corpus_vec)
+    centroids = [list(map(float, v)) for v in seed_vectors[:n_cells]]
     # one array<array<double>> literal + one nested HOF, not n_cells
     # unrolled aggregate subtrees: halves wall time at 16 cells (plan
     # compile dominated; PERFORMANCE.md §5)
@@ -696,6 +716,7 @@ def pq_cosine_topk(
     query_vec: str = "q_vec",
     rerank: int = 0,
     train_iters: int = 0,
+    seed_vectors: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: the query stays full-precision, the corpus side is its
@@ -734,14 +755,13 @@ def pq_cosine_topk(
             corpus_id=corpus_id, vec_col=corpus_vec,
         )
     else:
-        seeds = (
-            corpus.orderBy(corpus_id)
-            .limit(n_codes)
-            .select(F.col(corpus_vec).alias("_v"))
-            .collect()
-        )
+        if seed_vectors is None:
+            seed_vectors = collect_seed_vectors(corpus, n_codes, corpus_id, corpus_vec)
         codebooks = [
-            [[float(x) for x in r["_v"][j * sub : (j + 1) * sub]] for r in seeds]
+            [
+                [float(x) for x in v[j * sub : (j + 1) * sub]]
+                for v in seed_vectors[:n_codes]
+            ]
             for j in range(m)
         ]
     cb_row = _codebook_row(corpus.sparkSession, codebooks)
@@ -806,6 +826,7 @@ def ivf_pq_cosine_topk(
     corpus_vec: str = "embedding",
     query_id: str = "q_id",
     query_vec: str = "q_vec",
+    seed_vectors: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: Voronoi cell pruning (``ivf_cosine_topk``'s layout)
     composed with PQ/ADC scoring (``pq_cosine_topk``'s code table) —
@@ -825,22 +846,21 @@ def ivf_pq_cosine_topk(
     sub = dim // m
     # ONE TakeOrdered job seeds both layouts (cell centroids = first
     # n_cells vectors, PQ codewords = first n_codes) — same deterministic
-    # seeds as the separate collects, half the builder-time jobs
-    seeds = (
-        corpus.orderBy(corpus_id)
-        .limit(max(n_cells, n_codes))
-        .select(F.col(corpus_vec).alias("_v"))
-        .collect()
-    )
-    centroids = [list(map(float, r["_v"])) for r in seeds[:n_cells]]
+    # seeds as the separate collects; precomputed ``seed_vectors`` skips
+    # even that (the shared-scan path callers use across ANN tiers)
+    if seed_vectors is None:
+        seed_vectors = collect_seed_vectors(
+            corpus, max(n_cells, n_codes), corpus_id, corpus_vec
+        )
+    centroids = [list(map(float, v)) for v in seed_vectors[:n_cells]]
     top_cells = _top_cells
 
     # --- PQ code table (untrained seeds; pass through train_pq_codebooks
     # for structured corpora — identical downstream plan)
     codebooks = [
         [
-            [float(x) for x in r["_v"][j * sub : (j + 1) * sub]]
-            for r in seeds[:n_codes]
+            [float(x) for x in v[j * sub : (j + 1) * sub]]
+            for v in seed_vectors[:n_codes]
         ]
         for j in range(m)
     ]

@@ -904,12 +904,18 @@ def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E14", "E17"),
 )
 def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output carries its own accuracy audit: ``max_rank_err`` is the
+    worst |true rank of estimate - target rank| across the three
+    quantiles (one exact rank pass), ``within_bound`` asserts it under
+    the KLL k=200 guarantee (~1.65% normalized rank error; 0.05 bound
+    leaves slack for small groups) — the committed result proves the
+    sketch met its contract, not just that rows came back."""
     events = load_table(spark, sf_dir, "events")
     sk = events.groupBy("event_type").agg(
         F.kll_sketch_agg_double(F.col("value")).alias("sk"),
         F.count(F.lit(1)).alias("n"),
     )
-    return sk.select(
+    est = sk.select(
         "event_type",
         "n",
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5)).alias("p50"),
@@ -917,7 +923,37 @@ def kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.99)).alias(
             "p99"
         ),
-    ).orderBy("event_type")
+    )
+    # exact rank audit: fraction of the group's values <= each estimate;
+    # the estimates are |event_type| rows -> broadcast join, one agg
+    ranked = events.join(F.broadcast(est), "event_type")
+
+    def rank_of(q: str):
+        return F.avg((F.col("value") <= F.col(q)).cast("double"))
+
+    audit = ranked.groupBy("event_type").agg(
+        rank_of("p50").alias("_r50"),
+        rank_of("p90").alias("_r90"),
+        rank_of("p99").alias("_r99"),
+    )
+    return (
+        est.join(audit, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p50",
+            "p90",
+            "p99",
+            F.greatest(
+                F.abs(F.col("_r50") - 0.5),
+                F.abs(F.col("_r90") - 0.9),
+                F.abs(F.col("_r99") - 0.99),
+            ).alias("max_rank_err"),
+            F.lit(0.05).alias("err_bound"),
+        )
+        .withColumn("within_bound", F.col("max_rank_err") <= F.col("err_bound"))
+        .orderBy("event_type")
+    )
 
 
 @register(

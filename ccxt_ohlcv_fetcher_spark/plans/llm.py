@@ -442,7 +442,31 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    return ivf_cosine_topk(
+        emb, queries, k=5, n_cells=16, n_probe=6,
+        seed_vectors=_embedding_seeds(spark, sf_dir, 16),
+    )
+
+
+_SEED_MEMO: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _embedding_seeds(spark: SparkSession, sf_dir: str, n: int) -> list[list[float]]:
+    """Memoized lowest-id seed vectors for the untrained ANN tiers.
+
+    The IVF / PQ / IVF-PQ builders all derive their layout from the
+    SAME first-n embeddings; without the memo each builder re-runs the
+    TakeOrdered seed scan — ~1 s of the IVF-PQ query's driver-visible
+    cold time at sf0.1 (round-5 perf item 3). The fixtures are
+    immutable per sf_dir, so (sf_dir, n) keys the cache; registry
+    builders are allowed eager jobs (ROUND_NOTES)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import collect_seed_vectors
+
+    key = (sf_dir, n)
+    if key not in _SEED_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _SEED_MEMO[key] = collect_seed_vectors(emb, n)
+    return _SEED_MEMO[key]
 
 
 @register(
@@ -664,7 +688,10 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return pq_cosine_topk(emb, queries, k=5, dim=64, m=8, n_codes=16, rerank=4)
+    return pq_cosine_topk(
+        emb, queries, k=5, dim=64, m=8, n_codes=16, rerank=4,
+        seed_vectors=_embedding_seeds(spark, sf_dir, 16),
+    )
 
 
 @register(
@@ -689,7 +716,8 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_pq_cosine_topk(
-        emb, queries, k=5, dim=64, n_cells=16, n_probe=6, m=8, n_codes=16, rerank=4
+        emb, queries, k=5, dim=64, n_cells=16, n_probe=6, m=8, n_codes=16,
+        rerank=4, seed_vectors=_embedding_seeds(spark, sf_dir, 16),
     )
 
 

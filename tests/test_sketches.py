@@ -110,6 +110,9 @@ def test_kll_quantiles_rank_error_and_merge(spark, sf_dir):
         for q, est in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
             true_rank = sum(1 for v in vals if v <= est) / n
             assert abs(true_rank - q) < 0.025, (r["event_type"], q, est)
+        # the in-output audit columns must agree with the local recompute
+        assert r["within_bound"] is True
+        assert r["max_rank_err"] <= r["err_bound"]
     # kll_sketch_merge_double is a binary scalar merge — fold the per-day
     # sketches pairwise (associative, so fold order is free)
     merged = (
@@ -132,3 +135,16 @@ def test_kll_quantiles_rank_error_and_merge(spark, sf_dir):
     n = len(vals)
     true_rank = sum(1 for v in vals if v <= merged) / n
     assert abs(true_rank - 0.5) < 0.025
+
+
+def test_histogram_sketch_audit_columns(spark, sf_dir):
+    """event_value_histogram's in-output invariants: bin mass sums to
+    the exact row count, centroids lie inside [min, max]."""
+    from ccxt_ohlcv_fetcher_spark.plans.breadth import event_value_histogram
+
+    rows = event_value_histogram(spark, sf_dir).collect()
+    assert len(rows) == 12
+    assert all(r["mass_ok"] and r["range_ok"] for r in rows)
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    assert abs(sum(r["bin_y"] for r in rows) - n) < 1e-6

@@ -22,7 +22,15 @@ def load_queries(path: str) -> tuple[dict[str, float], bool]:
     BENCH_r{N}.json wrapper ({"parsed": {bench line}, "tail": ...}).
     ``truncated`` is True when the compact contract line carried only
     the slowest queries (queries_truncated flag, or fewer entries than
-    n_queries) — absent queries then mean "not reported", not "gone"."""
+    n_queries) — absent queries then mean "not reported", not "gone".
+
+    A truncated driver artifact ``BENCH_r{N}.json`` is automatically
+    backfilled from a committed full-detail sibling
+    ``BENCH_LOCAL_r{N}.json`` (the per-round snapshot of bench.py's
+    BENCH_LOCAL.json) when one exists: the truncated entries win where
+    both report a query (the driver's run is authoritative), the
+    detail file fills the tail — so round-over-round comparison covers
+    all queries, not just the slowest ~55."""
     doc = json.load(open(path))
 
     def extract(d: dict) -> tuple[dict[str, float], bool]:
@@ -32,18 +40,44 @@ def load_queries(path: str) -> tuple[dict[str, float], bool]:
         )
         return qs, trunc
 
-    if "queries" in doc:
-        return extract(doc)
-    parsed = doc.get("parsed")
-    if isinstance(parsed, dict) and "queries" in parsed:
-        return extract(parsed)
-    for line in reversed(doc.get("tail", "").splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            cand = json.loads(line)
-            if "queries" in cand:
-                return extract(cand)
-    raise SystemExit(f"{path}: no per-query timings found")
+    def from_doc(d: dict) -> tuple[dict[str, float], bool] | None:
+        if "queries" in d:
+            return extract(d)
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return extract(parsed)
+        for line in reversed(d.get("tail", "").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                cand = json.loads(line)
+                if "queries" in cand:
+                    return extract(cand)
+        return None
+
+    got = from_doc(doc)
+    if got is None:
+        raise SystemExit(f"{path}: no per-query timings found")
+    qs, trunc = got
+    if trunc:
+        import os
+        import re
+
+        m = re.match(r"BENCH_(r\d+)\.json$", os.path.basename(path))
+        if m:
+            detail = os.path.join(
+                os.path.dirname(path) or ".", f"BENCH_LOCAL_{m.group(1)}.json"
+            )
+            if os.path.exists(detail):
+                full = json.load(open(detail)).get("queries", {})
+                missing = {k: v for k, v in full.items() if k not in qs}
+                if missing:
+                    qs = {**missing, **qs}
+                    trunc = len(qs) < len(full)
+                    print(
+                        f"[backfilled {len(missing)} queries for {path} "
+                        f"from {os.path.basename(detail)}]"
+                    )
+    return qs, trunc
 
 
 def main() -> int:
