@@ -152,6 +152,7 @@ def ann_cosine_topk(
     n_planes: int = 8,
     multiprobe: int = 0,
     adaptive: bool = False,
+    probe_depth: int = 1,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "q_id",
@@ -177,11 +178,26 @@ def ann_cosine_topk(
     Lv et al., VLDB'07). Fixed-bit probing spends its budget on planes
     chosen blind; margin-ordered probing spends it where the miss
     probability actually is, so recall per probe is strictly better at
-    identical cost/plan shape (measured in PERFORMANCE.md §6)."""
+    identical cost/plan shape (measured in PERFORMANCE.md §6).
+
+    ``probe_depth=2`` (adaptive only) draws the probe sequence from
+    single-bit AND two-bit perturbations, ranked by total margin cost
+    |d_a| (+ |d_b|) — the full probing-sequence construction of
+    multi-probe LSH (Lv et al. §4.2). Single-bit probing saturates
+    once every plane has been flipped (at 4 planes, recall plateaus at
+    0.60 on the clustered fixture no matter the budget); the two-bit
+    tail keeps buying recall at the same +1-bucket-per-probe cost:
+    0.64 / 0.76 / 0.83 at m=4/6/8 with 4 planes. Curve + recommended
+    operating points in PERFORMANCE.md §6."""
     c_b = sign_lsh_buckets(_with_norm(corpus, corpus_vec, "_cn"), corpus_vec, n_planes, dim)
     q_b = sign_lsh_buckets(_with_norm(queries, query_vec, "_qn"), query_vec, n_planes, dim)
     if multiprobe:
-        m = min(multiprobe, n_planes)
+        max_probes = (
+            n_planes + n_planes * (n_planes - 1) // 2
+            if (adaptive and probe_depth >= 2)
+            else n_planes
+        )
+        m = min(multiprobe, max_probes)
         if adaptive:
             # stage the dots once (one plane-matrix literal in the plan;
             # bucket already consumed its own — don't add a third)
@@ -191,16 +207,63 @@ def ann_cosine_topk(
                 F.col("_dots"),
                 lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("j")),
             )
-            flip_bits = F.slice(F.array_sort(margins), 1, m)["j"]
-            probes = F.concat(
-                F.array(F.col("bucket")),
-                F.transform(
-                    flip_bits,
-                    lambda j: F.col("bucket").bitwiseXOR(
-                        F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
+            if probe_depth >= 2:
+                srt = F.array_sort(margins)
+                mask_of = lambda j: F.pow(  # noqa: E731
+                    F.lit(2.0), j.cast("double")
+                ).cast("bigint")
+                singles = F.transform(
+                    srt,
+                    lambda s: F.struct(
+                        s["m"].alias("c"), mask_of(s["j"]).alias("mask")
                     ),
-                ),
-            )
+                )
+                # two-bit perturbations among the tightest planes (the
+                # cheapest pairs by construction); t bounds the candidate
+                # set to t*(t-1)/2 structs in the expression
+                t = min(n_planes, 6)
+                tight = F.slice(srt, 1, t)
+                idx = F.sequence(F.lit(0), F.lit(t - 1))
+                grid = F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            idx, lambda l: F.struct(i.alias("i"), l.alias("l"))
+                        ),
+                    )
+                )
+                pairs = F.transform(
+                    F.filter(grid, lambda p: p["l"] > p["i"]),
+                    lambda p: F.struct(
+                        (
+                            F.element_at(tight, p["i"] + 1)["m"]
+                            + F.element_at(tight, p["l"] + 1)["m"]
+                        ).alias("c"),
+                        (
+                            mask_of(F.element_at(tight, p["i"] + 1)["j"])
+                            + mask_of(F.element_at(tight, p["l"] + 1)["j"])
+                        ).alias("mask"),
+                    ),
+                )
+                ranked = F.array_sort(F.concat(singles, pairs))
+                masks = F.slice(ranked, 1, m)["mask"]
+                probes = F.concat(
+                    F.array(F.col("bucket")),
+                    F.transform(
+                        masks, lambda msk: F.col("bucket").bitwiseXOR(msk)
+                    ),
+                )
+            else:
+                flip_bits = F.slice(F.array_sort(margins), 1, m)["j"]
+                probes = F.concat(
+                    F.array(F.col("bucket")),
+                    F.transform(
+                        flip_bits,
+                        lambda j: F.col("bucket").bitwiseXOR(
+                            F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
+                        ),
+                    ),
+                )
         else:
             probes = F.array(
                 F.col("bucket"),

@@ -428,6 +428,30 @@ def ann_cosine_topk_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_lsh_seq",
+    oracle=None,  # approximate by construction; the depth-2 recall/cost
+    # curve is pinned on the clustered fixture in tests/test_llm_ops.py
+    doc="ANN top-k via the full multi-probe LSH probing SEQUENCE (op "
+    "E35, Lv et al. §4.2): probes are drawn from single-bit AND "
+    "two-bit perturbations ranked by total margin cost, so the budget "
+    "keeps buying recall after single-bit flips saturate (at 4 planes "
+    "the 1-bit ceiling is recall 0.60 on the clustered fixture; the "
+    "sequence reaches 0.76 at the same per-probe cost). Recommended "
+    "operating point for clustered corpora: 4 planes, m=6, depth 2.",
+    tags=("E35",),
+)
+def ann_cosine_topk_lsh_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_cosine_topk(
+        emb, queries, k=5, dim=64, n_planes=8, multiprobe=6,
+        adaptive=True, probe_depth=2,
+    )
+
+
+@register(
     "ann_cosine_topk_ivf",
     oracle=None,  # approximate by construction; recall vs the exact path
     # is asserted in tests/test_llm_ops.py
