@@ -95,6 +95,8 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         "captured_at": None,
         "exposure_s": None,
         "focal_mm": None,
+        "gps_lat": None,
+        "gps_lon": None,
     }
     if b.startswith(_PNG_MAGIC):
         # PNG: 8-byte magic, then chunks of (len, type, data, crc32).
@@ -279,17 +281,26 @@ _EXIF_TAGS = {
     0x920A: "focal_mm",      # FocalLength, RATIONAL (in the Exif sub-IFD)
 }
 _EXIF_IFD_POINTER = 0x8769  # tag whose LONG value is the sub-IFD offset
+_GPS_IFD_POINTER = 0x8825  # GPSInfo: LONG value is the GPS IFD offset
+# GPS IFD has its OWN tag namespace (EXIF 2.32 §4.6.6)
+_GPS_LAT_REF, _GPS_LAT, _GPS_LON_REF, _GPS_LON = 1, 2, 3, 4
 
 
-def _parse_exif_tiff(tiff: bytes, out: dict, _ifd: int | None = None) -> None:
+def _parse_exif_tiff(
+    tiff: bytes, out: dict, _ifd: int | None = None, _gps: bool = False
+) -> None:
     """TIFF 6.0 IFD walk (the structure EXIF embeds in JPEG APP1):
     2-byte byte order (II little / MM big), magic 42, IFD0 offset, then
     12-byte entries of (tag, type, count, value-or-offset). Parses the
     camera tags in :data:`_EXIF_TAGS` — ASCII values longer than 4
     bytes and RATIONAL (num/den uint32 pair) values live at an offset
     relative to the TIFF start — and follows the ExifIFD pointer
-    (0x8769) one level for the photographic tags. Every read is
-    bounds-checked; malformed blocks fill nothing and never raise."""
+    (0x8769) one level for the photographic tags and the GPSInfo
+    pointer (0x8825) for latitude/longitude (GPS IFD tags live in
+    their OWN namespace: ref letters are inline 2-byte ASCII, the
+    coordinate is a 3-RATIONAL deg/min/sec group combined here to
+    signed decimal degrees). Every read is bounds-checked; malformed
+    blocks fill nothing and never raise."""
     if len(tiff) < 8:
         return
     order = tiff[:2]
@@ -309,12 +320,42 @@ def _parse_exif_tiff(tiff: bytes, out: dict, _ifd: int | None = None) -> None:
     for k in range(n_entries):
         e = ifd + 2 + 12 * k
         if e + 12 > len(tiff):
-            return
+            break
         tag, typ, count = struct.unpack(endian + "HHI", tiff[e : e + 8])
         if tag == _EXIF_IFD_POINTER and typ == 4 and _ifd is None:
             (sub,) = struct.unpack(endian + "I", tiff[e + 8 : e + 12])
             if 0 < sub < len(tiff):
                 _parse_exif_tiff(tiff, out, _ifd=sub)  # one level only
+            continue
+        if tag == _GPS_IFD_POINTER and typ == 4 and _ifd is None:
+            (sub,) = struct.unpack(endian + "I", tiff[e + 8 : e + 12])
+            if 0 < sub < len(tiff):
+                _parse_exif_tiff(tiff, out, _ifd=sub, _gps=True)
+            continue
+        if _gps:
+            if typ == 2 and count <= 4 and tag in (_GPS_LAT_REF, _GPS_LON_REF):
+                raw = tiff[e + 8 : e + 8 + count].split(b"\x00", 1)[0]
+                ref = raw.decode("latin-1", "replace")
+                if ref in ("N", "S", "E", "W"):
+                    out["_lat_ref" if tag == _GPS_LAT_REF else "_lon_ref"] = ref
+            elif typ == 5 and count == 3 and tag in (_GPS_LAT, _GPS_LON):
+                (off,) = struct.unpack(endian + "I", tiff[e + 8 : e + 12])
+                if off + 24 > len(tiff):
+                    continue
+                vals = []
+                for j in range(3):
+                    num, den = struct.unpack(
+                        endian + "II", tiff[off + 8 * j : off + 8 * j + 8]
+                    )
+                    if not den:
+                        break
+                    vals.append(num / den)
+                if len(vals) == 3:
+                    # left-to-right double fold matches the oracle's
+                    # d + m/60 + s/3600 expression bit-for-bit
+                    out["_lat" if tag == _GPS_LAT else "_lon"] = (
+                        vals[0] + vals[1] / 60 + vals[2] / 3600
+                    )
             continue
         key = _EXIF_TAGS.get(tag)
         if key is None:
@@ -342,6 +383,14 @@ def _parse_exif_tiff(tiff: bytes, out: dict, _ifd: int | None = None) -> None:
             num, den = struct.unpack(endian + "II", tiff[off : off + 8])
             if den:
                 out[key] = num / den
+    if _ifd is None and not _gps:
+        # combine GPS intermediates to signed decimal degrees (S/W < 0)
+        lat, latr = out.pop("_lat", None), out.pop("_lat_ref", None)
+        if lat is not None:
+            out["gps_lat"] = -lat if latr == "S" else lat
+        lon, lonr = out.pop("_lon", None), out.pop("_lon_ref", None)
+        if lon is not None:
+            out["gps_lon"] = -lon if lonr == "W" else lon
 
 
 def encode_exif_jpeg(
@@ -353,24 +402,32 @@ def encode_exif_jpeg(
     captured_at: str,
     exposure: tuple[int, int] | None = None,
     focal: tuple[int, int] | None = None,
+    gps: tuple[str, tuple, str, tuple] | None = None,
 ) -> bytes:
     """Minimal spec-valid JPEG with an APP1/Exif TIFF block: SOI, APP1
     (little-endian TIFF, IFD0 with Make/Model/Orientation/DateTime and,
     when ``exposure``/``focal`` (num, den) rationals are given, an Exif
-    sub-IFD pointer (0x8769) to ExposureTime/FocalLength), SOF0
-    carrying the geometry, SOS header, EOI. Used by the typed media
-    fixture so the EXIF parse is oracle-checkable end to end."""
+    sub-IFD pointer (0x8769) to ExposureTime/FocalLength; when ``gps``
+    is given, a GPSInfo pointer (0x8825) to a GPS IFD), SOF0 carrying
+    the geometry, SOS header, EOI. Used by the typed media fixture so
+    the EXIF parse is oracle-checkable end to end.
+
+    ``gps`` = (lat_ref, lat_dms, lon_ref, lon_dms) with each dms a
+    3-tuple of (num, den) rationals (degrees, minutes, seconds)."""
     has_sub = exposure is not None or focal is not None
+    has_gps = gps is not None
     sub_tags = [
         (0x829A, exposure),
         (0x920A, focal),
     ]
     sub_tags = [(t, v) for t, v in sub_tags if v is not None]
-    n_ifd0 = 4 + (1 if has_sub else 0)
+    n_ifd0 = 4 + (1 if has_sub else 0) + (1 if has_gps else 0)
     ifd0_off = 8
     sub_off = ifd0_off + 2 + n_ifd0 * 12 + 4
-    rat_off = sub_off + (2 + len(sub_tags) * 12 + 4 if has_sub else 0)
-    data_off = rat_off + 8 * len(sub_tags)  # ASCII area after rationals
+    gps_off = sub_off + (2 + len(sub_tags) * 12 + 4 if has_sub else 0)
+    rat_off = gps_off + (2 + 4 * 12 + 4 if has_gps else 0)
+    gps_rat_off = rat_off + 8 * len(sub_tags)
+    data_off = gps_rat_off + (48 if has_gps else 0)  # ASCII area last
     entries = []
     data_area = b""
 
@@ -401,10 +458,31 @@ def encode_exif_jpeg(
             struct.pack("<H", len(sub_entries)) + b"".join(sub_entries)
             + struct.pack("<I", 0)
         )
+    gps_block = b""
+    gps_rat_area = b""
+    if has_gps:
+        entries.append(struct.pack("<HHII", 0x8825, 4, 1, gps_off))
+        lat_ref, lat_dms, lon_ref, lon_dms = gps
+        gps_entries = [
+            struct.pack(
+                "<HHI4s", 1, 2, 2, (lat_ref.encode() + b"\x00").ljust(4, b"\x00")
+            ),
+            struct.pack("<HHII", 2, 5, 3, gps_rat_off),
+            struct.pack(
+                "<HHI4s", 3, 2, 2, (lon_ref.encode() + b"\x00").ljust(4, b"\x00")
+            ),
+            struct.pack("<HHII", 4, 5, 3, gps_rat_off + 24),
+        ]
+        for num, den in (*lat_dms, *lon_dms):
+            gps_rat_area += struct.pack("<II", num, den)
+        gps_block = (
+            struct.pack("<H", 4) + b"".join(gps_entries) + struct.pack("<I", 0)
+        )
     tiff = (
         b"II*\x00" + struct.pack("<I", ifd0_off)
         + struct.pack("<H", len(entries)) + b"".join(entries)
-        + struct.pack("<I", 0) + sub_block + rat_area + data_area
+        + struct.pack("<I", 0) + sub_block + gps_block
+        + rat_area + gps_rat_area + data_area
     )
     exif_payload = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif_payload)) + exif_payload
@@ -504,6 +582,8 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("captured_at", T.StringType(), True),
         T.StructField("exposure_s", T.DoubleType(), True),
         T.StructField("focal_mm", T.DoubleType(), True),
+        T.StructField("gps_lat", T.DoubleType(), True),
+        T.StructField("gps_lon", T.DoubleType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -512,7 +592,7 @@ _PROBE_FIELDS = (
     "container", "width", "height", "duration_ms",
     "channels", "sample_rate", "title", "artist", "album", "year",
     "camera_make", "camera_model", "orientation", "captured_at",
-    "exposure_s", "focal_mm",
+    "exposure_s", "focal_mm", "gps_lat", "gps_lon",
 )
 
 
@@ -602,6 +682,19 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
                             # binary fraction, so the double is engine-exact
                             exposure=(1, 2 ** (did % 10)),
                             focal=(10 + did % 290, 1),
+                            # GPS: deg/min integral, seconds in quarter
+                            # units (den 4, a binary fraction) — every
+                            # piece re-derivable by the oracle
+                            gps=(
+                                "N" if (did // 8) % 2 == 0 else "S",
+                                ((did % 90, 1), (did % 60, 1), (did % 240, 4)),
+                                "E" if (did // 16) % 2 == 0 else "W",
+                                (
+                                    (did % 180, 1),
+                                    ((did // 2) % 60, 1),
+                                    ((did * 3) % 240, 4),
+                                ),
+                            ),
                         )
                     )
                     kinds.append("image")

@@ -71,6 +71,20 @@ def test_exif_roundtrip_and_robustness():
     assert d["exposure_s"] == 1 / 128  # Exif sub-IFD rational
     assert d["focal_mm"] == 50.0
 
+    # GPS IFD (0x8825): refs + 3-rational dms groups -> signed degrees
+    g = encode_exif_jpeg(
+        64, 48, "Acme", "X100", 1, "2024:02:03 04:05:06",
+        gps=(
+            "S", ((12, 1), (30, 1), (90, 4)),   # 12°30'22.5" S
+            "W", ((100, 1), (15, 1), (0, 4)),   # 100°15'0" W
+        ),
+    )
+    dg = decode_media(g)
+    assert dg["gps_lat"] == -(12 + 30 / 60 + 22.5 / 3600)
+    assert dg["gps_lon"] == -(100 + 15 / 60 + 0.0 / 3600)
+    # no gps argument -> no gps fields
+    assert d["gps_lat"] is None and d["gps_lon"] is None
+
     # big-endian (MM) TIFF with one Orientation entry
     tiff = (
         b"MM\x00\x2a" + struct.pack(">I", 8) + struct.pack(">H", 1)
