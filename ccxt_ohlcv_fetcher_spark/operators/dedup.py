@@ -76,8 +76,16 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    ``metric="containment"`` scores ``common / min(|A|, |B|)`` instead
+    — the asymmetric-duplicate measure: a short doc wholly embedded in
+    a long one has low Jaccard (the union is dominated by the long
+    side) but containment 1.0. Same index, same join, same cost; only
+    the final scalar differs. Standard practice runs BOTH: Jaccard for
+    mirror dups, containment for quote/subset dups.
 
     Cost model: |pairs sharing a shingle| << N^2 for natural text; the
     heavy hitter is a skewed shingle (boilerplate). ``max_doc_freq``
@@ -109,16 +117,22 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    if metric == "containment":
+        score = F.col("common").cast("double") / F.least(
+            F.col("n_a"), F.col("n_b")
+        )
+    elif metric == "jaccard":
+        score = F.col("common").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("common")
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return (
         common.join(na, "id_a")
         .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+        .withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", "common", "n_a", "n_b", metric)
     )
 
 

@@ -916,3 +916,93 @@ def price_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ap[2].alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "quantity_mode_median",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, l_quantity ASC) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT m.l_returnflag,
+           CAST(m.mode_qty AS DOUBLE) AS mode_qty,
+           CAST(median(li.l_quantity) AS DOUBLE) AS median_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem li JOIN modes m USING (l_returnflag)
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic mode + interpolated median per group (op E17 "
+    "breadth): Spark's mode() breaks frequency ties arbitrarily, so "
+    "the mode here is derived deterministically — count per (group, "
+    "value), rank by (count DESC, value ASC), keep rank 1 — the same "
+    "tie rule both engines can express; median() is the continuous "
+    "50th percentile (Spark median == DuckDB quantile_cont). One "
+    "count aggregation + one window over group cardinality rows + the "
+    "group's median pass; everything partial-aggregates before the "
+    "shuffle.",
+    tags=("E17", "E13", "E18"),
+)
+def quantity_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").cast("double").alias("mode_qty")
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").cast("double").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return med.join(F.broadcast(modes), "l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_qty", "n"
+    )
+
+
+@register(
+    "region_nation_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1
+    """,
+    doc="Ordered LISTAGG / string_agg (op E13/R14 breadth): the "
+    "SQL-standard ordered string aggregation, expressed Spark-side as "
+    "array_sort(collect_list(...)) + array_join — deterministic "
+    "regardless of row arrival order, which is the part naive "
+    "concat_ws(collect_list) gets wrong under parallelism. Broadcast "
+    "dim join, one partial-aggregated groupBy.",
+    tags=("E13", "R14", "E6"),
+)
+def region_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
