@@ -113,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="add a dt= partition level (bounded compaction/retention)",
     )
+    fetch.add_argument(
+        "--snapshot-log",
+        action="store_true",
+        help="back the dataset with the commit log (atomic lock-free "
+        "multi-writer appends, time travel; excludes --date-bucket)",
+    )
 
     fx = sub.add_parser("fetch-exchange", help="all symbols of one exchange")
     fx.add_argument("exchange", type=str)
@@ -122,6 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     fx.add_argument("-q", "--quit", action="store_true", dest="quit_")
     fx.add_argument("--data-dir", type=str, default="./candles")
     fx.add_argument("--date-bucket", choices=["day", "month"], default=None)
+    fx.add_argument("--snapshot-log", action="store_true")
 
     ex = sub.add_parser("export-csv", help="dataset slice -> headered CSV")
     ex.add_argument("out", type=str)
@@ -129,6 +136,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("-e", "--exchange", type=str, default=None)
     ex.add_argument("-s", "--symbol", type=str, default=None)
     ex.add_argument("-t", "--timeframe", type=str, default=None)
+    ex.add_argument("--snapshot-log", action="store_true")
 
     mig = sub.add_parser("migrate-sqlite", help="legacy SQLite tree -> dataset")
     mig.add_argument("root", type=str)
@@ -153,10 +161,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="ISO-8601 watermark: only rewrite buckets at/after it "
         "(date-bucketed layouts)",
     )
+    cp.add_argument("--snapshot-log", action="store_true")
 
     vac = sub.add_parser("vacuum", help="drop date buckets past retention")
+    vac.add_argument(
+        "--snapshot-log",
+        action="store_true",
+        help="logged dataset: metadata-only retention commit + physical "
+        "reclaim of unreferenced commit dirs",
+    )
     vac.add_argument("--data-dir", type=str, required=True)
-    vac.add_argument("--date-bucket", choices=["day", "month"], required=True)
+    vac.add_argument("--date-bucket", choices=["day", "month"], default=None)
     vac.add_argument(
         "--older-than", type=str, required=True, help="ISO-8601 retention cutoff"
     )
@@ -195,6 +210,24 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _make_dataset(spark, args):
+    """CandleDataset or its commit-log twin, per --snapshot-log. The
+    two expose the same ingest contract (read / resume_offset /
+    append_idempotent), so every downstream caller is agnostic."""
+    if getattr(args, "snapshot_log", False):
+        if getattr(args, "date_bucket", None):
+            raise SystemExit("--snapshot-log and --date-bucket are exclusive "
+                             "(the log prunes by manifest stats, not dt= dirs)")
+        from ccxt_ohlcv_fetcher_spark.operators.candle_log import (  # noqa: PLC0415
+            SnapshotCandleDataset,
+        )
+
+        return SnapshotCandleDataset(spark, args.data_dir)
+    return CandleDataset(
+        spark, args.data_dir, date_bucket=getattr(args, "date_bucket", None)
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     from ccxt_ohlcv_fetcher_spark.sources.paging import (  # noqa: PLC0415
         ingest_candles,
@@ -209,7 +242,7 @@ def main(argv: list[str] | None = None) -> int:
         exchange = _load_ccxt_exchange(args.exchange, args.rate_limit)
         catalog = _catalog_from_ccxt(exchange)
         catalog.validate(args.exchange, args.symbol, args.timeframe)  # `:213-260`
-        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+        dataset = _make_dataset(spark, args)
         stats = ingest_candles(
             spark,
             CcxtPagingSource(exchange, args.symbol, args.timeframe),
@@ -231,7 +264,7 @@ def main(argv: list[str] | None = None) -> int:
             s: CcxtPagingSource(exchange, s, args.timeframe)
             for s in catalog.symbols_of(args.exchange)
         }
-        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+        dataset = _make_dataset(spark, args)
         results = ingest_exchange(
             spark,
             catalog,
@@ -248,7 +281,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "export-csv":
-        dataset = CandleDataset(spark, args.data_dir)
+        dataset = _make_dataset(spark, args)
         export_csv(
             dataset.read(args.exchange, args.symbol, args.timeframe), args.out
         )
@@ -271,6 +304,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "compact":
+        if args.snapshot_log:
+            dataset = _make_dataset(spark, args)
+            v = dataset.compact()
+            print(f"compacted to version={v}")
+            return 0
         dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
         n = dataset.compact(
             args.exchange, args.symbol, args.timeframe,
@@ -280,6 +318,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "vacuum":
+        if args.snapshot_log:
+            dataset = _make_dataset(spark, args)
+            dropped = dataset.retention(_parse_since(args.older_than))
+            reclaimed = len(dataset.vacuum())
+            print(f"vacuumed files={dropped} reclaimed_dirs={reclaimed}")
+            return 0
+        if not args.date_bucket:
+            raise SystemExit("vacuum needs --date-bucket or --snapshot-log")
         dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
         n = dataset.vacuum(_parse_since(args.older_than))
         print(f"vacuumed buckets={n}")

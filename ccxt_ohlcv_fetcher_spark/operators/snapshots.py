@@ -314,10 +314,19 @@ class SnapshotStore:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read: exactly the files the (pinned or
-        head) manifest names — never a half-commit, no dir listing."""
+        head) manifest names — never a half-commit, no dir listing. A
+        committed-but-empty table (e.g. after retention dropped every
+        file) reads as zero rows with the manifest's recorded schema;
+        only a never-written table (version 0, no schema) raises."""
         m = self.manifest(version)
         if not m["files"]:
-            raise ValueError("empty table (version 0) has no schema")
+            schema = m.get("schema")
+            if not schema:
+                raise ValueError("empty table (version 0) has no schema")
+            ddl = ", ".join(
+                f"`{n.replace('`', '``')}` {t}" for n, t in schema
+            )
+            return self.spark.createDataFrame([], schema=ddl)
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in m["files"]]
         )

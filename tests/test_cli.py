@@ -172,3 +172,47 @@ def test_rollup_subcommand_on_bucketed_base(spark, tmp_path, capsys):
     ]) == 0
     # 120 minutes: horizon exactly closes both hourly buckets
     assert "1h=2" in capsys.readouterr().out
+
+
+def test_snapshot_log_cli_roundtrip(spark, tmp_path, capsys):
+    """--snapshot-log end-to-end offline: append via the dataset API,
+    then export-csv / compact / vacuum subcommands against the logged
+    dataset; --date-bucket is rejected alongside it."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import MIN, T0, batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 6))
+    ds.append_idempotent(batch(spark, 6, 9))
+
+    out = str(tmp_path / "out_csv")
+    assert main(
+        ["export-csv", out, "--data-dir", data_dir, "--snapshot-log",
+         "-e", "e", "-s", "XRP/USD", "-t", "1m"]
+    ) == 0
+    assert spark.read.option("header", True).csv(out).count() == 9
+
+    assert main(["compact", "--data-dir", data_dir, "--snapshot-log"]) == 0
+    assert "version=" in capsys.readouterr().out
+    assert ds.read().count() == 9
+
+    import datetime as dt
+
+    cutoff = dt.datetime.fromtimestamp(
+        (T0 + 9 * MIN) / 1000, tz=dt.timezone.utc
+    ).isoformat()
+    assert main(
+        ["vacuum", "--data-dir", data_dir, "--snapshot-log",
+         "--older-than", cutoff]
+    ) == 0
+    assert "vacuumed files=" in capsys.readouterr().out
+    assert ds.read().count() == 0  # all candles older than the cutoff
+
+    with pytest.raises(SystemExit, match="exclusive"):
+        main(["compact", "--data-dir", data_dir, "--snapshot-log",
+              "--date-bucket", "day"])
+    with pytest.raises(SystemExit, match="date-bucket or --snapshot-log"):
+        main(["vacuum", "--data-dir", data_dir, "--older-than", cutoff])
