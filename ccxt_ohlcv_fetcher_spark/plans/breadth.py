@@ -975,34 +975,3 @@ def quantity_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(F.broadcast(modes), "l_returnflag").select(
         "l_returnflag", "mode_qty", "median_qty", "n"
     )
-
-
-@register(
-    "region_nation_listagg",
-    oracle="""
-    SELECT r.r_name,
-           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
-           CAST(count(*) AS BIGINT) AS n_nations
-    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
-    GROUP BY 1
-    """,
-    doc="Ordered LISTAGG / string_agg (op E13/R14 breadth): the "
-    "SQL-standard ordered string aggregation, expressed Spark-side as "
-    "array_sort(collect_list(...)) + array_join — deterministic "
-    "regardless of row arrival order, which is the part naive "
-    "concat_ws(collect_list) gets wrong under parallelism. Broadcast "
-    "dim join, one partial-aggregated groupBy.",
-    tags=("E13", "R14", "E6"),
-)
-def region_nation_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = load_table(spark, sf_dir, "region")
-    nation = load_table(spark, sf_dir, "nation")
-    joined = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    )
-    return joined.groupBy("r_name").agg(
-        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
-            "nations"
-        ),
-        F.count(F.lit(1)).alias("n_nations"),
-    )
