@@ -80,6 +80,12 @@ class SnapshotCandleDataset:
             ranges["timestamp"] = (since_ms, until_ms)
         return ranges
 
+    def _exists(self) -> bool:
+        """Duck-type parity with ``CandleDataset._exists`` (rollup
+        refresh probes it before reading): a logged table exists once it
+        has a commit — a metadata read, no filesystem listing."""
+        return self.store.latest_version() > 0
+
     def read(
         self,
         exchange: str | None = None,

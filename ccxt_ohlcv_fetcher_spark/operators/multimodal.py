@@ -237,6 +237,66 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         if data_size is not None and byte_rate:
             out["duration_ms"] = int(data_size * 1000 // byte_rate)
         return out
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # ISO-BMFF (MP4/MOV, ISO 14496-12): length-prefixed box tree.
+        # Walk top-level boxes to moov; inside it mvhd gives the movie
+        # timescale + duration, each trak/tkhd the track's 16.16-fixed
+        # presentation width/height. Codec/sample parsing (stsd and
+        # below) needs real decoders — out of header scope like the
+        # other containers.
+        out["container"] = "mp4"
+
+        def boxes(buf: bytes, i: int, end: int):
+            while i + 8 <= end:
+                (size,) = struct.unpack(">I", buf[i : i + 4])
+                btype = buf[i + 4 : i + 8]
+                hdr = 8
+                if size == 1:  # 64-bit largesize
+                    if i + 16 > end:
+                        return
+                    (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                    hdr = 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = end - i
+                if size < hdr or i + size > end:
+                    return  # malformed: stop, keep what parsed
+                yield btype, i + hdr, i + size
+                i += size
+
+        def full_box_version(buf: bytes, i: int) -> int:
+            return buf[i] if i < len(buf) else 0
+
+        for btype, lo, hi in boxes(b, 0, len(b)):
+            if btype != b"moov":
+                continue
+            for ctype, clo, chi in boxes(b, lo, hi):
+                if ctype == b"mvhd" and chi - clo >= 20:
+                    v = full_box_version(b, clo)
+                    if v == 1 and chi - clo >= 28:
+                        timescale, duration = struct.unpack(
+                            ">IQ", b[clo + 20 : clo + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", b[clo + 12 : clo + 20]
+                        )
+                    if timescale:
+                        out["duration_ms"] = int(duration * 1000 // timescale)
+                elif ctype == b"trak":
+                    for ttype, tlo, thi in boxes(b, clo, chi):
+                        if ttype != b"tkhd":
+                            continue
+                        v = full_box_version(b, tlo)
+                        woff = tlo + (88 if v == 1 else 76)
+                        if thi - woff >= 8:
+                            w_fx, h_fx = struct.unpack(
+                                ">II", b[woff : woff + 8]
+                            )
+                            if w_fx and h_fx:  # audio tracks carry 0x0
+                                out["width"] = w_fx >> 16
+                                out["height"] = h_fx >> 16
+            return out
+        return out  # ftyp but no moov: container known, metadata absent
     raise ValueError(f"unrecognized container (magic {b[:4]!r})")
 
 
@@ -535,6 +595,44 @@ def encode_id3v2_mp3(
     return payload
 
 
+def encode_minimal_mp4(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal spec-valid ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd))
+    — correct box sizes, version-0 full boxes, 16.16-fixed track
+    dimensions, movie duration in ``timescale`` units. Used by the
+    typed media fixture so the MP4 box walk is oracle-checkable."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)  # version 0 + enabled/in-movie flags
+        + struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
 def encode_minimal_png(width: int, height: int) -> bytes:
     """Smallest standards-valid PNG prefix a header decoder accepts:
     magic + IHDR chunk (8-bit RGB) with a correct CRC32. Used to
@@ -698,6 +796,10 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
                         )
                     )
                     kinds.append("image")
+                elif did % 8 == 5:
+                    # MP4: geometry + duration derived from doc fields
+                    payloads.append(encode_minimal_mp4(n, 1 + n % 9, n * 40))
+                    kinds.append("video")
                 elif did % 2 == 0:
                     payloads.append(encode_minimal_png(n, 1 + n % 7))
                     kinds.append("image")

@@ -81,14 +81,42 @@ class SnapshotStore:
         return os.path.join(self._manifest_dir, f"v{version:08d}.json")
 
     def latest_version(self) -> int:
-        """Head of the log; 0 = empty table (no commits)."""
-        if not os.path.isdir(self._manifest_dir):
-            return 0
-        versions = [
-            int(os.path.basename(p)[1:-5])
-            for p in glob.glob(os.path.join(self._manifest_dir, "v*.json"))
-        ]
-        return max(versions, default=0)
+        """Head of the log; 0 = empty table (no commits).
+
+        Resolution is hint + forward probe: committers leave a ``_last``
+        pointer (best-effort, atomically replaced), so resolving the
+        head costs one read plus however many commits landed since the
+        hint — not a directory listing. On an object store that is the
+        difference between O(1) GETs and a LIST over the whole log
+        (Delta's ``_last_checkpoint`` trick). Falls back to the listing
+        when no hint exists (old tables, hint never written)."""
+        hint_path = os.path.join(self._manifest_dir, "_last")
+        v = 0
+        try:
+            with open(hint_path) as fh:
+                v = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError):
+            if not os.path.isdir(self._manifest_dir):
+                return 0
+            versions = [
+                int(os.path.basename(p)[1:-5])
+                for p in glob.glob(os.path.join(self._manifest_dir, "v*.json"))
+            ]
+            return max(versions, default=0)
+        # the hint may lag (it's written after the CAS, and a writer can
+        # die in between): probe forward to the true head
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
+
+    def _write_head_hint(self, version: int) -> None:
+        tmp = os.path.join(self._manifest_dir, f"_last.{uuid.uuid4().hex[:8]}")
+        try:
+            with open(tmp, "w") as fh:
+                json.dump({"version": version}, fh)
+            os.replace(tmp, os.path.join(self._manifest_dir, "_last"))
+        except OSError:  # best-effort: readers fall back to probing
+            pass
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
@@ -98,10 +126,15 @@ class SnapshotStore:
             return json.load(fh)
 
     def history(self) -> list[dict]:
-        """Every committed manifest, oldest first (op, version, counts)."""
+        """Every retained manifest, oldest first (op, version, counts).
+        Versions pruned from the log (vacuum ``prune_log=True``) are
+        skipped — their time travel is gone by design."""
         out = []
         for v in range(1, self.latest_version() + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
             out.append(
                 {
                     "version": m["version"],
@@ -247,6 +280,7 @@ class SnapshotStore:
                 json.dump(manifest, fh)
         except FileExistsError:
             return False
+        self._write_head_hint(version)
         return True
 
     def last_txn(self, app_id: str) -> int | None:
@@ -395,7 +429,10 @@ class SnapshotStore:
     # --- maintenance ------------------------------------------------------
 
     def vacuum(
-        self, retain_versions: int = 1, min_age_seconds: float = 3600.0
+        self,
+        retain_versions: int = 1,
+        min_age_seconds: float = 3600.0,
+        prune_log: bool = False,
     ) -> list[str]:
         """Delete commit dirs referenced by none of the last
         ``retain_versions`` manifests (older time travel breaks, space
@@ -407,7 +444,14 @@ class SnapshotStore:
         live writer's staged-but-not-yet-committed files, and deleting
         them would let that writer commit a manifest referencing
         deleted files (lost rows, broken head reads). Only pass 0 when
-        no writer can possibly be in flight."""
+        no writer can possibly be in flight.
+
+        ``prune_log=True`` also deletes the manifests OLDER than the
+        retained window (each manifest is a FULL file list, so nothing
+        needs them once their time travel is given up) — the log stays
+        O(retain_versions) instead of O(total commits); head
+        resolution is unaffected (the ``_last`` hint + forward probe
+        never touches pruned versions)."""
         import time
 
         head = self.latest_version()
@@ -433,6 +477,11 @@ class SnapshotStore:
                 continue
             shutil.rmtree(d)
             deleted.append(d)
+        if prune_log:
+            for v in range(1, max(1, head - retain_versions + 1)):
+                p = self._manifest_path(v)
+                if os.path.exists(p):
+                    os.remove(p)
         return deleted
 
 

@@ -1248,18 +1248,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 8 = 1 THEN 'mp3'
                 WHEN doc_id % 8 = 3 THEN 'jpeg'
+                WHEN doc_id % 8 = 5 THEN 'mp4'
                 WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
-           CASE WHEN doc_id % 2 = 0 OR doc_id % 8 = 3
+           CASE WHEN doc_id % 2 = 0 OR doc_id % 8 IN (3, 5)
                 THEN CAST(n_chars AS INT) END AS width,
            CASE WHEN doc_id % 8 = 3 THEN CAST(1 + n_chars % 5 AS INT)
+                WHEN doc_id % 8 = 5 THEN CAST(1 + n_chars % 9 AS INT)
                 WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 7 AS INT)
            END AS height,
-           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
+           CASE WHEN doc_id % 8 = 5 THEN CAST(n_chars * 40 AS BIGINT)
+                WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
                 THEN CAST(n_chars * 2 * 1000 // 16000 AS BIGINT)
            END AS duration_ms,
-           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3, 5)
                 THEN CAST(1 AS INT) END AS channels,
-           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
+           CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3, 5)
                 THEN CAST(8000 AS INT) END AS sample_rate,
            CASE WHEN doc_id % 8 = 1 THEN 'doc-' || doc_id END AS title,
            CASE WHEN doc_id % 8 = 1 THEN lang END AS artist,

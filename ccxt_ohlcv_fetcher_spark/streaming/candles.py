@@ -121,9 +121,26 @@ def start_candle_sink(
     coarse candles (1h/1d) stay current as the stream lands — the
     streaming form of continuous-aggregate maintenance. Refresh is
     itself idempotent (closed buckets only + anti-join), so a
-    re-delivered batch refreshes into a no-op."""
+    re-delivered batch refreshes into a no-op.
 
-    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+    When ``dataset`` is transactional (``append_idempotent`` accepts
+    ``txn=``, i.e. ``SnapshotCandleDataset``), each micro-batch commits
+    with ``txn=(app_id, batch_id)`` where app_id derives from the
+    checkpoint location — the same identity Spark uses for offset
+    tracking — so a re-delivered batch is recognized from the commit
+    log alone (metadata read, zero data jobs) instead of being
+    re-anti-joined. That is Delta's ``txnAppId/txnVersion`` pattern;
+    the anti-join remains as defense in depth for rows that overlap
+    across DIFFERENT writers (concurrent backfill + stream)."""
+    import inspect
+    import os as _os
+
+    supports_txn = (
+        "txn" in inspect.signature(dataset.append_idempotent).parameters
+    )
+    app_id = "candle_sink:" + _os.path.abspath(checkpoint_dir)
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
         out = (
             batch.withColumn("timeframe", F.lit(timeframe))
             .withColumn("open", F.col("open").cast("decimal(38,12)"))
@@ -132,7 +149,11 @@ def start_candle_sink(
             .withColumn("close", F.col("close").cast("decimal(38,12)"))
             .withColumn("volume", F.col("volume").cast("decimal(38,12)"))
         )
-        if dataset.append_idempotent(out) and rollups is not None:
+        if supports_txn:
+            appended = dataset.append_idempotent(out, txn=(app_id, batch_id))
+        else:
+            appended = dataset.append_idempotent(out)
+        if appended and rollups is not None:
             rollups.refresh()
 
     writer = (

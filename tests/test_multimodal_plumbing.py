@@ -102,3 +102,38 @@ def test_exif_roundtrip_and_robustness():
     d2 = decode_media(bytes(corrupt))
     assert (d2["width"], d2["height"]) == (320, 200)
     assert d2["camera_make"] is None
+
+
+def test_mp4_box_walk_roundtrip_and_robustness():
+    """encode_minimal_mp4 -> decode_media recovers geometry + duration
+    via the ISO-BMFF box walk; version-1 mvhd (64-bit times) parses;
+    truncation degrades to container-only, never raises."""
+    import struct
+
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+        decode_media,
+        encode_minimal_mp4,
+    )
+
+    b = encode_minimal_mp4(1920, 1080, 90_000)
+    d = decode_media(b)
+    assert d["container"] == "mp4"
+    assert (d["width"], d["height"]) == (1920, 1080)
+    assert d["duration_ms"] == 90_000
+
+    # version-1 mvhd: 64-bit creation/modification/duration fields
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">I", 0x01000000)
+        + struct.pack(">QQIQ", 0, 0, 600, 1200)  # timescale 600, dur 1200
+        + b"\x00" * 80,
+    )
+    f = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1)
+    assert decode_media(f)["duration_ms"] == 2000
+
+    # truncated mid-moov: container identified, metadata absent
+    t = decode_media(b[: len(b) // 2])
+    assert t["container"] == "mp4" and t["duration_ms"] is None

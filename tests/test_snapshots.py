@@ -93,6 +93,36 @@ def test_overwrite_and_vacuum_retention(spark, tmp_path):
         store.read(version=1).count()  # time travel past retention breaks
 
 
+def test_head_hint_and_log_pruning(spark, tmp_path):
+    """The _last pointer resolves the head without a listing (and
+    survives a stale hint via forward probe); vacuum(prune_log=True)
+    keeps the log O(retain_versions) while head reads and recent time
+    travel still work."""
+    import json
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    for lo in range(0, 20, 5):
+        store.append(_df(spark, lo, lo + 5))
+    assert store.latest_version() == 4
+    hint = os.path.join(store._manifest_dir, "_last")
+    assert json.load(open(hint))["version"] == 4
+    # stale hint (writer died before updating it): forward probe heals
+    with open(hint, "w") as fh:
+        json.dump({"version": 2}, fh)
+    assert store.latest_version() == 4
+    # prune the log to the last 2 versions; data of retained versions
+    # stays readable, older time travel is gone by design
+    store.vacuum(retain_versions=2, min_age_seconds=0, prune_log=True)
+    assert store.read().count() == 20
+    assert store.read(version=3).count() == 15
+    assert [h["version"] for h in store.history()] == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        store.manifest(1)
+    # appends continue normally on the pruned log
+    store.append(_df(spark, 20, 22))
+    assert store.latest_version() == 5 and store.read().count() == 22
+
+
 def test_cas_exhaustion_raises(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "t"))
     store.append(_df(spark, 0, 2))
