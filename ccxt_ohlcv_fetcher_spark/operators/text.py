@@ -120,6 +120,26 @@ def lang_id(tokens: Column) -> Column:
     return out
 
 
+def char_trigrams(text: Column | str) -> Column:
+    """Character 3-grams of the lowercased, whitespace-collapsed text ->
+    array<string> (op E36, the Cavnar-Trenkle n-gram representation).
+
+    One occurrence per position (not deduped) so downstream frequency
+    profiles see true counts. Short texts (<3 chars after collapsing)
+    yield an empty array — guarded explicitly because
+    ``sequence(1, 0)`` generates a DESCENDING [1, 0], not empty.
+    Pure column expression: codegen'd, no Python in the hot path.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(F.lower(text), r"\s+", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2), lambda i: t.substr(i, F.lit(3))
+    )
+    return F.when(F.length(t) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 FINGERPRINT_MOD = 2_147_483_647  # 2^31-1: keeps the fold in safe BIGINT range
 
 

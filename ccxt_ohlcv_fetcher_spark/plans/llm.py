@@ -45,6 +45,7 @@ from ccxt_ohlcv_fetcher_spark.operators.text import (
     LANG_MARKERS,
     FINGERPRINT_MOD,
     bpe_ish_token_count,
+    char_trigrams,
     doc_fingerprint,
     lang_id,
     quality_features,
@@ -1194,6 +1195,118 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("labeled", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+TRIGRAM_PROFILE_K = 64  # top trigrams kept per language profile
+
+
+@register(
+    "lang_id_trigram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(s) - 1),
+                                   i -> substr(s, i, 3))) AS trigram
+      FROM t
+    ),
+    prof AS (
+      SELECT lang_p, trigram, cnt FROM (
+        SELECT lang AS lang_p, trigram, count(*) AS cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, trigram ASC) AS rk
+        FROM tg GROUP BY lang, trigram
+      ) WHERE rk <= {TRIGRAM_PROFILE_K}
+    ),
+    norms AS (
+      SELECT lang_p, sqrt(CAST(sum(cnt * cnt) AS BIGINT)) AS norm
+      FROM prof GROUP BY 1
+    ),
+    scores AS (
+      SELECT tg.doc_id, prof.lang_p, CAST(sum(prof.cnt) AS BIGINT) AS dot
+      FROM tg JOIN prof ON tg.trigram = prof.trigram
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang_p, CAST(dot AS DOUBLE) / norm AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(dot AS DOUBLE) / norm DESC,
+                                         lang_p ASC) AS rk
+      FROM scores JOIN norms USING (lang_p)
+    )
+    SELECT d.doc_id, d.lang AS labeled,
+           coalesce(b.lang_p, 'und') AS predicted, b.score AS score
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, lang_p, score FROM best WHERE rk = 1) b
+      ON d.doc_id = b.doc_id
+    """,
+    doc="Trained char-trigram language ID (op E36, the real Cavnar-"
+    "Trenkle-style n-gram method): per-language trigram frequency "
+    "profiles are TRAINED from the lang-labeled corpus (explode -> "
+    "count -> deterministic top-64 per language), then every doc is "
+    "scored by profile-normalized dot product via a BROADCAST "
+    "inverted-index join on trigram (never a doc x language cross "
+    "join) and argmax'd with a deterministic tie-break. Train and "
+    "serve are ONE plan — the profile subtree is the broadcast side. "
+    "At 100 TB the profile stays K*langs rows regardless of corpus "
+    "size; the doc side is one explode + broadcast join + one "
+    "shuffle on (doc_id, lang). Fixture text is synthetic word soup, "
+    "so the value is the deterministic train/classify plumbing.",
+    tags=("E36",),
+)
+def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.select(
+        "doc_id", "lang", F.explode(char_trigrams("text")).alias("trigram")
+    )
+    wk = W.partitionBy("lang_p").orderBy(F.desc("cnt"), F.asc("trigram"))
+    # profile + its norm in ONE subtree (norm as a same-partition window
+    # sum after the top-K cut) so the corpus-wide trigram count runs
+    # once, not once per downstream consumer
+    prof = (
+        tg.groupBy(F.col("lang").alias("lang_p"), "trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TRIGRAM_PROFILE_K)
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.sum(F.col("cnt") * F.col("cnt"))
+                .over(W.partitionBy("lang_p"))
+                .cast("double")
+            ),
+        )
+        .select("lang_p", "trigram", "cnt", "norm")
+    )
+    wd = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang_p"))
+    best = (
+        tg.join(F.broadcast(prof), "trigram")
+        .groupBy("doc_id", "lang_p")
+        .agg(F.sum("cnt").alias("dot"), F.max("norm").alias("norm"))
+        .withColumn("score", F.col("dot").cast("double") / F.col("norm"))
+        .withColumn("rk", F.row_number().over(wd))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("labeled"))
+        .join(
+            best.select("doc_id", F.col("lang_p").alias("predicted"), "score"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "labeled",
+            F.coalesce("predicted", F.lit("und")).alias("predicted"),
+            "score",
+        )
     )
 
 

@@ -873,3 +873,37 @@ def test_star_cc_collapses_long_path_in_log_rounds(spark):
         for r in connected_components_star(nodes, edges, max_iter=10).collect()
     }
     assert set(comp.values()) == {0}
+
+
+def test_trigram_lang_id_separates_distinct_distributions(spark, tmp_path):
+    """The trained char-trigram classifier (lang_id_trigram) perfectly
+    separates languages with genuinely distinct character distributions
+    (the fixture's word soup can't show this), and short docs with no
+    trigram overlap fall back to 'und'."""
+    from ccxt_ohlcv_fetcher_spark.plans.llm import lang_id_trigram
+
+    rows = []
+    did = 0
+    corpora = {
+        "aa": ["alpha apple arcade amber banana area", "arena anchor aroma basil"],
+        "kk": ["kayak kiosk knack kudzu kiwi", "khaki kettle kernel knoll"],
+        "zz": ["zigzag fuzzy pizza buzz zesty", "dizzy jazz blizzard quiz"],
+    }
+    for lang, texts in corpora.items():
+        for t in texts:
+            rows.append((did, lang, t, len(t)))
+            did += 1
+    rows.append((did, "aa", "xq", 2))  # <3 chars -> no trigrams -> 'und'
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["labeled"], r["predicted"])
+        for r in lang_id_trigram(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == did + 1
+    for d in range(did):
+        labeled, predicted = got[d]
+        assert predicted == labeled, f"doc {d}: {predicted} != {labeled}"
+    assert got[did] == ("aa", "und")
