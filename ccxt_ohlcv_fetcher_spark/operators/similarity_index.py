@@ -151,6 +151,151 @@ def query_ann_index(
     return _exact_topk(index, q, k, id_col, vec_col, query_id, query_vec)
 
 
+def _plane_norms(n_planes: int, dim: int, salt: str = "lsh") -> list[float]:
+    """L2 norms of the deterministic LSH hyperplanes (driver-side
+    constants — same md5 derivation as ``plane_dots``)."""
+    import math
+
+    from ccxt_ohlcv_fetcher_spark.functions.hashing import md5_long_py
+
+    return [
+        math.sqrt(
+            sum(
+                (float(md5_long_py(f"{salt}|{j}|{i}")) / float(2**59) - 1.0) ** 2
+                for i in range(dim)
+            )
+        )
+        for j in range(n_planes)
+    ]
+
+
+def query_ann_index_scoreaware(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 4,
+    multiprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Score-aware two-phase probing: SAME result as
+    ``query_ann_index(multiprobe=m)``, fewer probed partitions.
+
+    Phase 1 probes each query's home bucket and takes its running k-th
+    best cosine ``s_k``. Every vector in a depth-1 flip of plane ``j``
+    lies across hyperplane ``j`` from the query, so its cosine with the
+    query is at most ``sqrt(1 - m_j^2)`` where ``m_j`` is the query's
+    normalized margin to that plane (angle to the cutting plane =
+    ``asin(m_j)``; crossing it costs at least that much angle). Phase 2
+    therefore probes only the flips whose bound could still displace
+    the current top-k (``bound >= s_k``) — a sound skip, so the output
+    is row-identical to fixed-depth multiprobe; the saving is real
+    scan I/O (whole pruned partitions), largest exactly when it should
+    be: high-similarity matches in the home bucket (near-dup lookup,
+    self-join-ish workloads) push ``s_k`` above the flip bounds.
+
+    ``stats_out`` (optional dict) receives probe telemetry:
+    ``flip_pairs`` vs ``full_flip_pairs`` is the pruned fraction.
+    """
+    q = sign_lsh_buckets(
+        _with_norm(queries, query_vec, "_qn"), query_vec, n_planes, dim
+    ).withColumn("_dots", plane_dots(query_vec, n_planes, dim))
+    home_buckets = sorted(
+        {r["bucket"] for r in q.select("bucket").distinct().collect()}
+    )
+    idx1 = spark.read.parquet(path).filter(F.col("bucket").isin(home_buckets))
+    cand_home = (
+        idx1.join(
+            F.broadcast(q.select(query_id, "bucket", "_qn", query_vec)), "bucket"
+        )
+        .select(
+            query_id,
+            F.col(id_col),
+            (
+                dot_product(vec_col, query_vec) / (F.col("norm") * F.col("_qn"))
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)  # reused by s_k and the final union
+    )
+    sk = (
+        cand_home.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list(-F.col("score"))), 1, k).alias("_t"))
+        .select(
+            query_id,
+            F.when(F.size("_t") >= k, -F.element_at("_t", k))
+            .otherwise(F.lit(-1.0))
+            .alias("_sk"),
+        )
+    )
+    m = min(multiprobe, n_planes)
+    # candidate flips ordered by RAW |dot| — must match _probed_queries'
+    # tightest-margin rule exactly so the equality contract holds
+    mstruct = F.transform(
+        F.col("_dots"), lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("j"))
+    )
+    pn = F.lit(_plane_norms(n_planes, dim))
+    probe2 = (
+        q.withColumn("_f", F.explode(F.slice(F.array_sort(mstruct), 1, m)))
+        .join(sk, query_id, "left")
+        .withColumn(
+            "_nm",
+            F.col("_f.m") / (F.element_at(pn, F.col("_f.j") + 1) * F.col("_qn")),
+        )
+        .withColumn(
+            "_bound",
+            F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("_nm") * F.col("_nm"))),
+        )
+        .filter(F.col("_sk").isNull() | (F.col("_bound") >= F.col("_sk")))
+        .select(
+            query_id,
+            "_qn",
+            query_vec,
+            F.col("bucket")
+            .bitwiseXOR(
+                F.pow(F.lit(2.0), F.col("_f.j").cast("double")).cast("bigint")
+            )
+            .alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    flip_buckets = sorted(
+        {r["bucket"] for r in probe2.select("bucket").distinct().collect()}
+    )
+    if stats_out is not None:
+        stats_out["home_buckets"] = len(home_buckets)
+        stats_out["flip_buckets"] = len(flip_buckets)
+        stats_out["flip_pairs"] = probe2.count()
+        stats_out["full_flip_pairs"] = queries.count() * m
+    scored = cand_home
+    if flip_buckets:
+        idx2 = spark.read.parquet(path).filter(F.col("bucket").isin(flip_buckets))
+        cand_flip = idx2.join(F.broadcast(probe2), "bucket").select(
+            query_id,
+            F.col(id_col),
+            (
+                dot_product(vec_col, query_vec) / (F.col("norm") * F.col("_qn"))
+            ).alias("score"),
+        )
+        scored = cand_home.unionByName(cand_flip)
+    item = F.struct((-F.col("score")).alias("neg"), F.col(id_col).alias("id"))
+    return (
+        scored.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
+        .select(query_id, F.posexplode("_top").alias("pos", "item"))
+        .select(
+            query_id,
+            F.col("item.id").alias(id_col),
+            (-F.col("item.neg")).alias("score"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )
+
+
 # --- snapshot-logged LSH index: incremental append without rebuild ------
 
 

@@ -495,6 +495,63 @@ def ann_cosine_topk_lsh_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_INDEX_MEMO: dict[str, str] = {}
+
+
+def _persisted_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/query-many: the bucket-partitioned LSH index for this
+    fixture dir, built into a session temp dir on first use (registry
+    builders may run eager jobs; the driver contract only needs the
+    returned DataFrame)."""
+    path = _ANN_INDEX_MEMO.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+            build_ann_index,
+        )
+
+        path = tempfile.mkdtemp(prefix="ann_index_") + "/idx"
+        build_ann_index(
+            load_table(spark, sf_dir, "embeddings"), path, dim=64, n_planes=4
+        )
+        _ANN_INDEX_MEMO[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_scoreaware_topk",
+    oracle=None,  # approximate by construction; row-equality to full
+    # multiprobe + the zero-flip self-match case are pinned in
+    # tests/test_llm_ops.py::test_scoreaware_probing_equals_multiprobe...
+    doc="ANN top-k against the PERSISTED bucket-partitioned LSH index "
+    "with score-aware probe termination (op E35 serving path): phase 1 "
+    "probes each query's home bucket and takes its running k-th best "
+    "cosine; a depth-1 flip of plane j can score at most "
+    "sqrt(1 - margin_j^2) (crossing the cutting plane costs at least "
+    "asin(margin) of angle), so phase 2 probes only flips whose bound "
+    "could displace the top-k. Sound skip -> results row-identical to "
+    "fixed-depth multiprobe, with whole probe partitions pruned at the "
+    "scan — the saving grows exactly when matches are good (near-dup "
+    "lookups push s_k above the flip bounds). The index is built once "
+    "per fixture dir and reused across runs (build-once/query-many).",
+    tags=("E35",),
+)
+def ann_scoreaware_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        query_ann_index_scoreaware,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return query_ann_index_scoreaware(
+        spark, _persisted_ann_index(spark, sf_dir), queries,
+        k=5, dim=64, n_planes=4, multiprobe=3,
+    )
+
+
 @register(
     "ann_cosine_topk_ivf",
     oracle=None,  # approximate by construction; recall vs the exact path

@@ -907,3 +907,93 @@ def test_trigram_lang_id_separates_distinct_distributions(spark, tmp_path):
         labeled, predicted = got[d]
         assert predicted == labeled, f"doc {d}: {predicted} != {labeled}"
     assert got[did] == ("aa", "und")
+
+
+def test_scoreaware_probing_equals_multiprobe_with_fewer_probes(spark, sf_dir, tmp_path):
+    """Score-aware probing contract: row-identical to fixed-depth
+    multiprobe (the bound-based skip is sound), with measurably fewer
+    probed flip partitions. With queries drawn from the corpus and k=1,
+    the home-bucket self-match (score ~1.0) exceeds every flip bound
+    sqrt(1 - margin^2) < 1, so phase 2 probes ZERO flips."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        build_ann_index,
+        query_ann_index,
+        query_ann_index_scoreaware,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "idx")
+    build_ann_index(emb, path, dim=64, n_planes=4)
+
+    for k, expect_zero in ((1, True), (5, False)):
+        full = query_ann_index(
+            spark, path, queries, k=k, dim=64, n_planes=4, multiprobe=3
+        )
+        stats: dict = {}
+        sa = query_ann_index_scoreaware(
+            spark, path, queries, k=k, dim=64, n_planes=4, multiprobe=3,
+            stats_out=stats,
+        )
+        f = {(r["q_id"], r["vec_id"], r["rank"]) for r in full.collect()}
+        s = {(r["q_id"], r["vec_id"], r["rank"]) for r in sa.collect()}
+        assert s == f, f"k={k}: score-aware diverged from full multiprobe"
+        assert stats["full_flip_pairs"] == 20 * 3
+        assert stats["flip_pairs"] <= stats["full_flip_pairs"]
+        if expect_zero:
+            assert stats["flip_pairs"] == 0, (
+                f"k=1 self-match should prune all flips, probed "
+                f"{stats['flip_pairs']}"
+            )
+
+
+def test_logged_index_fragmentation_compaction_invariant(spark, sf_dir, tmp_path):
+    """Bucket fragmentation vs recall on the logged LSH index
+    (round-6 wishlist): after several appends each probed bucket spans
+    ~one file per commit (probe-time read amplification grows with
+    ingest), a clustered compact() collapses it back to ~one file per
+    bucket in ONE atomic commit, and query results are identical
+    before and after (compaction moves bytes, never rows)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        _index_store,
+        append_ann_index_logged,
+        build_ann_index_logged,
+        query_ann_index_logged,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    build_ann_index_logged(emb.filter(F.col("vec_id") % 4 == 0), path, dim=64)
+    for part in (1, 2, 3):
+        append_ann_index_logged(
+            emb.filter(F.col("vec_id") % 4 == part), path, dim=64
+        )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    store = _index_store(spark, path)
+    frag = max(
+        len(store.pruned_files({"bucket": (b, b)})) for b in range(16)
+    )
+    assert frag >= 3, f"expected per-bucket fragmentation after 3 appends, got {frag}"
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["vec_id"], r["rank"], round(r["score"], 12))
+            for r in df.collect()
+        )
+
+    before = rows(
+        query_ann_index_logged(spark, path, queries, k=5, dim=64, multiprobe=2)
+    )
+    store.compact(target_partitions=16, order_by=["bucket"])
+    compacted = max(
+        len(store.pruned_files({"bucket": (b, b)})) for b in range(16)
+    )
+    assert compacted <= 2, f"clustered compact left {compacted} files per bucket"
+    after = rows(
+        query_ann_index_logged(spark, path, queries, k=5, dim=64, multiprobe=2)
+    )
+    assert before == after, "compaction changed query results"
