@@ -58,8 +58,16 @@ def main() -> None:
     # instead of which query happened to absorb a stall.
     ordered = sorted(registry.items())
     output_rows: dict[str, int] = {}
+    cold: dict[str, float] = {}
+    # the warm pass doubles as the COLD measurement: first execution of
+    # each plan shape, including plan compile and any build-once memo
+    # jobs (ANN seeds, PQ codebooks, persisted indexes). cold - warm is
+    # the amortized first-build cost, made explicit per query instead of
+    # inferred (round-6 wishlist item 5).
     for name, spec in ordered:
+        t0 = time.time()
         output_rows[name] = spec.builder(spark, sf_dir).count()
+        cold[name] = round(time.time() - t0, 3)
     times: dict[str, float] = {}
     for name, spec in ordered:
         times[name] = run_one(spec)
@@ -76,6 +84,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold,
         "output_rows": output_rows,
         "table_rows": table_rows,
         "sf": sf,
@@ -85,7 +94,9 @@ def main() -> None:
             "sf_dir": sf_dir,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "unix_time": int(time.time()),
-            "timing": "best-of-2 after warm pass, noop sink",
+            "timing": "best-of-2 after warm pass, noop sink; "
+            "queries_cold = first pass (count action, incl. plan "
+            "compile + build-once memo jobs)",
         },
     }
     # 1) full detail: stdout line + committed artifact

@@ -270,3 +270,38 @@ def test_profile_operator_handles_hostile_column_names(spark):
     assert prof["x-y"]["min_num"] == 1.5
     assert prof["d.o.t"]["n_nulls"] == 1
     assert prof["tick`mark"]["n_distinct"] == 1
+
+
+def test_pagerank_fixed_point_matches_python_simulator(spark):
+    """pagerank_fixed_point's distributed integer arithmetic equals the
+    single-threaded reference simulator exactly on crafted graphs —
+    fixed-point BIGINT makes the iteration reduction-order independent,
+    so equality is EXACT, not approximate. Covers: an asymmetric
+    directed graph (dangling vertex + receiverless vertex) and an
+    undirected path (hub outranks leaves)."""
+    from ccxt_ohlcv_fetcher_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_reference_py,
+    )
+
+    # directed: 1->2, 1->3, 2->3, 4->1; vertex 3 dangling (no out),
+    # vertex 4 receiverless (no in)
+    edge_list = [(1, 2), (1, 3), (2, 3), (4, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank_fixed_point(edges, n_iters=7).collect()
+    }
+    assert got == pagerank_reference_py(edge_list, n_iters=7)
+
+    # undirected path a-b-c (pass both directions): hub b outranks a, c
+    path = [(10, 20), (20, 10), (20, 30), (30, 20)]
+    edges2 = spark.createDataFrame(path, "src long, dst long")
+    got2 = {
+        r["v"]: r["rank"]
+        for r in pagerank_fixed_point(
+            edges2, n_iters=10, rejoin_receiverless=False
+        ).collect()
+    }
+    assert got2 == pagerank_reference_py(path, n_iters=10)
+    assert got2[20] > got2[10] == got2[30]
