@@ -478,6 +478,11 @@ class SnapshotStore:
             shutil.rmtree(d)
             deleted.append(d)
         if prune_log:
+            # refresh the head hint FIRST: if every commit's best-effort
+            # hint write failed (hint arbitrarily stale), pruning past
+            # hint+1 would strand latest_version()'s forward probe on a
+            # missing manifest
+            self._write_head_hint(head)
             for v in range(1, max(1, head - retain_versions + 1)):
                 p = self._manifest_path(v)
                 if os.path.exists(p):

@@ -379,3 +379,21 @@ def test_random_interleaved_writers_never_lose_rows(spark, tmp_path):
             expected.update(range(lo, hi))
     got = {r["v"] for r in store.read().collect()}
     assert got == expected == set(range(30))
+
+
+def test_prune_log_refreshes_stale_hint(spark, tmp_path):
+    """If every commit's best-effort _last write had failed, pruning the
+    log past hint+1 would strand the forward probe on a missing
+    manifest — vacuum(prune_log=True) must refresh the hint before
+    deleting old manifests."""
+    import json
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    for lo in range(0, 25, 5):
+        store.append(_df(spark, lo, lo + 5))
+    hint = os.path.join(store._manifest_dir, "_last")
+    with open(hint, "w") as fh:
+        json.dump({"version": 1}, fh)  # hint stuck at the first commit
+    store.vacuum(retain_versions=2, min_age_seconds=0, prune_log=True)
+    assert store.latest_version() == 5
+    assert store.read().count() == 25
