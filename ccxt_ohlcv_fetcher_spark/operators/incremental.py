@@ -1,0 +1,149 @@
+"""Incremental materialized aggregates over the snapshot log (the
+continuous-aggregate tier, generalized past the candle rollups).
+
+``MaterializedRollups`` (operators/rollup.py) maintains OHLCV rollups
+by closed-bucket anti-join — right for time-bucketed candles. This
+module maintains an ARBITRARY mergeable groupBy aggregate
+(count / sum / min / max, avg derived) for any append-only
+``SnapshotStore`` table, Delta/Timescale continuous-aggregate style:
+
+- ``refresh()`` reads ONLY the rows appended since the last sync
+  (``read_changes`` — a file-level delta, never a table rescan),
+  partially aggregates them, merges with the current state, and
+  commits the new state in ONE atomic overwrite stamped
+  ``txn=(view_id, source_version)``. A crashed-and-retried refresh is
+  recognized from the state log alone and skipped (exactly-once).
+- A history-rewriting commit on the source (compact / overwrite)
+  breaks the file-diff contract; refresh detects it and falls back to
+  a FULL recompute — still one atomic commit, still txn-stamped, and
+  for compaction (row-preserving) provably equal to the incremental
+  path.
+
+At 100 TB the state table is |groups| rows and each refresh touches
+|delta| source rows + |groups| state rows — ingest-proportional, not
+history-proportional. The mergeability requirement is the same one
+that makes these aggregates partial-aggregatable inside Spark itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+# agg name -> (partial expr builder, merge expr builder)
+_MERGEABLE = {
+    "count": (
+        lambda col: F.count(F.lit(1)),
+        lambda name: F.sum(name),
+    ),
+    "sum": (
+        lambda col: F.sum(col),
+        lambda name: F.sum(name),
+    ),
+    "min": (
+        lambda col: F.min(col),
+        lambda name: F.min(name),
+    ),
+    "max": (
+        lambda col: F.max(col),
+        lambda name: F.max(name),
+    ),
+}
+
+
+class IncrementalAggView:
+    """A materialized ``groupBy(keys).agg(...)`` maintained from a
+    source ``SnapshotStore``'s change feed.
+
+    ``aggs``: {output_col: (fn, input_col)} with fn in count / sum /
+    min / max (input_col ignored for count). An optional third tuple
+    element pins the output type (e.g. ``("sum", "v", "decimal(38,6)")``
+    — REQUIRED for decimal sums, where Spark's sum widens precision and
+    the state schema would otherwise drift between the first partial
+    and later merges). Floating-point sums are rejected implicitly by
+    the house rules: sum a decimal-cast column instead, or the merged
+    result depends on merge order and can never hash-match an oracle.
+    State lives in its own SnapshotStore at ``path``; the last synced
+    source version is the txn batch id of ``view_id`` in the state log
+    (no sidecar files).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: SnapshotStore,
+        path: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str | None]],
+        view_id: str = "incremental_agg",
+    ) -> None:
+        self.aggs: dict[str, tuple[str, str | None, str | None]] = {}
+        for name, spec in aggs.items():
+            fn, col, out = (*spec, None) if len(spec) == 2 else spec
+            if fn not in _MERGEABLE:
+                raise ValueError(f"{name}: {fn!r} is not mergeable")
+            self.aggs[name] = (fn, col, out)
+        self.spark = spark
+        self.source = source
+        self.state = SnapshotStore(spark, path)
+        self.keys = list(keys)
+        self.view_id = view_id
+
+    # --- internals --------------------------------------------------------
+
+    @staticmethod
+    def _typed(fn: str, out: str | None, col):
+        # counts/sums pinned to bigint (or the caller's type) so the
+        # merge is exact and the state schema is stable across
+        # partial/merged generations; min/max keep the input type
+        if out is not None:
+            return col.cast(out)
+        return col.cast("long") if fn in ("count", "sum") else col
+
+    def _partial(self, rows: DataFrame) -> DataFrame:
+        exprs = [
+            self._typed(fn, out, _MERGEABLE[fn][0](col)).alias(name)
+            for name, (fn, col, out) in self.aggs.items()
+        ]
+        return rows.groupBy(*self.keys).agg(*exprs)
+
+    def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
+        exprs = [
+            self._typed(fn, out, _MERGEABLE[fn][1](name)).alias(name)
+            for name, (fn, _, out) in self.aggs.items()
+        ]
+        return state.unionByName(partial).groupBy(*self.keys).agg(*exprs)
+
+    def last_synced(self) -> int:
+        return self.state.last_txn(self.view_id) or 0
+
+    # --- API --------------------------------------------------------------
+
+    def refresh(self) -> int | None:
+        """Bring the state up to the source head. Returns the new state
+        version, or None when already current (or another refresher
+        won the race to this source version)."""
+        head = self.source.latest_version()
+        last = self.last_synced()
+        if head <= last:
+            return None
+        try:
+            delta = self.source.read_changes(last, head)
+            incremental = True
+        except ValueError:
+            # empty change set, or compact/overwrite rewrote history:
+            # full recompute (one scan), same atomic commit
+            delta = None
+            incremental = False
+        if incremental and last > 0:
+            merged = self._merge(self.state.read(), self._partial(delta))
+        elif incremental:
+            merged = self._partial(delta)
+        else:
+            merged = self._partial(self.source.read(version=head))
+        return self.state.overwrite(merged, txn=(self.view_id, head))
+
+    def read(self) -> DataFrame:
+        return self.state.read()

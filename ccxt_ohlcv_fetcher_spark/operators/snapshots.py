@@ -333,14 +333,33 @@ class SnapshotStore:
                 return base + 1
         raise CommitConflict(f"append lost the CAS race {max_retries} times")
 
-    def overwrite(self, df: DataFrame, max_retries: int = 10) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Atomic full replace (the snapshot references ONLY the new
         files; history still reaches the old ones until vacuum). The
-        one operation allowed to change the table schema."""
+        one operation allowed to change the table schema.
+
+        ``txn=(app_id, batch_id)`` gives overwrite the same exactly-
+        once contract as append — the incremental-view refresher
+        (operators/incremental.py) stamps each state rewrite with the
+        source version it reflects, so a crashed-and-retried refresh
+        is recognized from the log and skipped (returns None)."""
+        if txn is not None:
+            last = self.last_txn(txn[0])
+            if last is not None and txn[1] <= last:
+                return None
         new_files = self._stage(df, allow_schema_change=True)
         for _ in range(max_retries):
             base = self.latest_version()
-            if self._try_commit(base, new_files, "overwrite"):
+            if txn is not None:
+                last = self.manifest(base).get("txn", {}).get(txn[0])
+                if last is not None and txn[1] <= last:
+                    return None
+            if self._try_commit(base, new_files, "overwrite", txn=txn):
                 return base + 1
         raise CommitConflict(f"overwrite lost the CAS race {max_retries} times")
 

@@ -572,6 +572,84 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_MEMO: dict[str, str] = {}
+
+
+@register(
+    "events_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Incremental materialized aggregate (continuous-aggregate "
+    "tier, operators/incremental.py): the events table is ingested "
+    "into a snapshot-logged source in THREE append commits, and after "
+    "each one IncrementalAggView.refresh() folds ONLY the delta files "
+    "(read_changes) into the persisted per-event-type state — count + "
+    "decimal sum + min/max, each mergeable, each exactly-once "
+    "(txn-stamped state overwrites). The oracle is the PLAIN one-shot "
+    "groupBy over the whole table: passing it proves three "
+    "incremental delta-merges reproduce the full recompute to the "
+    "hash. Decimal sum is what makes that provable — float partial "
+    "sums would depend on merge order. At 100 TB each refresh costs "
+    "|delta| + |groups| rows, not history. Built once per fixture dir "
+    "(build-once/serve-many, like the ANN index memo).",
+    tags=("E13",),
+)
+def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.incremental import (
+        IncrementalAggView,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+    state_path = _IVM_MEMO.get(sf_dir)
+    if state_path is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ivm_")
+        src = SnapshotStore(spark, base + "/src")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("value_dec"),
+            "value",
+        )
+        view = IncrementalAggView(
+            spark,
+            src,
+            base + "/state",
+            keys=["event_type"],
+            aggs={
+                "cnt": ("count", None),
+                "sum_value": ("sum", "value_dec", "decimal(38,6)"),
+                "min_value": ("min", "value"),
+                "max_value": ("max", "value"),
+            },
+        )
+        for i in range(3):
+            src.append(ev.filter(F.col("event_id") % 3 == i))
+            view.refresh()
+        state_path = base + "/state"
+        _IVM_MEMO[sf_dir] = state_path
+    return (
+        SnapshotStore(spark, state_path)
+        .read()
+        .select(
+            "event_type",
+            "cnt",
+            # state keeps the EXACT decimal; the reported column follows
+            # the house convention (decimal sum cast to double at output)
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 _CMS_D = 4
 _CMS_W = 64
 
