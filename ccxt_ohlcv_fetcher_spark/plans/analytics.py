@@ -572,6 +572,102 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_session_patterns",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+             CASE WHEN {sql_ms("ts")} - lag({sql_ms("ts")})
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 OR lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, session_id,
+             string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, session_id, seq,
+           CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT)
+             AS n_view_then_click,
+           CAST(len(regexp_extract_all(seq, 'ep')) AS BIGINT)
+             AS n_purchase_after_error,
+           regexp_matches(seq, 's.*p') AS signup_then_purchase,
+           CAST(coalesce(list_max(list_transform(
+                 regexp_extract_all(seq, 'c+'), x -> len(x))), 0) AS BIGINT)
+             AS longest_click_run
+    FROM seqs
+    """,
+    doc="Event-sequence pattern matching (MATCH_RECOGNIZE-lite): the "
+    "same 30-min gap sessionization as user_sessions, then each "
+    "session's ORDERED event-type initials collapse into one string "
+    "(collect_list of (ts, event_id, char) structs -> array_sort -> "
+    "join: deterministic peer order on both engines) and plain "
+    "regexes do the sequence analytics — adjacent-pair counts, "
+    "subsequence flags, longest-run lengths. Patterns restricted to "
+    "the Java/RE2-portable subset (literals, classes, +, .*). Scale "
+    "shape: the string is bounded by session length, built in the "
+    "same one groupBy as the session rollup; regex eval is "
+    "per-session, codegen'd, zero extra shuffles past user_sessions.",
+    tags=("E19", "E32s", "E36"),
+)
+def event_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ms("ts") - F.lag(ms("ts")).over(w)
+    numbered = (
+        events.withColumn("c", F.substring("event_type", 1, 1))
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    seqs = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "c"))
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    runs = F.transform(
+        F.regexp_extract_all(F.col("seq"), F.lit("c+"), 0), F.length
+    )
+    return seqs.select(
+        "user_id",
+        "session_id",
+        "seq",
+        F.regexp_count("seq", F.lit("vc")).cast("long").alias("n_view_then_click"),
+        F.regexp_count("seq", F.lit("ep")).cast("long").alias(
+            "n_purchase_after_error"
+        ),
+        F.col("seq").rlike("s.*p").alias("signup_then_purchase"),
+        F.coalesce(F.array_max(runs), F.lit(0)).cast("long").alias(
+            "longest_click_run"
+        ),
+    )
+
+
 _IVM_MEMO: dict[str, str] = {}
 
 
