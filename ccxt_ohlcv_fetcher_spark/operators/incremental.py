@@ -50,6 +50,16 @@ _MERGEABLE = {
         lambda col: F.max(col),
         lambda name: F.max(name),
     ),
+    # incremental DISTINCT counting: the state column is a Datasketches
+    # HLL sketch (binary); merging is register-wise max, so delta-merged
+    # state covers exactly the union of the inputs. Read the estimate
+    # with F.hll_sketch_estimate(col). (An exact distinct is NOT
+    # mergeable without keeping the full value set — this is the
+    # standard continuous-aggregate answer.)
+    "hll": (
+        lambda col: F.hll_sketch_agg(col),
+        lambda name: F.hll_union_agg(name),
+    ),
 }
 
 

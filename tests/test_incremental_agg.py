@@ -120,3 +120,36 @@ def test_refresh_is_exactly_once_per_source_version(spark, tmp_path):
     assert view.refresh() is not None
     assert other.refresh() is None  # same source version: skipped
     assert _got(other) == _expected(src.read())
+
+
+def test_hll_distinct_merges_incrementally(spark, tmp_path):
+    """'hll' state column: delta-merged sketches cover the union of all
+    appended rows — the estimate after three incremental refreshes
+    tracks the true distinct count within HLL error (lgK=12 default:
+    ~1.6% relative), including across refreshes that only REVISIT
+    existing users (estimate must not inflate: register-wise max)."""
+    src = SnapshotStore(spark, str(tmp_path / "src"))
+    view = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        keys=["k"],
+        aggs={"users": ("hll", "u"), "cnt": ("count", None)},
+    )
+
+    def users_batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit(0).alias("k"), (F.col("id") % 500).alias("u")
+        )
+
+    src.append(users_batch(0, 400))
+    view.refresh()
+    src.append(users_batch(400, 900))   # adds users 400..499, revisits
+    view.refresh()
+    src.append(users_batch(0, 300))     # pure revisit: no new users
+    view.refresh()
+    row = view.read().select(
+        F.hll_sketch_estimate("users").alias("est"), "cnt"
+    ).collect()[0]
+    assert row["cnt"] == 1200
+    assert abs(row["est"] - 500) / 500 < 0.05, row["est"]
