@@ -207,6 +207,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="ISO-8601 cutoff: after refreshing, drop rollup date buckets "
         "older than this (requires --date-bucket)",
     )
+
+    sq = sub.add_parser(
+        "sql", help="ad-hoc SQL over fixture tables and/or a candle dataset"
+    )
+    sq.add_argument("--query", type=str, required=True, help="ANSI SQL text")
+    sq.add_argument(
+        "--sf-dir",
+        type=str,
+        default=None,
+        help="fixture dir: registers region/nation/customer/supplier/part/"
+        "orders/lineitem/events/documents/embeddings as views",
+    )
+    sq.add_argument(
+        "--data-dir",
+        type=str,
+        default=None,
+        help="candle dataset root, registered as view `candles`",
+    )
+    sq.add_argument("--snapshot-log", action="store_true")
+    sq.add_argument("--format", choices=["csv", "json"], default="csv")
+    sq.add_argument(
+        "--limit",
+        type=int,
+        default=1000,
+        help="max rows printed (0 = unlimited; the query itself still "
+        "runs distributed)",
+    )
     return parser
 
 
@@ -353,6 +380,28 @@ def main(argv: list[str] | None = None) -> int:
             dropped = rollups.store.vacuum(_parse_since(args.vacuum_older_than))
             parts += f" vacuumed_buckets={dropped}"
         print(f"rollup rows appended: {parts}")
+        return 0
+
+    if args.command == "sql":
+        if not args.sf_dir and not args.data_dir:
+            raise SystemExit("sql needs --sf-dir and/or --data-dir")
+        if args.sf_dir:
+            from ccxt_ohlcv_fetcher_spark.sources.tables import (  # noqa: PLC0415
+                register_views,
+            )
+
+            register_views(spark, args.sf_dir)
+        if args.data_dir:
+            _make_dataset(spark, args).read().createOrReplaceTempView("candles")
+        df = spark.sql(args.query)
+        if args.limit:
+            df = df.limit(args.limit)
+        pdf = df.toPandas()
+        if args.format == "csv":
+            pdf.to_csv(sys.stdout, index=False)
+        else:
+            pdf.to_json(sys.stdout, orient="records", lines=True)
+            sys.stdout.write("\n")
         return 0
 
     raise AssertionError(f"unhandled command {args.command}")  # pragma: no cover

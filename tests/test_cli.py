@@ -216,3 +216,38 @@ def test_snapshot_log_cli_roundtrip(spark, tmp_path, capsys):
               "--date-bucket", "day"])
     with pytest.raises(SystemExit, match="date-bucket or --snapshot-log"):
         main(["vacuum", "--data-dir", data_dir, "--older-than", cutoff])
+
+
+def test_sql_subcommand(spark, tmp_path, capsys):
+    """Ad-hoc `sql`: fixture views + the candles view from a logged
+    dataset in one query surface; csv and json formats; needs at least
+    one source."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    SnapshotCandleDataset(spark, data_dir).append_idempotent(batch(spark, 0, 6))
+
+    assert main(
+        ["sql", "--sf-dir", "/root/testdata/sf0.001", "--data-dir", data_dir,
+         "--snapshot-log", "--query",
+         "SELECT (SELECT count(*) FROM region) AS regions, "
+         "(SELECT count(*) FROM candles) AS candles"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "regions,candles" and out[1] == "5,6"
+
+    assert main(
+        ["sql", "--sf-dir", "/root/testdata/sf0.001", "--format", "json",
+         "--limit", "2", "--query",
+         "SELECT n_name FROM nation ORDER BY n_name"]
+    ) == 0
+    import json
+
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines == [{"n_name": "NATION_0"}, {"n_name": "NATION_1"}]
+
+    with pytest.raises(SystemExit, match="sf-dir"):
+        main(["sql", "--query", "SELECT 1"])
