@@ -515,6 +515,7 @@ def streaming_snapshot_sink(
     app_id: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    on_commit=None,
 ):
     """Exactly-once streaming sink into a SnapshotStore: foreachBatch
     appends with ``txn=(app_id, batch_id)``, so a re-delivered
@@ -524,10 +525,20 @@ def streaming_snapshot_sink(
     table-format complement to the anti-join sink in
     streaming/candles.py: that one dedups by KEY (absorbs overlapping
     re-fetches), this one dedups by BATCH (absorbs replays byte-free).
+
+    ``on_commit(version)`` fires after each batch that actually
+    committed (skipped replays don't fire it) — the hook that keeps
+    downstream incremental consumers current, e.g.
+    ``lambda v: view.refresh()`` for an ``IncrementalAggView`` over
+    this store (streaming continuous aggregates; both sides are
+    txn-idempotent, so a crash between commit and refresh re-heals on
+    the next fire).
     """
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
-        store.append(batch, txn=(app_id, batch_id))
+        v = store.append(batch, txn=(app_id, batch_id))
+        if v is not None and on_commit is not None:
+            on_commit(v)
 
     writer = (
         stream.writeStream.outputMode("append")

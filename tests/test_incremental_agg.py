@@ -153,3 +153,55 @@ def test_hll_distinct_merges_incrementally(spark, tmp_path):
     ).collect()[0]
     assert row["cnt"] == 1200
     assert abs(row["est"] - 500) / 500 < 0.05, row["est"]
+
+
+def test_streaming_continuous_aggregate(spark, tmp_path):
+    """Stream -> snapshot source (exactly-once sink) -> per-commit
+    IncrementalAggView.refresh() via on_commit: the streaming
+    continuous aggregate. State after the stream equals the one-shot
+    groupBy over everything streamed; a redelivered batch leaves both
+    the source AND the state unchanged."""
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        streaming_snapshot_sink,
+    )
+
+    src_files = str(tmp_path / "files")
+    for i in range(3):  # three files -> multiple micro-batches possible
+        spark.range(i * 100, (i + 1) * 100).select(
+            (F.col("id") % 4).alias("k"),
+            F.col("id").alias("v"),
+            (F.col("id") * 2.0).alias("w"),
+        ).coalesce(1).write.mode("append").parquet(src_files)
+    source = SnapshotStore(spark, str(tmp_path / "src"))
+    view = IncrementalAggView(
+        spark, source, str(tmp_path / "state"), keys=["k"], aggs=AGGS
+    )
+    stream = spark.readStream.schema("k long, v long, w double").parquet(
+        src_files
+    )
+    refreshed = []
+    q = streaming_snapshot_sink(
+        stream,
+        source,
+        app_id="ca-test",
+        checkpoint_dir=str(tmp_path / "ck"),
+        on_commit=lambda v: refreshed.append(view.refresh()),
+    )
+    q.awaitTermination(120)
+    assert refreshed and all(r is not None for r in refreshed)
+    assert _got(view) == _expected(source.read())
+    assert source.read().count() == 300
+
+    # redelivery: same app_id + batch_id -> no source commit, no
+    # on_commit fire, state untouched
+    sv, stv = source.latest_version(), view.state.latest_version()
+    source.append(
+        spark.range(0, 5).select(
+            (F.col("id") % 4).alias("k"),
+            F.col("id").alias("v"),
+            (F.col("id") * 2.0).alias("w"),
+        ),
+        txn=("ca-test", source.last_txn("ca-test")),
+    )
+    assert view.refresh() is None
+    assert (source.latest_version(), view.state.latest_version()) == (sv, stv)
