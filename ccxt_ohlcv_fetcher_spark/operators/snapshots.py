@@ -274,12 +274,24 @@ class SnapshotStore:
         if self.stats_cols:
             manifest["stats"] = {f: stats.get(f, {}) for f in files}
         os.makedirs(self._manifest_dir, exist_ok=True)
+        # write the full content to a temp file, then hard-link it into
+        # place: os.link fails with FileExistsError when the target
+        # exists (the atomic compare-and-swap of the log) AND the
+        # manifest appears to readers only with complete content — a
+        # bare open("x") + dump let a concurrent reader (e.g. the
+        # _last forward probe) see the file mid-write and crash on
+        # partial JSON
+        tmp = os.path.join(
+            self._manifest_dir, f"_staging.{uuid.uuid4().hex[:12]}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
         try:
-            # exclusive create = the atomic compare-and-swap of the log
-            with open(self._manifest_path(version), "x") as fh:
-                json.dump(manifest, fh)
+            os.link(tmp, self._manifest_path(version))
         except FileExistsError:
             return False
+        finally:
+            os.unlink(tmp)
         self._write_head_hint(version)
         return True
 
