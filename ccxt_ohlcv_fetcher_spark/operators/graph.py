@@ -3,7 +3,7 @@
 Connected components / triangle counting live in ``operators/dedup.py``
 (they grew out of the dup-group closure); this module holds the
 rank-propagation family. Design rule shared with the dedup CC loop:
-iterative state is cut with ``localCheckpoint`` every round, the edge
+iterative state is cut with ``localCheckpoint`` on a cadence, the edge
 table is checkpointed ONCE with its degree pre-joined, and all
 arithmetic is fixed-point BIGINT so results are reduction-order
 independent (and therefore oracle-exact cross-engine).
@@ -22,8 +22,10 @@ def pagerank_fixed_point(
     n_iters: int = 10,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
     rejoin_receiverless: bool = True,
     checkpoint_every: int = 3,
+    stop_on_fixpoint: bool = False,
 ) -> DataFrame:
     """Damped (d=0.85) PageRank over a DIRECTED edge list, in
     fixed-point BIGINT arithmetic (1.0 = ``PAGERANK_UNIT``, floor
@@ -37,24 +39,41 @@ def pagerank_fixed_point(
     conforming reimplementation (pinned in tests against a pure-Python
     simulator).
 
+    ``weight`` names an integer edge-weight column: a vertex's mass
+    splits proportionally, ``contrib = rank * w // W_src`` with
+    ``W_src`` the total out-weight (unweighted = all weights 1;
+    weights must be positive BIGINTs small enough that
+    ``rank * w`` stays under 2^63 — rank ≤ 10^12, so w up to ~10^6).
+
+    ``stop_on_fixpoint`` ends the loop early when a round reproduces
+    the PREVIOUS round's rank table exactly — a true period-1 fixpoint
+    (integer ranks make bit-equality a meaningful convergence test;
+    float PageRank needs an epsilon). Checked on checkpoint rounds
+    only (one bounded exceptAll job per cadence). Caveat: exact
+    integer dynamics on bipartite-ish graphs can orbit a period-2+
+    cycle and never hit a period-1 fixpoint — those runs simply use
+    the full ``n_iters`` cap (pinned in tests with an oscillating
+    path graph).
+
     Vertices = every endpoint appearing in ``edges``; a vertex with no
     OUT-edges contributes nothing (standard dangling simplification —
     for undirected graphs pass both edge directions and none exist).
     Per round: one equi-join of ranks onto the degree-carrying edge
     table + one groupBy(dst) — two shuffles over (edge, rank) rows;
-    rank lineage cut per round. Returns (v, rank) with rank BIGINT.
+    rank lineage cut on the checkpoint cadence. Returns (v, rank) with
+    rank BIGINT.
     """
-    bi = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    bi = edges.select(*cols, w.alias("w"))
     verts = (
         bi.select(F.col("src").alias("v"))
         .unionAll(bi.select(F.col("dst").alias("v")))
         .distinct()
     )
-    deg = bi.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
+    deg = bi.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("deg"))
     wedges = (
-        bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "deg")
+        bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "w", "deg")
     ).localCheckpoint()
     n = verts.count()  # the one driver-side scalar (bounded)
     u0 = PAGERANK_UNIT // n
@@ -63,7 +82,7 @@ def pagerank_fixed_point(
     for i in range(n_iters):
         nxt = (
             wedges.join(ranks, wedges["src"] == ranks["v"])
-            .select("dst", F.expr("rank DIV deg").alias("contrib"))
+            .select("dst", F.expr("rank * w DIV deg").alias("contrib"))
             .groupBy(F.col("dst").alias("v"))
             .agg(
                 (F.lit(base) + F.expr("85 * sum(contrib) DIV 100"))
@@ -84,19 +103,27 @@ def pagerank_fixed_point(
         # tempered by measurement (8.0 -> ~5 s at sf0.1)
         if (i + 1) % checkpoint_every == 0 or i == n_iters - 1:
             nxt = nxt.localCheckpoint()
+            # true period-1 fixpoint: this round == the previous round
+            # (`ranks` is at most checkpoint_every-1 rounds of shallow
+            # lineage, so the compare is cheap)
+            if stop_on_fixpoint and nxt.exceptAll(ranks).isEmpty():
+                return nxt
         ranks = nxt
     return ranks
 
 
 def pagerank_reference_py(
-    edge_list: list[tuple[int, int]], n_iters: int = 10
+    edge_list: list[tuple[int, int]] | list[tuple[int, int, int]],
+    n_iters: int = 10,
 ) -> dict[int, int]:
     """Pure-Python single-threaded replica of the exact integer
-    arithmetic above — the test oracle for crafted graphs."""
-    verts = sorted({v for e in edge_list for v in e})
-    out: dict[int, list[int]] = {v: [] for v in verts}
-    for s, d in edge_list:
-        out[s].append(d)
+    arithmetic above — the test oracle for crafted graphs. Edge tuples
+    are (src, dst) or (src, dst, weight)."""
+    norm = [(e[0], e[1], e[2] if len(e) > 2 else 1) for e in edge_list]
+    verts = sorted({v for s, d, _ in norm for v in (s, d)})
+    out: dict[int, list[tuple[int, int]]] = {v: [] for v in verts}
+    for s, d, w in norm:
+        out[s].append((d, w))
     n = len(verts)
     u0 = PAGERANK_UNIT // n
     base = (15 * u0) // 100
@@ -106,8 +133,8 @@ def pagerank_reference_py(
         for s, ds in out.items():
             if not ds:
                 continue
-            c = rank[s] // len(ds)
-            for d in ds:
-                incoming[d] += c
+            total_w = sum(w for _, w in ds)
+            for d, w in ds:
+                incoming[d] += rank[s] * w // total_w
         rank = {v: base + (85 * incoming[v]) // 100 for v in verts}
     return rank

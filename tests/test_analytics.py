@@ -305,3 +305,52 @@ def test_pagerank_fixed_point_matches_python_simulator(spark):
     }
     assert got2 == pagerank_reference_py(path, n_iters=10)
     assert got2[20] > got2[10] == got2[30]
+
+
+def test_pagerank_weighted_and_fixpoint_stop(spark):
+    """Weighted edges split mass proportionally (exact vs the
+    simulator); stop_on_fixpoint ends early at a true period-1 integer
+    fixpoint, and an OSCILLATING graph (period-2 cycle, no period-1
+    fixpoint) just runs to the cap — both exact vs the simulator."""
+    from ccxt_ohlcv_fetcher_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_reference_py,
+    )
+
+    weighted = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5)]
+    edges = spark.createDataFrame(weighted, "src long, dst long, w long")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank_fixed_point(edges, n_iters=8, weight="w").collect()
+    }
+    assert got == pagerank_reference_py(weighted, n_iters=8)
+    # check the weighting actually bit (3:1 split from vertex 1)
+    unweighted = pagerank_reference_py([(s, d) for s, d, _ in weighted], 8)
+    assert got != unweighted
+
+    # bi-directed triangle: the simulator reaches its exact integer
+    # fixpoint at round 4; the capped-30 run with stop must return it
+    tri = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    fix = pagerank_reference_py(tri, n_iters=10)
+    assert fix == pagerank_reference_py(tri, n_iters=11)  # truly fixed
+    e_tri = spark.createDataFrame(tri, "src long, dst long")
+    stopped = {
+        r["v"]: r["rank"]
+        for r in pagerank_fixed_point(
+            e_tri, n_iters=30, rejoin_receiverless=False,
+            stop_on_fixpoint=True,
+        ).collect()
+    }
+    assert stopped == fix
+
+    # path graph oscillates (period 2, never period-1-equal): the stop
+    # never fires and the capped run equals the simulator at the cap
+    path = [(10, 20), (20, 10), (20, 30), (30, 20)]
+    e2 = spark.createDataFrame(path, "src long, dst long")
+    capped = {
+        r["v"]: r["rank"]
+        for r in pagerank_fixed_point(
+            e2, n_iters=9, rejoin_receiverless=False, stop_on_fixpoint=True
+        ).collect()
+    }
+    assert capped == pagerank_reference_py(path, n_iters=9)
