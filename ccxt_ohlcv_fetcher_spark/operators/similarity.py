@@ -486,6 +486,167 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_cosine_topk_scoreaware(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    seed_vectors: list[list[float]] | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """IVF top-k with score-aware cell probing: SAME result as
+    ``ivf_cosine_topk`` at equal ``n_probe``, fewer probed cells.
+
+    The spherical triangle inequality gives the bound: every member x
+    of cell c lies within the cell's angular radius r_c of the
+    centroid (r_c = acos(min member-centroid cosine), computed at
+    assignment time in one extra groupBy), so
+    ``angle(q, x) >= angle(q, centroid_c) - r_c`` and
+    ``cos(q, x) <= cos(max(0, theta_qc - r_c))``. Phase 1 probes each
+    query's NEAREST cell exactly and takes its running k-th best
+    cosine; phase 2 probes ranked cells 2..n_probe only while their
+    bound could still displace it. Phase-1 scores are EXACT (this is
+    the plain-IVF variant, not ADC), so the skip is sound and the
+    equality contract holds — the PQ tier cannot use this rule because
+    an over-estimated ADC s_k could prune a cell holding the true
+    winner. Tight clusters (small r_c) and good matches (high s_k)
+    prune hardest — the serving regime that matters.
+    """
+    import math
+
+    if seed_vectors is None:
+        seed_vectors = collect_seed_vectors(corpus, n_cells, corpus_id, corpus_vec)
+    centroids = [list(map(float, v)) for v in seed_vectors[:n_cells]]
+    cmat = F.lit(centroids)
+    cnorms = F.lit([float(_norm(c)) for c in centroids])
+
+    def cell_pairs(vec: str) -> Column:
+        dots = F.transform(
+            cmat,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec), c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return F.array_sort(
+            F.transform(
+                F.zip_with(dots, cnorms, lambda s, n: s / n),
+                lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+            )
+        )
+
+    assigned = (
+        _with_norm(corpus, corpus_vec, "_cn")
+        .withColumn("_p", cell_pairs(corpus_vec)[0])
+        .select(
+            corpus_id,
+            corpus_vec,
+            "_cn",
+            F.col("_p.cell").alias("_cell"),
+            # member-centroid cosine: the argmax score / |x|
+            (-F.col("_p.neg") / F.col("_cn")).alias("_ccos"),
+        )
+        .localCheckpoint(eager=False)  # consumed by radius + both probes
+    )
+    radius = assigned.groupBy("_cell").agg(
+        F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), F.min("_ccos"))))
+        .alias("_radius")
+    )
+    q = (
+        _with_norm(queries, query_vec, "_qn")
+        .withColumn("_pairs", F.slice(cell_pairs(query_vec), 1, n_probe))
+        .localCheckpoint(eager=False)
+    )
+    home = q.select(
+        query_id, "_qn", query_vec, F.col("_pairs")[0]["cell"].alias("_cell")
+    )
+    cand_home = (
+        assigned.join(F.broadcast(home), "_cell")
+        .select(
+            query_id,
+            F.col(corpus_id),
+            (
+                dot_product(corpus_vec, query_vec)
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sk = (
+        cand_home.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list(-F.col("score"))), 1, k).alias("_t"))
+        .select(
+            query_id,
+            F.when(F.size("_t") >= k, -F.element_at("_t", k))
+            .otherwise(F.lit(-1.0))
+            .alias("_sk"),
+        )
+    )
+    rest = (
+        q.select(
+            query_id,
+            "_qn",
+            query_vec,
+            F.explode(F.slice(F.col("_pairs"), 2, n_probe - 1)).alias("_p"),
+        )
+        .join(sk, query_id, "left")
+        .select(
+            query_id,
+            "_qn",
+            query_vec,
+            "_sk",
+            F.col("_p.cell").alias("_cell"),
+            F.acos(
+                F.greatest(
+                    F.lit(-1.0),
+                    F.least(F.lit(1.0), -F.col("_p.neg") / F.col("_qn")),
+                )
+            ).alias("_theta"),
+        )
+        .join(F.broadcast(radius), "_cell")
+        .withColumn(
+            "_bound",
+            F.cos(F.greatest(F.lit(0.0), F.col("_theta") - F.col("_radius"))),
+        )
+        .filter(F.col("_sk").isNull() | (F.col("_bound") >= F.col("_sk")))
+        .select(query_id, "_qn", query_vec, "_cell")
+        .localCheckpoint(eager=False)
+    )
+    if stats_out is not None:
+        stats_out["rest_pairs"] = rest.count()
+        stats_out["full_rest_pairs"] = queries.count() * (n_probe - 1)
+        stats_out["radii"] = {
+            int(r["_cell"]): float(math.degrees(r["_radius"]))
+            for r in radius.collect()
+        }
+    cand_rest = assigned.join(F.broadcast(rest), "_cell").select(
+        query_id,
+        F.col(corpus_id),
+        (
+            dot_product(corpus_vec, query_vec) / (F.col("_cn") * F.col("_qn"))
+        ).alias("score"),
+    )
+    candidates = cand_home.unionByName(cand_rest)
+    item = F.struct((-F.col("score")).alias("neg"), F.col(corpus_id).alias("id"))
+    return (
+        candidates.groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
+        .select(query_id, F.posexplode("_top").alias("pos", "item"))
+        .select(
+            query_id,
+            F.col("item.id").alias(corpus_id),
+            (-F.col("item.neg")).alias("score"),
+            (F.col("pos") + 1).alias("rank"),
+        )
+    )
+
+
 def _fold_sumsq(xs: list[float]) -> float:
     """Left-fold sum of squares — the exact addition order of
     ``F.aggregate(F.transform(cw, x*x), 0.0, acc+s)``, so values

@@ -997,3 +997,68 @@ def test_logged_index_fragmentation_compaction_invariant(spark, sf_dir, tmp_path
         query_ann_index_logged(spark, path, queries, k=5, dim=64, multiprobe=2)
     )
     assert before == after, "compaction changed query results"
+
+
+def test_ivf_scoreaware_equals_fixed_probe_with_fewer_cells(spark, sf_dir):
+    """IVF score-aware cell probing: row-identical to plain
+    ivf_cosine_topk at equal n_probe (the spherical-triangle bound is
+    sound), and on well-separated tight clusters with k=1 self-match
+    queries, EVERY non-home probe is pruned (theta - radius >> 0 while
+    s_1 ~ 1.0)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_cosine_topk_scoreaware,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    seeds = [
+        list(map(float, r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    for k in (1, 5):
+        full = ivf_cosine_topk(
+            emb, queries, k=k, n_cells=8, n_probe=4, seed_vectors=seeds
+        )
+        stats: dict = {}
+        sa = ivf_cosine_topk_scoreaware(
+            emb, queries, k=k, n_cells=8, n_probe=4, seed_vectors=seeds,
+            stats_out=stats,
+        )
+        f = {(r["q_id"], r["vec_id"], r["rank"]) for r in full.collect()}
+        s = {(r["q_id"], r["vec_id"], r["rank"]) for r in sa.collect()}
+        assert s == f, f"k={k}: score-aware IVF diverged from fixed probe"
+        assert stats["rest_pairs"] <= stats["full_rest_pairs"] == 30
+
+    # two tight, orthogonal clusters; ids 0/1 seed one centroid in each
+    import math
+
+    rows = []
+    for i in range(40):
+        base = [0.0] * 8
+        if i % 2 == 0:
+            base[0] = 1.0
+        else:
+            base[1] = 1.0
+        base[2 + i % 5] = 0.01 * (1 + i % 3)  # tiny deterministic noise
+        rows.append((i, [float(x) for x in base]))
+    tight = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tq = tight.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    tseeds = [r[1] for r in rows[:2]]
+    stats2: dict = {}
+    sa2 = ivf_cosine_topk_scoreaware(
+        tight, tq, k=1, n_cells=2, n_probe=2, seed_vectors=tseeds,
+        stats_out=stats2,
+    )
+    full2 = ivf_cosine_topk(
+        tight, tq, k=1, n_cells=2, n_probe=2, seed_vectors=tseeds
+    )
+    assert {(r["q_id"], r["vec_id"]) for r in sa2.collect()} == {
+        (r["q_id"], r["vec_id"]) for r in full2.collect()
+    }
+    assert stats2["rest_pairs"] == 0, stats2
+    assert all(r < 25 for r in stats2["radii"].values())  # tight cells
