@@ -553,6 +553,35 @@ def ann_scoreaware_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_scoreaware_ivf",
+    oracle=None,  # approximate by construction; row-equality to the
+    # fixed-probe IVF + the prune-all tight-cluster case are pinned in
+    # tests/test_llm_ops.py::test_ivf_scoreaware_equals_fixed_probe...
+    doc="IVF top-k with score-aware cell probing (op E35): the nearest "
+    "cell is scored exactly, then ranked cells 2..n_probe are probed "
+    "only while the spherical-triangle bound cos(max(0, theta_qc - "
+    "r_c)) — r_c the cell's angular radius from one extra groupBy at "
+    "assignment — could displace the running k-th best. Sound for the "
+    "exact-scoring tier (row-identical to fixed n_probe); prunes "
+    "hardest exactly when cells are tight and matches good.",
+    tags=("E35",),
+)
+def ann_scoreaware_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        ivf_cosine_topk_scoreaware,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_cosine_topk_scoreaware(
+        emb, queries, k=5, n_cells=16, n_probe=6,
+        seed_vectors=_embedding_seeds(spark, sf_dir, 16),
+    )
+
+
+@register(
     "ann_cosine_topk_ivf",
     oracle=None,  # approximate by construction; recall vs the exact path
     # is asserted in tests/test_llm_ops.py
