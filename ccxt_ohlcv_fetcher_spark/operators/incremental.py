@@ -7,17 +7,22 @@ module maintains an ARBITRARY mergeable groupBy aggregate
 (count / sum / min / max, avg derived) for any append-only
 ``SnapshotStore`` table, Delta/Timescale continuous-aggregate style:
 
-- ``refresh()`` reads ONLY the rows appended since the last sync
-  (``read_changes`` — a file-level delta, never a table rescan),
+- ``refresh()`` reads ONLY the rows changed since the last sync
+  (``read_changes`` for append ranges; the SIGNED ``read_row_changes``
+  feed when row-level deletes are involved — never a table rescan),
   partially aggregates them, merges with the current state, and
   commits the new state in ONE atomic overwrite stamped
   ``txn=(view_id, source_version)``. A crashed-and-retried refresh is
   recognized from the state log alone and skipped (exactly-once).
-- A history-rewriting commit on the source (compact / overwrite)
-  breaks the file-diff contract; refresh detects it and falls back to
-  a FULL recompute — still one atomic commit, still txn-stamped, and
-  for compaction (row-preserving) provably equal to the incremental
-  path.
+- Row-level DELETEs stay incremental when every agg is
+  delete-mergeable (count/sum — negative partials retract exactly)
+  and a count agg exists to expel fully-deleted keys; min/max/hll are
+  NOT delete-mergeable (a retracted extremum needs the remaining
+  values), so ranges containing deletes fall back for them.
+- A history-rewriting commit on the source (overwrite; compact when
+  the signed path doesn't apply) breaks the diff contract; refresh
+  detects it and falls back to a FULL recompute — still one atomic
+  commit, still txn-stamped.
 
 At 100 TB the state table is |groups| rows and each refresh touches
 |delta| source rows + |groups| state rows — ingest-proportional, not
@@ -131,27 +136,76 @@ class IncrementalAggView:
 
     # --- API --------------------------------------------------------------
 
+    def _signed_partial(self, changes: DataFrame) -> DataFrame:
+        """Partial aggregate of a SIGNED row-change feed (+1 inserts,
+        -1 deletes): count folds the sign, sum folds value*sign. Only
+        valid for the delete-mergeable aggs (count/sum)."""
+        exprs = []
+        for name, (fn, col, out) in self.aggs.items():
+            if fn == "count":
+                e = F.sum("_change")
+            else:  # sum
+                e = F.sum(F.col(col) * F.col("_change"))
+            exprs.append(self._typed(fn, out, e).alias(name))
+        return changes.groupBy(*self.keys).agg(*exprs)
+
+    def _count_col(self) -> str | None:
+        for name, (fn, _, _) in self.aggs.items():
+            if fn == "count":
+                return name
+        return None
+
     def refresh(self) -> int | None:
         """Bring the state up to the source head. Returns the new state
         version, or None when already current (or another refresher
-        won the race to this source version)."""
+        won the race to this source version).
+
+        Strategy by what happened in (last, head]:
+        - appends only -> file-delta path (all agg fns);
+        - appends + row-level DELETEs (+ row-preserving compactions)
+          AND every agg is delete-mergeable (count/sum) AND a count
+          agg exists (it identifies fully-deleted keys to drop) ->
+          SIGNED feed path: negative partials retract, then keys whose
+          count reaches zero leave the state — matching a fresh
+          groupBy exactly;
+        - anything else (overwrite, min/max/hll with deletes, pruned
+          log) -> full recompute. Every path ends in the same atomic
+          txn-stamped state overwrite.
+        """
         head = self.source.latest_version()
         last = self.last_synced()
         if head <= last:
             return None
         try:
-            delta = self.source.read_changes(last, head)
-            incremental = True
-        except ValueError:
-            # empty change set, or compact/overwrite rewrote history:
-            # full recompute (one scan), same atomic commit
-            delta = None
-            incremental = False
-        if incremental and last > 0:
-            merged = self._merge(self.state.read(), self._partial(delta))
-        elif incremental:
-            merged = self._partial(delta)
-        else:
+            ops = {
+                self.source.manifest(v)["operation"]
+                for v in range(last + 1, head + 1)
+            }
+        except FileNotFoundError:  # log pruned under us
+            ops = {"?"}
+        cnt = self._count_col()
+        merged = None
+        if ops == {"append"}:
+            try:
+                delta = self.source.read_changes(last, head)
+                if last > 0:
+                    merged = self._merge(self.state.read(), self._partial(delta))
+                else:
+                    merged = self._partial(delta)
+            except ValueError:  # empty change set
+                merged = None
+        elif (
+            ops <= {"append", "delete", "compact"}
+            and cnt is not None
+            and all(fn in ("count", "sum") for fn, _, _ in self.aggs.values())
+        ):
+            changes = self.source.read_row_changes(last, head)
+            partial = self._signed_partial(changes)
+            merged = (
+                self._merge(self.state.read(), partial) if last > 0 else partial
+            )
+            merged = merged.filter(F.col(cnt) > 0)
+        if merged is None:
             merged = self._partial(self.source.read(version=head))
         return self.state.overwrite(merged, txn=(self.view_id, head))
 

@@ -51,6 +51,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -246,6 +247,7 @@ class SnapshotStore:
         files: list[str],
         operation: str,
         txn: tuple[str, int] | None = None,
+        changes: list[str] | None = None,
     ) -> bool:
         version = base_version + 1
         base = self.manifest(base_version)
@@ -271,6 +273,10 @@ class SnapshotStore:
                 self, "_pending_schema", None
             ) or base.get("schema"),
         }
+        if changes is not None:
+            # row-level change files of a delete commit (the removed
+            # rows), consumed by read_row_changes
+            manifest["changes"] = changes
         if self.stats_cols:
             manifest["stats"] = {f: stats.get(f, {}) for f in files}
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -375,6 +381,77 @@ class SnapshotStore:
                 return base + 1
         raise CommitConflict(f"overwrite lost the CAS race {max_retries} times")
 
+    def delete_where(
+        self, condition, max_retries: int = 10
+    ) -> tuple[int | None, int]:
+        """Row-level ``DELETE ... WHERE`` in ONE atomic commit
+        (Delta-style copy-on-write): only files that CONTAIN matching
+        rows are rewritten without them; untouched files carry over by
+        reference. The removed rows are persisted as per-commit CHANGE
+        FILES (named in ``manifest['changes']``) so the signed
+        row-level change feed (``read_row_changes``) stays incremental
+        across deletes. Rows where the condition is NULL are KEPT
+        (SQL DELETE semantics). Returns ``(version, n_deleted)``,
+        ``(None, 0)`` when nothing matched.
+
+        Concurrency: the delete applies to the snapshot it READ.
+        Losing the CAS to a concurrent APPEND rebases and carries the
+        appended files over untouched (they cannot contain rows this
+        delete claimed — they were not in the read snapshot). Losing
+        to overwrite/compact/another delete raises ``CommitConflict``:
+        those rewrite files this delete read.
+        """
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cond = F.coalesce(cond, F.lit(False))
+        base = self.latest_version()
+        m = self.manifest(base)
+        if not m["files"]:
+            return (None, 0)
+        full = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in m["files"]]
+        ).withColumn("_f", F.input_file_name())
+        matches = full.filter(cond)
+        per_file = {
+            r["_f"]: r["n"]
+            for r in matches.groupBy("_f").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if not per_file:
+            return (None, 0)
+        n_deleted = sum(per_file.values())
+        abspath = {os.path.abspath(os.path.join(self.path, f)): f for f in m["files"]}
+
+        def to_rel(uri: str) -> str:
+            p = uri.removeprefix("file://").removeprefix("file:")
+            return abspath[os.path.abspath(p)]
+
+        touched = sorted({to_rel(u) for u in per_file})
+        token = uuid.uuid4().hex[:12]
+        chg_dir = os.path.join(self._data_dir, f"commit-{token}-chg")
+        matches.drop("_f").write.parquet(chg_dir)
+        chg_rel = sorted(
+            os.path.relpath(f, self.path)
+            for f in glob.glob(os.path.join(chg_dir, "*.parquet"))
+        )
+        survivors = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in touched]
+        ).filter(~cond)
+        staged = self._stage(survivors)
+        for _ in range(max_retries):
+            head = self.latest_version()
+            for v in range(base + 1, head + 1):
+                op = self.manifest(v)["operation"]
+                if op != "append":
+                    raise CommitConflict(
+                        f"delete_where read v{base} but v{v} is {op!r} — "
+                        "re-read and retry the delete"
+                    )
+            merged = [
+                f for f in self.manifest(head)["files"] if f not in set(touched)
+            ] + staged
+            if self._try_commit(head, merged, "delete", changes=chg_rel):
+                return (head + 1, n_deleted)
+        raise CommitConflict(f"delete lost the CAS race {max_retries} times")
+
     # --- reads ------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -420,6 +497,52 @@ class SnapshotStore:
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in new]
         )
+
+    def read_row_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """SIGNED row-level change feed: the table columns plus a
+        ``_change`` column, +1 for rows added by append commits, -1
+        for rows removed by delete commits (from their persisted
+        change files). Compact commits are row-preserving and
+        contribute nothing. Overwrite rewrites history row-lessly and
+        raises — consumers fall back to a full recompute. This is what
+        lets an incremental consumer (IncrementalAggView) stay
+        delta-driven across deletes AND maintenance compactions."""
+        to_v = self.latest_version() if to_version is None else to_version
+        plus: list[str] = []
+        minus: list[str] = []
+        prev_files = set(self.manifest(from_version)["files"])
+        for v in range(from_version + 1, to_v + 1):
+            m = self.manifest(v)
+            op = m["operation"]
+            if op == "append":
+                plus.extend(f for f in m["files"] if f not in prev_files)
+            elif op == "delete":
+                minus.extend(m.get("changes", []))
+            elif op != "compact":
+                raise ValueError(
+                    f"read_row_changes crosses non-row-level commit "
+                    f"v{v} ({op})"
+                )
+            prev_files = set(m["files"])
+        empty = self.read(version=to_v).limit(0)
+        out = empty.withColumn("_change", F.lit(0).cast("int"))
+        if plus:
+            added = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in plus]
+            )
+            out = out.unionByName(
+                added.withColumn("_change", F.lit(1).cast("int"))
+            )
+        if minus:
+            removed = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in minus]
+            )
+            out = out.unionByName(
+                removed.withColumn("_change", F.lit(-1).cast("int"))
+            )
+        return out
 
     def compact(
         self,
@@ -489,8 +612,11 @@ class SnapshotStore:
         keep_versions = range(max(1, head - retain_versions + 1), head + 1)
         referenced = set()
         for v in keep_versions:
-            for f in self.manifest(v)["files"]:
-                # data/commit-<token>/...
+            m = self.manifest(v)
+            # data/commit-<token>/... — change files of retained delete
+            # commits count as referenced too (read_row_changes needs
+            # them as long as their version is reachable)
+            for f in m["files"] + m.get("changes", []):
                 referenced.add(f.split(os.sep)[1])
         deleted = []
         now = time.time()

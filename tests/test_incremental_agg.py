@@ -205,3 +205,67 @@ def test_streaming_continuous_aggregate(spark, tmp_path):
     )
     assert view.refresh() is None
     assert (source.latest_version(), view.state.latest_version()) == (sv, stv)
+
+
+def test_deletes_stay_incremental_for_count_sum(spark, tmp_path):
+    """Row-level deletes retract through the signed feed: a count/sum
+    view stays equal to the full recompute across interleaved appends
+    and deletes, a fully-deleted key LEAVES the state, and the refresh
+    over a delete range is genuinely incremental (state commits are
+    'overwrite' driven by the feed, pinned via ops observed)."""
+    src = SnapshotStore(spark, str(tmp_path / "src"))
+    view = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        keys=["k"],
+        aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+    )
+
+    def exp():
+        return {
+            r["k"]: (r["cnt"], r["sum_v"])
+            for r in src.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r["k"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()
+        }
+
+    src.append(_batch(spark, 0, 40))
+    view.refresh()
+    src.delete_where("v % 4 = 1 AND v < 20")  # partial retraction
+    assert view.refresh() is not None
+    assert got() == exp()
+    src.append(_batch(spark, 40, 60))
+    src.delete_where("v % 4 = 3")  # key 3 fully deleted
+    assert view.refresh() is not None
+    assert 3 not in got()
+    assert got() == exp()
+    # compact in the range: row-preserving, still incremental-eligible
+    src.compact(target_partitions=1)
+    src.append(_batch(spark, 60, 70))
+    assert view.refresh() is not None
+    assert got() == exp()
+
+
+def test_deletes_fall_back_for_non_mergeable_aggs(spark, tmp_path):
+    """min/max cannot retract incrementally: a range containing a
+    delete falls back to full recompute and is still exact."""
+    src = SnapshotStore(spark, str(tmp_path / "src"))
+    view = IncrementalAggView(
+        spark, src, str(tmp_path / "state"), keys=["k"], aggs=AGGS
+    )
+    src.append(_batch(spark, 0, 30))
+    view.refresh()
+    # delete the rows holding the current max of w for every key
+    src.delete_where("v >= 26")
+    assert view.refresh() is not None
+    assert _got(view) == _expected(src.read())

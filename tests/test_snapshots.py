@@ -397,3 +397,79 @@ def test_prune_log_refreshes_stale_hint(spark, tmp_path):
     store.vacuum(retain_versions=2, min_age_seconds=0, prune_log=True)
     assert store.latest_version() == 5
     assert store.read().count() == 25
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Row-level delete rewrites ONLY files containing matches
+    (untouched files carry over by name), persists the removed rows as
+    change files, keeps NULL-condition rows, and time travel still
+    sees the pre-delete snapshot."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))     # v1: values 0..9
+    store.append(_df(spark, 100, 110))  # v2: values 100..109
+    before = store.manifest()["files"]
+    untouched = [f for f in before if True]
+    v, n = store.delete_where("v >= 100 AND v < 105")
+    assert (v, n) == (3, 5)
+    assert sorted(r["v"] for r in store.read().collect()) == (
+        list(range(10)) + list(range(105, 110))
+    )
+    after = store.manifest()
+    # v1's files contain no matches -> still referenced verbatim
+    v1_files = set(
+        SnapshotStore(spark, str(tmp_path / "t")).manifest(1)["files"]
+    )
+    assert v1_files <= set(after["files"])
+    assert after["operation"] == "delete" and after.get("changes")
+    # time travel: pre-delete snapshot intact
+    assert store.read(version=2).count() == 20
+    # no-match delete is a no-op (no commit)
+    assert store.delete_where("v = 99999") == (None, 0)
+    assert store.latest_version() == 3
+
+    # NULL condition rows are kept: delete on a column with nulls
+    t2 = SnapshotStore(spark, str(tmp_path / "t2"))
+    from pyspark.sql import functions as F
+
+    t2.append(
+        spark.range(0, 6).select(
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("x")
+        )
+    )
+    v2, n2 = t2.delete_where("x >= 2")  # NULL x rows (odd ids) kept
+    assert n2 == 2  # x in {2, 4}
+    vals = [r["x"] for r in t2.read().collect()]
+    assert sorted(v for v in vals if v is not None) == [0]
+    assert sum(1 for v in vals if v is None) == 3
+
+
+def test_read_row_changes_signed_feed(spark, tmp_path):
+    """Signed feed: +1 for appended rows, -1 for deleted rows, compact
+    contributes nothing, overwrite raises."""
+    import pytest as _pytest
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 5))          # v1
+    store.append(_df(spark, 5, 8))          # v2
+    store.delete_where("v IN (1, 6)")       # v3
+    store.compact(target_partitions=1)      # v4
+    store.append(_df(spark, 50, 52))        # v5
+
+    ch = store.read_row_changes(1).groupBy("_change").count().collect()
+    by_sign = {r["_change"]: r["count"] for r in ch}
+    assert by_sign == {1: 5, -1: 2}  # +{5,6,7,50,51}, -{1,6}
+    # net state via the feed equals the actual head for sum/count
+    from pyspark.sql import functions as F
+
+    net = store.read_row_changes(0).agg(
+        F.sum(F.col("v") * F.col("_change")).alias("s"),
+        F.sum("_change").alias("n"),
+    ).collect()[0]
+    head = store.read().agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (net["s"], net["n"]) == (head["s"], head["n"])
+
+    store.overwrite(_df(spark, 0, 3))       # v6
+    with _pytest.raises(ValueError, match="non-row-level"):
+        store.read_row_changes(1)
