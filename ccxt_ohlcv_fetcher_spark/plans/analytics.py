@@ -746,6 +746,75 @@ def events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_incremental_agg_cdc",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE NOT (event_type = 'error' AND value < 50)
+    GROUP BY 1
+    """,
+    doc="Incremental aggregate under row-level CHANGE DATA (the "
+    "delete-retraction path): events land in two append commits, then "
+    "delete_where removes the low-value error rows (copy-on-write — "
+    "only match-containing files rewritten, removed rows persisted as "
+    "change files), and each of the three refreshes folds ONLY the "
+    "signed row delta (+1 appends / -1 deletes) into the state; keys "
+    "whose count hits zero leave the state. The oracle is the one-shot "
+    "filtered groupBy — passing it proves append-append-delete "
+    "retraction reproduces the full recompute to the hash. Built once "
+    "per fixture dir.",
+    tags=("E13",),
+)
+def events_incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.incremental import (
+        IncrementalAggView,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+    state_path = _IVM_MEMO.get(("cdc", sf_dir))
+    if state_path is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ivm_cdc_")
+        src = SnapshotStore(spark, base + "/src")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("value_dec"),
+            "value",
+        )
+        view = IncrementalAggView(
+            spark,
+            src,
+            base + "/state",
+            keys=["event_type"],
+            aggs={
+                "cnt": ("count", None),
+                "sum_value": ("sum", "value_dec", "decimal(38,6)"),
+            },
+        )
+        src.append(ev.filter(F.col("event_id") % 2 == 0))
+        view.refresh()
+        src.append(ev.filter(F.col("event_id") % 2 == 1))
+        view.refresh()
+        src.delete_where("event_type = 'error' AND value < 50")
+        view.refresh()
+        state_path = base + "/state"
+        _IVM_MEMO[("cdc", sf_dir)] = state_path
+    return (
+        SnapshotStore(spark, state_path)
+        .read()
+        .select(
+            "event_type",
+            "cnt",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    )
+
+
 _CMS_D = 4
 _CMS_W = 64
 
