@@ -195,7 +195,7 @@ class IncrementalAggView:
             except ValueError:  # empty change set
                 merged = None
         elif (
-            ops <= {"append", "delete", "compact"}
+            ops <= {"append", "delete", "merge", "compact"}
             and cnt is not None
             and all(fn in ("count", "sum") for fn, _, _ in self.aggs.values())
         ):

@@ -248,6 +248,7 @@ class SnapshotStore:
         operation: str,
         txn: tuple[str, int] | None = None,
         changes: list[str] | None = None,
+        added: list[str] | None = None,
     ) -> bool:
         version = base_version + 1
         base = self.manifest(base_version)
@@ -274,9 +275,14 @@ class SnapshotStore:
             ) or base.get("schema"),
         }
         if changes is not None:
-            # row-level change files of a delete commit (the removed
-            # rows), consumed by read_row_changes
+            # row-level change files of a delete/merge commit (the
+            # removed row versions), consumed by read_row_changes
             manifest["changes"] = changes
+        if added is not None:
+            # files whose rows are NEW in a merge commit (updates +
+            # inserts) — the +1 side of the row feed; survivor-rewrite
+            # files are explicitly not in this list
+            manifest["added"] = added
         if self.stats_cols:
             manifest["stats"] = {f: stats.get(f, {}) for f in files}
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -452,6 +458,145 @@ class SnapshotStore:
                 return (head + 1, n_deleted)
         raise CommitConflict(f"delete lost the CAS race {max_retries} times")
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | None = "update",
+        insert_not_matched: bool = True,
+        max_retries: int = 10,
+    ) -> dict:
+        """Delta-style ``MERGE INTO`` in one atomic commit
+        (copy-on-write): target rows whose key matches a source row
+        are replaced by the source row (``when_matched="update"``),
+        removed (``"delete"``), or left untouched (``None`` =
+        insert-only merge, the reference's INSERT OR IGNORE); source
+        rows matching no target key are inserted when
+        ``insert_not_matched``. Only target files CONTAINING matched
+        keys are rewritten; everything else carries over by reference.
+
+        The commit records BOTH change directions in the manifest —
+        old versions of matched rows as change files (-1), the
+        updated+inserted rows' staged files as added files (+1) — so
+        ``read_row_changes`` and count/sum incremental views stay
+        delta-driven across upserts.
+
+        ``source`` must be key-unique on ``on`` (multiple source
+        matches for one target row is ambiguous — same rule as Delta;
+        raises ValueError). Concurrency follows ``delete_where``:
+        rebase over concurrent appends (the merge applies to its read
+        snapshot — a racing append can introduce rows this merge never
+        saw, exactly like Delta blind appends under WriteSerializable),
+        conflict on anything else. Returns
+        ``{"version", "matched", "inserted"}``.
+        """
+        assert when_matched in ("update", "delete", None)
+        spark = self.spark
+        if not source.groupBy(*on).agg(
+            F.count(F.lit(1)).alias("n")
+        ).filter("n > 1").isEmpty():
+            raise ValueError(f"merge source is not key-unique on {on}")
+        source = source.localCheckpoint(eager=False)
+        base = self.latest_version()
+        m = self.manifest(base)
+        keys = source.select(*on).distinct()
+        per_file: dict = {}
+        matched_t = None
+        if m["files"]:
+            full = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in m["files"]]
+            ).withColumn("_f", F.input_file_name())
+            matched_t = full.join(keys, on, "left_semi").localCheckpoint(
+                eager=False
+            )
+            per_file = {
+                r["_f"]: r["n"]
+                for r in matched_t.groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        n_matched = sum(per_file.values())
+        abspath = {
+            os.path.abspath(os.path.join(self.path, f)): f for f in m["files"]
+        }
+
+        def to_rel(uri: str) -> str:
+            p = uri.removeprefix("file://").removeprefix("file:")
+            return abspath[os.path.abspath(p)]
+
+        # files rewritten ONLY when matched rows must change
+        touched = (
+            sorted({to_rel(u) for u in per_file})
+            if (n_matched and when_matched is not None)
+            else []
+        )
+        keys_in_target = (
+            matched_t.select(*on).distinct() if n_matched else None
+        )
+        inserts = (
+            source.join(keys_in_target, on, "left_anti")
+            if (insert_not_matched and keys_in_target is not None)
+            else (source if insert_not_matched else None)
+        )
+        added = None
+        if when_matched == "update" and n_matched:
+            added = source.join(keys_in_target, on, "left_semi")
+        if inserts is not None:
+            added = inserts if added is None else added.unionByName(inserts)
+        n_inserted = inserts.count() if inserts is not None else 0
+        if (n_matched == 0 or when_matched is None) and n_inserted == 0:
+            return {"version": None, "matched": 0, "inserted": 0}
+        # joins move key columns first — restage in the table's
+        # committed column order or the schema guard (rightly) balks
+        col_order = [c for c, _ in (m.get("schema") or [])] or source.columns
+
+        # -1 side: old versions of matched rows (update/delete only)
+        chg_rel: list[str] = []
+        if touched:
+            token = uuid.uuid4().hex[:12]
+            d = os.path.join(self._data_dir, f"commit-{token}-chg")
+            matched_t.drop("_f").write.parquet(d)
+            chg_rel = sorted(
+                os.path.relpath(f, self.path)
+                for f in glob.glob(os.path.join(d, "*.parquet"))
+            )
+        staged: list[str] = []
+        if touched:
+            survivors = spark.read.parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            ).join(keys, on, "left_anti")
+            staged = self._stage(survivors.select(*col_order))
+        add_staged: list[str] = []
+        if added is not None and not added.isEmpty():
+            add_staged = self._stage(added.select(*col_order))
+        for _ in range(max_retries):
+            head = self.latest_version()
+            for v in range(base + 1, head + 1):
+                op = self.manifest(v)["operation"]
+                if op != "append":
+                    raise CommitConflict(
+                        f"merge_into read v{base} but v{v} is {op!r} — "
+                        "re-read and retry the merge"
+                    )
+            merged = (
+                [f for f in self.manifest(head)["files"] if f not in set(touched)]
+                + staged
+                + add_staged
+            )
+            if self._try_commit(
+                head,
+                merged,
+                "merge",
+                changes=chg_rel or None,
+                added=add_staged or None,
+            ):
+                return {
+                    "version": head + 1,
+                    "matched": n_matched,
+                    "inserted": n_inserted,
+                }
+        raise CommitConflict(f"merge lost the CAS race {max_retries} times")
+
     # --- reads ------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -502,13 +647,15 @@ class SnapshotStore:
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
         """SIGNED row-level change feed: the table columns plus a
-        ``_change`` column, +1 for rows added by append commits, -1
-        for rows removed by delete commits (from their persisted
-        change files). Compact commits are row-preserving and
-        contribute nothing. Overwrite rewrites history row-lessly and
-        raises — consumers fall back to a full recompute. This is what
-        lets an incremental consumer (IncrementalAggView) stay
-        delta-driven across deletes AND maintenance compactions."""
+        ``_change`` column, +1 for rows added by append commits (and a
+        merge's updated+inserted rows), -1 for rows removed by delete
+        commits and a merge's replaced row versions (both from their
+        persisted change files). Compact commits are row-preserving
+        and contribute nothing. Overwrite rewrites history row-lessly
+        and raises — consumers fall back to a full recompute. This is
+        what lets an incremental consumer (IncrementalAggView) stay
+        delta-driven across deletes, upserts AND maintenance
+        compactions."""
         to_v = self.latest_version() if to_version is None else to_version
         plus: list[str] = []
         minus: list[str] = []
@@ -519,6 +666,9 @@ class SnapshotStore:
             if op == "append":
                 plus.extend(f for f in m["files"] if f not in prev_files)
             elif op == "delete":
+                minus.extend(m.get("changes", []))
+            elif op == "merge":
+                plus.extend(m.get("added", []))
                 minus.extend(m.get("changes", []))
             elif op != "compact":
                 raise ValueError(

@@ -269,3 +269,51 @@ def test_deletes_fall_back_for_non_mergeable_aggs(spark, tmp_path):
     src.delete_where("v >= 26")
     assert view.refresh() is not None
     assert _got(view) == _expected(src.read())
+
+
+def test_upserts_stay_incremental_for_count_sum(spark, tmp_path):
+    """MERGE commits flow through the signed feed: count/sum views
+    absorb update (-old +new) and insert (+new) deltas incrementally
+    and match the full recompute."""
+    src = SnapshotStore(spark, str(tmp_path / "src"))
+    view = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        keys=["k"],
+        aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+    )
+
+    def exp():
+        return {
+            r["k"]: (r["cnt"], r["sum_v"])
+            for r in src.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {r["k"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()}
+
+    src.append(_batch(spark, 0, 30))
+    view.refresh()
+    # source keyed on v (unique): update rows 5..9, insert 100..104
+    merge_src = spark.range(5, 10).select(
+        (F.col("id") % 4).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") * 100.0).alias("w"),
+    ).unionByName(
+        spark.range(100, 105).select(
+            (F.col("id") % 4).alias("k"),
+            F.col("id").alias("v"),
+            (F.col("id") * 2.0).alias("w"),
+        )
+    )
+    r = src.merge_into(merge_src, on=["v"])
+    assert r["matched"] == 5 and r["inserted"] == 5
+    assert view.refresh() is not None
+    assert got() == exp()

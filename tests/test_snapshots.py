@@ -473,3 +473,55 @@ def test_read_row_changes_signed_feed(spark, tmp_path):
     store.overwrite(_df(spark, 0, 3))       # v6
     with _pytest.raises(ValueError, match="non-row-level"):
         store.read_row_changes(1)
+
+
+def test_merge_into_upsert_paths(spark, tmp_path):
+    """MERGE: update replaces matched rows with source versions,
+    inserts land, untouched files carry over; delete mode removes
+    matched rows; insert-only mode (when_matched=None) is
+    INSERT-OR-IGNORE; key-duplicated source raises; the signed feed
+    carries -old/+new through the upsert."""
+    import pytest as _pytest
+
+    def kv(lo, hi, val_mult=1):
+        from pyspark.sql import functions as F
+
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * val_mult).alias("v")
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(kv(0, 5))    # v1: k 0..4, v=k
+    store.append(kv(10, 15))  # v2: k 10..14, v=k
+    v1_files = set(store.manifest(1)["files"])
+
+    # upsert: k 3,4 updated (v=10*k); k 20,21 inserted
+    src = kv(3, 5, 10).unionByName(kv(20, 22, 10))
+    r = store.merge_into(src, on=["k"])
+    assert (r["matched"], r["inserted"]) == (2, 2)
+    got = {row["k"]: row["v"] for row in store.read().collect()}
+    assert got[3] == 30 and got[4] == 40 and got[20] == 200
+    assert got[0] == 0 and got[10] == 10 and len(got) == 12
+    # v2's file contained no matched keys -> carried over by reference
+    v2_files = set(store.manifest(2)["files"]) - v1_files
+    assert v2_files <= set(store.manifest()["files"])
+
+    # signed feed across the merge: -2 old versions, +4 new rows
+    ch = store.read_row_changes(2).groupBy("_change").count().collect()
+    assert {row["_change"]: row["count"] for row in ch} == {1: 4, -1: 2}
+
+    # delete mode
+    r2 = store.merge_into(kv(10, 12), on=["k"], when_matched="delete",
+                          insert_not_matched=False)
+    assert r2["matched"] == 2 and r2["inserted"] == 0
+    assert 10 not in {row["k"] for row in store.read().collect()}
+
+    # insert-only (INSERT OR IGNORE): existing key 0 ignored, 30 lands
+    r3 = store.merge_into(kv(0, 1, 99).unionByName(kv(30, 31)), on=["k"],
+                          when_matched=None)
+    assert r3["inserted"] == 1
+    got3 = {row["k"]: row["v"] for row in store.read().collect()}
+    assert got3[0] == 0 and got3[30] == 30
+
+    with _pytest.raises(ValueError, match="key-unique"):
+        store.merge_into(kv(0, 2).unionByName(kv(1, 2)), on=["k"])
