@@ -208,6 +208,20 @@ def build_parser() -> argparse.ArgumentParser:
         "older than this (requires --date-bucket)",
     )
 
+    de = sub.add_parser(
+        "delete", help="row-level delete on a snapshot-logged dataset"
+    )
+    de.add_argument("--data-dir", type=str, required=True)
+    de.add_argument(
+        "--where", type=str, required=True,
+        help="SQL predicate over the candle columns (rows where it is "
+        "TRUE are removed; NULL keeps the row)",
+    )
+    de.add_argument(
+        "--snapshot-log", action="store_true", required=True,
+        help="row-level delete needs the commit log (atomic copy-on-write)",
+    )
+
     sq = sub.add_parser(
         "sql", help="ad-hoc SQL over fixture tables and/or a candle dataset"
     )
@@ -380,6 +394,15 @@ def main(argv: list[str] | None = None) -> int:
             dropped = rollups.store.vacuum(_parse_since(args.vacuum_older_than))
             parts += f" vacuumed_buckets={dropped}"
         print(f"rollup rows appended: {parts}")
+        return 0
+
+    if args.command == "delete":
+        dataset = _make_dataset(spark, args)
+        version, n = dataset.delete_where(args.where)
+        if version is None:
+            print("deleted rows=0 (no match, no commit)")
+        else:
+            print(f"deleted rows={n} version={version}")
         return 0
 
     if args.command == "sql":

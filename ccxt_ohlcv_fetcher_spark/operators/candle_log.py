@@ -337,3 +337,12 @@ class SnapshotCandleDataset:
         mtime-retention vacuum — never touches a live writer's staged
         files."""
         return self.store.vacuum(min_age_seconds=min_age_seconds)
+
+    def delete_where(self, condition: str) -> tuple[int | None, int]:
+        """Row-level delete on the logged candle table — the surgical
+        complement to ``retention()``'s whole-file drops: remove one
+        bad symbol's range, a single poisoned candle, rows matched by
+        any predicate. Copy-on-write via the store (only
+        match-containing files rewritten, change files recorded, time
+        travel keeps the pre-delete snapshot)."""
+        return self.store.delete_where(condition)

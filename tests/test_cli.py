@@ -251,3 +251,33 @@ def test_sql_subcommand(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="sf-dir"):
         main(["sql", "--query", "SELECT 1"])
+
+
+def test_delete_subcommand(spark, tmp_path, capsys):
+    """Row-level delete from the CLI on a logged dataset; no-match is a
+    commit-free no-op; --snapshot-log is required."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import MIN, T0, batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 9))
+
+    assert main(
+        ["delete", "--data-dir", data_dir, "--snapshot-log",
+         "--where", "close < 0"]
+    ) == 0
+    assert "rows=0" in capsys.readouterr().out  # no match, no commit
+    assert ds.read().count() == 9
+
+    assert main(
+        ["delete", "--data-dir", data_dir, "--snapshot-log",
+         "--where", f"timestamp < {T0 + 3 * MIN}"]
+    ) == 0
+    assert "deleted rows=3" in capsys.readouterr().out
+    assert ds.read().count() == 6
+
+    with pytest.raises(SystemExit):
+        main(["delete", "--data-dir", data_dir, "--where", "1=1"])
