@@ -338,6 +338,17 @@ class SnapshotCandleDataset:
         files."""
         return self.store.vacuum(min_age_seconds=min_age_seconds)
 
+    def restate(self, batch: DataFrame) -> dict:
+        """Candle RESTATEMENT: exchanges occasionally revise a closed
+        candle (late trades, bust corrections). ``append_idempotent``
+        deliberately IGNORES rows whose key already exists (the
+        reference's INSERT-OR-IGNORE, ccxt-ohlcv-fetch.py:71-75), so
+        corrections need the other merge mode: matched keys get the
+        NEW values, unseen keys insert — one atomic MERGE commit whose
+        change files let downstream incremental consumers retract the
+        old candle and absorb the new one. Returns the merge stats."""
+        return self.store.merge_into(batch, on=list(KEY_COLS))
+
     def delete_where(self, condition: str) -> tuple[int | None, int]:
         """Row-level delete on the logged candle table — the surgical
         complement to ``retention()``'s whole-file drops: remove one

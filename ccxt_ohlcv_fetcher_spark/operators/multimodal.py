@@ -237,6 +237,32 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         if data_size is not None and byte_rate:
             out["duration_ms"] = int(data_size * 1000 // byte_rate)
         return out
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        # WebP (RIFF container): VP8X extended header carries the
+        # 24-bit canvas-minus-one dims; VP8L (lossless) packs 14-bit
+        # dims into its LE bitstream; VP8 (lossy) keyframes carry
+        # 14-bit dims after the 9D 01 2A start code.
+        out["container"] = "webp"
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (csize,) = struct.unpack("<I", b[i + 4 : i + 8])
+            p = b[i + 8 : i + 8 + csize]
+            if cid == b"VP8X" and len(p) >= 10:
+                out["width"] = 1 + int.from_bytes(p[4:7], "little")
+                out["height"] = 1 + int.from_bytes(p[7:10], "little")
+                break
+            if cid == b"VP8L" and len(p) >= 5 and p[0] == 0x2F:
+                bits = int.from_bytes(p[1:5], "little")
+                out["width"] = 1 + (bits & 0x3FFF)
+                out["height"] = 1 + ((bits >> 14) & 0x3FFF)
+                break
+            if cid == b"VP8 " and len(p) >= 10 and p[3:6] == b"\x9d\x01\x2a":
+                out["width"] = struct.unpack("<H", p[6:8])[0] & 0x3FFF
+                out["height"] = struct.unpack("<H", p[8:10])[0] & 0x3FFF
+                break
+            i += 8 + csize + (csize & 1)
+        return out
     if len(b) >= 12 and b[4:8] == b"ftyp":
         # ISO-BMFF (MP4/MOV, ISO 14496-12): length-prefixed box tree.
         # Walk top-level boxes to moov; inside it mvhd gives the movie

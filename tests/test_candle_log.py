@@ -237,3 +237,41 @@ def test_crashed_writer_files_invisible_and_reclaimable(spark, ds):
     assert len(ds.vacuum(min_age_seconds=0)) == 1
     assert ds.read().count() == 4
     assert os.path.isdir(ds.path)
+
+
+def test_restate_corrects_closed_candles(spark, ds):
+    """restate(): matched keys take the revised OHLCV values (the
+    correction path append_idempotent deliberately refuses), unseen
+    keys insert, resume offset reflects any new tail, and the signed
+    change feed carries -old/+new for downstream consumers."""
+    from pyspark.sql import functions as F
+
+    ds.append_idempotent(batch(spark, 0, 6))
+    revised = batch(spark, 3, 7).withColumn(
+        "close", (F.col("close") + 100).cast("decimal(38,12)")
+    )
+    r = ds.restate(revised)
+    assert (r["matched"], r["inserted"]) == (3, 1)
+    got = {
+        row["timestamp"]: float(row["close"])
+        for row in ds.read().collect()
+    }
+    assert len(got) == 7
+    head = {
+        row["timestamp"]: float(row["close"])
+        for row in batch(spark, 0, 6).collect()
+        if row["timestamp"] < T0 + 3 * MIN
+    }
+    rev = {
+        row["timestamp"]: float(row["close"]) for row in revised.collect()
+    }
+    assert got == {**head, **rev}
+    assert ds.resume_offset("e", "XRP/USD", "1m") == T0 + 6 * MIN
+    ch = ds.store.read_row_changes(1).groupBy("_change").count().collect()
+    assert {row["_change"]: row["count"] for row in ch} == {1: 4, -1: 3}
+    # re-appending the ORIGINAL batch stays a no-op: restated values win
+    assert ds.append_idempotent(batch(spark, 0, 6)) == 0
+    got2 = {
+        row["timestamp"]: float(row["close"]) for row in ds.read().collect()
+    }
+    assert got2 == got

@@ -137,3 +137,38 @@ def test_mp4_box_walk_roundtrip_and_robustness():
     # truncated mid-moov: container identified, metadata absent
     t = decode_media(b[: len(b) // 2])
     assert t["container"] == "mp4" and t["duration_ms"] is None
+
+
+def test_webp_header_decode_all_three_flavors():
+    """WebP dims from VP8X (extended), VP8L (lossless bitstream), and
+    VP8 (lossy keyframe) chunks; unknown chunks are skipped."""
+    import struct
+
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import decode_media
+
+    def riff(payload):
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    def chunk(cid, p):
+        return cid + struct.pack("<I", len(p)) + p + (b"\x00" if len(p) & 1 else b"")
+
+    vp8x = chunk(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )
+    d = decode_media(riff(vp8x))
+    assert (d["container"], d["width"], d["height"]) == ("webp", 640, 480)
+
+    bits = (99) | (49 << 14)  # width-1=99, height-1=49
+    vp8l = chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    d2 = decode_media(riff(chunk(b"XTRA", b"xx") + vp8l))  # skip unknown
+    assert (d2["width"], d2["height"]) == (100, 50)
+
+    vp8 = chunk(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240),
+    )
+    d3 = decode_media(riff(vp8))
+    assert (d3["width"], d3["height"]) == (320, 240)
