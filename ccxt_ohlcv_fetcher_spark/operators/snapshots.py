@@ -146,6 +146,41 @@ class SnapshotStore:
             )
         return out
 
+    # --- schema helpers ---------------------------------------------------
+
+    @staticmethod
+    def _ddl(schema_pairs: list) -> str:
+        return ", ".join(
+            f"`{n.replace('`', '``')}` {t}" for n, t in schema_pairs
+        )
+
+    def _read_files(self, files: list[str], manifest: dict) -> DataFrame:
+        """Read exactly ``files`` under the table's MANIFEST schema.
+        Passing the explicit schema (Delta's metadata-is-truth rule)
+        does two things at once: Spark skips footer schema inference
+        at plan time (no per-file metadata I/O — the listing-scale
+        cost at 100 TB), and files written BEFORE an add-column schema
+        evolution read back with NULL for the missing columns instead
+        of poisoning the scan with a mixed-footer union."""
+        paths = [os.path.join(self.path, f) for f in files]
+        reader = self.spark.read
+        schema = manifest.get("schema")
+        if schema:
+            reader = reader.schema(self._ddl(schema))
+        return reader.parquet(*paths)
+
+    @staticmethod
+    def _conform(df: DataFrame, schema_pairs: list) -> DataFrame:
+        """Project ``df`` to exactly the evolved schema: existing
+        columns pass through, columns the frame lacks become typed
+        NULLs (the add-column evolution contract)."""
+        cols = [
+            F.col(f"`{n}`") if n in df.columns
+            else F.lit(None).cast(t).alias(n)
+            for n, t in schema_pairs
+        ]
+        return df.select(*cols)
+
     # --- writes -----------------------------------------------------------
 
     def _stage(self, df: DataFrame, allow_schema_change: bool = False) -> list[str]:
@@ -388,7 +423,10 @@ class SnapshotStore:
         raise CommitConflict(f"overwrite lost the CAS race {max_retries} times")
 
     def delete_where(
-        self, condition, max_retries: int = 10
+        self,
+        condition,
+        max_retries: int = 10,
+        prune: dict[str, tuple] | None = None,
     ) -> tuple[int | None, int]:
         """Row-level ``DELETE ... WHERE`` in ONE atomic commit
         (Delta-style copy-on-write): only files that CONTAIN matching
@@ -406,6 +444,15 @@ class SnapshotStore:
         delete claimed — they were not in the read snapshot). Losing
         to overwrite/compact/another delete raises ``CommitConflict``:
         those rewrite files this delete read.
+
+        ``prune``: optional {col: (lo, hi)} manifest-stats bounds that
+        OVER-APPROXIMATE the condition (e.g. the timestamp range of a
+        time-scoped purge). The match-locating scan then reads only
+        files whose stats intersect the bounds — O(candidate files),
+        not O(table) — exactly Delta's partition-predicate pruning on
+        DELETE. Soundness is the CALLER's contract: a row matching
+        ``condition`` outside ``prune``'s bounds is silently kept.
+        ``last_scan_files`` records (scanned, total) for audit.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
         cond = F.coalesce(cond, F.lit(False))
@@ -413,9 +460,16 @@ class SnapshotStore:
         m = self.manifest(base)
         if not m["files"]:
             return (None, 0)
-        full = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in m["files"]]
-        ).withColumn("_f", F.input_file_name())
+        cand = (
+            self.pruned_files(prune, version=base)
+            if prune else m["files"]
+        )
+        self.last_scan_files = (len(cand), len(m["files"]))
+        if not cand:
+            return (None, 0)
+        full = self._read_files(cand, m).withColumn(
+            "_f", F.input_file_name()
+        )
         matches = full.filter(cond)
         per_file = {
             r["_f"]: r["n"]
@@ -438,9 +492,7 @@ class SnapshotStore:
             os.path.relpath(f, self.path)
             for f in glob.glob(os.path.join(chg_dir, "*.parquet"))
         )
-        survivors = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in touched]
-        ).filter(~cond)
+        survivors = self._read_files(touched, m).filter(~cond)
         staged = self._stage(survivors)
         for _ in range(max_retries):
             head = self.latest_version()
@@ -465,6 +517,7 @@ class SnapshotStore:
         when_matched: str | None = "update",
         insert_not_matched: bool = True,
         max_retries: int = 10,
+        schema_evolution: bool = False,
     ) -> dict:
         """Delta-style ``MERGE INTO`` in one atomic commit
         (copy-on-write): target rows whose key matches a source row
@@ -488,7 +541,23 @@ class SnapshotStore:
         snapshot — a racing append can introduce rows this merge never
         saw, exactly like Delta blind appends under WriteSerializable),
         conflict on anything else. Returns
-        ``{"version", "matched", "inserted"}``.
+        ``{"version", "matched", "inserted", "files_scanned",
+        "files_total"}``.
+
+        Scale: when any ``on`` column is in ``stats_cols``, the
+        match-locating scan is pruned to files whose manifest min/max
+        intersect the SOURCE's key bounds (one tiny agg on the source)
+        — an upsert touching one day of a year-partitioned 100 TB
+        table scans ~1/365th of its files, not all of them. Files
+        outside the bounds provably contain no matched key and carry
+        over by reference.
+
+        ``schema_evolution=True`` permits ADD-COLUMN upserts (Delta's
+        ``mergeSchema``): source columns beyond the committed schema
+        are appended to it; carried-over and survivor rows read back
+        with NULL in the new columns (manifest-schema reads — old
+        files are never rewritten). Dropping or retyping committed
+        columns is NOT evolution and raises either way.
         """
         assert when_matched in ("update", "delete", None)
         spark = self.spark
@@ -499,13 +568,56 @@ class SnapshotStore:
         source = source.localCheckpoint(eager=False)
         base = self.latest_version()
         m = self.manifest(base)
+        committed = m.get("schema")
+        src_schema = [
+            [f.name, f.dataType.simpleString()] for f in source.schema
+        ]
+        out_schema = committed or src_schema
+        if committed is not None:
+            have = {n for n, _ in src_schema}
+            missing = [n for n, _ in committed if n not in have]
+            if missing:
+                raise ValueError(
+                    f"merge source lacks committed columns {missing} — "
+                    "schema evolution only ADDS columns"
+                )
+            extra = [
+                [n, t] for n, t in src_schema
+                if n not in {c for c, _ in committed}
+            ]
+            if extra and not schema_evolution:
+                raise ValueError(
+                    f"merge source adds columns {[n for n, _ in extra]} "
+                    "— pass schema_evolution=True to evolve the table"
+                )
+            if extra:
+                out_schema = list(committed) + extra
         keys = source.select(*on).distinct()
+        # manifest-stats pushdown: only files whose key-column stats
+        # intersect the source's key bounds can contain a match
+        cand = m["files"]
+        prune_cols = [c for c in on if c in self.stats_cols]
+        if cand and prune_cols:
+            aggs: list = []
+            for c in prune_cols:
+                aggs += [
+                    F.min(c).alias(f"lo_{c}"),
+                    F.max(c).alias(f"hi_{c}"),
+                ]
+            b = source.agg(*aggs).collect()[0]
+            if b[f"lo_{prune_cols[0]}"] is None:
+                cand = []  # empty source: nothing can match
+            else:
+                cand = self.pruned_files(
+                    {c: (b[f"lo_{c}"], b[f"hi_{c}"]) for c in prune_cols},
+                    version=base,
+                )
         per_file: dict = {}
         matched_t = None
-        if m["files"]:
-            full = spark.read.parquet(
-                *[os.path.join(self.path, f) for f in m["files"]]
-            ).withColumn("_f", F.input_file_name())
+        if cand:
+            full = self._read_files(cand, m).withColumn(
+                "_f", F.input_file_name()
+            )
             matched_t = full.join(keys, on, "left_semi").localCheckpoint(
                 eager=False
             )
@@ -544,11 +656,12 @@ class SnapshotStore:
         if inserts is not None:
             added = inserts if added is None else added.unionByName(inserts)
         n_inserted = inserts.count() if inserts is not None else 0
+        scanned = {"files_scanned": len(cand), "files_total": len(m["files"])}
         if (n_matched == 0 or when_matched is None) and n_inserted == 0:
-            return {"version": None, "matched": 0, "inserted": 0}
+            return {"version": None, "matched": 0, "inserted": 0, **scanned}
         # joins move key columns first — restage in the table's
-        # committed column order or the schema guard (rightly) balks
-        col_order = [c for c, _ in (m.get("schema") or [])] or source.columns
+        # (possibly evolved) schema order or the guard (rightly) balks
+        evolving = committed is not None and out_schema != committed
 
         # -1 side: old versions of matched rows (update/delete only)
         chg_rel: list[str] = []
@@ -562,13 +675,19 @@ class SnapshotStore:
             )
         staged: list[str] = []
         if touched:
-            survivors = spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            ).join(keys, on, "left_anti")
-            staged = self._stage(survivors.select(*col_order))
+            survivors = self._read_files(touched, m).join(
+                keys, on, "left_anti"
+            )
+            staged = self._stage(
+                self._conform(survivors, out_schema),
+                allow_schema_change=evolving,
+            )
         add_staged: list[str] = []
         if added is not None and not added.isEmpty():
-            add_staged = self._stage(added.select(*col_order))
+            add_staged = self._stage(
+                self._conform(added, out_schema),
+                allow_schema_change=evolving,
+            )
         for _ in range(max_retries):
             head = self.latest_version()
             for v in range(base + 1, head + 1):
@@ -594,6 +713,7 @@ class SnapshotStore:
                     "version": head + 1,
                     "matched": n_matched,
                     "inserted": n_inserted,
+                    **scanned,
                 }
         raise CommitConflict(f"merge lost the CAS race {max_retries} times")
 
@@ -610,13 +730,8 @@ class SnapshotStore:
             schema = m.get("schema")
             if not schema:
                 raise ValueError("empty table (version 0) has no schema")
-            ddl = ", ".join(
-                f"`{n.replace('`', '``')}` {t}" for n, t in schema
-            )
-            return self.spark.createDataFrame([], schema=ddl)
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in m["files"]]
-        )
+            return self.spark.createDataFrame([], schema=self._ddl(schema))
+        return self._read_files(m["files"], m)
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
@@ -636,12 +751,11 @@ class SnapshotStore:
                     f"read_changes crosses non-append commit v{v} ({op})"
                 )
         base = set(self.manifest(from_version)["files"])
-        new = [f for f in self.manifest(to_v)["files"] if f not in base]
+        head = self.manifest(to_v)
+        new = [f for f in head["files"] if f not in base]
         if not new:
             raise ValueError("no files added in range (empty change set)")
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in new]
-        )
+        return self._read_files(new, head)
 
     def read_row_changes(
         self, from_version: int, to_version: int | None = None
@@ -676,19 +790,19 @@ class SnapshotStore:
                     f"v{v} ({op})"
                 )
             prev_files = set(m["files"])
+        head = self.manifest(to_v)
         empty = self.read(version=to_v).limit(0)
         out = empty.withColumn("_change", F.lit(0).cast("int"))
         if plus:
-            added = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in plus]
-            )
+            # head-schema read: change files from before an add-column
+            # evolution null-fill the new columns, matching what the
+            # table read reports for those rows today
+            added = self._read_files(plus, head)
             out = out.unionByName(
                 added.withColumn("_change", F.lit(1).cast("int"))
             )
         if minus:
-            removed = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in minus]
-            )
+            removed = self._read_files(minus, head)
             out = out.unionByName(
                 removed.withColumn("_change", F.lit(-1).cast("int"))
             )

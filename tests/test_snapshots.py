@@ -525,3 +525,103 @@ def test_merge_into_upsert_paths(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="key-unique"):
         store.merge_into(kv(0, 2).unionByName(kv(1, 2)), on=["k"])
+
+
+def test_merge_stats_pushdown_scans_only_candidate_files(spark, tmp_path):
+    """With a key column in stats_cols, MERGE locates matches by
+    scanning ONLY files whose manifest min/max intersect the source's
+    key bounds — the other files provably contain no matched key and
+    carry over by reference (Delta partition-predicate pruning, here
+    from footer stats in the log)."""
+    from pyspark.sql import functions as F
+
+    def kv(lo, hi, mult=1):
+        return (
+            spark.range(lo, hi)
+            .coalesce(1)
+            .select(F.col("id").alias("k"), (F.col("id") * mult).alias("v"))
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"), stats_cols=["k"])
+    for lo in (0, 100, 200, 300):  # 4 single-file commits, disjoint k
+        store.append(kv(lo, lo + 10))
+    # source keys 205..207 intersect ONLY the 200-file
+    r = store.merge_into(kv(205, 208, 10), on=["k"])
+    assert r["matched"] == 3 and r["inserted"] == 0
+    assert r["files_total"] == 4 and r["files_scanned"] == 1
+    got = {row["k"]: row["v"] for row in store.read().collect()}
+    assert got[205] == 2050 and got[204] == 204 and len(got) == 40
+
+    # empty source: zero files scanned, no commit
+    empty = kv(0, 0)
+    r2 = store.merge_into(empty, on=["k"])
+    assert r2["version"] is None and r2["files_scanned"] == 0
+
+
+def test_delete_where_prune_hint(spark, tmp_path):
+    """A caller-supplied stats bound restricts the delete's
+    match-locating scan to intersecting files."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"), stats_cols=["v"])
+    for lo in (0, 100, 200):
+        store.append(
+            spark.range(lo, lo + 10).coalesce(1).select(F.col("id").alias("v"))
+        )
+    v, n = store.delete_where("v >= 100 AND v < 105", prune={"v": (100, 104)})
+    assert n == 5 and store.last_scan_files == (1, 3)
+    assert store.read().count() == 25
+    # disjoint hint: no candidate files, no scan, no commit
+    assert store.delete_where("v = 5", prune={"v": (1000, 2000)}) == (None, 0)
+    assert store.last_scan_files == (0, 3)
+
+
+def test_merge_schema_evolution_add_column(spark, tmp_path):
+    """Add-column upsert: the committed schema evolves, old files are
+    NOT rewritten (NULL-filled at read via the manifest schema), the
+    signed change feed stays consistent, and appends must use the new
+    schema afterwards."""
+    from pyspark.sql import functions as F
+
+    def kv(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(kv(0, 4))   # v1
+    store.append(kv(10, 14))  # v2 — will carry over untouched
+    v2_new = set(store.manifest(2)["files"]) - set(store.manifest(1)["files"])
+
+    src = kv(2, 4).withColumn("tag", F.lit("x"))
+    # undeclared evolution refuses
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        store.merge_into(src, on=["k"])
+    # dropping a committed column is never evolution
+    with pytest.raises(ValueError, match="lacks committed columns"):
+        store.merge_into(
+            src.drop("v"), on=["k"], schema_evolution=True
+        )
+
+    r = store.merge_into(src, on=["k"], schema_evolution=True)
+    assert r["matched"] == 2 and r["inserted"] == 0
+    assert store.manifest()["schema"] == [
+        ["k", "bigint"], ["v", "double"], ["tag", "string"]
+    ]
+    # v2's untouched file carried over by reference, never rewritten
+    assert v2_new <= set(store.manifest()["files"])
+    got = {row["k"]: (row["v"], row["tag"]) for row in store.read().collect()}
+    assert got[2] == (2.0, "x") and got[3] == (3.0, "x")
+    assert got[0] == (0.0, None) and got[10] == (10.0, None)
+    # time travel still reads the pre-evolution schema
+    assert store.read(version=2).columns == ["k", "v"]
+    # signed feed across the evolved merge: -old (tag NULL) / +new
+    ch = store.read_row_changes(2)
+    assert ch.columns == ["k", "v", "tag", "_change"]
+    by = {(row["k"], row["_change"]): row["tag"] for row in ch.collect()}
+    assert by[(2, 1)] == "x" and by[(2, -1)] is None
+    # old-schema appends now refuse; new-schema appends land
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(kv(20, 21))
+    store.append(kv(20, 21).withColumn("tag", F.lit("y")))
+    assert store.read().count() == 9
