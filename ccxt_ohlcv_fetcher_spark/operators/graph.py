@@ -26,6 +26,7 @@ def pagerank_fixed_point(
     rejoin_receiverless: bool = True,
     checkpoint_every: int = 3,
     stop_on_fixpoint: bool = False,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """Damped (d=0.85) PageRank over a DIRECTED edge list, in
     fixed-point BIGINT arithmetic (1.0 = ``PAGERANK_UNIT``, floor
@@ -55,6 +56,19 @@ def pagerank_fixed_point(
     the full ``n_iters`` cap (pinned in tests with an oscillating
     path graph).
 
+    ``personalize``: a one-column DataFrame of SEED vertices makes
+    this PERSONALIZED PageRank (random-walk-with-restart): the
+    restart mass concentrates uniformly on the seeds instead of all
+    vertices — ``p_v = UNIT // |S|`` for seeds, 0 elsewhere; the
+    per-round update becomes ``rank_v = (15 * p_v) // 100 +
+    (85 * in_mass) // 100`` and the walk STARTS at the restart
+    distribution. Non-seed vertices unreachable from a seed converge
+    to exactly 0 (integer floor keeps that exact). Costs one extra
+    per-round left join of the per-vertex base table (the
+    personalized analogue of the receiverless rejoin, which it
+    subsumes). Seeds not present in the graph are ignored; an empty
+    effective seed set raises.
+
     Vertices = every endpoint appearing in ``edges``; a vertex with no
     OUT-edges contributes nothing (standard dangling simplification —
     for undirected graphs pass both edge directions and none exist).
@@ -75,28 +89,76 @@ def pagerank_fixed_point(
     wedges = (
         bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "w", "deg")
     ).localCheckpoint()
-    n = verts.count()  # the one driver-side scalar (bounded)
-    u0 = PAGERANK_UNIT // n
-    base = (15 * u0) // 100
-    ranks = verts.select("v", F.lit(u0).cast("long").alias("rank"))
-    for i in range(n_iters):
-        nxt = (
-            wedges.join(ranks, wedges["src"] == ranks["v"])
-            .select("dst", F.expr("rank * w DIV deg").alias("contrib"))
-            .groupBy(F.col("dst").alias("v"))
-            .agg(
-                (F.lit(base) + F.expr("85 * sum(contrib) DIV 100"))
-                .cast("long")
-                .alias("rank")
-            )
+    basedf = None
+    if personalize is not None:
+        seed_col = personalize.columns[0]
+        seeds = (
+            personalize.select(F.col(seed_col).alias("v"))
+            .distinct()
+            .join(verts, "v", "left_semi")
         )
-        if rejoin_receiverless:
-            # vertices receiving no mass this round keep only the base
-            # term (possible in directed graphs; never for bi-directed
-            # edge lists, where callers skip this third shuffle)
-            nxt = nxt.join(verts, "v", "right").select(
-                "v", F.coalesce("rank", F.lit(base).cast("long")).alias("rank")
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalize: no seed vertex is in the graph")
+        p0 = PAGERANK_UNIT // n_seeds
+        basedf = (
+            verts.join(seeds.withColumn("_s", F.lit(1)), "v", "left")
+            .select(
+                "v",
+                F.when(F.col("_s").isNotNull(), F.lit(p0))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("p0"),
+                F.when(F.col("_s").isNotNull(), F.lit((15 * p0) // 100))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("base_fp"),
             )
+            .localCheckpoint()
+        )
+        ranks = basedf.select("v", F.col("p0").alias("rank"))
+    else:
+        n = verts.count()  # the one driver-side scalar (bounded)
+        u0 = PAGERANK_UNIT // n
+        base = (15 * u0) // 100
+        ranks = verts.select("v", F.lit(u0).cast("long").alias("rank"))
+    for i in range(n_iters):
+        if basedf is not None:
+            inmass = (
+                wedges.join(ranks, wedges["src"] == ranks["v"])
+                .select("dst", F.expr("rank * w DIV deg").alias("contrib"))
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("contrib").alias("inmass"))
+            )
+            nxt = basedf.join(inmass, "v", "left").select(
+                "v",
+                (
+                    F.col("base_fp")
+                    + F.expr("85 * coalesce(inmass, 0L) DIV 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        else:
+            nxt = (
+                wedges.join(ranks, wedges["src"] == ranks["v"])
+                .select("dst", F.expr("rank * w DIV deg").alias("contrib"))
+                .groupBy(F.col("dst").alias("v"))
+                .agg(
+                    (F.lit(base) + F.expr("85 * sum(contrib) DIV 100"))
+                    .cast("long")
+                    .alias("rank")
+                )
+            )
+            if rejoin_receiverless:
+                # vertices receiving no mass this round keep only the
+                # base term (possible in directed graphs; never for
+                # bi-directed edge lists, where callers skip this
+                # third shuffle)
+                nxt = nxt.join(verts, "v", "right").select(
+                    "v",
+                    F.coalesce("rank", F.lit(base).cast("long")).alias("rank"),
+                )
         # cut lineage every few rounds, not every round: checkpoint
         # materialization costs a full write of the rank table, and a
         # 2-3-round join/agg plan is still shallow — the CC lesson
@@ -115,19 +177,26 @@ def pagerank_fixed_point(
 def pagerank_reference_py(
     edge_list: list[tuple[int, int]] | list[tuple[int, int, int]],
     n_iters: int = 10,
+    seeds: set | None = None,
 ) -> dict[int, int]:
     """Pure-Python single-threaded replica of the exact integer
     arithmetic above — the test oracle for crafted graphs. Edge tuples
-    are (src, dst) or (src, dst, weight)."""
+    are (src, dst) or (src, dst, weight); ``seeds`` switches to the
+    personalized restart distribution."""
     norm = [(e[0], e[1], e[2] if len(e) > 2 else 1) for e in edge_list]
     verts = sorted({v for s, d, _ in norm for v in (s, d)})
     out: dict[int, list[tuple[int, int]]] = {v: [] for v in verts}
     for s, d, w in norm:
         out[s].append((d, w))
-    n = len(verts)
-    u0 = PAGERANK_UNIT // n
-    base = (15 * u0) // 100
-    rank = {v: u0 for v in verts}
+    if seeds is None:
+        u0 = PAGERANK_UNIT // len(verts)
+        p = {v: u0 for v in verts}
+    else:
+        eff = sorted(set(seeds) & set(verts))
+        p0 = PAGERANK_UNIT // len(eff)
+        p = {v: (p0 if v in set(eff) else 0) for v in verts}
+    base = {v: (15 * p[v]) // 100 for v in verts}
+    rank = dict(p)
     for _ in range(n_iters):
         incoming = {v: 0 for v in verts}
         for s, ds in out.items():
@@ -136,5 +205,5 @@ def pagerank_reference_py(
             total_w = sum(w for _, w in ds)
             for d, w in ds:
                 incoming[d] += rank[s] * w // total_w
-        rank = {v: base + (85 * incoming[v]) // 100 for v in verts}
+        rank = {v: base[v] + (85 * incoming[v]) // 100 for v in verts}
     return rank

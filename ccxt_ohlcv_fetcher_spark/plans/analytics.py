@@ -529,6 +529,22 @@ _PR_ITERS = 10
     tags=("E5", "E13"),
 )
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.graph import pagerank_fixed_point
+
+    bi = _copurchase_bidirected(spark, sf_dir)
+    # bi-directed: every vertex has in-edges, skip the receiverless join
+    ranks = pagerank_fixed_point(
+        bi, n_iters=_PR_ITERS, rejoin_receiverless=False, checkpoint_every=5
+    )
+    return ranks.select(
+        F.col("v").alias("partkey"), F.col("rank").alias("pagerank_fp")
+    )
+
+
+def _copurchase_bidirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared co-purchase edge set (>= _COPURCHASE_MIN_ORDERS
+    shared orders), bi-directed and checkpointed once — consumed
+    multiple times by verts/deg/wedges inside the rank operator."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
@@ -554,21 +570,97 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ord") >= _COPURCHASE_MIN_ORDERS)
         .select("pa", "pb")
     )
+    edges = edges.localCheckpoint()
+    return (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+    )
+
+
+_PPR_BRAND = "Brand#11"
+
+@register(
+    "part_pagerank_personalized",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_COPURCHASE_MIN_ORDERS}
+    ),
+    bi AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    deg AS (SELECT src AS v, count(*) AS deg FROM bi GROUP BY 1),
+    seeds AS (
+      SELECT v FROM deg
+      WHERE v IN (SELECT p_partkey FROM part WHERE p_brand = '{_PPR_BRAND}')
+    ),
+    params AS (
+      SELECT CAST({_PR_UNIT} // count(*) AS BIGINT) AS p0 FROM seeds
+    ),
+    vb AS (
+      SELECT deg.v,
+             CAST(CASE WHEN s.v IS NULL THEN 0
+                  ELSE (SELECT p0 FROM params) END AS BIGINT) AS p0,
+             CAST(CASE WHEN s.v IS NULL THEN 0
+                  ELSE (15 * (SELECT p0 FROM params)) // 100
+                  END AS BIGINT) AS base
+      FROM deg LEFT JOIN seeds s ON deg.v = s.v
+    ),
+    pr AS (
+      SELECT v, p0 AS rank, 0 AS it FROM vb
+      UNION ALL
+      SELECT bi.dst AS v,
+             CAST(vb.base + (85 * sum(pr.rank // deg.deg)) // 100
+                  AS BIGINT) AS rank,
+             pr.it + 1 AS it
+      FROM pr
+      JOIN bi ON pr.v = bi.src
+      JOIN deg ON deg.v = bi.src
+      JOIN vb ON vb.v = bi.dst
+      WHERE pr.it < {_PR_ITERS}
+      GROUP BY bi.dst, vb.base, pr.it
+    )
+    SELECT v AS partkey, rank AS ppr_fp
+    FROM pr WHERE it = {_PR_ITERS}
+    """,
+    doc="PERSONALIZED PageRank (random-walk-with-restart) over the "
+    "same co-purchase graph as part_pagerank, seeded on one brand's "
+    "parts: the restart mass concentrates uniformly on the seed set "
+    "(p_v = UNIT // |S|, zero elsewhere), the walk starts at the "
+    "restart distribution, and unreachable vertices converge to "
+    "EXACTLY 0 under integer floor arithmetic — the 'related items "
+    "for this brand' recommender primitive. Same fixed-point BIGINT "
+    "discipline as the global variant, so 10 iterations of the "
+    "distributed join+agg loop are ORACLE-EXACT against a DuckDB "
+    "recursive CTE carrying a per-vertex base table. Scale shape: "
+    "the per-round cost adds ONE left join of the per-vertex base "
+    "table (broadcast-or-shuffle decided by AQE) over the global "
+    "variant's two shuffles.",
+    tags=("E5", "E13"),
+)
+def part_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.graph import pagerank_fixed_point
 
-    # the basket->pair->filter pipeline is consumed by verts/deg/wedges
-    # inside the operator: materialize it once
-    edges = edges.localCheckpoint()
-    bi = (
-        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    bi = _copurchase_bidirected(spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("v"))
     )
-    # bi-directed: every vertex has in-edges, skip the receiverless join
     ranks = pagerank_fixed_point(
-        bi, n_iters=_PR_ITERS, rejoin_receiverless=False, checkpoint_every=5
+        bi, n_iters=_PR_ITERS, checkpoint_every=5, personalize=seeds
     )
     return ranks.select(
-        F.col("v").alias("partkey"), F.col("rank").alias("pagerank_fp")
+        F.col("v").alias("partkey"), F.col("rank").alias("ppr_fp")
     )
 
 

@@ -354,3 +354,43 @@ def test_pagerank_weighted_and_fixpoint_stop(spark):
         ).collect()
     }
     assert capped == pagerank_reference_py(path, n_iters=9)
+
+
+def test_pagerank_personalized_matches_simulator(spark):
+    """Personalized restarts: mass concentrates on the seed set, a
+    vertex unreachable FROM the seeds converges to exactly 0, and the
+    distributed integer arithmetic equals the simulator bit-for-bit.
+    Seeds absent from the graph are ignored; an empty effective seed
+    set raises."""
+    import pytest as _pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_reference_py,
+    )
+
+    # two weakly-linked clusters: {1,2} <-> and {3,4} <->, plus 2->3
+    # (one-way bridge). Seeding at 1: vertex 4 is reachable, but
+    # nothing flows BACK to {1,2} from {3,4}... and an isolated pair
+    # {8,9} is fully unreachable -> exact 0.
+    el = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (8, 9), (9, 8)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (999,)], "v long")  # 999 ignored
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank_fixed_point(
+            edges, n_iters=8, personalize=seeds
+        ).collect()
+    }
+    assert got == pagerank_reference_py(el, n_iters=8, seeds={1, 999})
+    assert got[8] == 0 and got[9] == 0  # unreachable: exact 0
+    # restart favors the seed over its in-cluster peer; the one-way
+    # bridge makes {3,4} a mass trap, so 3 may legitimately outrank 1
+    assert got[1] > got[2] > 0
+
+    with _pytest.raises(ValueError, match="no seed vertex"):
+        pagerank_fixed_point(
+            edges,
+            n_iters=2,
+            personalize=spark.createDataFrame([(777,)], "v long"),
+        )
