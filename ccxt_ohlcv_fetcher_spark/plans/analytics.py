@@ -760,6 +760,240 @@ def event_session_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONIZE_SQL = f"""
+    flagged AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+             CASE WHEN {sql_ms("ts")} - lag({sql_ms("ts")})
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 OR lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+      FROM flagged
+    )
+"""
+
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_SESSIONIZE_SQL``: the 30-min-gap session
+    numbering shared by the pattern queries."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ms("ts") - F.lag(ms("ts")).over(w)
+    return (
+        events.withColumn("c", F.substring("event_type", 1, 1))
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+
+
+@register(
+    "event_timed_patterns",
+    oracle=f"""
+    WITH {_SESSIONIZE_SQL},
+    e AS (
+      SELECT user_id, session_id, ts, event_id, c, {sql_ms("ts")} AS m
+      FROM numbered
+    ),
+    adjflag AS (
+      SELECT user_id, session_id,
+             CASE WHEN c = 'v'
+                  AND lead(c) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) = 'c'
+                  AND lead(m) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) - m <= 60000
+                  THEN 1 ELSE 0 END AS q
+      FROM e
+    ),
+    adj AS (
+      SELECT user_id, session_id,
+             CAST(sum(q) AS BIGINT) AS n_quick_view_click
+      FROM adjflag GROUP BY 1, 2
+    ),
+    vp AS (
+      SELECT a.user_id, a.session_id,
+             CAST(count(DISTINCT a.event_id) AS BIGINT) AS n
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+      WHERE a.c = 'v' AND b.c = 'p'
+        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+        AND b.m - a.m <= 600000
+      GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT a.user_id, a.session_id,
+             CAST(min(b.m - a.m) AS BIGINT) AS sp_ms
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+      WHERE a.c = 's' AND b.c = 'p'
+        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      GROUP BY 1, 2
+    )
+    SELECT adj.user_id, adj.session_id,
+           CAST(coalesce(vp.n, 0) AS BIGINT) AS n_view_purchase_10m,
+           sp.sp_ms AS signup_to_purchase_ms,
+           adj.n_quick_view_click
+    FROM adj
+    LEFT JOIN vp USING (user_id, session_id)
+    LEFT JOIN sp USING (user_id, session_id)
+    """,
+    doc="TIME-CONSTRAINED sequence patterns ('A then B within T' — "
+    "the MATCH_RECOGNIZE shape the plain char-string regexes of "
+    "event_session_patterns cannot express because the constraint "
+    "is on TIMESTAMP DELTAS, not adjacency): per 30-min session, "
+    "(1) views followed by a purchase within 10 min (existential "
+    "pair match over the session's ordered (ts, event_id) structs "
+    "via nested higher-order lambdas — quadratic only in SESSION "
+    "length, which the gap rule bounds, never in table size), "
+    "(2) fastest signup->purchase latency in ms (min over the "
+    "cross-pair deltas, NULL when the funnel never completes), and "
+    "(3) strictly-adjacent view->click conversions under 60 s "
+    "(lag/lead — linear). Oracle does the same with per-session "
+    "self-joins + a lead window. Scale shape: sessionize is one "
+    "window over (user, ts); the pair metrics ride the SAME "
+    "groupBy(user, session) shuffle as the session rollup — the "
+    "self-join the oracle needs never materializes in Spark.",
+    tags=("E19", "E32s"),
+)
+def event_timed_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    numbered = _sessionized(spark, sf_dir)
+    sw = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    numbered = numbered.withColumn(
+        "q",
+        (
+            (F.col("c") == "v")
+            & (F.lead("c").over(sw) == "c")
+            & (F.lead(ms("ts")).over(sw) - ms("ts") <= 60_000)
+        ).cast("int"),
+    )
+    emillis = lambda x: F.unix_millis(x["ts"].cast("timestamp"))  # noqa: E731
+    after = lambda b, a: (b["ts"] > a["ts"]) | (  # noqa: E731
+        (b["ts"] == a["ts"]) & (b["event_id"] > a["event_id"])
+    )
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "c"))
+        ).alias("evts"),
+        F.coalesce(F.sum("q"), F.lit(0))
+        .cast("long")
+        .alias("n_quick_view_click"),
+    )
+    evts = F.col("evts")
+    n_vp = F.size(
+        F.filter(
+            evts,
+            lambda a: (a["c"] == "v")
+            & F.exists(
+                evts,
+                lambda b: (b["c"] == "p")
+                & after(b, a)
+                & (emillis(b) - emillis(a) <= 600_000),
+            ),
+        )
+    )
+    sp_ms = F.array_min(
+        F.flatten(
+            F.transform(
+                F.filter(evts, lambda a: a["c"] == "s"),
+                lambda a: F.transform(
+                    F.filter(
+                        evts, lambda b: (b["c"] == "p") & after(b, a)
+                    ),
+                    lambda b: emillis(b) - emillis(a),
+                ),
+            )
+        )
+    )
+    return sess.select(
+        "user_id",
+        "session_id",
+        n_vp.cast("long").alias("n_view_purchase_10m"),
+        sp_ms.cast("long").alias("signup_to_purchase_ms"),
+        "n_quick_view_click",
+    )
+
+
+@register(
+    "session_motif_trigrams",
+    oracle=f"""
+    WITH {_SESSIONIZE_SQL},
+    seqs AS (
+      SELECT user_id, session_id,
+             string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM numbered GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT substr(seq, CAST(i AS INTEGER), 3) AS tri
+      FROM (SELECT seq, unnest(range(1, len(seq) - 1)) AS i FROM seqs)
+    )
+    SELECT tri, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, tri)
+                AS BIGINT) AS rnk
+    FROM tri GROUP BY tri ORDER BY cnt DESC, tri LIMIT 20
+    """,
+    doc="Session n-gram MOTIFS: every session's ordered event-type "
+    "string (same build as event_session_patterns) slides a 3-char "
+    "window — one trigram per position, generated by a sequence-"
+    "transform HOF (no UDF, no self-join) — and the global top-20 "
+    "motifs rank by frequency. The 'what do users actually do' "
+    "summary over raw sequences. Scale shape: trigram explode is "
+    "linear in events; one groupBy(trigram) shuffle over ~|alphabet|^3 "
+    "distinct keys; top-k via TakeOrdered, no global sort.",
+    tags=("E13", "E36"),
+)
+def session_motif_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    numbered = _sessionized(spark, sf_dir)
+    seqs = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "c"))
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    tris = seqs.filter(F.length("seq") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("seq") - 2),
+                lambda i: F.col("seq").substr(i, F.lit(3)),
+            )
+        ).alias("tri")
+    )
+    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("cnt").desc(), F.col("tri"))
+            ).cast("long"),
+        )
+        .orderBy(F.col("cnt").desc(), "tri")
+        .limit(20)
+    )
+
+
 _IVM_MEMO: dict[str, str] = {}
 
 
