@@ -97,6 +97,7 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
         "focal_mm": None,
         "gps_lat": None,
         "gps_lon": None,
+        "n_fragments": None,
     }
     if b.startswith(_PNG_MAGIC):
         # PNG: 8-byte magic, then chunks of (len, type, data, crc32).
@@ -264,40 +265,47 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
             i += 8 + csize + (csize & 1)
         return out
     if len(b) >= 12 and b[4:8] == b"ftyp":
-        # ISO-BMFF (MP4/MOV, ISO 14496-12): length-prefixed box tree.
-        # Walk top-level boxes to moov; inside it mvhd gives the movie
-        # timescale + duration, each trak/tkhd the track's 16.16-fixed
-        # presentation width/height. Codec/sample parsing (stsd and
-        # below) needs real decoders — out of header scope like the
-        # other containers.
+        # ISO-BMFF (ISO 14496-12): length-prefixed box tree. The major
+        # brand splits the family: avif/avis is a HEIF still image
+        # (dims live under meta/iprp/ipco/ispe), anything else is
+        # MP4/MOV (mvhd duration, tkhd geometry, and for FRAGMENTED
+        # files mvex/mehd + the top-level moof count). Codec/sample
+        # parsing (stsd and below) needs real decoders — out of header
+        # scope like the other containers.
+        if b[8:12] in (b"avif", b"avis"):
+            out["container"] = "avif"
+            for btype, lo, hi in _bmff_boxes(b, 0, len(b)):
+                if btype != b"meta":
+                    continue
+                # meta is a FULL box: 4 version/flags bytes precede
+                # its children (the classic HEIF-walk gotcha)
+                for ct, clo, chi in _bmff_boxes(b, lo + 4, hi):
+                    if ct != b"iprp":
+                        continue
+                    for pt, plo, phi in _bmff_boxes(b, clo, chi):
+                        if pt != b"ipco":
+                            continue
+                        for qt, qlo, qhi in _bmff_boxes(b, plo, phi):
+                            if qt == b"ispe" and qhi - qlo >= 12:
+                                out["width"], out["height"] = struct.unpack(
+                                    ">II", b[qlo + 4 : qlo + 12]
+                                )
+                return out
+            return out  # brand-only AVIF: no meta/ispe parsed
         out["container"] = "mp4"
-
-        def boxes(buf: bytes, i: int, end: int):
-            while i + 8 <= end:
-                (size,) = struct.unpack(">I", buf[i : i + 4])
-                btype = buf[i + 4 : i + 8]
-                hdr = 8
-                if size == 1:  # 64-bit largesize
-                    if i + 16 > end:
-                        return
-                    (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
-                    hdr = 16
-                elif size == 0:  # box extends to end of enclosing scope
-                    size = end - i
-                if size < hdr or i + size > end:
-                    return  # malformed: stop, keep what parsed
-                yield btype, i + hdr, i + size
-                i += size
-
-        def full_box_version(buf: bytes, i: int) -> int:
-            return buf[i] if i < len(buf) else 0
-
-        for btype, lo, hi in boxes(b, 0, len(b)):
+        n_moof = 0
+        timescale = duration = None
+        mehd_duration = None
+        for btype, lo, hi in _bmff_boxes(b, 0, len(b)):
+            if btype == b"moof":
+                # fragmented MP4: each moof/mdat pair is one fragment
+                n_moof += 1
+                continue
             if btype != b"moov":
                 continue
-            for ctype, clo, chi in boxes(b, lo, hi):
+            for ctype, clo, chi in _bmff_boxes(b, lo, hi):
                 if ctype == b"mvhd" and chi - clo >= 20:
-                    v = full_box_version(b, clo)
+                    v = _bmff_version(b, clo)
                     if v == 1 and chi - clo >= 28:
                         timescale, duration = struct.unpack(
                             ">IQ", b[clo + 20 : clo + 32]
@@ -306,13 +314,27 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
                         timescale, duration = struct.unpack(
                             ">II", b[clo + 12 : clo + 20]
                         )
-                    if timescale:
-                        out["duration_ms"] = int(duration * 1000 // timescale)
+                elif ctype == b"mvex":
+                    # movie-extends: declares the file fragmented; mehd
+                    # (when present) carries the TOTAL fragment
+                    # duration, since mvhd's duration is 0 in fMP4
+                    for mt, mlo, mhi in _bmff_boxes(b, clo, chi):
+                        if mt != b"mehd":
+                            continue
+                        v = _bmff_version(b, mlo)
+                        if v == 1 and mhi - mlo >= 12:
+                            (mehd_duration,) = struct.unpack(
+                                ">Q", b[mlo + 4 : mlo + 12]
+                            )
+                        elif mhi - mlo >= 8:
+                            (mehd_duration,) = struct.unpack(
+                                ">I", b[mlo + 4 : mlo + 8]
+                            )
                 elif ctype == b"trak":
-                    for ttype, tlo, thi in boxes(b, clo, chi):
+                    for ttype, tlo, thi in _bmff_boxes(b, clo, chi):
                         if ttype != b"tkhd":
                             continue
-                        v = full_box_version(b, tlo)
+                        v = _bmff_version(b, tlo)
                         woff = tlo + (88 if v == 1 else 76)
                         if thi - woff >= 8:
                             w_fx, h_fx = struct.unpack(
@@ -321,9 +343,39 @@ def decode_media(payload: bytes, meta: dict | None = None) -> dict:
                             if w_fx and h_fx:  # audio tracks carry 0x0
                                 out["width"] = w_fx >> 16
                                 out["height"] = h_fx >> 16
-            return out
-        return out  # ftyp but no moov: container known, metadata absent
+        if timescale:
+            eff = duration if duration else (mehd_duration or 0)
+            out["duration_ms"] = int(eff * 1000 // timescale)
+        if n_moof:
+            out["n_fragments"] = n_moof
+        return out
     raise ValueError(f"unrecognized container (magic {b[:4]!r})")
+
+
+def _bmff_boxes(buf: bytes, i: int, end: int):
+    """Yield (type, payload_lo, payload_hi) for each ISO-BMFF box in
+    ``buf[i:end]`` — 32-bit sizes, 64-bit largesize (size==1), and
+    to-end-of-scope (size==0); malformed sizes stop the walk, keeping
+    whatever parsed."""
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        btype = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _bmff_version(buf: bytes, i: int) -> int:
+    return buf[i] if i < len(buf) else 0
 
 
 def _decode_id3_text(enc: int, raw: bytes) -> str | None:
@@ -659,6 +711,92 @@ def encode_minimal_mp4(
     return ftyp + moov
 
 
+def encode_minimal_fmp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    n_fragments: int,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal spec-valid FRAGMENTED ISO-BMFF file (the DASH/HLS
+    streaming layout): ftyp + moov(mvhd duration=0 + trak(tkhd) +
+    mvex(mehd total-fragment-duration + trex defaults)) followed by
+    ``n_fragments`` moof(mfhd + traf(tfhd)) + mdat pairs. mvhd's zero
+    duration is the fMP4 signature — the real duration lives in mehd,
+    exactly what the decoder's mvex walk recovers."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(
+        b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso5iso6mp41dash"
+    )
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, timescale, 0)  # duration 0: fMP4
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 0x000007)
+        + struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", 0)  # duration 0 here too
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mehd = box(
+        b"mehd",
+        struct.pack(">II", 0, duration_ms * timescale // 1000),
+    )
+    trex = box(
+        b"trex", struct.pack(">IIIIII", 0, 1, 1, 0, 0, 0)
+    )  # track 1 defaults (sample description 1)
+    moov = box(
+        b"moov", mvhd + box(b"trak", tkhd) + box(b"mvex", mehd + trex)
+    )
+    frags = b""
+    for seq in range(1, n_fragments + 1):
+        mfhd = box(b"mfhd", struct.pack(">II", 0, seq))
+        tfhd = box(
+            b"tfhd", struct.pack(">II", 0x020000, 1)
+        )  # default-base-is-moof, track 1
+        frags += box(b"moof", mfhd + box(b"traf", tfhd)) + box(b"mdat", b"")
+    return ftyp + moov + frags
+
+
+def encode_minimal_avif(width: int, height: int) -> bytes:
+    """Minimal spec-valid AVIF (HEIF) header: ftyp with major brand
+    'avif' + meta FULL box containing hdlr('pict') and
+    iprp(ipco(ispe(width, height))) — the property walk every AVIF
+    dimension probe performs."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1miaf")
+    hdlr = box(
+        b"hdlr",
+        struct.pack(">I", 0)
+        + struct.pack(">I", 0)
+        + b"pict"
+        + b"\x00" * 12
+        + b"\x00",
+    )
+    ispe = box(b"ispe", struct.pack(">III", 0, width, height))
+    meta = box(
+        b"meta",
+        struct.pack(">I", 0) + hdlr + box(b"iprp", box(b"ipco", ispe)),
+    )
+    return ftyp + meta
+
+
 def encode_minimal_png(width: int, height: int) -> bytes:
     """Smallest standards-valid PNG prefix a header decoder accepts:
     magic + IHDR chunk (8-bit RGB) with a correct CRC32. Used to
@@ -708,6 +846,7 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("focal_mm", T.DoubleType(), True),
         T.StructField("gps_lat", T.DoubleType(), True),
         T.StructField("gps_lon", T.DoubleType(), True),
+        T.StructField("n_fragments", T.IntegerType(), True),
         T.StructField("decode_error", T.StringType(), True),
     ]
 )
@@ -716,7 +855,7 @@ _PROBE_FIELDS = (
     "container", "width", "height", "duration_ms",
     "channels", "sample_rate", "title", "artist", "album", "year",
     "camera_make", "camera_model", "orientation", "captured_at",
-    "exposure_s", "focal_mm", "gps_lat", "gps_lon",
+    "exposure_s", "focal_mm", "gps_lat", "gps_lon", "n_fragments",
 )
 
 
@@ -752,6 +891,7 @@ def probe_media(media: DataFrame) -> DataFrame:
                     "channels": "Int32",
                     "sample_rate": "Int32",
                     "orientation": "Int32",
+                    "n_fragments": "Int32",
                 }
             )
 
@@ -762,9 +902,11 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
     """Synthesize REAL container payloads from the documents fixture:
     doc_id % 8 == 1 becomes a tagged MP3 (ID3v2.3 frames + ID3v1
     trailer), doc_id % 8 == 3 an EXIF-tagged JPEG (APP1/TIFF IFD0 with
-    Make/Model/Orientation/DateTime), other even doc_ids PNGs
-    (width = n_chars, height = 1 + n_chars mod 7), other odd WAVs
-    (n_chars samples at 8 kHz mono). All tag values derive from doc
+    Make/Model/Orientation/DateTime), doc_id % 8 == 5 an MP4,
+    doc_id % 16 == 7 a FRAGMENTED MP4 (mehd duration + moof
+    fragments), doc_id % 16 == 0 an AVIF (meta/iprp/ipco/ispe dims),
+    other even doc_ids PNGs (width = n_chars, height = 1 + n_chars
+    mod 7), other odd WAVs (n_chars samples at 8 kHz mono). All tag values derive from doc
     fields and the bytes are spec-valid (correct magics, CRCs, chunk
     sizes, syncsafe tag sizes, TIFF offsets), so the encode ->
     ``probe_media`` decode round-trip exercises the real parsers and is
@@ -826,6 +968,16 @@ def typed_media_from_documents(documents: DataFrame) -> DataFrame:
                     # MP4: geometry + duration derived from doc fields
                     payloads.append(encode_minimal_mp4(n, 1 + n % 9, n * 40))
                     kinds.append("video")
+                elif did % 16 == 7:
+                    # fragmented MP4 (DASH layout): duration in mehd,
+                    # moof-count fragments
+                    payloads.append(
+                        encode_minimal_fmp4(n, 1 + n % 9, n * 25, 1 + n % 4)
+                    )
+                    kinds.append("video")
+                elif did % 16 == 0:
+                    payloads.append(encode_minimal_avif(n, 1 + n % 11))
+                    kinds.append("image")
                 elif did % 2 == 0:
                     payloads.append(encode_minimal_png(n, 1 + n % 7))
                     kinds.append("image")

@@ -1448,20 +1448,28 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 8 = 1 THEN 'mp3'
                 WHEN doc_id % 8 = 3 THEN 'jpeg'
                 WHEN doc_id % 8 = 5 THEN 'mp4'
+                WHEN doc_id % 16 = 7 THEN 'mp4'
+                WHEN doc_id % 16 = 0 THEN 'avif'
                 WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS container,
            CASE WHEN doc_id % 2 = 0 OR doc_id % 8 IN (3, 5)
+                OR doc_id % 16 = 7
                 THEN CAST(n_chars AS INT) END AS width,
            CASE WHEN doc_id % 8 = 3 THEN CAST(1 + n_chars % 5 AS INT)
                 WHEN doc_id % 8 = 5 THEN CAST(1 + n_chars % 9 AS INT)
+                WHEN doc_id % 16 = 7 THEN CAST(1 + n_chars % 9 AS INT)
+                WHEN doc_id % 16 = 0 THEN CAST(1 + n_chars % 11 AS INT)
                 WHEN doc_id % 2 = 0 THEN CAST(1 + n_chars % 7 AS INT)
            END AS height,
            CASE WHEN doc_id % 8 = 5 THEN CAST(n_chars * 40 AS BIGINT)
+                WHEN doc_id % 16 = 7 THEN CAST(n_chars * 25 AS BIGINT)
                 WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3)
                 THEN CAST(n_chars * 2 * 1000 // 16000 AS BIGINT)
            END AS duration_ms,
            CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3, 5)
+                AND doc_id % 16 != 7
                 THEN CAST(1 AS INT) END AS channels,
            CASE WHEN doc_id % 2 = 1 AND doc_id % 8 NOT IN (1, 3, 5)
+                AND doc_id % 16 != 7
                 THEN CAST(8000 AS INT) END AS sample_rate,
            CASE WHEN doc_id % 8 = 1 THEN 'doc-' || doc_id END AS title,
            CASE WHEN doc_id % 8 = 1 THEN lang END AS artist,
@@ -1490,14 +1498,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (CAST(doc_id % 180 AS DOUBLE)
                    + CAST((doc_id // 2) % 60 AS DOUBLE) / 60
                    + (CAST((doc_id * 3) % 240 AS DOUBLE) / 4) / 3600)
-           END AS gps_lon
+           END AS gps_lon,
+           CASE WHEN doc_id % 16 = 7
+                THEN CAST(1 + n_chars % 4 AS INT) END AS n_fragments
     FROM documents
     """,
     doc="Multimodal header decode (op E37, REAL path): spec-valid PNG / "
-    "RIFF-WAV / ID3-tagged MP3 / EXIF-tagged JPEG payloads are "
-    "synthesized from the documents fixture (correct magics, "
-    "CRC32-checked IHDR, chunked RIFF, syncsafe ID3v2.3 frames + ID3v1 "
-    "trailer, TIFF IFD0 with offset-addressed ASCII values), then "
+    "RIFF-WAV / ID3-tagged MP3 / EXIF-tagged JPEG / MP4 / FRAGMENTED "
+    "MP4 (mvex-mehd duration, moof count) / AVIF (meta-iprp-ipco-ispe "
+    "dims) payloads are synthesized from the documents fixture "
+    "(correct magics, CRC32-checked IHDR, chunked RIFF, syncsafe "
+    "ID3v2.3 frames + ID3v1 trailer, TIFF IFD0 with offset-addressed "
+    "ASCII values), then "
     "probe_media parses them back — pure-Python container parsing in an "
     "Arrow-batched mapInPandas, malformed bytes degrade to an error "
     "column, never a task failure. The oracle re-derives every metadata "
@@ -1519,7 +1531,7 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", "channels", "sample_rate",
         "title", "artist", "album", "year",
         "camera_make", "camera_model", "orientation", "captured_at",
-        "exposure_s", "focal_mm", "gps_lat", "gps_lon",
+        "exposure_s", "focal_mm", "gps_lat", "gps_lon", "n_fragments",
     )
 
 

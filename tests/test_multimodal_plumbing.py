@@ -172,3 +172,27 @@ def test_webp_header_decode_all_three_flavors():
     )
     d3 = decode_media(riff(vp8))
     assert (d3["width"], d3["height"]) == (320, 240)
+
+
+def test_decode_fragmented_mp4_and_avif_headers():
+    """fMP4: mvhd duration 0, real duration recovered from mvex/mehd,
+    top-level moof count reported as n_fragments. AVIF: brand-switched
+    ISO-BMFF, dims from meta(FULL)/iprp/ipco/ispe. Plain MP4 keeps
+    n_fragments NULL."""
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+        decode_media,
+        encode_minimal_avif,
+        encode_minimal_fmp4,
+        encode_minimal_mp4,
+    )
+
+    d = decode_media(encode_minimal_fmp4(640, 360, 5000, 3))
+    assert (d["container"], d["width"], d["height"]) == ("mp4", 640, 360)
+    assert d["duration_ms"] == 5000 and d["n_fragments"] == 3
+
+    a = decode_media(encode_minimal_avif(100, 7))
+    assert (a["container"], a["width"], a["height"]) == ("avif", 100, 7)
+    assert a["duration_ms"] is None and a["n_fragments"] is None
+
+    m = decode_media(encode_minimal_mp4(10, 5, 400))
+    assert m["n_fragments"] is None and m["duration_ms"] == 400
