@@ -2127,3 +2127,149 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_CHUNK_LEN = 64   # tokens per chunk
+_CHUNK_STRIDE = 48  # overlap = _CHUNK_LEN - _CHUNK_STRIDE = 16 tokens
+
+
+@register(
+    "doc_chunks_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+      FROM w WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_token,
+           CAST(len(list_slice(toks, start + 1, start + {_CHUNK_LEN}))
+                AS INT) AS n_chunk_tokens,
+           toks[start + 1] AS first_token,
+           toks[least(start + {_CHUNK_LEN}, len(toks))] AS last_token,
+           {md5_long_sql(
+               "array_to_string(list_slice(toks, start + 1,"
+               f" start + {_CHUNK_LEN}), ' ')"
+           )} AS chunk_hash
+    FROM s
+    WHERE start = 0 OR len(toks) - start > {_CHUNK_LEN - _CHUNK_STRIDE}
+    """,
+    doc="Sliding-window document CHUNKING (the RAG / pretraining "
+    "segmentation step): each doc's whitespace tokens split into "
+    f"{_CHUNK_LEN}-token chunks at stride {_CHUNK_STRIDE} "
+    f"({_CHUNK_LEN - _CHUNK_STRIDE}-token overlap, so context "
+    "straddling a boundary appears intact in the next chunk). "
+    "Trailing windows whose tokens are all covered by the previous "
+    "chunk are dropped (start > 0 and <= overlap leftover). Chunk "
+    "content is fingerprinted with the house 60-bit md5 so chunk-"
+    "level dedup can ride the same hash as doc-level. All array HOFs "
+    "(sequence/slice/element_at) — JVM codegen, zero UDFs, zero "
+    "shuffles: chunking is embarrassingly parallel and the explode "
+    "multiplies rows ~n_tokens/stride within each scan partition.",
+    tags=("E25", "E36"),
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    t = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    ).filter(
+        (F.col("start") == 0)
+        | (F.size("toks") - F.col("start") > _CHUNK_LEN - _CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_LEN)
+    return t.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.element_at(chunk, 1).alias("first_token"),
+        F.element_at(chunk, -1).alias("last_token"),
+        md5_long(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+_NORM_TEXT_SQL = md5_long_sql(
+    r"trim(regexp_replace(regexp_replace(lower(text),"
+    r" '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "normalized_dedup_canonical",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang, source, n_chars,
+             {_NORM_TEXT_SQL} AS norm_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY norm_key
+               ORDER BY n_chars DESC, doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY norm_key) AS BIGINT)
+               AS group_size
+      FROM norm
+    )
+    SELECT norm_key, group_size, doc_id AS canonical_doc_id, lang,
+           source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn = 1
+    """,
+    doc="NORMALIZATION-based dedup with CANONICAL selection (the "
+    "C4/RefinedWeb 'keep the best copy' rule): documents collapse "
+    "under a case/punctuation/whitespace-insensitive key (lower -> "
+    "strip non-word chars -> collapse runs of whitespace -> trim, "
+    "hashed with the house 60-bit md5), and each group keeps its "
+    "RICHEST copy — most original characters, ties to the smallest "
+    "doc_id — rather than exact_dedup_docs' arbitrary min-id rule. "
+    "Catches near-identical docs that differ only in formatting, the "
+    "tier between exact hashing and MinHash. One groupBy-shuffle "
+    "shape (window over the normalized key); the normalization chain "
+    "is regexp codegen, no UDF.",
+    tags=("E33", "E36", "E18"),
+)
+def normalized_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm_key = md5_long(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"[^\w\s]", ""),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    norm = docs.select(
+        "doc_id", "lang", "source", "n_chars", norm_key.alias("norm_key")
+    )
+    wk = W.partitionBy("norm_key")
+    ranked = norm.select(
+        "*",
+        F.row_number()
+        .over(wk.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("group_size"),
+    )
+    return ranked.filter("rn = 1").select(
+        "norm_key",
+        "group_size",
+        F.col("doc_id").alias("canonical_doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
