@@ -211,3 +211,213 @@ class IncrementalAggView:
 
     def read(self) -> DataFrame:
         return self.state.read()
+
+
+class IncrementalJoinAggView:
+    """A materialized ``(A JOIN B ON keys).groupBy(keys_g).agg(...)``
+    maintained incrementally from TWO snapshot-logged sources — the
+    delta-join rule (DBSP/Materialize's bilinearity of join):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    with every term's rows signed by the product of the input signs,
+    so appends AND row-level deletes on EITHER side retract exactly.
+    Aggregates are restricted to the retractable pair (count / sum,
+    same rule as the single-source signed path), and a count agg must
+    exist to expel fully-deleted groups.
+
+    Scale shape: each refresh joins |ΔA| against the old B (and
+    symmetrically), NEVER A_old ⋈ B_old — and when the join keys are in
+    a source's ``stats_cols``, the old-side scan reads only files whose
+    manifest min/max intersect the delta's key bounds (the same
+    pushdown ``merge_into`` uses), so the touched fraction of a 100 TB
+    table tracks the delta's key locality, not table size. History
+    rewrites (overwrite / pruned log) fall back to one full recompute;
+    every path commits the state in ONE atomic overwrite stamped with
+    BOTH source watermarks (multi-txn), so a crashed-and-retried
+    refresh is recognized and skipped.
+
+    Non-key column names must be disjoint between the two sources
+    (standard join-view hygiene; raises otherwise).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: SnapshotStore,
+        right: SnapshotStore,
+        path: str,
+        on: list[str],
+        keys: list[str],
+        aggs: dict[str, tuple],
+        view_id: str = "incremental_join_agg",
+    ) -> None:
+        self.aggs: dict[str, tuple[str, str | None, str | None]] = {}
+        for name, spec in aggs.items():
+            fn, col, out = (*spec, None) if len(spec) == 2 else spec
+            if fn not in ("count", "sum"):
+                raise ValueError(
+                    f"{name}: {fn!r} is not retractable — join views "
+                    "support count/sum only"
+                )
+            self.aggs[name] = (fn, col, out)
+        if not any(fn == "count" for fn, _, _ in self.aggs.values()):
+            raise ValueError("join views need a count agg to expel "
+                             "fully-deleted groups")
+        self.spark = spark
+        self.left = left
+        self.right = right
+        self.state = SnapshotStore(spark, path)
+        self.on = list(on)
+        self.keys = list(keys)
+        self.view_id = view_id
+
+    # --- internals ----------------------------------------------------------
+
+    def _last(self, side: str) -> int:
+        return self.state.last_txn(f"{self.view_id}:{side}") or 0
+
+    def _signed_partial(self, rows: DataFrame) -> DataFrame:
+        exprs = []
+        for name, (fn, col, out) in self.aggs.items():
+            e = (
+                F.sum("_sign")
+                if fn == "count"
+                else F.sum(F.col(col) * F.col("_sign"))
+            )
+            exprs.append(IncrementalAggView._typed(fn, out, e).alias(name))
+        return rows.groupBy(*self.keys).agg(*exprs)
+
+    def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
+        exprs = [
+            IncrementalAggView._typed(fn, out, F.sum(name)).alias(name)
+            for name, (fn, _, out) in self.aggs.items()
+        ]
+        return state.unionByName(partial).groupBy(*self.keys).agg(*exprs)
+
+    def _old_side_pruned(
+        self, store: SnapshotStore, version: int, delta_keys: DataFrame
+    ) -> DataFrame | None:
+        """The old snapshot of one source, manifest-stats-pruned to
+        files that can contain the OTHER side's changed join keys.
+        None = provably empty (version 0, or disjoint key bounds)."""
+        if version == 0:
+            return None
+        m = store.manifest(version)
+        files = m["files"]
+        prune_cols = [c for c in self.on if c in store.stats_cols]
+        if files and prune_cols:
+            aggs = []
+            for c in prune_cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            b = delta_keys.agg(*aggs).collect()[0]
+            if b[f"lo_{prune_cols[0]}"] is None:
+                return None  # empty delta
+            files = store.pruned_files(
+                {c: (b[f"lo_{c}"], b[f"hi_{c}"]) for c in prune_cols},
+                version=version,
+            )
+        if not files:
+            return None
+        return store._read_files(files, m)
+
+    # --- API ------------------------------------------------------------------
+
+    def refresh(self) -> int | None:
+        """Bring the state up to both source heads; returns the new
+        state version or None when already current."""
+        hl, hr = self.left.latest_version(), self.right.latest_version()
+        ll, lr = self._last("left"), self._last("right")
+        if hl <= ll and hr <= lr:
+            return None
+        if hl == 0 or hr == 0:
+            return None  # inner join with a never-written side is empty
+        dup = set(self.left.read(version=hl).columns) & set(
+            self.right.read(version=hr).columns
+        ) - set(self.on)
+        if dup:
+            raise ValueError(f"non-key columns overlap across sources: {dup}")
+
+        def _row_ops(store: SnapshotStore, lo: int, hi: int) -> bool:
+            try:
+                return all(
+                    store.manifest(v)["operation"]
+                    in ("append", "delete", "merge", "compact")
+                    for v in range(lo + 1, hi + 1)
+                )
+            except FileNotFoundError:  # log pruned under us
+                return False
+
+        incremental = (
+            (ll > 0 or lr > 0)
+            and _row_ops(self.left, ll, hl)
+            and _row_ops(self.right, lr, hr)
+        )
+        if incremental:
+            dA = (
+                self.left.read_row_changes(ll, hl).withColumnRenamed(
+                    "_change", "_ca"
+                )
+                if hl > ll
+                else None
+            )
+            dB = (
+                self.right.read_row_changes(lr, hr).withColumnRenamed(
+                    "_change", "_cb"
+                )
+                if hr > lr
+                else None
+            )
+            terms = []
+            if dA is not None:
+                B0 = self._old_side_pruned(self.right, lr, dA.select(*self.on))
+                if B0 is not None:
+                    terms.append(
+                        dA.join(B0, self.on).withColumn(
+                            "_sign", F.col("_ca")
+                        )
+                    )
+            if dB is not None:
+                A0 = self._old_side_pruned(self.left, ll, dB.select(*self.on))
+                if A0 is not None:
+                    terms.append(
+                        A0.join(dB, self.on).withColumn(
+                            "_sign", F.col("_cb")
+                        )
+                    )
+            if dA is not None and dB is not None:
+                terms.append(
+                    dA.join(dB, self.on).withColumn(
+                        "_sign", F.col("_ca") * F.col("_cb")
+                    )
+                )
+            cnt = next(
+                name for name, (fn, _, _) in self.aggs.items() if fn == "count"
+            )
+            if terms:
+                delta = terms[0]
+                for t in terms[1:]:
+                    delta = delta.unionByName(t, allowMissingColumns=True)
+                partial = self._signed_partial(delta)
+                merged = (
+                    self._merge(self.state.read(), partial)
+                    if (ll > 0 or lr > 0)
+                    else partial
+                ).filter(F.col(cnt) > 0)
+            else:
+                merged = self.state.read()
+        else:
+            joined = self.left.read(version=hl).join(
+                self.right.read(version=hr), self.on
+            ).withColumn("_sign", F.lit(1))
+            merged = self._signed_partial(joined)
+        return self.state.overwrite(
+            merged,
+            txn=[
+                (f"{self.view_id}:left", hl),
+                (f"{self.view_id}:right", hr),
+            ],
+        )
+
+    def read(self) -> DataFrame:
+        return self.state.read()

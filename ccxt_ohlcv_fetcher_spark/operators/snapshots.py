@@ -281,7 +281,7 @@ class SnapshotStore:
         base_version: int,
         files: list[str],
         operation: str,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
         changes: list[str] | None = None,
         added: list[str] | None = None,
     ) -> bool:
@@ -289,10 +289,13 @@ class SnapshotStore:
         base = self.manifest(base_version)
         # txn map carries forward through every commit (Delta's
         # SetTransaction): the head manifest always knows the last
-        # applied batch per streaming writer
+        # applied batch per streaming writer. A list stamps several
+        # (app_id, batch) watermarks atomically in one commit.
         txns = dict(base.get("txn", {}))
-        if txn is not None:
-            txns[txn[0]] = txn[1]
+        for app, batch in (
+            [txn] if isinstance(txn, tuple) else (txn or [])
+        ):
+            txns[app] = batch
         # file stats carry forward for retained files; staged files
         # bring their own. Entries for dropped files fall away.
         stats = {
@@ -396,7 +399,7 @@ class SnapshotStore:
         self,
         df: DataFrame,
         max_retries: int = 10,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | list[tuple[str, int]] | None = None,
     ) -> int | None:
         """Atomic full replace (the snapshot references ONLY the new
         files; history still reaches the old ones until vacuum). The
@@ -406,19 +409,29 @@ class SnapshotStore:
         once contract as append — the incremental-view refresher
         (operators/incremental.py) stamps each state rewrite with the
         source version it reflects, so a crashed-and-retried refresh
-        is recognized from the log and skipped (returns None)."""
-        if txn is not None:
-            last = self.last_txn(txn[0])
-            if last is not None and txn[1] <= last:
-                return None
+        is recognized from the log and skipped (returns None). A LIST
+        of (app_id, batch_id) pairs stamps several watermarks in one
+        commit (a join view tracks one per source); the write is
+        skipped only when EVERY pair was already applied."""
+        txns = (
+            [txn] if isinstance(txn, tuple) else list(txn or [])
+        )
+
+        def _already_applied(manifest_txn: dict) -> bool:
+            return bool(txns) and all(
+                manifest_txn.get(app) is not None
+                and batch <= manifest_txn[app]
+                for app, batch in txns
+            )
+
+        if _already_applied(self.manifest().get("txn", {})):
+            return None
         new_files = self._stage(df, allow_schema_change=True)
         for _ in range(max_retries):
             base = self.latest_version()
-            if txn is not None:
-                last = self.manifest(base).get("txn", {}).get(txn[0])
-                if last is not None and txn[1] <= last:
-                    return None
-            if self._try_commit(base, new_files, "overwrite", txn=txn):
+            if _already_applied(self.manifest(base).get("txn", {})):
+                return None
+            if self._try_commit(base, new_files, "overwrite", txn=txns):
                 return base + 1
         raise CommitConflict(f"overwrite lost the CAS race {max_retries} times")
 

@@ -1141,6 +1141,88 @@ def events_incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_join_view_cdc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE NOT (l_quantity > 45)
+    GROUP BY 1
+    """,
+    doc="Incrementally-maintained JOIN-aggregate view (delta-join IVM, "
+    "the Materialize/DBSP capability, operators/incremental.py "
+    "IncrementalJoinAggView): lineitem (fact) and orders (dim) each "
+    "land in TWO append commits on their own snapshot logs, then a "
+    "row-level delete removes the bulk lineitems — and after EVERY "
+    "commit the view refreshes via the bilinearity rule "
+    "dA*B0 + A0*dB + dA*dB with signed rows, never re-joining the "
+    "full tables (the old-side scan is manifest-stats-prunable to the "
+    "delta's key range). State commits are single atomic overwrites "
+    "stamped with BOTH source watermarks (multi-txn exactly-once). "
+    "The oracle is the one-shot filtered join+groupBy: passing it "
+    "proves four delta refreshes + a retraction reproduce the full "
+    "recompute to the hash — decimal sums make the equality exact "
+    "under any merge order. Built once per fixture dir.",
+    tags=("E5", "E13"),
+)
+def revenue_join_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.incremental import (
+        IncrementalJoinAggView,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+    state_path = _IVM_MEMO.get(("joincdc", sf_dir))
+    if state_path is None:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="ivm_join_")
+        fact = SnapshotStore(spark, base + "/fact", stats_cols=["okey"])
+        dim = SnapshotStore(spark, base + "/dim")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+            F.col("l_quantity").alias("quantity"),
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        )
+        view = IncrementalJoinAggView(
+            spark,
+            fact,
+            dim,
+            base + "/state",
+            on=["okey"],
+            keys=["o_orderpriority"],
+            aggs={
+                "cnt": ("count", None),
+                "sum_price": ("sum", "price_dec", "decimal(38,2)"),
+            },
+        )
+        fact.append(li.filter(F.col("okey") % 2 == 0))
+        dim.append(orders.filter(F.col("okey") % 2 == 0))
+        view.refresh()  # full build (first sync)
+        fact.append(li.filter(F.col("okey") % 2 == 1))
+        view.refresh()  # dA * B0
+        dim.append(orders.filter(F.col("okey") % 2 == 1))
+        view.refresh()  # A0 * dB
+        fact.delete_where("quantity > 45")
+        view.refresh()  # signed retraction through the join
+        state_path = base + "/state"
+        _IVM_MEMO[("joincdc", sf_dir)] = state_path
+    return (
+        SnapshotStore(spark, state_path)
+        .read()
+        .select(
+            "o_orderpriority",
+            "cnt",
+            F.col("sum_price").cast("double").alias("sum_price"),
+        )
+    )
+
+
 _CMS_D = 4
 _CMS_W = 64
 

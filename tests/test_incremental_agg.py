@@ -317,3 +317,150 @@ def test_upserts_stay_incremental_for_count_sum(spark, tmp_path):
     assert r["matched"] == 5 and r["inserted"] == 5
     assert view.refresh() is not None
     assert got() == exp()
+
+
+# --- join views (delta-join maintenance) ----------------------------------
+
+
+def _dim(spark, keys_vals):
+    return spark.createDataFrame(keys_vals, "k long, grp string")
+
+
+def _fact(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 6).alias("k"),
+        F.col("id").alias("fv"),
+    )
+
+
+def _join_expected(left, right):
+    return {
+        r["grp"]: (r["cnt"], r["sum_fv"])
+        for r in left.join(right, "k")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("fv").cast("long").alias("sum_fv"),
+        )
+        .collect()
+    }
+
+
+def _join_got(view):
+    return {
+        r["grp"]: (r["cnt"], r["sum_fv"]) for r in view.read().collect()
+    }
+
+
+def test_join_view_tracks_appends_and_deletes_both_sides(spark, tmp_path):
+    """Delta-join maintenance: appends and row-level deletes on EITHER
+    side retract exactly; every refresh equals the one-shot join +
+    groupBy over the current heads; fully-deleted groups leave the
+    state."""
+    from ccxt_ohlcv_fetcher_spark.operators.incremental import (
+        IncrementalJoinAggView,
+    )
+
+    fact = SnapshotStore(spark, str(tmp_path / "fact"))
+    dim = SnapshotStore(spark, str(tmp_path / "dim"))
+    view = IncrementalJoinAggView(
+        spark,
+        fact,
+        dim,
+        str(tmp_path / "state"),
+        on=["k"],
+        keys=["grp"],
+        aggs={"cnt": ("count", None), "sum_fv": ("sum", "fv")},
+    )
+    # nothing to join yet: one side empty -> no state
+    fact.append(_fact(spark, 0, 10))
+    assert view.refresh() is None
+
+    dim.append(_dim(spark, [(0, "a"), (1, "a"), (2, "b")]))      # dim v1
+    assert view.refresh() is not None                             # full build
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+    # fact-side append: ΔA ⋈ B_old
+    fact.append(_fact(spark, 10, 30))
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+    # dim-side append: A_old ⋈ ΔB (new group appears)
+    dim.append(_dim(spark, [(3, "c"), (4, "c")]))
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+    # simultaneous deltas on both sides: all three delta-join terms
+    fact.append(_fact(spark, 30, 41))
+    dim.append(_dim(spark, [(5, "d")]))
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+    # fact-side delete retracts; dim-side delete expels whole groups
+    fact.delete_where("fv % 3 = 0")
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+    dim.delete_where("grp = 'c'")
+    assert view.refresh() is not None
+    got = _join_got(view)
+    assert got == _join_expected(fact.read(), dim.read())
+    assert "c" not in got
+
+    # idempotent: nothing new -> no commit; replay leaves state alone
+    v_before = view.state.latest_version()
+    assert view.refresh() is None
+    assert view.state.latest_version() == v_before
+
+
+def test_join_view_full_fallback_on_overwrite_and_key_pruning(
+    spark, tmp_path
+):
+    """A history-rewriting overwrite on one source forces (and
+    survives via) the full-recompute path; with join keys in
+    stats_cols, the old-side read is manifest-pruned to the delta's
+    key range."""
+    from ccxt_ohlcv_fetcher_spark.operators.incremental import (
+        IncrementalJoinAggView,
+    )
+
+    fact = SnapshotStore(spark, str(tmp_path / "fact"), stats_cols=["k"])
+    dim = SnapshotStore(spark, str(tmp_path / "dim"))
+    view = IncrementalJoinAggView(
+        spark,
+        fact,
+        dim,
+        str(tmp_path / "state"),
+        on=["k"],
+        keys=["grp"],
+        aggs={"cnt": ("count", None), "sum_fv": ("sum", "fv")},
+    )
+    # disjoint-key fact files (single-partition commits -> one file each)
+    for lo in (0, 100, 200):
+        fact.append(
+            spark.range(lo, lo + 10)
+            .coalesce(1)
+            .select(F.col("id").alias("k"), (F.col("id") * 10).alias("fv"))
+        )
+    dim.append(
+        spark.createDataFrame(
+            [(k, "g%d" % (k // 100)) for k in range(0, 300, 5)],
+            "k long, grp string",
+        )
+    )
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+    # dim delta touching ONLY the 200-file's key range: the A_old scan
+    # must prune to candidate files (provable via pruned_files)
+    dim.append(_dim(spark, [(205, "g2x")]))
+    pruned = fact.pruned_files({"k": (205, 205)})
+    assert len(pruned) == 1  # the machinery the refresh path uses
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+    # overwrite rewrites history row-lessly -> full recompute fallback
+    dim.overwrite(
+        spark.createDataFrame([(5, "z"), (205, "z")], "k long, grp string")
+    )
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
