@@ -58,21 +58,80 @@ class CommitConflict(RuntimeError):
     """Raised when max_retries rebases all lose the CAS race."""
 
 
+# --- per-file Bloom filters (manifest file-skipping for point lookups) ----
+
+_BLOOM_K = 4
+_BLOOM_MAX_BITS = 512 * 1024  # 64 KiB per (file, col) cap
+
+
+def _bloom_positions(value, mbits: int, k: int):
+    import hashlib
+
+    s = str(value)
+    for seed in range(k):
+        h = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+        yield int(h[:16], 16) % mbits
+
+
+def _bloom_encode(values, k: int = _BLOOM_K) -> dict:
+    """~10 bits/distinct value (fpp ~1-2% at k=4), zlib+base64 for the
+    JSON manifest. Deterministic (md5 of the stringified value), so
+    blooms built anywhere agree."""
+    import base64
+    import zlib
+
+    mbits = min(max(1024, 10 * len(values)), _BLOOM_MAX_BITS)
+    mbits = (mbits + 7) // 8 * 8
+    buf = bytearray(mbits // 8)
+    for v in values:
+        for i in _bloom_positions(v, mbits, k):
+            buf[i >> 3] |= 1 << (i & 7)
+    return {
+        "b": base64.b64encode(zlib.compress(bytes(buf))).decode("ascii"),
+        "m": mbits,
+        "k": k,
+    }
+
+
+def _bloom_may_contain(entry: dict, value) -> bool:
+    import base64
+    import zlib
+
+    buf = zlib.decompress(base64.b64decode(entry["b"]))
+    return all(
+        buf[i >> 3] & (1 << (i & 7))
+        for i in _bloom_positions(value, entry["m"], entry["k"])
+    )
+
+
 class SnapshotStore:
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ):
         """``stats_cols``: column names whose per-file min/max are read
         from the parquet footers at stage time and recorded in the
         manifest (Iceberg-style file stats). Readers can then prune
         files from the LOG alone — no footer I/O, the operation that
-        dominates listing-scale cost at 100 TB."""
+        dominates listing-scale cost at 100 TB.
+
+        ``bloom_cols``: columns additionally given a small PER-FILE
+        Bloom filter in the manifest (Iceberg-puffin / Delta-stats
+        style). Min/max prunes RANGE predicates but is useless for
+        point lookups on scattered high-cardinality keys (every file's
+        range covers everything); the bloom answers "can file F
+        contain key = v?" from the LOG alone. Parquet's own bloom
+        filters would still cost one footer+page read per file — the
+        manifest copy costs zero I/O at query time. Sized at ~10 bits
+        per distinct value (k=4, fpp ~ 1-2%), capped at 64 KiB,
+        zlib+base64 in the manifest."""
         self.spark = spark
         self.path = path
         self.stats_cols = tuple(stats_cols or ())
+        self.bloom_cols = tuple(bloom_cols or ())
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
 
@@ -220,6 +279,23 @@ class SnapshotStore:
             if self.stats_cols
             else {}
         )
+        if self.bloom_cols:
+            # per-file Bloom filters ride the write path (the staged
+            # file is just-written and page-cache warm; one column read
+            # per bloom col) — query-time membership checks then cost
+            # ZERO file I/O, exactly like Iceberg puffin blobs
+            for r, f in zip(rel, files):
+                bl = {}
+                for col in self.bloom_cols:
+                    try:
+                        vals = pq.read_table(f, columns=[col]).column(0)
+                    except Exception:
+                        continue
+                    uniq = {v for v in vals.to_pylist() if v is not None}
+                    if uniq:
+                        bl[col] = _bloom_encode(uniq)
+                if bl:
+                    self._pending_stats.setdefault(r, {})["_bloom"] = bl
         return rel
 
     def _footer_stats(self, path: str) -> dict:
@@ -276,6 +352,35 @@ class SnapshotStore:
                 keep.append(f)
         return keep
 
+    def pruned_files_eq(
+        self, col: str, value, version: int | None = None
+    ) -> list[str]:
+        """Files that MAY contain ``col = value``, from the log alone:
+        min/max range check first (free), then the per-file Bloom
+        filter (zero I/O, ~1-2% false positives, NO false negatives —
+        a pruned file provably lacks the key). The point-lookup
+        complement to :meth:`pruned_files`: on scattered
+        high-cardinality keys every file's [min, max] spans the probe
+        value and range pruning keeps everything, while the bloom
+        keeps only files that actually wrote the key (+fpp)."""
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            fs = stats.get(f, {})
+            rng = fs.get(col)
+            if rng is not None:
+                try:
+                    if value < rng[0] or value > rng[1]:
+                        continue
+                except TypeError:
+                    pass  # incomparable types: fall through to bloom
+            bl = fs.get("_bloom", {}).get(col)
+            if bl is not None and not _bloom_may_contain(bl, value):
+                continue
+            keep.append(f)
+        return keep
+
     def _try_commit(
         self,
         base_version: int,
@@ -321,7 +426,7 @@ class SnapshotStore:
             # inserts) — the +1 side of the row feed; survivor-rewrite
             # files are explicitly not in this list
             manifest["added"] = added
-        if self.stats_cols:
+        if self.stats_cols or self.bloom_cols:
             manifest["stats"] = {f: stats.get(f, {}) for f in files}
         os.makedirs(self._manifest_dir, exist_ok=True)
         # write the full content to a temp file, then hard-link it into
@@ -625,6 +730,36 @@ class SnapshotStore:
                     {c: (b[f"lo_{c}"], b[f"hi_{c}"]) for c in prune_cols},
                     version=base,
                 )
+        # bloom refinement for point-key trickle upserts: scattered
+        # keys defeat range pruning (every file's min/max spans them);
+        # with a single bloom'd join key and a BOUNDED key set, drop
+        # candidate files whose bloom rejects every source key
+        if cand and len(on) == 1 and on[0] in self.bloom_cols:
+            kvals = [
+                r[0]
+                for r in source.select(on[0]).distinct().limit(1025).collect()
+            ]
+            if 0 < len(kvals) <= 1024:
+                import base64
+                import zlib
+
+                stats = m.get("stats", {})
+                kept = []
+                for f in cand:
+                    bl = stats.get(f, {}).get("_bloom", {}).get(on[0])
+                    if bl is None:
+                        kept.append(f)
+                        continue
+                    buf = zlib.decompress(base64.b64decode(bl["b"]))
+                    if any(
+                        all(
+                            buf[i >> 3] & (1 << (i & 7))
+                            for i in _bloom_positions(v, bl["m"], bl["k"])
+                        )
+                        for v in kvals
+                    ):
+                        kept.append(f)
+                cand = kept
         per_file: dict = {}
         matched_t = None
         if cand:

@@ -625,3 +625,78 @@ def test_merge_schema_evolution_add_column(spark, tmp_path):
         store.append(kv(20, 21))
     store.append(kv(20, 21).withColumn("tag", F.lit("y")))
     assert store.read().count() == 9
+
+
+def test_bloom_file_skipping_point_lookups(spark, tmp_path):
+    """Per-file manifest Bloom filters: on SCATTERED keys (every
+    file's [min, max] spans every probe, so range pruning keeps all
+    files) the bloom keeps only files that actually contain the key —
+    and NEVER prunes a file that does contain it (no false
+    negatives, checked exhaustively)."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"]
+    )
+    # 4 single-file commits with interleaved keys: file i holds
+    # keys {i, i+40, i+80, ..., i+360} — min/max overlap fully
+    for i in range(4):
+        store.append(
+            spark.createDataFrame(
+                [(i + 40 * j,) for j in range(10)], "k long"
+            ).coalesce(1)
+        )
+    n_files = len(store.manifest()["files"])
+    assert n_files == 4
+    # range pruning alone keeps everything (overlapping min/max)
+    assert len(store.pruned_files({"k": (81, 81)})) == 4
+    # bloom pruning: exactness — every present key keeps its own file
+    hits = []
+    for i in range(4):
+        for j in range(10):
+            key = i + 40 * j
+            cand = store.pruned_files_eq("k", key)
+            owner = store.manifest(i + 1)["files"]
+            new = [f for f in owner if f not in
+                   (store.manifest(i)["files"] if i else [])]
+            assert set(new) <= set(cand)  # no false negatives, ever
+            hits.append(len(cand))
+    # and it actually prunes: most lookups touch ~1 of 4 files
+    assert sum(hits) / len(hits) < 2.0
+    # absent keys: near-total pruning (fpp only)
+    miss = [len(store.pruned_files_eq("k", 1000 + i)) for i in range(50)]
+    assert sum(miss) <= 10  # ~1-2% fpp * 4 files * 50 probes
+    # blooms survive carry-forward through an append commit
+    store.append(
+        spark.createDataFrame([(9999,)], "k long").coalesce(1)
+    )
+    assert len(store.pruned_files_eq("k", 9999)) <= 2
+    cand2 = store.pruned_files_eq("k", 81)
+    assert len(cand2) < 5 and any("commit" in f for f in cand2)
+
+
+def test_merge_bloom_refinement_on_scattered_keys(spark, tmp_path):
+    """Point-key upsert against scattered keys: range pruning keeps
+    every file (overlapping min/max), the bloom refinement narrows the
+    match scan to the files that actually contain the source keys —
+    and the merge result is still exact."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"]
+    )
+    for i in range(4):  # file i: keys i, i+40, ..., i+360 (interleaved)
+        store.append(
+            spark.createDataFrame(
+                [(i + 40 * j, i + 40 * j) for j in range(10)],
+                "k long, v long",
+            ).coalesce(1)
+        )
+    # upsert exactly two keys living in file 1 (k=41) and file 2 (k=82)
+    src = spark.createDataFrame([(41, -1), (82, -2)], "k long, v long")
+    r = store.merge_into(src, on=["k"])
+    assert (r["matched"], r["inserted"]) == (2, 0)
+    assert r["files_total"] == 4 and r["files_scanned"] <= 2
+    got = {row["k"]: row["v"] for row in store.read().collect()}
+    assert got[41] == -1 and got[82] == -2 and got[0] == 0
+    assert len(got) == 40
