@@ -464,3 +464,49 @@ def test_join_view_full_fallback_on_overwrite_and_key_pruning(
     )
     assert view.refresh() is not None
     assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+
+def test_streaming_fact_feeds_join_view(spark, tmp_path):
+    """Stream -> snapshot fact source -> per-commit
+    IncrementalJoinAggView.refresh(): the streaming continuous
+    JOIN aggregate. Dim-side commits between micro-batches are picked
+    up by the same refreshes; the final state equals the one-shot
+    join + groupBy over both heads."""
+    from ccxt_ohlcv_fetcher_spark.operators.incremental import (
+        IncrementalJoinAggView,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        streaming_snapshot_sink,
+    )
+
+    src_files = str(tmp_path / "files")
+    for i in range(3):
+        spark.range(i * 60, (i + 1) * 60).select(
+            (F.col("id") % 6).alias("k"), F.col("id").alias("fv")
+        ).coalesce(1).write.mode("append").parquet(src_files)
+    fact = SnapshotStore(spark, str(tmp_path / "fact"))
+    dim = SnapshotStore(spark, str(tmp_path / "dim"))
+    dim.append(_dim(spark, [(0, "a"), (1, "a"), (2, "b"), (3, "b")]))
+    view = IncrementalJoinAggView(
+        spark,
+        fact,
+        dim,
+        str(tmp_path / "state"),
+        on=["k"],
+        keys=["grp"],
+        aggs={"cnt": ("count", None), "sum_fv": ("sum", "fv")},
+    )
+    stream = spark.readStream.schema("k long, fv long").parquet(src_files)
+    q = streaming_snapshot_sink(
+        stream,
+        fact,
+        app_id="jv-test",
+        checkpoint_dir=str(tmp_path / "ck"),
+        on_commit=lambda v: view.refresh(),
+    )
+    q.awaitTermination(120)
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
+    # a dim commit after the stream drains is one more delta refresh
+    dim.append(_dim(spark, [(4, "c")]))
+    assert view.refresh() is not None
+    assert _join_got(view) == _join_expected(fact.read(), dim.read())
