@@ -86,6 +86,34 @@ def rank_quantized(df: DataFrame, col: str, bits: int) -> Column:
     ).cast("bigint")
 
 
+def zorder_column(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 15,
+    quantize: str = "rank",
+    rank_bits: int = 6,
+) -> Column:
+    """The Z-curve position column for ``cols`` over ``df``'s value
+    distribution — the quantization half of :func:`zorder_write`,
+    reusable by any clustered rewrite (SnapshotStore.compact's
+    ``zorder_by`` passes it straight to repartitionByRange)."""
+    if quantize == "rank":
+        qcols = [rank_quantized(df, c, rank_bits) for c in cols]
+        return zorder_value(
+            qcols,
+            [0.0] * len(cols),
+            [float((1 << rank_bits) - 1)] * len(cols),
+            bits=rank_bits,
+        )
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"_lo{i}"] for i in range(len(cols))]
+    maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    return zorder_value(cols, mins, maxs, bits=bits)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -107,22 +135,7 @@ def zorder_write(
     to skewed distributions. ``quantize="linear"`` interleaves min/max-
     scaled values at ``bits`` per dimension — fine for uniform columns,
     degenerate for heavy-tailed ones."""
-    if quantize == "rank":
-        qcols = [rank_quantized(df, c, rank_bits) for c in cols]
-        z = zorder_value(
-            qcols,
-            [0.0] * len(cols),
-            [float((1 << rank_bits) - 1)] * len(cols),
-            bits=rank_bits,
-        )
-    else:
-        stats = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
-            *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
-        ).collect()[0]
-        mins = [stats[f"_lo{i}"] for i in range(len(cols))]
-        maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
-        z = zorder_value(cols, mins, maxs, bits=bits)
+    z = zorder_column(df, cols, bits=bits, quantize=quantize, rank_bits=rank_bits)
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")

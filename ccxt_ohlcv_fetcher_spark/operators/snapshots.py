@@ -961,6 +961,7 @@ class SnapshotStore:
         target_partitions: int = 1,
         max_retries: int = 10,
         order_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot's many small files into
         ``target_partitions`` files in ONE atomic commit (operation
@@ -980,11 +981,28 @@ class SnapshotStore:
                 # clustered rewrite: range-partition + sort so each output
                 # file owns a disjoint key range — min/max footer stats then
                 # prune whole files on range predicates (OPTIMIZE ... ZORDER
-                # for the 1-D case; compose with operators/layout.py's
-                # Z-order column for multi-D)
+                # for the 1-D case)
                 snapshot = snapshot.repartitionByRange(
                     target_partitions, *order_by
                 ).sortWithinPartitions(*order_by)
+            elif zorder_by:
+                # multi-D clustered rewrite (Delta's OPTIMIZE ZORDER BY):
+                # range-partition + sort on the rank-quantized Z-curve so
+                # every output file covers a tight BOX in all listed
+                # dimensions — the manifest's min/max stats then prune
+                # multi-predicate box queries that a 1-D sort can only
+                # prune in its leading column
+                from ccxt_ohlcv_fetcher_spark.operators.layout import (
+                    zorder_column,
+                )
+
+                z = zorder_column(snapshot, zorder_by)
+                snapshot = (
+                    snapshot.withColumn("_z", z)
+                    .repartitionByRange(target_partitions, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
             else:
                 snapshot = snapshot.coalesce(target_partitions)
             new_files = self._stage(snapshot)

@@ -700,3 +700,41 @@ def test_merge_bloom_refinement_on_scattered_keys(spark, tmp_path):
     got = {row["k"]: row["v"] for row in store.read().collect()}
     assert got[41] == -1 and got[82] == -2 and got[0] == 0
     assert len(got) == 40
+
+
+def test_zorder_compact_prunes_2d_box_queries(spark, tmp_path):
+    """compact(zorder_by=[a, b]): every output file covers a tight box
+    in BOTH dimensions, so a 2-D box predicate prunes files from the
+    manifest where a 1-D sort can only prune its leading column. Rows
+    are preserved exactly."""
+    from pyspark.sql import functions as F
+
+    def data():
+        # 64x64 grid, row-major: a-sorted layout has every file span
+        # the full b range
+        return spark.range(4096).select(
+            F.floor(F.col("id") / 64).alias("a"),
+            (F.col("id") % 64).alias("b"),
+        )
+
+    lin = SnapshotStore(spark, str(tmp_path / "lin"), stats_cols=["a", "b"])
+    lin.append(data())
+    lin.compact(target_partitions=16, order_by=["a"])
+    zo = SnapshotStore(spark, str(tmp_path / "zo"), stats_cols=["a", "b"])
+    zo.append(data())
+    zo.compact(target_partitions=16, zorder_by=["a", "b"])
+    assert zo.read().count() == 4096
+    assert (
+        zo.read().agg(F.sum(F.col("a") * 64 + F.col("b"))).collect()[0][0]
+        == 4096 * 4095 // 2
+    )
+    # z-order trades a little leading-dim selectivity for coverage of
+    # EVERY listed dim: a 2-D box still prunes most files...
+    assert len(zo.pruned_files({"a": (10, 20), "b": (10, 20)})) < 8
+    # ...an a-only range still prunes (coarser than the pure a-sort)...
+    assert len(zo.pruned_files({"a": (0, 7)})) < 16
+    # ...and on a b-only range the a-sorted layout keeps ALL files
+    # (every file spans the full b range) while z-order prunes
+    b_only = {"b": (0, 7)}
+    assert len(lin.pruned_files(b_only)) == 16
+    assert len(zo.pruned_files(b_only)) < 16
