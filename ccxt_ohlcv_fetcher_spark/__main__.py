@@ -222,6 +222,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="row-level delete needs the commit log (atomic copy-on-write)",
     )
 
+    hi = sub.add_parser(
+        "history", help="commit log of a snapshot-logged dataset"
+    )
+    hi.add_argument("--data-dir", type=str, required=True)
+    hi.add_argument(
+        "--snapshot-log", action="store_true", required=True,
+        help="history is a commit-log concept (plain datasets have none)",
+    )
+
     sq = sub.add_parser(
         "sql", help="ad-hoc SQL over fixture tables and/or a candle dataset"
     )
@@ -240,6 +249,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="candle dataset root, registered as view `candles`",
     )
     sq.add_argument("--snapshot-log", action="store_true")
+    sq.add_argument(
+        "--version",
+        type=int,
+        default=None,
+        help="time-travel: pin the `candles` view to this snapshot "
+        "version (needs --snapshot-log)",
+    )
     sq.add_argument("--format", choices=["csv", "json"], default="csv")
     sq.add_argument(
         "--limit",
@@ -405,6 +421,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"deleted rows={n} version={version}")
         return 0
 
+    if args.command == "history":
+        dataset = _make_dataset(spark, args)
+        for h in dataset.store.history():
+            print(
+                f"v{h['version']:06d} parent=v{h['parent']:06d} "
+                f"{h['operation']:<9} files={h['n_files']}"
+            )
+        return 0
+
     if args.command == "sql":
         if not args.sf_dir and not args.data_dir:
             raise SystemExit("sql needs --sf-dir and/or --data-dir")
@@ -415,7 +440,15 @@ def main(argv: list[str] | None = None) -> int:
 
             register_views(spark, args.sf_dir)
         if args.data_dir:
-            _make_dataset(spark, args).read().createOrReplaceTempView("candles")
+            if args.version is not None and not args.snapshot_log:
+                raise SystemExit("--version needs --snapshot-log")
+            ds = _make_dataset(spark, args)
+            candles = (
+                ds.read(version=args.version)
+                if args.version is not None
+                else ds.read()
+            )
+            candles.createOrReplaceTempView("candles")
         df = spark.sql(args.query)
         if args.limit:
             df = df.limit(args.limit)

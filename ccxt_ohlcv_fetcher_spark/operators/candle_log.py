@@ -104,9 +104,9 @@ class SnapshotCandleDataset:
             # preserve the schema for empty results when the table has one
             df = self.store.read(version=version).limit(0)
         else:
-            df = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in files]
-            )
+            # manifest-schema read: no footer inference at plan time,
+            # and robust if the table schema ever evolves
+            df = self.store._read_files(files, self.store.manifest(version))
         if symbol is not None:
             symbol = normalize_symbol(symbol)
         for col, val in zip(PARTITION_COLS, (exchange, symbol, timeframe)):

@@ -281,3 +281,36 @@ def test_delete_subcommand(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["delete", "--data-dir", data_dir, "--where", "1=1"])
+
+
+def test_history_and_time_travel_sql(spark, tmp_path, capsys):
+    """`history` prints the commit log; `sql --version` pins the
+    candles view to a historical snapshot."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 6))   # v1
+    ds.append_idempotent(batch(spark, 6, 9))   # v2
+
+    assert main(["history", "--data-dir", data_dir, "--snapshot-log"]) == 0
+    out = capsys.readouterr().out
+    assert "v000001" in out and "v000002" in out and "append" in out
+
+    assert main(
+        ["sql", "--data-dir", data_dir, "--snapshot-log", "--version", "1",
+         "--query", "SELECT count(*) AS n FROM candles"]
+    ) == 0
+    assert "6" in capsys.readouterr().out
+    assert main(
+        ["sql", "--data-dir", data_dir, "--snapshot-log",
+         "--query", "SELECT count(*) AS n FROM candles"]
+    ) == 0
+    assert "9" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="--version needs"):
+        main(["sql", "--data-dir", data_dir, "--version", "1",
+              "--query", "SELECT 1"])
