@@ -459,6 +459,7 @@ class SnapshotStore:
         df: DataFrame,
         max_retries: int = 10,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int | None:
         """Atomic append; returns the committed version. Loser of a
         concurrent race rebases onto the winner's manifest and retries —
@@ -468,12 +469,39 @@ class SnapshotStore:
         writer: a batch id at or below the app's last committed one is
         skipped (returns None) — re-delivered foreachBatch micro-batches
         commit exactly once, checked under the same CAS that orders the
-        commits (no window between check and commit)."""
+        commits (no window between check and commit).
+
+        ``merge_schema=True`` permits ADD-COLUMN appends (Delta's
+        mergeSchema): extra df columns append to the committed schema,
+        existing files read back with NULL in them, and the df may
+        itself omit committed columns (NULL-filled). Dropping or
+        retyping a committed column still refuses."""
         if txn is not None:
             last = self.last_txn(txn[0])
             if last is not None and txn[1] <= last:
                 return None
-        new_files = self._stage(df)
+        committed = self.manifest().get("schema")
+        evolving = False
+        if merge_schema and committed is not None:
+            incoming = [
+                [f.name, f.dataType.simpleString()] for f in df.schema
+            ]
+            names = {n for n, _ in incoming}
+            for n, t in committed:
+                if n in names and dict(incoming)[n] != t:
+                    raise ValueError(
+                        f"merge_schema cannot retype column {n!r}: "
+                        f"table has {t}, append has {dict(incoming)[n]}"
+                    )
+            extra = [
+                [n, t] for n, t in incoming
+                if n not in {c for c, _ in committed}
+            ]
+            if extra or names < {n for n, _ in committed}:
+                out_schema = list(committed) + extra
+                df = self._conform(df, out_schema)
+                evolving = bool(extra)
+        new_files = self._stage(df, allow_schema_change=evolving)
         staged_schema = self._pending_schema
         for _ in range(max_retries):
             base = self.latest_version()
@@ -487,12 +515,15 @@ class SnapshotStore:
             # concurrent overwrite() evolved the table schema before this
             # retry wins the CAS, blindly committing would union
             # old-schema and new-schema files and stamp the manifest with
-            # the stale schema. Surface the conflict instead.
+            # the stale schema. Surface the conflict instead. An
+            # evolving append expects the head to still carry the schema
+            # it evolved FROM.
             head_schema = head_manifest.get("schema")
-            if head_schema is not None and head_schema != staged_schema:
+            expected = committed if evolving else staged_schema
+            if head_schema is not None and head_schema != expected:
                 raise CommitConflict(
                     f"table schema changed concurrently: head has "
-                    f"{head_schema}, staged append has {staged_schema} — "
+                    f"{head_schema}, staged append expects {expected} — "
                     f"re-read and re-append"
                 )
             merged = head_manifest["files"] + new_files

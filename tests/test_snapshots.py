@@ -738,3 +738,33 @@ def test_zorder_compact_prunes_2d_box_queries(spark, tmp_path):
     b_only = {"b": (0, 7)}
     assert len(lin.pruned_files(b_only)) == 16
     assert len(zo.pruned_files(b_only)) < 16
+
+
+def test_append_merge_schema_add_column(spark, tmp_path):
+    """append(merge_schema=True): extra columns evolve the committed
+    schema (old files read back NULL-filled), a df missing committed
+    columns NULL-fills them, retyping refuses, and plain appends must
+    use the evolved schema afterwards."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 3))  # schema: v bigint
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.append(_df(spark, 3, 4).withColumn("tag", F.lit("x")))
+    store.append(
+        _df(spark, 3, 5).withColumn("tag", F.lit("x")), merge_schema=True
+    )
+    assert store.manifest()["schema"] == [["v", "bigint"], ["tag", "string"]]
+    got = {r["v"]: r["tag"] for r in store.read().collect()}
+    assert got[0] is None and got[3] == "x" and len(got) == 5
+    # df missing a committed column: NULL-filled under merge_schema
+    store.append(
+        spark.createDataFrame([("y",)], "tag string"), merge_schema=True
+    )
+    assert store.read().filter("v IS NULL AND tag = 'y'").count() == 1
+    # retyping refuses even with the flag
+    with pytest.raises(ValueError, match="cannot retype"):
+        store.append(
+            spark.createDataFrame([(1.5, "z")], "v double, tag string"),
+            merge_schema=True,
+        )
