@@ -649,3 +649,79 @@ def boilerplate_stats(
             F.col("n_boiler") * F.lit(1.0) / F.col("n_shingles"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    span_len: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Repeated-substring detection (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2022): find fixed-length
+    character spans that recur VERBATIM across documents and score each
+    document by the fraction of its spans that are so duplicated — the
+    signal behind substring-level (as opposed to whole-document) dedup.
+
+    The paper builds a corpus-wide suffix array; the Spark-native
+    equivalent is a strided span inverted index: every document emits
+    its ``span_len``-char substrings at ``stride`` offsets, spans are
+    hashed to 60-bit keys (functions/hashing.py, so the DuckDB oracle
+    reproduces every value), and one groupBy counts the distinct
+    documents per span. A span seen in >= 2 documents is "duplicated";
+    the per-document duplicated fraction is the scrub/drop signal.
+    With stride <= span_len/2 any repeated region of length
+    >= span_len + stride is guaranteed to contain at least one aligned
+    strided span in both copies ONLY when copies start at compatible
+    offsets; strided sampling trades the suffix array's exactness for
+    a 1/stride-size index, the standard scale compromise.
+
+    Documents shorter than ``span_len`` emit no spans and are excluded
+    (no denominator). Within-document repeats do not count as
+    duplication (dup = distinct-doc count >= 2); span counts are over
+    DISTINCT spans per document.
+
+    Output: (id, n_spans, n_dup_spans, dup_frac), dup_frac double.
+
+    Scale shape: the exploded index is the only fan-out (len/stride
+    rows per doc — ~2x the corpus in bytes at the defaults, hashed to
+    8-byte keys before the shuffle); the document-frequency groupBy has
+    map-side combine; the dup-span set joins back on the same hashed
+    key. No all-pairs stage anywhere, so the shape survives 100 TB —
+    unlike pairwise Jaccard, output size is linear in corpus size.
+    """
+    text = F.col(content_col)
+    positions = F.when(
+        F.length(text) >= span_len,
+        F.sequence(
+            F.lit(1), F.length(text) - F.lit(span_len - 1), F.lit(stride)
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(positions).alias("_pos"),
+        text.alias("_text"),
+    ).select(
+        id_col,
+        md5_long(F.col("_text").substr(F.col("_pos"), F.lit(span_len))).alias(
+            "span_h"
+        ),
+    ).distinct()
+    dup = (
+        spans.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("span_h", F.lit(1).alias("_dup"))
+    )
+    flagged = spans.join(dup, "span_h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup_spans") * F.lit(1.0) / F.col("n_spans")
+        )
+    )

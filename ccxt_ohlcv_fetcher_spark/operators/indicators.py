@@ -128,3 +128,63 @@ def ema_fold(
         F.col("_row.c").alias(close_col),
         ema.alias("ema"),
     )
+
+
+def holt_fold(
+    candles: DataFrame,
+    keys: tuple[str, ...] = ("exchange", "symbol"),
+    close_col: str = "close",
+    order_col: str = "timestamp",
+    alpha: float = 0.25,
+    gamma: float = 0.125,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend), the
+    trend-aware sibling of :func:`ema_fold`:
+
+        l' = alpha*x + (1-alpha)*(l + t)
+        t' = gamma*(l' - l) + (1-gamma)*t        (l0 = x0, t0 = 0)
+
+    plus the one-step-ahead forecast ``l + t`` per row. Like the EMA,
+    the recurrence weights the whole history, so no window frame
+    expresses it; the shape is the same ONE shuffle (groupBy keys ->
+    sorted collect_list) followed by a row-local prefix fold — here the
+    accumulator is the 2-state ``[level, trend]`` array.
+
+    Cross-engine exactness: both Spark ``aggregate`` and DuckDB
+    ``list_reduce`` fold strictly left-to-right, and the default
+    coefficients (1/4 and 1/8) are binary-exact doubles, so the float
+    trajectory is bit-identical to the oracle with the arithmetic
+    written in the same association order. Same O(n^2)-per-key /
+    parallel-across-keys scale posture as ema_fold (see its docstring
+    for the truncation-window option on unbounded single series).
+    """
+    a, b = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    g, h = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
+    item = F.struct(
+        F.col(order_col).alias("o"), F.col(close_col).cast("double").alias("c")
+    )
+    series = candles.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(item)).alias("_s")
+    )
+    rows = series.select(*keys, F.posexplode("_s").alias("_i", "_row"), "_s")
+    prefix = F.transform(
+        F.slice(F.col("_s"), 1, F.col("_i") + 1), lambda r: r["c"]
+    )
+
+    def step(acc, x):
+        lvl, trd = F.element_at(acc, 1), F.element_at(acc, 2)
+        new_lvl = a * x + b * (lvl + trd)
+        new_trd = g * (new_lvl - lvl) + h * trd
+        return F.when(
+            F.size(acc) == 0, F.array(x, F.lit(0.0))
+        ).otherwise(F.array(new_lvl, new_trd))
+
+    state = F.aggregate(prefix, F.expr("CAST(array() AS ARRAY<DOUBLE>)"), step)
+    return rows.select(
+        *keys,
+        F.col("_row.o").alias(order_col),
+        F.col("_row.c").alias(close_col),
+        F.element_at(state, 1).alias("level"),
+        F.element_at(state, 2).alias("trend"),
+        (F.element_at(state, 1) + F.element_at(state, 2)).alias("forecast"),
+    )

@@ -25,6 +25,7 @@ from ccxt_ohlcv_fetcher_spark.operators.dedup import (
     SIMHASH_BITS,
     blocked_levenshtein_pairs,
     boilerplate_stats,
+    duplicate_span_stats,
     exact_dedup,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -2273,3 +2274,40 @@ def normalized_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT doc_id,
+             {md5_long_sql("substr(text, p, 40)")} AS span_h
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, len(text) - 40 + 2, 20)) AS p
+        FROM documents
+        WHERE len(text) >= 40
+      )
+    ),
+    dup AS (
+      SELECT span_h FROM sp GROUP BY span_h HAVING count(*) >= 2
+    )
+    SELECT sp.doc_id,
+           count(*) AS n_spans,
+           count(dup.span_h) AS n_dup_spans,
+           count(dup.span_h) * 1.0 / count(*) AS dup_frac
+    FROM sp LEFT JOIN dup USING (span_h)
+    GROUP BY sp.doc_id
+    """,
+    doc="Repeated-substring coverage (E33/E34 substring tier; Lee et al. "
+    "2022): strided 40-char span inverted index, 60-bit span hashes, "
+    "distinct-doc frequency >= 2 marks a span duplicated; per-doc "
+    "duplicated-span fraction is the substring-dedup scrub signal. "
+    "Linear output (no pair fan-out) — the near-dup family's scalable "
+    "complement for verbatim-copy regions inside otherwise-distinct "
+    "docs. Spark impl: operators/dedup.py duplicate_span_stats.",
+    tags=("E33", "E34", "E36"),
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, "text", "doc_id", span_len=40, stride=20)

@@ -608,3 +608,71 @@ def candle_log_returns_vol_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("roll_vol_24"),
         F.when(F.col("n") >= 1, s / F.col("n")).alias("roll_mean_24"),
     )
+
+
+HOLT_SQL_STEP = (
+    "CASE WHEN len(acc) = 0 THEN [x[1], 0.0] ELSE ["
+    "0.25 * x[1] + 0.75 * (acc[1] + acc[2]), "
+    "0.125 * ((0.25 * x[1] + 0.75 * (acc[1] + acc[2])) - acc[1]) "
+    "+ 0.875 * acc[2]] END"
+)
+
+
+@register(
+    "candle_holt_trend",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             list(close ORDER BY bucket_ms) AS closes,
+             list(bucket_ms ORDER BY bucket_ms) AS buckets
+      FROM c GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type,
+             unnest(buckets) AS bucket_ms,
+             unnest(range(1, len(closes) + 1)) AS t,
+             closes
+      FROM s
+    ),
+    h AS (
+      SELECT event_type, bucket_ms, closes[t] AS close,
+             list_reduce(
+               list_prepend(CAST([] AS DOUBLE[]),
+                            list_transform(closes[1:t], x -> [x])),
+               (acc, x) -> {HOLT_SQL_STEP}
+             ) AS st
+      FROM e
+    )
+    SELECT event_type, bucket_ms, close,
+           st[1] AS level, st[2] AS trend, st[1] + st[2] AS forecast
+    FROM h
+    """,
+    doc="Per-series Holt double-exponential smoothing (op E20 family; "
+    "operators/indicators.py:holt_fold): level+trend recurrence "
+    "l'=a*x+(1-a)*(l+t), t'=g*(l'-l)+(1-g)*t with binary-exact "
+    "coefficients (a=1/4, g=1/8) and the one-step forecast l+t. The "
+    "2-state [level,trend] array accumulator folds left-to-right in "
+    "both engines with identical association order, so the whole "
+    "trajectory is bit-identical to the oracle — the EMA fold's "
+    "pattern extended to a vector state. Same one-shuffle / "
+    "row-local-fold scale shape as candle_ema.",
+    tags=("E20", "E25"),
+)
+def candle_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.indicators import holt_fold
+
+    events = load_table(spark, sf_dir, "events")
+    candles = resample_ohlcv(
+        events, "1h", ts_col="ts", price_col="value", keys=("event_type",)
+    ).select("event_type", ms("bucket_ts").alias("bucket_ms"), "close")
+    return holt_fold(
+        candles, keys=("event_type",), close_col="close", order_col="bucket_ms"
+    ).select(
+        "event_type", "bucket_ms", "close", "level", "trend", "forecast"
+    )

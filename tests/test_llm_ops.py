@@ -1062,3 +1062,34 @@ def test_ivf_scoreaware_equals_fixed_probe_with_fewer_cells(spark, sf_dir):
     }
     assert stats2["rest_pairs"] == 0, stats2
     assert all(r < 25 for r in stats2["radii"].values())  # tight cells
+
+
+def test_duplicate_span_stats_semantics(spark):
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import duplicate_span_stats
+
+    shared = "S" * 10  # span_len=8, stride=4: spans at pos 1, 5 (pos 5 -> chars 5..12)
+    df = spark.createDataFrame(
+        [
+            (1, shared + "abcd"),          # shares the leading span with doc 2
+            (2, shared + "wxyz"),
+            (3, "unique-" + "q" * 10),     # no span shared with anyone
+            (4, "short"),                  # < span_len: excluded entirely
+            (5, "R" * 8 + "R" * 8),        # within-doc repeat only -> NOT dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(
+            df, "text", "doc_id", span_len=8, stride=4
+        ).collect()
+    }
+    assert 4 not in out  # too short, no denominator
+    # docs 1 and 2: span at pos 1 ("SSSSSSSS") is shared -> dup; the
+    # pos-5 spans differ (suffix leaks in), so dup_frac is 1/2 each
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+    # doc 5 is 16 R's: spans at pos 1/5/9 are all identical -> ONE
+    # distinct span, within-doc repetition does not count as dup
+    assert out[5]["n_spans"] == 1 and out[5]["n_dup_spans"] == 0

@@ -114,3 +114,32 @@ def test_keyed_indicators_independent_series(spark):
             assert (r["sma"], r["boll_hw"], r["rsi"], r["drawdown"]) == (
                 s["sma"], s["boll_hw"], s["rsi"], s["drawdown"]
             ), f"window leaked across keys at {sym} t={r['t']}"
+
+
+def test_holt_fold_matches_python_recurrence(spark):
+    from ccxt_ohlcv_fetcher_spark.operators.indicators import holt_fold
+
+    candles = _candles(spark, n=60)
+    out = (
+        holt_fold(
+            candles,
+            keys=("exchange", "symbol"),
+            close_col="close",
+            order_col="timestamp",
+        )
+        .orderBy("timestamp")
+        .collect()
+    )
+    closes = [r["close"] for r in out]
+    a, g = 0.25, 0.125
+    lvl, trd = closes[0], 0.0
+    expect = [(lvl, trd)]
+    for x in closes[1:]:
+        new_lvl = a * x + (1 - a) * (lvl + trd)
+        trd = g * (new_lvl - lvl) + (1 - g) * trd
+        lvl = new_lvl
+        expect.append((lvl, trd))
+    for row, (el, et) in zip(out, expect):
+        # same association order -> bit-identical doubles
+        assert row["level"] == el and row["trend"] == et
+        assert row["forecast"] == el + et
