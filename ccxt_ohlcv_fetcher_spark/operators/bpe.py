@@ -1,0 +1,183 @@
+"""Distributed byte-pair-encoding (BPE) merge training + tokenization
+(north-star pipeline op: the tokenizer-training step of an LLM data
+pipeline, Sennrich et al. 2016).
+
+Classic BPE trains on the WORD-FREQUENCY table, not the corpus: after
+one groupBy, the working set is (unique word, count) — orders of
+magnitude smaller than the corpus and the thing that actually fits the
+iterative loop. Each merge step is:
+
+1. pair counts: explode adjacent symbol pairs, groupBy (a, b) weighted
+   by word frequency (map-side combine: partial counts are tiny);
+2. argmax with a DETERMINISTIC tie-break (count desc, then pair
+   lexicographic) — one ``limit(1).collect()`` driver sync per merge,
+   the k-means/PageRank iterative shape;
+3. apply the merge to every word's symbol array as a row-local LEFT
+   FOLD (greedy non-overlapping left-to-right — exactly what the
+   reference ``re.sub`` implementation does).
+
+Plan-depth control: each merge nests another fold expression over the
+symbols column, so the vocab is ``localCheckpoint``-ed every few
+merges (the checkpoint-cadence lesson from operators/graph.py).
+
+Serve path: the trained vocabulary (word -> pieces) IS the tokenizer
+for in-corpus words — a broadcast join against the corpus's words, no
+per-row merge replay. Out-of-vocabulary words fall back to the
+character split (correct by definition of BPE's base alphabet).
+
+Scale: pair counting shuffles only the vocab table; merges are
+row-local; the serve join broadcasts the vocab (or shuffle-joins when
+the vocab outgrows broadcast). For vocab sizes in the tens of
+thousands of merges the per-merge job overhead dominates — production
+tokenizer trainers switch to the linked-list incremental-count
+algorithm (driver-local; the vocab table collapses to MBs after
+dedup), so the distributed loop here is kept for the regime where the
+word table itself is big. Not SQL-expressible (data-dependent
+iteration), so the registry query is rows-only; tests pin the
+distributed trainer EXACTLY (merge sequence + every segmentation)
+against a pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the BPE training set."""
+    from ccxt_ohlcv_fetcher_spark.operators.text import words
+
+    return (
+        docs.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def char_symbols(word: Column | str) -> Column:
+    """Initial symbol array: characters plus the end-of-word marker."""
+    word = F.col(word) if isinstance(word, str) else word
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def apply_merge(symbols: Column, a: str, b: str) -> Column:
+    """Replace non-overlapping (a, b) adjacencies with the fused symbol,
+    greedily left-to-right — a row-local fold, no shuffle."""
+    a_lit, b_lit, ab = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a_lit)
+            & (x == b_lit),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(ab)
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(symbols, F.expr("CAST(array() AS ARRAY<STRING>)"), step)
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over (word, freq, sym)."""
+    n = F.size("sym")
+    pairs = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice("sym", 1, n - 1).alias("a"),
+            F.slice("sym", 2, n - 1).alias("b"),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<a:STRING,b:STRING>>)"))
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_bpe(
+    word_freqs: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 6,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``n_merges`` merges; returns (merge list, final vocab
+    as (word, freq, sym: array<string>)).
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (merging a once-seen pair memorizes noise).
+
+    The working set is re-partitioned from its OWN row count (one
+    partition per ~50k words, floor 1): the loop schedules one job per
+    merge, and a small vocab spread over shuffle-partition-count tasks
+    pays pure scheduling overhead 2x per merge (measured 17 s -> ~6 s
+    for 24 merges on the 500-doc fixture). At a 100 TB corpus the word
+    table has millions of rows and the same rule yields real
+    parallelism — the partitioning tracks data size, not a constant.
+    """
+    sized = word_freqs.select(
+        "word", "freq", char_symbols("word").alias("sym")
+    ).localCheckpoint()
+    n_parts = max(1, min(sized.count() // 50_000 + 1, 2_000))
+    vocab = sized.repartition(n_parts).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.withColumn("sym", apply_merge(F.col("sym"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges, vocab
+
+
+def bpe_tokenize_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize each document with the trained vocabulary: one explode
+    to words, one BROADCAST join to (word -> pieces), per-doc piece
+    stats. OOV words fall back to the character split (BPE's base
+    alphabet). Output: (id, n_words, n_pieces, pieces_per_word)."""
+    words_df = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"filter(split({text_col}, '\\\\s+'), w -> w <> '')"
+            )
+        ).alias("word"),
+    )
+    pieces = vocab.select("word", F.col("sym").alias("pieces"))
+    joined = words_df.join(F.broadcast(pieces), "word", "left").select(
+        id_col,
+        F.coalesce(
+            F.size("pieces"), F.size(char_symbols("word"))
+        ).alias("n_pieces_word"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces_word").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.col("n_pieces") * F.lit(1.0) / F.col("n_words"),
+        )
+    )

@@ -2311,3 +2311,111 @@ def normalized_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_span_stats(docs, "text", "doc_id", span_len=40, stride=20)
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             list_reduce(
+               list_prepend(0.0,
+                            list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+               (a, x) -> a + x
+             ) AS sum_sqrt
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang,
+             LEAST(1.0, 0.5 * total * sqrt(CAST(n AS DOUBLE))
+                        / sum_sqrt / n) AS rate
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST({md5_long_sql("CAST(doc_id AS VARCHAR)", salt="mix")} AS DOUBLE)
+          < r.rate * 1152921504606846976.0
+    """,
+    doc="Temperature-weighted corpus mixture (north-star pipeline op): "
+    "the multilingual-training rebalance (mT5/XLM-R style) where "
+    "stratum sampling mass is proportional to n^tau (tau=0.5 -> sqrt, "
+    "IEEE-exact cross-engine) instead of n — upweighting small "
+    "languages without fixing rates by hand. Rates are DERIVED FROM "
+    "THE DATA: per-lang counts (one tiny groupBy) -> temperature "
+    "weights -> per-lang keep rate min(1, target*N*w_s/(sum_w*n_s)), "
+    "then the same salted-hash row draw as doc_stratified_sample "
+    "(reproducible, nested, shuffle-free). The stratum stats are "
+    "plan-literal-folded (bounded collect: one row per language, the "
+    "bm25 avgdl pattern), so the serve path stays a pure row-local "
+    "filter at any corpus size; the float trajectory (ordered "
+    "fold-left over sorted langs) is written identically in the "
+    "oracle, so even the derived rates hash-match bit for bit.",
+    tags=("E36", "E33", "E13"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    sum_sqrt = 0.0
+    for lang in sorted(counts):  # fold order pinned = oracle's ORDER BY lang
+        sum_sqrt = sum_sqrt + math.sqrt(float(counts[lang]))
+    rates = {
+        lang: min(1.0, 0.5 * total * math.sqrt(float(n)) / sum_sqrt / n)
+        for lang, n in counts.items()
+    }
+    rate_col = F.lit(None).cast("double")
+    thr_col = F.lit(None).cast("double")
+    for lang, rate in rates.items():
+        rate_col = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(rate_col)
+        thr_col = F.when(
+            F.col("lang") == lang, F.lit(rate * float(1 << 60))
+        ).otherwise(thr_col)
+    u = md5_long(F.col("doc_id").cast("string"), salt="mix").cast("double")
+    return docs.filter(u < thr_col).select(
+        "doc_id", "lang", rate_col.alias("rate")
+    )
+
+
+_BPE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+@register(
+    "doc_bpe_tokens",
+    oracle=None,  # data-dependent iterative training: rows-only; the
+    # distributed trainer is pinned EXACTLY (merge sequence + every
+    # word segmentation) against a pure-Python reference BPE in
+    # tests/test_llm_ops.py::test_bpe_matches_reference_implementation
+    doc="BPE tokenizer training + tokenization (north-star pipeline op; "
+    "Sennrich et al. 2016, operators/bpe.py): 24 merges learned "
+    "DISTRIBUTED on the word-frequency table (pair counts = one "
+    "groupBy per merge with map-side combine; merge application = "
+    "row-local greedy fold; deterministic count-then-lexicographic "
+    "tie-break), then the corpus is tokenized by broadcast-joining "
+    "words against the trained (word -> pieces) vocabulary. Output: "
+    "per-doc word/piece counts and compression (pieces_per_word). "
+    "The iterative shape is k-means-like (one small driver sync per "
+    "merge, localCheckpoint cadence); training state is memoized per "
+    "(session, sf_dir) like the CC labels.",
+    tags=("E36", "E13"),
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        bpe_tokenize_docs,
+        train_bpe,
+        word_freq_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (id(spark), sf_dir)
+    if key not in _BPE_MEMO:
+        _, vocab = train_bpe(word_freq_table(docs), n_merges=24)
+        _BPE_MEMO[key] = vocab.localCheckpoint()
+    return bpe_tokenize_docs(docs, _BPE_MEMO[key])

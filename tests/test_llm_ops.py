@@ -1093,3 +1093,105 @@ def test_duplicate_span_stats_semantics(spark):
     # doc 5 is 16 R's: spans at pos 1/5/9 are all identical -> ONE
     # distinct span, within-doc repetition does not count as dup
     assert out[5]["n_spans"] == 1 and out[5]["n_dup_spans"] == 0
+
+
+def test_temperature_mixture_upweights_small_strata(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans.llm import corpus_temperature_mixture
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_by_lang = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    out = corpus_temperature_mixture(spark, sf_dir)
+    rates = {
+        r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()
+    }
+    # tau=0.5: keep-rate ratio between two strata is sqrt(n_big/n_small),
+    # i.e. smaller languages keep a strictly larger FRACTION of their docs
+    langs = sorted(n_by_lang, key=n_by_lang.get)
+    small, big = langs[0], langs[-1]
+    assert n_by_lang[small] < n_by_lang[big]
+    assert rates[small] > rates[big]
+    ratio = rates[small] / rates[big]
+    import math
+
+    expected = math.sqrt(n_by_lang[big] / n_by_lang[small])
+    assert abs(ratio - expected) < 1e-9
+    # the draw is deterministic: running twice yields the same sample
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in corpus_temperature_mixture(spark, sf_dir).collect()
+    )
+    assert ids1 == ids2
+
+
+def _ref_bpe(word_freqs, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE (Sennrich et al. 2016) with the same
+    deterministic tie-break as operators/bpe.py: count desc, pair asc."""
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        if best_cnt < min_pair_count:
+            break
+        a, b = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    return merges, vocab
+
+
+def test_bpe_matches_reference_implementation(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import train_bpe, word_freq_table
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    wf = word_freq_table(docs)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    merges, vocab = train_bpe(wf, n_merges=12)
+    ref_merges, ref_vocab = _ref_bpe(freqs, n_merges=12)
+    assert merges == ref_merges
+    got = {r["word"]: tuple(r["sym"]) for r in vocab.collect()}
+    assert got == {w: s for w, s in ref_vocab.items()}
+
+
+def test_bpe_tokenize_counts_and_oov_fallback(spark):
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        bpe_tokenize_docs,
+        train_bpe,
+        word_freq_table,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "aa aa aa ab ab")], "doc_id long, text string"
+    )
+    _, vocab = train_bpe(word_freq_table(train), n_merges=4)
+    # tokenize a corpus containing an OOV word ("zzz" never trained):
+    # falls back to char split -> 3 chars + </w> = 4 pieces
+    serve = spark.createDataFrame(
+        [(7, "aa zzz")], "doc_id long, text string"
+    )
+    out = bpe_tokenize_docs(serve, vocab).collect()[0]
+    aa_pieces = {
+        tuple(r["sym"]) for r in vocab.filter("word = 'aa'").collect()
+    }.pop()
+    assert out["n_words"] == 2
+    assert out["n_pieces"] == len(aa_pieces) + 4
