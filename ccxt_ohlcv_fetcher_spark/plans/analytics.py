@@ -2154,3 +2154,140 @@ def event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(dec("value")).cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "event_touch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, {sql_ms("ts")} AS p_ms, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS t_id, user_id, {sql_ms("ts")} AS t_ms,
+             event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.p_id, p.value, t.t_id, t.t_ms, t.channel
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id
+       AND t.t_ms < p.p_ms AND t.t_ms >= p.p_ms - 86400000
+    ),
+    per_purchase AS (
+      SELECT p_id,
+             any_value(value) AS value,
+             count(t_id) AS n,
+             arg_min(channel, t_ms * 1000000 + t_id) AS first_channel,
+             arg_max(channel, t_ms * 1000000 + t_id) AS last_channel
+      FROM j GROUP BY p_id
+    ),
+    per_channel AS (
+      SELECT p_id, channel, count(*) AS cnt
+      FROM j WHERE t_id IS NOT NULL GROUP BY p_id, channel
+    ),
+    linear_credit AS (
+      SELECT c.channel, 'linear' AS model,
+             CAST((pp.value * c.cnt) / pp.n AS DECIMAL(18,6)) AS credit
+      FROM per_channel c JOIN per_purchase pp USING (p_id)
+    ),
+    first_credit AS (
+      SELECT coalesce(first_channel, 'direct') AS channel,
+             'first_touch' AS model,
+             CAST(value AS DECIMAL(18,6)) AS credit
+      FROM per_purchase
+    ),
+    last_credit AS (
+      SELECT coalesce(last_channel, 'direct') AS channel,
+             'last_touch' AS model,
+             CAST(value AS DECIMAL(18,6)) AS credit
+      FROM per_purchase
+    ),
+    direct_linear AS (
+      SELECT 'direct' AS channel, 'linear' AS model,
+             CAST(value AS DECIMAL(18,6)) AS credit
+      FROM per_purchase WHERE n = 0
+    ),
+    unioned AS (
+      SELECT * FROM linear_credit UNION ALL SELECT * FROM first_credit
+      UNION ALL SELECT * FROM last_credit UNION ALL SELECT * FROM direct_linear
+    )
+    SELECT channel, model,
+           CAST(sum(credit) AS DOUBLE) AS credited,
+           count(*) AS n_conversions
+    FROM unioned GROUP BY channel, model
+    """,
+    doc="Multi-touch marketing attribution (op E13/E9 composition): each "
+    "purchase's value is credited to the user's click/view touches in "
+    "the preceding 24 h under three standard models — first-touch, "
+    "last-touch, linear — with zero-touch purchases credited to "
+    "'direct'. Shape: ONE user_id equi-join carries the time-range "
+    "predicate (pair fan-out bounded per user, the same posture as the "
+    "as-of join), then two partial-aggregated groupBys onto "
+    "purchase-grain and channel-grain; all credit sums are decimal-"
+    "exact, linear shares computed (value*cnt)/n in both engines. "
+    "min_by/max_by tie-break on (ts, event_id) is total, so first/last "
+    "channels are deterministic (the oracle encodes the pair as "
+    "ts_ms*1e6+event_id — same order while ids < 1e6, true for every "
+    "fixture; Spark keeps the unencoded struct, the scale-safe form).",
+    tags=("E13", "E9", "E23"),
+)
+def event_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        ms("ts").alias("p_ms"),
+        "value",
+    )
+    t = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        ms("ts").alias("t_ms"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_ms") < F.col("p_ms"))
+        & (F.col("t_ms") >= F.col("p_ms") - F.lit(86_400_000)),
+        "left",
+    )
+    order_key = F.struct(F.col("t_ms"), F.col("t_id"))
+    per_purchase = j.groupBy("p_id").agg(
+        F.any_value("value").alias("value"),
+        F.count("t_id").alias("n"),
+        F.min_by("channel", order_key).alias("first_channel"),
+        F.max_by("channel", order_key).alias("last_channel"),
+    )
+    per_channel = (
+        j.filter(F.col("t_id").isNotNull())
+        .groupBy("p_id", "channel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dec_t = "decimal(18,6)"
+    linear = per_channel.join(per_purchase, "p_id").select(
+        "channel",
+        F.lit("linear").alias("model"),
+        ((F.col("value") * F.col("cnt")) / F.col("n")).cast(dec_t).alias("credit"),
+    )
+    first = per_purchase.select(
+        F.coalesce("first_channel", F.lit("direct")).alias("channel"),
+        F.lit("first_touch").alias("model"),
+        F.col("value").cast(dec_t).alias("credit"),
+    )
+    last = per_purchase.select(
+        F.coalesce("last_channel", F.lit("direct")).alias("channel"),
+        F.lit("last_touch").alias("model"),
+        F.col("value").cast(dec_t).alias("credit"),
+    )
+    direct_linear = per_purchase.filter(F.col("n") == 0).select(
+        F.lit("direct").alias("channel"),
+        F.lit("linear").alias("model"),
+        F.col("value").cast(dec_t).alias("credit"),
+    )
+    unioned = linear.unionByName(first).unionByName(last).unionByName(direct_linear)
+    return unioned.groupBy("channel", "model").agg(
+        F.sum("credit").cast("double").alias("credited"),
+        F.count(F.lit(1)).alias("n_conversions"),
+    )

@@ -394,3 +394,40 @@ def test_pagerank_personalized_matches_simulator(spark):
             n_iters=2,
             personalize=spark.createDataFrame([(777,)], "v long"),
         )
+
+
+def test_attribution_models_conserve_purchase_value(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import event_touch_attribution
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    out = event_touch_attribution(spark, sf_dir)
+    totals = {
+        r["model"]: r["total"]
+        for r in out.groupBy("model")
+        .agg(F.sum(F.col("credited").cast("decimal(18,6)")).alias("total"))
+        .collect()
+    }
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    # every model distributes exactly the total purchase value: first/
+    # last by construction; linear because per-purchase shares sum to
+    # value (decimal rounding of shares can drift by <= n * 5e-7)
+    assert totals["first_touch"] == purchases["t"]
+    assert totals["last_touch"] == purchases["t"]
+    assert abs(float(totals["linear"]) - float(purchases["t"])) < purchases["n"] * 1e-5
+    # conversion counts: first/last models credit each purchase once
+    n_first = (
+        out.filter("model = 'first_touch'")
+        .agg(F.sum("n_conversions").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_first == purchases["n"]
