@@ -2419,3 +2419,89 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, vocab = train_bpe(word_freq_table(docs), n_merges=24)
         _BPE_MEMO[key] = vocab.localCheckpoint()
     return bpe_tokenize_docs(docs, _BPE_MEMO[key])
+
+
+@register(
+    "embedding_dim_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT a.i AS i, b.i AS j,
+             count(*) AS n,
+             list_reduce(list_prepend(0.0,
+               list(a.x * b.x ORDER BY a.vec_id)), (acc, v) -> acc + v)
+               AS sum_xy
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT i, list_reduce(list_prepend(0.0,
+               list(x ORDER BY vec_id)), (acc, v) -> acc + v) AS s
+      FROM e GROUP BY i
+    )
+    SELECT m.i, m.j, m.n,
+           (m.sum_xy - dx.s * dy.s / m.n) / (m.n - 1) AS cov
+    FROM m JOIN d dx ON m.i = dx.i JOIN d dy ON m.j = dy.i
+    """,
+    doc="Embedding dimension covariance matrix (E35 statistics tier; "
+    "operators/embeddings.py): bit-exact raw moments per dim pair "
+    "(i<=j triangle) via the exploded (vec_id, dim, value) self-join "
+    "with ORDER-PINNED double summation (sorted fold — float32-derived "
+    "values tie under any decimal rounding, and the engines round ties "
+    "differently), covariance derived in one pinned association order "
+    "— every "
+    "double bit-matches the oracle. This is the correctness anchor "
+    "for the Arrow-batched partial-Gram scale path "
+    "(gram_moments_partial: per-partition numpy X^T X, shuffle of "
+    "d^2/2 rows per partition regardless of corpus size), which tests "
+    "pin to it at 1e-9 relative. Feeds PCA/whitening for the ANN "
+    "tier.",
+    tags=("E35", "E13", "E17"),
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
+        covariance_from_moments,
+        gram_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_from_moments(gram_moments(emb))
+
+
+_PCA_MEMO: dict[tuple[int, str], tuple] = {}
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible: rows-only;
+    # tests pin the distributed pipeline against numpy's reference PCA
+    # (component subspace, explained variance, projections)
+    doc="PCA projection of the embedding corpus onto its top-4 "
+    "principal axes (E35 whitening/OPQ-style rotation step; "
+    "operators/embeddings.py): covariance from the Arrow-batched "
+    "partial Gram (one mapInPandas pass + d^2/2-row shuffle), d x d "
+    "eigendecomposition on the driver (corpus-size independent), "
+    "projection as per-row dot products against plan-literal axes — "
+    "the broadcast-codebook pattern, so the SERVED plan is pure "
+    "codegen with no Python boundary and no join. Deterministic sign "
+    "convention pins the basis; memoized per (session, sf_dir) like "
+    "the k-means centroids.",
+    tags=("E35", "E13"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
+        pca_components,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    if key not in _PCA_MEMO:
+        _PCA_MEMO[key] = pca_components(emb, dim=64, k=4)
+    comps, _, mean = _PCA_MEMO[key]
+    return pca_project(emb, comps, mean)

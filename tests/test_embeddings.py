@@ -1,0 +1,91 @@
+"""Embedding statistics tier (operators/embeddings.py): the exact
+relational Gram is the oracle-checked anchor; these tests pin the
+Arrow-batched partial-Gram scale path to it, and the distributed PCA
+pipeline to numpy's reference decomposition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
+    covariance_from_moments,
+    gram_moments,
+    gram_moments_partial,
+    pca_components,
+    pca_project,
+)
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+DIM = 64
+
+
+def _np_matrix(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    return np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64), [
+        r["vec_id"] for r in rows
+    ]
+
+
+def test_partial_gram_matches_exact_tier(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["i"], r["j"]): (r["n"], r["sum_xy"], r["sum_x"], r["sum_y"])
+        for r in gram_moments(emb).collect()
+    }
+    partial = {
+        (r["i"], r["j"]): (r["n"], r["sum_xy"], r["sum_x"], r["sum_y"])
+        for r in gram_moments_partial(emb, DIM).collect()
+    }
+    assert set(exact) == set(partial)
+    assert len(exact) == DIM * (DIM + 1) // 2
+    for k, (n, xy, x, y) in exact.items():
+        pn, pxy, px, py = partial[k]
+        assert pn == n
+        # float partials sum in partition order: close, not bit-equal
+        assert xy == pytest.approx(pxy, rel=1e-9, abs=1e-9)
+        assert x == pytest.approx(px, rel=1e-9, abs=1e-9)
+        assert y == pytest.approx(py, rel=1e-9, abs=1e-9)
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov_df = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_from_moments(gram_moments(emb)).collect()
+    }
+    mat, _ = _np_matrix(spark, sf_dir)
+    ref = np.cov(mat, rowvar=False, ddof=1)
+    for (i, j), c in cov_df.items():
+        assert c == pytest.approx(ref[i, j], rel=1e-8, abs=1e-12)
+
+
+def test_pca_projection_matches_numpy_reference(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, variances, mean = pca_components(emb, dim=DIM, k=4)
+    mat, ids = _np_matrix(spark, sf_dir)
+    centered = mat - mat.mean(axis=0)
+    ref_cov = np.cov(mat, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(ref_cov)
+    order = np.argsort(vals)[::-1][:4]
+    # explained variance matches the reference spectrum
+    for got, idx in zip(variances, order):
+        assert got == pytest.approx(vals[idx], rel=1e-6)
+    assert variances == sorted(variances, reverse=True)
+    # each component spans the same axis as the reference eigenvector
+    # (possibly opposite sign): |dot| ~ 1
+    for comp, idx in zip(comps, order):
+        d = abs(float(np.dot(comp, vecs[:, idx])))
+        assert d == pytest.approx(1.0, abs=1e-6)
+    # distributed projection equals the numpy projection
+    proj = pca_project(emb, comps, mean).orderBy("vec_id").collect()
+    ref_proj = centered @ np.asarray(comps).T
+    assert [r["vec_id"] for r in proj] == ids
+    for row, ref_row in zip(proj, ref_proj):
+        for c in range(4):
+            assert row[f"pc{c+1}"] == pytest.approx(ref_row[c], rel=1e-6, abs=1e-9)
+    # projections are centered: each pc sums to ~0
+    sums = np.asarray([[row[f"pc{c+1}"] for c in range(4)] for row in proj]).sum(axis=0)
+    assert np.allclose(sums, 0, atol=1e-6)
