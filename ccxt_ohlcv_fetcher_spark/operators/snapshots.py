@@ -228,6 +228,63 @@ class SnapshotStore:
             reader = reader.schema(self._ddl(schema))
         return reader.parquet(*paths)
 
+    def _rel_file_col(self):
+        """The scan's ``_metadata.file_path`` (``file:/abs/...``) as the
+        manifest-relative path — the join key of the deletion-vector
+        protocol. Pure string arithmetic on a constant prefix."""
+        prefix = "file:" + os.path.abspath(self.path) + os.sep
+        return F.expr(
+            f"substr(_metadata.file_path, {len(prefix) + 1})"
+        )
+
+    def _with_positions(self, files: list[str], manifest: dict) -> DataFrame:
+        """Read ``files`` with row identity: data columns plus ``_file``
+        (manifest-relative) and ``_pos`` (parquet row index). Row index
+        is the scan's ``_metadata.row_index`` — stable per immutable
+        file, no stored id column needed."""
+        return self._read_files(files, manifest).select(
+            "*",
+            self._rel_file_col().alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+
+    def _read_files_live(
+        self,
+        files: list[str],
+        manifest: dict,
+        with_file_col: str | None = None,
+    ) -> DataFrame:
+        """Read ``files`` with the manifest's deletion vectors applied:
+        a LEFT ANTI join of (file, row position) against the (small,
+        broadcast) union of DV files for exactly these data files. When
+        no DV touches the requested files this is ``_read_files``
+        verbatim — zero overhead on the fast path.
+
+        ``with_file_col``: also emit the manifest-RELATIVE source file
+        path under this name. Callers needing per-file bookkeeping
+        (delete/merge rewrite sets) must use this instead of
+        ``input_file_name()``, which is not defined across the DV
+        anti-join."""
+        dvs = manifest.get("dvs", {})
+        ent = {f: dvs[f] for f in files if f in dvs}
+        if not ent:
+            df = self._read_files(files, manifest)
+            if with_file_col:
+                df = df.select("*", self._rel_file_col().alias(with_file_col))
+            return df
+        dv_paths = sorted({p for lst in ent.values() for p in lst})
+        dv = self.spark.read.schema("_file string, _pos bigint").parquet(
+            *[os.path.join(self.path, p) for p in dv_paths]
+        )
+        keyed = self._with_positions(files, manifest)
+        data_cols = [c for c in keyed.columns if c not in ("_file", "_pos")]
+        live = keyed.join(F.broadcast(dv), ["_file", "_pos"], "left_anti")
+        if with_file_col:
+            return live.select(
+                *data_cols, F.col("_file").alias(with_file_col)
+            )
+        return live.select(*data_cols)
+
     @staticmethod
     def _conform(df: DataFrame, schema_pairs: list) -> DataFrame:
         """Project ``df`` to exactly the evolved schema: existing
@@ -389,6 +446,7 @@ class SnapshotStore:
         txn: tuple[str, int] | list[tuple[str, int]] | None = None,
         changes: list[str] | None = None,
         added: list[str] | None = None,
+        dvs: dict[str, list[str]] | None = None,
     ) -> bool:
         version = base_version + 1
         base = self.manifest(base_version)
@@ -426,6 +484,21 @@ class SnapshotStore:
             # inserts) — the +1 side of the row feed; survivor-rewrite
             # files are explicitly not in this list
             manifest["added"] = added
+        # deletion vectors: {data file -> [dv parquet files]} of row
+        # positions logically deleted from that file (merge-on-read).
+        # Default carries the base's vectors forward RESTRICTED to files
+        # still present — an append keeps them, a rewrite of a file
+        # (compact / CoW delete / merge) materializes and drops them.
+        # Pass dvs={} to clear explicitly, or a dict to add entries.
+        live_dvs = {
+            f: v
+            for f, v in (
+                dvs if dvs is not None else base.get("dvs", {})
+            ).items()
+            if f in set(files) and v
+        }
+        if live_dvs:
+            manifest["dvs"] = live_dvs
         if self.stats_cols or self.bloom_cols:
             manifest["stats"] = {f: stats.get(f, {}) for f in files}
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -616,9 +689,7 @@ class SnapshotStore:
         self.last_scan_files = (len(cand), len(m["files"]))
         if not cand:
             return (None, 0)
-        full = self._read_files(cand, m).withColumn(
-            "_f", F.input_file_name()
-        )
+        full = self._read_files_live(cand, m, with_file_col="_f")
         matches = full.filter(cond)
         per_file = {
             r["_f"]: r["n"]
@@ -627,13 +698,7 @@ class SnapshotStore:
         if not per_file:
             return (None, 0)
         n_deleted = sum(per_file.values())
-        abspath = {os.path.abspath(os.path.join(self.path, f)): f for f in m["files"]}
-
-        def to_rel(uri: str) -> str:
-            p = uri.removeprefix("file://").removeprefix("file:")
-            return abspath[os.path.abspath(p)]
-
-        touched = sorted({to_rel(u) for u in per_file})
+        touched = sorted(per_file)
         token = uuid.uuid4().hex[:12]
         chg_dir = os.path.join(self._data_dir, f"commit-{token}-chg")
         matches.drop("_f").write.parquet(chg_dir)
@@ -641,7 +706,7 @@ class SnapshotStore:
             os.path.relpath(f, self.path)
             for f in glob.glob(os.path.join(chg_dir, "*.parquet"))
         )
-        survivors = self._read_files(touched, m).filter(~cond)
+        survivors = self._read_files_live(touched, m).filter(~cond)
         staged = self._stage(survivors)
         for _ in range(max_retries):
             head = self.latest_version()
@@ -658,6 +723,109 @@ class SnapshotStore:
             if self._try_commit(head, merged, "delete", changes=chg_rel):
                 return (head + 1, n_deleted)
         raise CommitConflict(f"delete lost the CAS race {max_retries} times")
+
+    def delete_where_dv(
+        self,
+        condition,
+        max_retries: int = 10,
+        prune: dict[str, tuple] | None = None,
+    ) -> tuple[int | None, int]:
+        """Row-level DELETE via DELETION VECTORS (merge-on-read, the
+        Delta DV / Iceberg v2 position-delete design): instead of
+        rewriting every file that contains a match (copy-on-write,
+        write cost = size of touched files), persist only the (file,
+        row position) pairs of the deleted rows and have every read
+        anti-join them out. Write cost = size of the DELETED rows —
+        the right trade for small deletes from large files (GDPR
+        single-row erasure, point corrections), where copy-on-write
+        rewrites gigabytes to drop kilobytes.
+
+        Row identity is the parquet scan's ``_metadata.row_index``
+        (position within the immutable file) — no stored id column.
+        Positions are persisted as parquet change-dir files and named
+        in ``manifest['dvs'][data_file]``; vectors accumulate across
+        deletes, carry over appends, and are MATERIALIZED (applied and
+        dropped) whenever the file is rewritten — compact(), a CoW
+        delete, or a merge touching it. The same rows are also written
+        as ordinary change files, so ``read_row_changes`` and every
+        incremental consumer see an identical -1 feed regardless of
+        which delete flavor produced it.
+
+        Read cost until materialization: one broadcast anti-join per
+        scan of a DV'd file (zero for files without vectors). Same
+        concurrency contract as :meth:`delete_where` (appends rebase,
+        rewrites conflict); ``prune`` as there. Returns
+        ``(version, n_deleted)``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cond = F.coalesce(cond, F.lit(False))
+        base = self.latest_version()
+        m = self.manifest(base)
+        if not m["files"]:
+            return (None, 0)
+        cand = (
+            self.pruned_files(prune, version=base)
+            if prune else m["files"]
+        )
+        self.last_scan_files = (len(cand), len(m["files"]))
+        if not cand:
+            return (None, 0)
+        # scan LIVE rows with identity: already-deleted positions are
+        # anti-joined out, so re-matching them is impossible (no
+        # double-count, no duplicate DV entries)
+        dvs_before = m.get("dvs", {})
+        ent = {f: dvs_before[f] for f in cand if f in dvs_before}
+        keyed = self._with_positions(cand, m)
+        if ent:
+            old_dv = self.spark.read.schema("_file string, _pos bigint").parquet(
+                *[os.path.join(self.path, p)
+                  for p in sorted({q for lst in ent.values() for q in lst})]
+            )
+            keyed = keyed.join(F.broadcast(old_dv), ["_file", "_pos"], "left_anti")
+        matches = keyed.filter(cond).localCheckpoint(eager=False)
+        per_file = {
+            r["_file"]: r["n"]
+            for r in matches.groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not per_file:
+            return (None, 0)
+        n_deleted = sum(per_file.values())
+        token = uuid.uuid4().hex[:12]
+        # -1 change feed rows (same contract as the CoW delete)
+        chg_dir = os.path.join(self._data_dir, f"commit-{token}-chg")
+        matches.drop("_file", "_pos").write.parquet(chg_dir)
+        chg_rel = sorted(
+            os.path.relpath(f, self.path)
+            for f in glob.glob(os.path.join(chg_dir, "*.parquet"))
+        )
+        # the deletion vector itself: (file, pos) pairs
+        dv_dir = os.path.join(self._data_dir, f"commit-{token}-dv")
+        matches.select("_file", "_pos").coalesce(1).write.parquet(dv_dir)
+        dv_rel = sorted(
+            os.path.relpath(f, self.path)
+            for f in glob.glob(os.path.join(dv_dir, "*.parquet"))
+        )
+        for _ in range(max_retries):
+            head = self.latest_version()
+            for v in range(base + 1, head + 1):
+                op = self.manifest(v)["operation"]
+                if op != "append":
+                    raise CommitConflict(
+                        f"delete_where_dv read v{base} but v{v} is {op!r} "
+                        "— re-read and retry the delete"
+                    )
+            hm = self.manifest(head)
+            new_dvs = {f: list(v) for f, v in hm.get("dvs", {}).items()}
+            for f in per_file:
+                new_dvs[f] = new_dvs.get(f, []) + dv_rel
+            if self._try_commit(
+                head, hm["files"], "delete", changes=chg_rel, dvs=new_dvs
+            ):
+                return (head + 1, n_deleted)
+        raise CommitConflict(
+            f"delete_where_dv lost the CAS race {max_retries} times"
+        )
 
     def merge_into(
         self,
@@ -794,9 +962,7 @@ class SnapshotStore:
         per_file: dict = {}
         matched_t = None
         if cand:
-            full = self._read_files(cand, m).withColumn(
-                "_f", F.input_file_name()
-            )
+            full = self._read_files_live(cand, m, with_file_col="_f")
             matched_t = full.join(keys, on, "left_semi").localCheckpoint(
                 eager=False
             )
@@ -807,17 +973,9 @@ class SnapshotStore:
                 .collect()
             }
         n_matched = sum(per_file.values())
-        abspath = {
-            os.path.abspath(os.path.join(self.path, f)): f for f in m["files"]
-        }
-
-        def to_rel(uri: str) -> str:
-            p = uri.removeprefix("file://").removeprefix("file:")
-            return abspath[os.path.abspath(p)]
-
         # files rewritten ONLY when matched rows must change
         touched = (
-            sorted({to_rel(u) for u in per_file})
+            sorted(per_file)
             if (n_matched and when_matched is not None)
             else []
         )
@@ -854,7 +1012,7 @@ class SnapshotStore:
             )
         staged: list[str] = []
         if touched:
-            survivors = self._read_files(touched, m).join(
+            survivors = self._read_files_live(touched, m).join(
                 keys, on, "left_anti"
             )
             staged = self._stage(
@@ -910,7 +1068,7 @@ class SnapshotStore:
             if not schema:
                 raise ValueError("empty table (version 0) has no schema")
             return self.spark.createDataFrame([], schema=self._ddl(schema))
-        return self._read_files(m["files"], m)
+        return self._read_files_live(m["files"], m)
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
@@ -1076,8 +1234,10 @@ class SnapshotStore:
             m = self.manifest(v)
             # data/commit-<token>/... — change files of retained delete
             # commits count as referenced too (read_row_changes needs
-            # them as long as their version is reachable)
-            for f in m["files"] + m.get("changes", []):
+            # them as long as their version is reachable), as do the
+            # deletion-vector files every live read anti-joins against
+            dv_files = [p for lst in m.get("dvs", {}).values() for p in lst]
+            for f in m["files"] + m.get("changes", []) + dv_files:
                 referenced.add(f.split(os.sep)[1])
         deleted = []
         now = time.time()

@@ -768,3 +768,103 @@ def test_append_merge_schema_add_column(spark, tmp_path):
             spark.createDataFrame([(1.5, "z")], "v double, tag string"),
             merge_schema=True,
         )
+
+
+# --- deletion vectors (merge-on-read deletes) ----------------------------
+
+
+def test_dv_delete_hides_rows_without_rewriting_files(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 100))
+    files_before = store.manifest()["files"]
+    v, n = store.delete_where_dv("v % 10 = 0")
+    assert n == 10 and v == 2
+    m = store.manifest()
+    # merge-on-read: the data files are untouched, only vectors landed
+    assert m["files"] == files_before
+    assert set(m["dvs"]) <= set(files_before) and m["dvs"]
+    got = sorted(r["v"] for r in store.read().collect())
+    assert got == [x for x in range(100) if x % 10 != 0]
+    # time travel to before the delete still shows every row
+    assert store.read(version=1).count() == 100
+
+
+def test_dv_deletes_accumulate_and_never_rematch(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 50))
+    _, n1 = store.delete_where_dv("v < 10")
+    # overlapping condition: the 10 already-deleted rows must NOT be
+    # re-matched (no double-count, no duplicate positions)
+    _, n2 = store.delete_where_dv("v < 15")
+    assert (n1, n2) == (10, 5)
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(15, 50))
+    # both delete commits contributed distinct vector files
+    m = store.manifest()
+    assert len({p for lst in m["dvs"].values() for p in lst}) >= 2
+
+
+def test_dv_survives_append_and_compact_materializes(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 20))
+    store.delete_where_dv("v >= 18")
+    store.append(_df(spark, 100, 105))  # append carries vectors forward
+    m = store.manifest()
+    assert m["dvs"]
+    assert store.read().count() == 18 + 5
+    # compact reads the LIVE rows and rewrites: vectors materialized
+    store.compact()
+    m2 = store.manifest()
+    assert "dvs" not in m2
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(18)) + list(range(100, 105))
+
+
+def test_dv_then_cow_delete_and_merge_do_not_resurrect(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 30))
+    store.delete_where_dv("v < 5")
+    # CoW delete rewrites the touched file: must apply the vector, so
+    # 0..4 stay gone and 20..29 go too
+    v, n = store.delete_where("v >= 20")
+    assert n == 10
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(5, 20))
+    # any surviving vectors reference only still-present files (the
+    # rewritten files dropped theirs; untouched DV'd files keep them)
+    m = store.manifest()
+    assert set(m.get("dvs", {})) <= set(m["files"])
+
+
+def test_dv_merge_into_sees_only_live_rows(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    store.delete_where_dv("v = 3")
+    src = spark.createDataFrame([(3,), (11,)], "v long")
+    res = store.merge_into(src, on=["v"], when_matched="update")
+    # v=3 is deleted: the source row 3 must INSERT (not match a ghost)
+    assert res["matched"] == 0 and res["inserted"] == 2
+    assert sorted(r["v"] for r in store.read().collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11,
+    ]
+
+
+def test_dv_row_changes_feed_matches_cow_semantics(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    store.delete_where_dv("v in (2, 7)")
+    feed = store.read_row_changes(1).collect()
+    assert sorted((r["v"], r["_change"]) for r in feed) == [(2, -1), (7, -1)]
+    # net state from the signed feed == direct read
+    assert store.read().count() == 8
+
+
+def test_dv_files_survive_vacuum_while_referenced(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    store.delete_where_dv("v = 0")
+    store.append(_df(spark, 10, 12))
+    store.vacuum(retain_versions=1, min_age_seconds=0)
+    # the DV commit dir is still referenced by the head manifest
+    assert store.read().count() == 11
+    # after compact (vectors materialized) vacuum may reclaim them
+    store.compact()
+    store.vacuum(retain_versions=1, min_age_seconds=0)
+    assert store.read().count() == 11
