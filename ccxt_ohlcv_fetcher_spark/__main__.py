@@ -221,6 +221,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--snapshot-log", action="store_true", required=True,
         help="row-level delete needs the commit log (atomic copy-on-write)",
     )
+    de.add_argument(
+        "--dv", action="store_true",
+        help="merge-on-read: record deletion vectors instead of "
+        "rewriting files (materialized by the next compact)",
+    )
 
     hi = sub.add_parser(
         "history", help="commit log of a snapshot-logged dataset"
@@ -414,7 +419,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "delete":
         dataset = _make_dataset(spark, args)
-        version, n = dataset.delete_where(args.where)
+        version, n = (
+            dataset.delete_where_dv(args.where)
+            if args.dv
+            else dataset.delete_where(args.where)
+        )
         if version is None:
             print("deleted rows=0 (no match, no commit)")
         else:

@@ -105,8 +105,11 @@ class SnapshotCandleDataset:
             df = self.store.read(version=version).limit(0)
         else:
             # manifest-schema read: no footer inference at plan time,
-            # and robust if the table schema ever evolves
-            df = self.store._read_files(files, self.store.manifest(version))
+            # robust if the table schema ever evolves, and DV-aware
+            # (deletion vectors of pruned-in files anti-joined out)
+            df = self.store._read_files_live(
+                files, self.store.manifest(version)
+            )
         if symbol is not None:
             symbol = normalize_symbol(symbol)
         for col, val in zip(PARTITION_COLS, (exchange, symbol, timeframe)):
@@ -357,3 +360,11 @@ class SnapshotCandleDataset:
         match-containing files rewritten, change files recorded, time
         travel keeps the pre-delete snapshot)."""
         return self.store.delete_where(condition)
+
+    def delete_where_dv(self, condition: str) -> tuple[int | None, int]:
+        """Merge-on-read variant of :meth:`delete_where`: persists
+        deletion vectors instead of rewriting files — the right mode
+        for removing a few candles from a heavily-compacted dataset
+        (write cost = deleted rows, not touched files). Vectors are
+        materialized by the next ``compact()``."""
+        return self.store.delete_where_dv(condition)

@@ -319,7 +319,7 @@ class IncrementalJoinAggView:
             )
         if not files:
             return None
-        return store._read_files(files, m)
+        return store._read_files_live(files, m)
 
     # --- API ------------------------------------------------------------------
 

@@ -2505,3 +2505,82 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PCA_MEMO[key] = pca_components(emb, dim=64, k=4)
     comps, _, mean = _PCA_MEMO[key]
     return pca_project(emb, comps, mean)
+
+
+@register(
+    "corpus_term_drift",
+    oracle=f"""
+    WITH w AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                  THEN 'old' ELSE 'new' END AS slice,
+             unnest(words) AS term
+      FROM (SELECT source, {SQL_WORDS} AS words FROM documents)
+    ),
+    c AS (
+      SELECT term,
+             sum(CASE WHEN slice = 'old' THEN 1 ELSE 0 END) AS n_old,
+             sum(CASE WHEN slice = 'new' THEN 1 ELSE 0 END) AS n_new
+      FROM w GROUP BY term
+    ),
+    t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM c)
+    SELECT term,
+           CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           round(
+             CASE WHEN n_old > 0 THEN 0.5 * (CAST(n_old AS DOUBLE) / t_old)
+                  * ln((CAST(n_old AS DOUBLE) / t_old)
+                       / ((CAST(n_old AS DOUBLE) / t_old
+                           + CAST(n_new AS DOUBLE) / t_new) / 2))
+                  ELSE 0.0 END
+             + CASE WHEN n_new > 0 THEN 0.5 * (CAST(n_new AS DOUBLE) / t_new)
+                  * ln((CAST(n_new AS DOUBLE) / t_new)
+                       / ((CAST(n_old AS DOUBLE) / t_old
+                           + CAST(n_new AS DOUBLE) / t_new) / 2))
+                  ELSE 0.0 END,
+           9) AS jsd_contrib
+    FROM c CROSS JOIN t
+    WHERE n_old + n_new >= 5
+    """,
+    doc="Corpus drift monitor (E36/E13): per-term Jensen-Shannon "
+    "divergence contributions between two corpus slices (sources "
+    "src0-9 = 'old' vs src10-19 = 'new' — in production, two snapshot "
+    "versions of the same logged dataset via time travel). The "
+    "distribution-shift report every continuously-ingested training "
+    "corpus needs: terms whose frequency shifted drive the total JSD. "
+    "Slice totals are exact bigints folded as plan literals (bm25 "
+    "avgdl pattern: one 2-row aggregate, no BNLJ in the served plan); "
+    "contributions round ln() at 9 dp, the bigram-LM precedent for "
+    "cross-engine libm parity. One shuffle (term groupBy, map-side "
+    "combined).",
+    tags=("E36", "E13"),
+)
+def corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    slice_col = F.when(
+        F.expr("CAST(substr(source, 4) AS INT)") < 10, "old"
+    ).otherwise("new")
+    w = docs.select(
+        slice_col.alias("slice"), F.explode(words("text")).alias("term")
+    )
+    c = w.groupBy("term").agg(
+        F.sum(F.when(F.col("slice") == "old", 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("slice") == "new", 1).otherwise(0)).alias("n_new"),
+    )
+    totals = c.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    ).collect()[0]
+    t_old, t_new = float(totals["t_old"]), float(totals["t_new"])
+    p = F.col("n_old").cast("double") / F.lit(t_old)
+    q = F.col("n_new").cast("double") / F.lit(t_new)
+    m = (p + q) / F.lit(2)
+    contrib = F.when(
+        F.col("n_old") > 0, F.lit(0.5) * p * F.log(p / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("n_new") > 0, F.lit(0.5) * q * F.log(q / m)
+    ).otherwise(F.lit(0.0))
+    return c.filter(F.col("n_old") + F.col("n_new") >= 5).select(
+        "term",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.round(contrib, 9).alias("jsd_contrib"),
+    )

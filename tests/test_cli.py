@@ -314,3 +314,29 @@ def test_history_and_time_travel_sql(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="--version needs"):
         main(["sql", "--data-dir", data_dir, "--version", "1",
               "--query", "SELECT 1"])
+
+
+def test_delete_subcommand_dv_mode(spark, tmp_path, capsys):
+    """--dv records deletion vectors (no file rewrite); compact
+    materializes them; resume offsets reflect the live rows."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import MIN, T0, batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 9))
+    files_before = ds.store.manifest()["files"]
+
+    assert main(
+        ["delete", "--data-dir", data_dir, "--snapshot-log", "--dv",
+         "--where", f"timestamp >= {T0 + 6 * MIN}"]
+    ) == 0
+    assert "deleted rows=3" in capsys.readouterr().out
+    assert ds.read().count() == 6
+    m = ds.store.manifest()
+    assert m["files"] == files_before and m.get("dvs")
+    ds.compact()
+    assert "dvs" not in ds.store.manifest()
+    assert ds.read().count() == 6

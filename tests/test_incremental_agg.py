@@ -510,3 +510,50 @@ def test_streaming_fact_feeds_join_view(spark, tmp_path):
     dim.append(_dim(spark, [(4, "c")]))
     assert view.refresh() is not None
     assert _join_got(view) == _join_expected(fact.read(), dim.read())
+
+
+def test_dv_deletes_retract_through_incremental_view(spark, tmp_path):
+    """Merge-on-read deletes emit the SAME signed feed as copy-on-write
+    ones, so the incremental view retracts identically — including a
+    compact that materializes the vectors mid-stream."""
+    src = SnapshotStore(spark, str(tmp_path / "src"))
+    view = IncrementalAggView(
+        spark,
+        src,
+        str(tmp_path / "state"),
+        keys=["k"],
+        aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+    )
+
+    def exp():
+        return {
+            r["k"]: (r["cnt"], r["sum_v"])
+            for r in src.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum("v").cast("long").alias("sum_v"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r["k"]: (r["cnt"], r["sum_v"]) for r in view.read().collect()
+        }
+
+    src.append(_batch(spark, 0, 40))
+    view.refresh()
+    src.delete_where_dv("v % 4 = 1 AND v < 20")
+    assert view.refresh() is not None
+    assert got() == exp()
+    src.append(_batch(spark, 40, 50))
+    src.delete_where_dv("v % 4 = 3")  # key 3 fully deleted, via vectors
+    assert view.refresh() is not None
+    assert 3 not in got()
+    assert got() == exp()
+    # compact materializes the vectors; row-preserving for the feed
+    src.compact(target_partitions=1)
+    src.append(_batch(spark, 50, 60))
+    assert view.refresh() is not None
+    assert got() == exp()
