@@ -8,6 +8,7 @@ documents (the north star's training-data-pipeline posture).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -185,3 +186,32 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
         kind: F.regexp_count(col, F.lit(pattern))
         for kind, (pattern, _) in PII_PATTERNS.items()
     }
+
+
+def compression_signal():
+    """Scalar Arrow-vectorized ``pandas_udf`` (SURVEY.md §2.10):
+    zlib-compressed size of the UTF-8 text — the compression-ratio
+    quality signal from Gopher/MassiveText and CCNet-style pipelines.
+    Near-random text compresses poorly (ratio -> 1), heavily templated
+    or repeated text compresses extremely well (ratio -> 0); both
+    extremes are drop candidates. zlib level is pinned (6) so the
+    measurement is deterministic across runs, partitions, and engines
+    shipping the same zlib.
+
+    Byte-exact cross-run determinism is pinned in tests by comparing
+    the distributed output against driver-side zlib on the same rows.
+    One Arrow batch crosses the Python boundary per ~10k rows.
+    """
+    import zlib
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def compressed_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else 0
+        )
+
+    return compressed_len

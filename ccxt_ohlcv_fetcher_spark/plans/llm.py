@@ -2584,3 +2584,35 @@ def corpus_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         F.round(contrib, 9).alias("jsd_contrib"),
     )
+
+
+@register(
+    "doc_compression_quality",
+    oracle=None,  # zlib is not SQL-expressible: rows-only; determinism
+    # and the quality-band semantics are pinned in
+    # tests/test_llm_ops.py::test_compression_signal_*
+    doc="Compression-ratio quality signal (E36, §2.10 UDF surface; "
+    "Gopher/MassiveText + CCNet): per-doc zlib(level 6) compressed "
+    "size over UTF-8 byte length. ratio -> 1 flags near-random text, "
+    "ratio -> 0 flags templated/repeated text; keep_band marks the "
+    "[0.25, 0.95] band the cleaning pipeline keeps. Arrow-batched "
+    "scalar pandas_udf — one Python boundary, ~10k rows per batch, "
+    "embarrassingly parallel at any corpus size (no shuffle at all).",
+    tags=("E36", "udf"),
+)
+def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.text import compression_signal
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = compression_signal()
+    out = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        comp(F.col("text")).alias("n_compressed"),
+    ).withColumn(
+        "ratio", F.col("n_compressed") * F.lit(1.0) / F.col("n_bytes")
+    )
+    return out.withColumn(
+        "keep_band",
+        (F.col("ratio") >= 0.25) & (F.col("ratio") <= 0.95),
+    )

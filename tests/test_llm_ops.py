@@ -1195,3 +1195,34 @@ def test_bpe_tokenize_counts_and_oov_fallback(spark):
     }.pop()
     assert out["n_words"] == 2
     assert out["n_pieces"] == len(aa_pieces) + 4
+
+
+def test_compression_signal_deterministic_and_discriminative(spark, sf_dir):
+    import zlib
+
+    from ccxt_ohlcv_fetcher_spark.plans.llm import doc_compression_quality
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in doc_compression_quality(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    # distributed == driver-side zlib, byte-exact, every row
+    for r in docs:
+        exp = len(zlib.compress(r["text"].encode("utf-8"), 6))
+        assert out[r["doc_id"]]["n_compressed"] == exp
+    # discriminative on crafted extremes
+    crafted = spark.createDataFrame(
+        [(1, "spam " * 200), (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.text import compression_signal
+
+    comp = compression_signal()
+    vals = {
+        r["doc_id"]: r["c"] / r["n"]
+        for r in crafted.select(
+            "doc_id",
+            comp(F.col("text")).alias("c"),
+            F.octet_length("text").alias("n"),
+        ).collect()
+    }
+    assert vals[1] < 0.1 < vals[2]  # repeated text crushes, prose doesn't
