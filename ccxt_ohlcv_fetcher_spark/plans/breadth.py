@@ -975,3 +975,116 @@ def quantity_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(F.broadcast(modes), "l_returnflag").select(
         "l_returnflag", "mode_qty", "median_qty", "n"
     )
+
+
+@register(
+    "order_equidepth_hist",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM t GROUP BY bucket
+    """,
+    doc="Equi-DEPTH histogram via ntile (op E17/E18 composition): 8 "
+    "buckets of (near-)equal row count over the order-value "
+    "distribution, the complement of acctbal_width_buckets' equal-"
+    "WIDTH bins and the shape CBO column statistics use. The ntile "
+    "order carries the unique-key tie-break so bucket assignment is "
+    "total. Scale note: a global ntile is a single-partition sort — "
+    "fine for histogram-building on an aggregate-sized input; at "
+    "full-table scale use approx percentiles (price_approx_"
+    "percentiles) to cut bucket bounds instead, then one map-side "
+    "bucketed groupBy.",
+    tags=("E17", "E18"),
+)
+def order_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(8).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "event_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt, user_id) AS rk,
+             count(*) OVER () AS k,
+             sum(cnt) OVER () AS total
+      FROM c
+    )
+    SELECT CAST(max(k) AS BIGINT) AS n_keys,
+           CAST(max(total) AS BIGINT) AS n_rows,
+           max(cnt) AS max_cnt,
+           CAST(max(cnt) AS DOUBLE) / (CAST(max(total) AS DOUBLE)
+             / CAST(max(k) AS DOUBLE)) AS skew_factor,
+           CAST(SUM(CAST((2 * rk - k - 1) AS BIGINT) * cnt) AS DOUBLE)
+             / (CAST(max(k) AS DOUBLE) * CAST(max(total) AS DOUBLE))
+             AS gini
+    FROM r
+    """,
+    doc="Partition-key skew profile (op E17/E18; the diagnostic behind "
+    "every salting/AQE-skew-join decision): per-key counts, then the "
+    "hot-key skew factor (max over mean) and the exact Gini "
+    "coefficient of the key-size distribution via the rank identity "
+    "G = sum((2r-k-1)*c_r) / (k*total) — integer arithmetic until the "
+    "two final divisions, so cross-engine exact. The rank order "
+    "carries the key tie-break. One groupBy plus a key-cardinality-"
+    "sized window — the profile runs on aggregated counts, never raw "
+    "rows.",
+    tags=("E17", "E18"),
+)
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = W.orderBy("cnt", "user_id")
+    wall = W.partitionBy()
+    r = c.select(
+        "cnt",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    return r.agg(
+        F.max("k").cast("long").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        (
+            F.max("cnt").cast("double")
+            / (F.max("total").cast("double") / F.max("k").cast("double"))
+        ).alias("skew_factor"),
+        (
+            F.sum(
+                (F.lit(2) * F.col("rk") - F.col("k") - F.lit(1)).cast("bigint")
+                * F.col("cnt")
+            ).cast("double")
+            / (F.max("k").cast("double") * F.max("total").cast("double"))
+        ).alias("gini"),
+    )

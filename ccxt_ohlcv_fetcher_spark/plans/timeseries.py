@@ -676,3 +676,95 @@ def candle_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "bucket_ms", "close", "level", "trend", "forecast"
     )
+
+
+@register(
+    "candle_seasonal_decompose",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, bucket_ms, close,
+             CASE WHEN count(*) OVER w25 = 25 THEN
+               CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w25 AS DOUBLE) / 25
+             END AS trend
+      FROM c
+      WINDOW w25 AS (PARTITION BY event_type ORDER BY bucket_ms
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT *, close - trend AS detrended,
+             (bucket_ms // 3600000) % 24 AS hod
+      FROM t
+    ),
+    s AS (
+      SELECT event_type, hod,
+             CAST(sum(CAST(detrended AS DECIMAL(18,6))) AS DOUBLE)
+               / count(detrended) AS seasonal
+      FROM d WHERE detrended IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.bucket_ms, d.close, d.trend, s.seasonal,
+           d.detrended - s.seasonal AS resid
+    FROM d LEFT JOIN s ON d.event_type = s.event_type AND d.hod = s.hod
+    """,
+    doc="STL-lite seasonal decomposition (ops E19/E20/E13 composition): "
+    "hourly close series per event_type split into trend (centered "
+    "25-hour moving average, full windows only), daily seasonal "
+    "component (mean detrended value per hour-of-day — integer "
+    "epoch-ms arithmetic, tz-proof), and residual. The moving-average "
+    "and seasonal means use decimal accumulation so both engines "
+    "produce bit-identical doubles. One window pass + one 120-row "
+    "broadcast join back; partitioned per series, scales with "
+    "series count.",
+    tags=("E19", "E20", "E13"),
+)
+def candle_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = resample_ohlcv(
+        events, "1h", ts_col="ts", price_col="value", keys=("event_type",)
+    ).select("event_type", ms("bucket_ts").alias("bucket_ms"), "close")
+    w25 = (
+        W.partitionBy("event_type").orderBy("bucket_ms").rowsBetween(-12, 12)
+    )
+    t = c.select(
+        "event_type",
+        "bucket_ms",
+        "close",
+        F.when(
+            F.count(F.lit(1)).over(w25) == 25,
+            F.sum(F.col("close").cast("decimal(18,6)")).over(w25).cast("double")
+            / F.lit(25),
+        ).alias("trend"),
+    )
+    d = t.select(
+        "*",
+        (F.col("close") - F.col("trend")).alias("detrended"),
+        ((F.col("bucket_ms") / F.lit(3_600_000)).cast("bigint") % 24).alias(
+            "hod"
+        ),
+    )
+    s = (
+        d.filter(F.col("detrended").isNotNull())
+        .groupBy("event_type", "hod")
+        .agg(
+            (
+                F.sum(F.col("detrended").cast("decimal(18,6)")).cast("double")
+                / F.count("detrended")
+            ).alias("seasonal")
+        )
+    )
+    return (
+        d.join(F.broadcast(s), ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "bucket_ms",
+            "close",
+            "trend",
+            "seasonal",
+            (F.col("detrended") - F.col("seasonal")).alias("resid"),
+        )
+    )
