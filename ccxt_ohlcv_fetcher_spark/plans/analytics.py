@@ -2291,3 +2291,55 @@ def event_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit").cast("double").alias("credited"),
         F.count(F.lit(1)).alias("n_conversions"),
     )
+
+
+@register(
+    "user_time_to_convert",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, {sql_ms("min(ts)")} AS first_touch_ms
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min({sql_ms("e.ts")}) AS first_purchase_ms
+      FROM events e JOIN t ON e.user_id = t.user_id
+      WHERE e.event_type = 'purchase'
+        AND {sql_ms("e.ts")} >= t.first_touch_ms
+      GROUP BY e.user_id
+    )
+    SELECT t.user_id, t.first_touch_ms, p.first_purchase_ms,
+           (p.first_purchase_ms - t.first_touch_ms) // 60000 AS mins_to_convert
+    FROM t JOIN p ON t.user_id = p.user_id
+    """,
+    doc="Time-to-convert funnel metric (op E13/E5): per user, the gap "
+    "between the first touch (view/click) and the first purchase at "
+    "or after it — the latency distribution every conversion funnel "
+    "reports. Integer epoch-ms arithmetic end to end (the division "
+    "keeps integer semantics: Spark's bigint DIV matches DuckDB's "
+    "integer //). Two partial-aggregated groupBys and one user-keyed "
+    "join — co-partitioned on the same key at scale.",
+    tags=("E13", "E5"),
+)
+def user_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.min(ms("ts")).alias("first_touch_ms"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t, "user_id")
+        .filter(ms("ts") >= F.col("first_touch_ms"))
+        .groupBy("user_id")
+        .agg(F.min(ms("ts")).alias("first_purchase_ms"))
+    )
+    return t.join(p, "user_id").select(
+        "user_id",
+        "first_touch_ms",
+        "first_purchase_ms",
+        F.expr("(first_purchase_ms - first_touch_ms) DIV 60000").alias(
+            "mins_to_convert"
+        ),
+    )

@@ -89,3 +89,46 @@ def test_pca_projection_matches_numpy_reference(spark, sf_dir):
     # projections are centered: each pc sums to ~0
     sums = np.asarray([[row[f"pc{c+1}"] for c in range(4)] for row in proj]).sum(axis=0)
     assert np.allclose(sums, 0, atol=1e-6)
+
+
+def test_opq_balanced_rotation_cuts_pq_error(spark, sf_dir):
+    """The OPQ story, measured: variance-balanced rotation beats raw;
+    variance-SORTED PCA order is worse than balanced (energy piles
+    into subspace 0). Deterministic pipeline -> stable ordering."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
+        opq_balanced_rotation,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        pq_quantization_error,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, codes = 8, 16
+    err_raw = pq_quantization_error(emb, train_pq_codebooks(emb, DIM, m, codes))
+
+    comps, mean = opq_balanced_rotation(emb, DIM, m)
+    rot = pca_project(emb, comps, mean)
+    vec = F.array(*[F.col(f"pc{i+1}").cast("float") for i in range(DIM)])
+    rot_emb = rot.select("vec_id", vec.alias("embedding"))
+    err_bal = pq_quantization_error(
+        rot_emb, train_pq_codebooks(rot_emb, DIM, m, codes)
+    )
+    assert err_bal < err_raw  # balanced rotation strictly helps
+
+    # rotation is orthonormal: total variance (= total energy around
+    # the mean) is preserved, so the gain is reallocation, not scaling
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    raw_e = emb.agg(F.sum(sq).alias("e")).collect()[0]["e"]
+    centered_rot_e = rot_emb.agg(F.sum(sq).alias("e")).collect()[0]["e"]
+    import math
+
+    n = emb.count()
+    mean_e = sum(v * v for v in mean) * n
+    assert math.isclose(centered_rot_e, raw_e - mean_e, rel_tol=1e-6)
