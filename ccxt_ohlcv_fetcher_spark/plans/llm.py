@@ -2616,3 +2616,57 @@ def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_band",
         (F.col("ratio") >= 0.25) & (F.col("ratio") <= 0.95),
     )
+
+
+_OPQ_MEMO: dict[tuple[int, str], list] = {}
+
+
+def _opq_rotate(emb: DataFrame, comps: list[list[float]]) -> DataFrame:
+    """Rotation-ONLY projection (no centering: cosine geometry must be
+    preserved, and centering moves the origin) onto the balanced basis;
+    back to an array column so the PQ path is unchanged."""
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import pca_project
+
+    dim = len(comps)
+    rot = pca_project(
+        emb, comps, [0.0] * dim, id_col="vec_id", vec_col="embedding"
+    )
+    vec = F.array(*[F.col(f"pc{i + 1}") for i in range(dim)])
+    return rot.select("vec_id", vec.alias("embedding"))
+
+
+@register(
+    "ann_cosine_topk_opq",
+    oracle=None,  # approximate by construction; the measured error cut
+    # and the recall floor are pinned in tests/test_embeddings.py
+    doc="ANN top-k via OPQ-rotated product quantization (op E35; Ge et "
+    "al. CVPR'13 optimized PQ, greedy static form): the corpus and "
+    "queries are rotated onto the variance-BALANCED principal basis "
+    "(opq_balanced_rotation — round-robin axis deal, measured -5.5% "
+    "quantization error vs raw layout, PERFORMANCE.md §10) before "
+    "trained-codebook ADC scoring + exact re-rank. Rotation is "
+    "orthonormal and uncentered, so cosine geometry is EXACTLY "
+    "preserved — the re-ranked scores equal raw-space cosines up to "
+    "float association — while the ADC shortlist gets the full "
+    "error-cut fidelity. Rotation axes are plan literals (codegen "
+    "projection, no join); basis memoized per (session, sf_dir).",
+    tags=("E35",),
+)
+def ann_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
+        opq_balanced_rotation,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    if key not in _OPQ_MEMO:
+        comps, _mean = opq_balanced_rotation(emb, dim=64, m=8)
+        _OPQ_MEMO[key] = comps
+    rot = _opq_rotate(emb, _OPQ_MEMO[key]).localCheckpoint()
+    queries = rot.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return pq_cosine_topk(
+        rot, queries, k=5, dim=64, m=8, n_codes=16, rerank=4, train_iters=3
+    )

@@ -132,3 +132,39 @@ def test_opq_balanced_rotation_cuts_pq_error(spark, sf_dir):
     n = emb.count()
     mean_e = sum(v * v for v in mean) * n
     assert math.isclose(centered_rot_e, raw_e - mean_e, rel_tol=1e-6)
+
+
+def test_opq_ann_preserves_geometry_and_recall(spark, sf_dir):
+    """The OPQ ANN tier: rotated exact-reranked results match raw-space
+    exact cosines (rotation is orthonormal and uncentered), and recall
+    vs the exact path clears the PQ tier's floor."""
+    from ccxt_ohlcv_fetcher_spark.plans.llm import ann_cosine_topk_opq
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    out = ann_cosine_topk_opq(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+    got = {}
+    scores = {}
+    for r in out:
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+        scores[(r["q_id"], r["vec_id"])] = r["score"]
+    hits = sum(len(got[q] & truth[q]) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.5, recall
+    # re-ranked scores are true cosines: wherever ANN and exact agree
+    # on a pair, the scores agree to float tolerance
+    exact_scores = {(r["q_id"], r["vec_id"]): r["score"] for r in exact}
+    import math
+
+    shared = set(scores) & set(exact_scores)
+    assert shared
+    for kpair in shared:
+        assert math.isclose(scores[kpair], exact_scores[kpair], rel_tol=1e-9)
