@@ -265,3 +265,41 @@ def opq_balanced_rotation(
         perm[j * sub + slot[j]] = i
         slot[j] += 1
     return [comps[perm[p]] for p in range(dim)], mean
+
+
+def rotate_partial(
+    emb: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched rotation (numpy matmul per batch) — the INDEX-BUILD
+    path. :func:`pca_project`'s plan-literal fold is the right serving
+    shape (pure codegen, composes into any downstream plan), but for a
+    build-once rotation of the whole corpus a BLAS matmul per Arrow
+    batch is ~d times cheaper than d fold expressions. Output:
+    (id, embedding: array<double>) in the rotated basis. Float64
+    matmul vs the fold's sequential sums: equal to ~1e-9 relative
+    (pinned), not bitwise."""
+    import numpy as np
+    import pandas as pd
+
+    comp = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            proj = (mat - mu) @ comp.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, vec_col: list(proj)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} bigint, {vec_col} array<double>"
+    )

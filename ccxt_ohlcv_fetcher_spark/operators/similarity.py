@@ -941,6 +941,7 @@ def pq_cosine_topk(
     rerank: int = 0,
     train_iters: int = 0,
     seed_vectors: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: the query stays full-precision, the corpus side is its
@@ -971,7 +972,11 @@ def pq_cosine_topk(
     """
     assert dim % m == 0
     sub = dim // m
-    if train_iters:
+    if codebooks is not None:
+        # pre-trained codebooks (e.g. the OPQ tier's memoized training,
+        # or an offline training job): skip all build-time work
+        pass
+    elif train_iters:
         # trained codebooks (``train_pq_codebooks``): lower quantization
         # error -> whole recall curve shifts up at identical query cost
         codebooks = train_pq_codebooks(

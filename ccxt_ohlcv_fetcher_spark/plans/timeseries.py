@@ -768,3 +768,150 @@ def candle_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("detrended") - F.col("seasonal")).alias("resid"),
         )
     )
+
+
+@register(
+    "candle_gap_report",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, bucket_ms,
+             bucket_ms - lag(bucket_ms) OVER (
+               PARTITION BY event_type ORDER BY bucket_ms
+             ) AS delta_ms
+      FROM c
+    )
+    SELECT event_type,
+           min(bucket_ms) AS first_ms,
+           max(bucket_ms) AS last_ms,
+           (max(bucket_ms) - min(bucket_ms)) // 3600000 + 1 AS n_expected,
+           count(*) AS n_present,
+           (max(bucket_ms) - min(bucket_ms)) // 3600000 + 1 - count(*)
+             AS n_missing,
+           coalesce(max(delta_ms) // 3600000 - 1, 0) AS max_gap_hours
+    FROM g GROUP BY event_type
+    """,
+    doc="Candle gap report (the reference's whole job — detecting and "
+    "planning backfills, ccxt-ohlcv-fetch.py:86-91 resume logic — as "
+    "one query): per series, expected-vs-present hourly bucket counts "
+    "over the observed span and the largest internal gap, from one "
+    "dedup + one lag window. Pure integer epoch-ms arithmetic, "
+    "oracle-exact. The n_missing > 0 rows ARE the backfill work "
+    "queue; partitioned per series at any scale.",
+    tags=("E13", "E19", "R4"),
+)
+def candle_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.select(
+            "event_type",
+            ms(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_ms")
+    g = c.select(
+        "event_type",
+        "bucket_ms",
+        (F.col("bucket_ms") - F.lag("bucket_ms").over(w)).alias("delta_ms"),
+    )
+    span_h = F.expr("(max(bucket_ms) - min(bucket_ms)) DIV 3600000") + 1
+    return g.groupBy("event_type").agg(
+        F.min("bucket_ms").alias("first_ms"),
+        F.max("bucket_ms").alias("last_ms"),
+        span_h.alias("n_expected"),
+        F.count(F.lit(1)).alias("n_present"),
+        (span_h - F.count(F.lit(1))).alias("n_missing"),
+        F.coalesce(
+            F.expr("max(delta_ms) DIV 3600000") - 1, F.lit(0).cast("bigint")
+        ).alias("max_gap_hours"),
+    )
+
+
+@register(
+    "candle_pair_spread",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.bucket_ms, a.close AS close_a, b.close AS close_b,
+             a.close - b.close AS spread
+      FROM c a JOIN c b ON a.bucket_ms = b.bucket_ms
+      WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(spread AS DECIMAL(18,6))) AS DOUBLE) AS sum_s,
+             CAST(SUM(CAST(spread * spread AS DECIMAL(28,12))) AS DOUBLE)
+               AS sum_ss
+      FROM p
+    )
+    SELECT p.bucket_ms, p.close_a, p.close_b, p.spread,
+           (p.spread - s.sum_s / s.n)
+             / sqrt((s.sum_ss - s.sum_s * s.sum_s / s.n) / (s.n - 1))
+             AS spread_z
+    FROM p CROSS JOIN s
+    """,
+    doc="Pair-spread analytics (the pairs-trading / cross-venue "
+    "monitoring shape on the candle model): two hourly series joined "
+    "on the bucket, their spread z-scored against the whole-sample "
+    "moment estimates. Decimal-exact sums feed one fixed association "
+    "order, so the z-scores hash-match. The 1-row moment combine is "
+    "the sanctioned scalar-crossJoin shape (BNLJ allowlist); the "
+    "bucket equi-join co-partitions at scale.",
+    tags=("E13", "E5", "E17"),
+)
+def candle_pair_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy(
+            "event_type",
+            ms(F.date_trunc("hour", F.col("ts"))).alias("bucket_ms"),
+        )
+        .agg(F.max_by("value", F.col("ts")).alias("close"))
+    )
+    a = c.filter(F.col("event_type") == "purchase").select(
+        "bucket_ms", F.col("close").alias("close_a")
+    )
+    b = c.filter(F.col("event_type") == "error").select(
+        F.col("bucket_ms").alias("b_ms"), F.col("close").alias("close_b")
+    )
+    p = a.join(b, F.col("bucket_ms") == F.col("b_ms")).select(
+        "bucket_ms",
+        "close_a",
+        "close_b",
+        (F.col("close_a") - F.col("close_b")).alias("spread"),
+    )
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("spread").cast("decimal(18,6)")).cast("double").alias("sum_s"),
+        F.sum((F.col("spread") * F.col("spread")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sum_ss"),
+    )
+    return p.crossJoin(F.broadcast(s)).select(
+        "bucket_ms",
+        "close_a",
+        "close_b",
+        "spread",
+        (
+            (F.col("spread") - F.col("sum_s") / F.col("n"))
+            / F.sqrt(
+                (
+                    F.col("sum_ss")
+                    - F.col("sum_s") * F.col("sum_s") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("spread_z"),
+    )

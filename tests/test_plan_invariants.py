@@ -33,6 +33,7 @@ ALLOWED_NESTED_LOOP = {
     "monthly_revenue_mom",  # monthly rows x 1-row grand total
     "part_revenue_abc",  # per-part rows x 1-row grand total
     "event_value_histogram",  # 12 bins x 1-row exact-stats audit row
+    "candle_pair_spread",  # spread rows x 1-row moment estimates
 }
 
 
