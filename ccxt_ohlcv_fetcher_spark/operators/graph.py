@@ -207,3 +207,77 @@ def pagerank_reference_py(
                 incoming[d] += rank[s] * w // total_w
         rank = {v: base[v] + (85 * incoming[v]) // 100 for v in verts}
     return rank
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of an undirected graph: the maximal subgraph in which
+    every vertex has degree >= k — the standard "dense kernel" filter
+    (community seeds, spam/bot rings, robust co-occurrence cores).
+
+    Algorithm: iterative peeling. Each round drops vertices whose
+    CURRENT degree is < k and removes their incident edges; peeling one
+    vertex can demote its neighbors, so rounds repeat until a fixpoint.
+    The fixpoint is the k-core regardless of peel order (the k-core is
+    unique), so the result is deterministic even though the loop is
+    data-dependent.
+
+    Shape per round: one degree groupBy + two semi-joins on the
+    surviving vertex set — the same one-shuffle-per-round iterative
+    posture as connected_components, with ``localCheckpoint`` cutting
+    lineage each round and a driver-side count as the convergence
+    test (a bounded scalar sync, not a data collect). Rounds are
+    bounded by the graph's degeneracy ordering depth — tiny for real
+    graphs; ``max_rounds`` guards pathological chains (a path graph
+    peels one end per round).
+
+    Input ``edges`` must carry each undirected edge ONCE (src < dst);
+    output: the surviving edges in the same orientation.
+    """
+    cur = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    n_prev = cur.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        both = cur.select(F.col("src").alias("v")).unionAll(
+            cur.select(F.col("dst").alias("v"))
+        )
+        keep = (
+            both.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("v")
+        )
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        if n == n_prev:
+            break
+        cur, n_prev = nxt, n
+    return cur
+
+
+def k_core_reference_py(edges: list[tuple[int, int]], k: int) -> set[tuple[int, int]]:
+    """Pure-Python peeling reference for tests (same fixpoint)."""
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            return cur
+        cur = nxt

@@ -397,7 +397,9 @@ _COPURCHASE_MIN_ORDERS = 2
     "size. The triangle join shuffles only the filtered edge list.",
     tags=("E5", "E13"),
 )
-def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared co-purchase edge list (pa < pb, >= min orders together):
+    one basket shuffle + deterministic sorted-pair expansion."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -419,7 +421,7 @@ def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    edges = (
+    return (
         baskets.filter(F.size("parts") >= 2)
         .select(pair.alias("e"))
         .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
@@ -427,6 +429,10 @@ def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ord") >= _COPURCHASE_MIN_ORDERS)
         .select("pa", "pb")
     )
+
+
+def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
     edges = edges.localCheckpoint()  # consumed 4x below; cut the lineage
     degrees = (
         edges.select(F.col("pa").alias("v"))
@@ -2342,4 +2348,31 @@ def user_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(first_purchase_ms - first_touch_ms) DIV 60000").alias(
             "mins_to_convert"
         ),
+    )
+
+
+@register(
+    "copurchase_k_core",
+    oracle=None,  # data-dependent fixpoint loop (peeling) is not
+    # SQL-expressible; distributed == pure-Python peeling reference
+    # pinned in tests/test_analytics.py on the real fixture edges AND
+    # crafted graphs
+    doc="k-core dense kernel of the co-purchase graph (graph tier, "
+    "operators/graph.py:k_core): iterative peeling to the unique "
+    "maximal subgraph of minimum degree >= 2, then per-vertex core "
+    "degree — the dense-community seed filter. One degree groupBy + "
+    "two semi-joins per round, lineage cut per round, driver sync is "
+    "one scalar count (the CC/PageRank iterative shape). Output: "
+    "surviving vertices with their in-core degree.",
+    tags=("E13", "E5"),
+)
+def copurchase_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.graph import k_core
+
+    core = k_core(_copurchase_edges(spark, sf_dir), k=2, src="pa", dst="pb")
+    return (
+        core.select(F.col("src").alias("v"))
+        .unionAll(core.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
     )

@@ -431,3 +431,29 @@ def test_attribution_models_conserve_purchase_value(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert n_first == purchases["n"]
+
+
+def test_k_core_matches_python_reference(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.operators.graph import (
+        k_core,
+        k_core_reference_py,
+    )
+    from ccxt_ohlcv_fetcher_spark.plans.analytics import _copurchase_edges
+
+    # crafted: a triangle (2-core) with a pendant chain (peels away),
+    # and the chain pulls a triangle vertex's degree up so one round
+    # is NOT enough
+    crafted = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(crafted, "src long, dst long")
+    got = {(r["src"], r["dst"]) for r in k_core(df, 2).collect()}
+    assert got == k_core_reference_py(crafted, 2) == {(1, 2), (1, 3), (2, 3)}
+    # k=3 empties it
+    assert k_core(df, 3).count() == 0
+
+    # real fixture edges: distributed fixpoint == python reference
+    edges = [(r["pa"], r["pb"]) for r in _copurchase_edges(spark, sf_dir).collect()]
+    ref = k_core_reference_py(edges, 2)
+    got = {(r["src"], r["dst"]) for r in k_core(
+        _copurchase_edges(spark, sf_dir), 2, src="pa", dst="pb"
+    ).collect()}
+    assert got == ref

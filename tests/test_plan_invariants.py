@@ -22,6 +22,7 @@ ALLOWED_NESTED_LOOP = {
     # 1-row broadcast as BNLJ — the candidate join itself is still the
     # equi BHJ on the cell id.
     "ann_cosine_topk_ivfpq",
+    "ann_cosine_topk_opq",  # same 1-row codebook-delivery join as _pq
     "label_best_match",  # label-blocked pair join (non-equi residual)
     "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
     # 1-row x 1-row scalar-combine crossJoins (triangle count x wedge
