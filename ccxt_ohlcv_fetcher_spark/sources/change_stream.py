@@ -1,0 +1,179 @@
+"""Spark 4 Python DataSource: STREAM a SnapshotStore table's change
+feed (Delta's "streaming source over a table" semantics —
+``spark.readStream.format("snapshot_changes").option("path", ...)``).
+
+The commit log IS the offset axis: offset = manifest version. Each
+micro-batch covers a version range and emits that range's SIGNED
+row-level changes — +1 rows from append commits (and a merge's
+added files), -1 rows from delete/merge change files — with the commit
+version stamped on every row. Compact commits are row-preserving and
+contribute nothing; an overwrite rewrites history row-lessly and FAILS
+the stream (Delta raises the same way: a streaming consumer cannot
+reconcile a rewritten past — restart from the current snapshot).
+
+Scale shape: ``partitions(start, end)`` maps each changed FILE to one
+``InputPartition``, so a batch's files are read as parallel executor
+tasks with pyarrow — the driver touches only manifests (JSON, O(files)
+per commit), never rows. Offsets are exactly-once by construction:
+version ranges are half-open ``(start, end]``, so a restarted query
+resumes from the checkpointed version with no overlap and no gap (the
+same resume-from-log contract the snapshot sink's txn markers give the
+write side — together they close the loop: table -> stream -> table).
+
+Schema: pinned at stream start from the starting manifest, plus
+``_change int`` (+1/-1) and ``_commit_version int``. Files written
+before an add-column evolution null-fill the missing columns
+(pyarrow-side conform, mirroring the batch reader's manifest-schema
+rule); a schema that SHRINKS mid-stream fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_EXTRA_DDL = "_change int, _commit_version int"
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, "_manifests", f"v{version:08d}.json")
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    if version == 0:
+        return {"version": 0, "files": [], "operation": "empty"}
+    with open(_manifest_path(root, version)) as fh:
+        return json.load(fh)
+
+
+def _latest_version(root: str) -> int:
+    # hint + forward probe (same resolution rule as SnapshotStore)
+    hint = os.path.join(root, "_manifests", "_last")
+    v = 0
+    try:
+        with open(hint) as fh:
+            v = int(json.load(fh)["version"])
+    except (OSError, ValueError, KeyError):
+        import glob
+
+        names = glob.glob(os.path.join(root, "_manifests", "v*.json"))
+        v = max(
+            (int(os.path.basename(p)[1:-5]) for p in names), default=0
+        )
+        return v
+    while os.path.exists(_manifest_path(root, v + 1)):
+        v += 1
+    return v
+
+
+class ChangeFilePartition(InputPartition):
+    def __init__(self, path: str, sign: int, version: int):
+        self.path = path
+        self.sign = sign
+        self.version = version
+
+
+class SnapshotChangeStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.root = options["path"]
+        self.start_version = int(options.get("startingVersion", "0"))
+        self.max_versions = int(options.get("maxVersionsPerBatch", "0")) or None
+        head = _latest_version(self.root)
+        pin_at = min(max(self.start_version, 1), head) if head else 0
+        m = _read_manifest(self.root, pin_at) if pin_at else {}
+        self.schema_pairs = [tuple(p) for p in (m.get("schema") or [])]
+
+    # --- offsets ----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        head = _latest_version(self.root)
+        return {"version": head}
+
+    def partitions(self, start: dict, end: dict) -> list[ChangeFilePartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        if self.max_versions is not None:
+            hi = min(hi, lo + self.max_versions)
+        parts: list[ChangeFilePartition] = []
+        prev_files = set(_read_manifest(self.root, lo)["files"])
+        for v in range(lo + 1, hi + 1):
+            m = _read_manifest(self.root, v)
+            op = m["operation"]
+            if op == "append":
+                for f in m["files"]:
+                    if f not in prev_files:
+                        parts.append(ChangeFilePartition(f, +1, v))
+            elif op == "delete":
+                for f in m.get("changes", []):
+                    parts.append(ChangeFilePartition(f, -1, v))
+            elif op == "merge":
+                for f in m.get("added", []):
+                    parts.append(ChangeFilePartition(f, +1, v))
+                for f in m.get("changes", []):
+                    parts.append(ChangeFilePartition(f, -1, v))
+            elif op != "compact":
+                raise ValueError(
+                    f"snapshot change stream crossed non-row-level commit "
+                    f"v{v} ({op}) — restart the stream from the current "
+                    "snapshot"
+                )
+            prev_files = set(m["files"])
+        return parts
+
+    # --- reads (executor-side) --------------------------------------------
+
+    def read(self, partition: ChangeFilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(os.path.join(self.root, partition.path))
+        cols = []
+        n = table.num_rows
+        for name, _typ in self.schema_pairs:
+            if name in table.column_names:
+                cols.append(table.column(name).to_pylist())
+            else:
+                cols.append([None] * n)  # pre-evolution file: null-fill
+        sign = [partition.sign] * n
+        ver = [partition.version] * n
+        yield from zip(*cols, sign, ver)
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the durable source; nothing to release
+
+
+class SnapshotChangeDataSource(DataSource):
+    """``format("snapshot_changes")``: streaming change feed of a
+    SnapshotStore table. Options: ``path`` (table root, required),
+    ``startingVersion`` (default 0 = full history), and
+    ``maxVersionsPerBatch`` (admission control: bound how many commits
+    one micro-batch absorbs — the backfill-vs-latency knob)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_changes"
+
+    def schema(self) -> str:
+        reader = SnapshotChangeStreamReader(self.options)
+        if not reader.schema_pairs:
+            raise ValueError(
+                "snapshot change stream needs a committed table "
+                "(no manifest schema found)"
+            )
+        base = ", ".join(f"{n} {t}" for n, t in reader.schema_pairs)
+        return f"{base}, {_EXTRA_DDL}"
+
+    def streamReader(self, schema) -> SnapshotChangeStreamReader:
+        return SnapshotChangeStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SnapshotChangeDataSource)

@@ -1,0 +1,109 @@
+"""Streaming change-feed SOURCE over the snapshot log
+(sources/change_stream.py): spark.readStream.format("snapshot_changes")
+— version-offset exactly-once semantics, signed rows across append /
+delete (both flavors) / merge / compact, restart-resume from the
+checkpointed version, overwrite fails the stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+from ccxt_ohlcv_fetcher_spark.sources.change_stream import register
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+
+
+def _start(spark, root, out_table, checkpoint, **opts):
+    reader = spark.readStream.format("snapshot_changes").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    return (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_stream_emits_signed_changes_across_commit_types(spark, tmp_path):
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    store.append(_df(spark, 0, 20))           # v1: +20
+    store.delete_where("v >= 15")             # v2: -5 (copy-on-write)
+    store.delete_where_dv("v = 0")            # v3: -1 (deletion vector)
+    store.compact()                           # v4: nothing
+    store.append(_df(spark, 100, 105))        # v5: +5
+
+    q = _start(spark, root, "chg1", str(tmp_path / "cp1"))
+    q.awaitTermination(120)
+    rows = spark.sql("select * from chg1").collect()
+    by_sign = {}
+    for r in rows:
+        by_sign.setdefault(r["_change"], []).append(r)
+    assert len(by_sign[1]) == 25 and len(by_sign[-1]) == 6
+    # net state from the feed == the table's live read
+    net = {}
+    for r in rows:
+        net[r["v"]] = net.get(r["v"], 0) + r["_change"]
+    live = sorted(r["v"] for r in store.read().collect())
+    assert sorted(v for v, c in net.items() if c == 1) == live
+    # commit versions stamp correctly
+    assert {r["_commit_version"] for r in by_sign[-1]} == {2, 3}
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    register(spark)
+    root = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    store = SnapshotStore(spark, root)
+    store.append(_df(spark, 0, 10))
+
+    def run_once():
+        # file sink: the one that supports checkpoint RECOVERY (memory
+        # sink refuses), so the version offset round-trips a restart
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+
+    store.append(_df(spark, 10, 13))
+    run_once()  # same checkpoint -> resumes at the committed version
+    rows = spark.read.parquet(out).collect()
+    # no overlap, no gap: 13 total, the delta stamped with v2
+    assert sorted(r["v"] for r in rows) == list(range(13))
+    assert sorted(r["v"] for r in rows if r["_commit_version"] == 2) == [10, 11, 12]
+
+
+def test_stream_fails_on_overwrite(spark, tmp_path):
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    store.append(_df(spark, 0, 5))
+    store.overwrite(_df(spark, 50, 55))
+
+    q = _start(spark, root, "chg3", str(tmp_path / "cp3"))
+    with pytest.raises(Exception, match="non-row-level|OVERWRITE|overwrite"):
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
