@@ -107,3 +107,43 @@ def test_stream_fails_on_overwrite(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception():
             raise q.exception()
+
+
+def test_candle_dataset_streams_into_rollups(spark, tmp_path):
+    """The reference's end state, fully log-driven: candles ingested into
+    the logged dataset stream OUT through the change feed and roll up
+    hourly — table -> stream -> aggregate without rescanning."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    register(spark)
+    ds = SnapshotCandleDataset(spark, str(tmp_path / "candles"))
+    ds.append_idempotent(batch(spark, 0, 120))
+    ds.append_idempotent(batch(spark, 120, 180))
+
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", str(tmp_path / "candles"))
+        .load()
+        .filter("_change = 1")
+        .writeStream.format("memory")
+        .queryName("candle_feed")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed = spark.sql("select * from candle_feed")
+    assert feed.count() == 180
+    hourly = (
+        feed.groupBy(F.expr("timestamp DIV 3600000").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in hourly) == 180
+    # T0 is minute- but not hour-aligned: full interior hours carry 60
+    # 1m candles, the two boundary hours share the remainder
+    counts = sorted(r["n"] for r in hourly)
+    assert max(counts) == 60 and len(counts) in (3, 4)
