@@ -236,6 +236,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="history is a commit-log concept (plain datasets have none)",
     )
 
+    ch = sub.add_parser(
+        "changes", help="signed row-level change feed of a logged dataset"
+    )
+    ch.add_argument("--data-dir", type=str, required=True)
+    ch.add_argument(
+        "--snapshot-log", action="store_true", required=True,
+        help="the change feed is a commit-log concept",
+    )
+    ch.add_argument(
+        "--from-version", type=int, required=True,
+        help="emit changes AFTER this version (exclusive)",
+    )
+    ch.add_argument(
+        "--to-version", type=int, default=None,
+        help="up to this version inclusive (default: head)",
+    )
+    ch.add_argument(
+        "--limit", type=int, default=50, help="rows printed (default 50)"
+    )
+
     sq = sub.add_parser(
         "sql", help="ad-hoc SQL over fixture tables and/or a candle dataset"
     )
@@ -437,6 +457,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{h['version']:06d} parent=v{h['parent']:06d} "
                 f"{h['operation']:<9} files={h['n_files']}"
             )
+        return 0
+
+    if args.command == "changes":
+        dataset = _make_dataset(spark, args)
+        feed = dataset.store.read_row_changes(
+            args.from_version, args.to_version
+        )
+        n = feed.count()
+        for r in feed.orderBy("_change", *feed.columns[:1]).limit(
+            args.limit
+        ).collect():
+            print(dict(r.asDict()))
+        print(f"changes rows={n} from=v{args.from_version}")
         return 0
 
     if args.command == "sql":

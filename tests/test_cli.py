@@ -340,3 +340,24 @@ def test_delete_subcommand_dv_mode(spark, tmp_path, capsys):
     ds.compact()
     assert "dvs" not in ds.store.manifest()
     assert ds.read().count() == 6
+
+
+def test_changes_subcommand(spark, tmp_path, capsys):
+    """Signed change feed from the CLI: appends +1, deletes -1."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import MIN, T0, batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 6))
+    ds.delete_where(f"timestamp < {T0 + 2 * MIN}")
+
+    assert main(
+        ["changes", "--data-dir", data_dir, "--snapshot-log",
+         "--from-version", "0"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "changes rows=8 from=v0" in out  # 6 adds + 2 removes
+    assert "'_change': -1" in out and "'_change': 1" in out
