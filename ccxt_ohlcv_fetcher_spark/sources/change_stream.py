@@ -86,8 +86,10 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("startingVersion", "0"))
         self.max_versions = int(options.get("maxVersionsPerBatch", "0")) or None
         head = _latest_version(self.root)
-        pin_at = min(max(self.start_version, 1), head) if head else 0
-        m = _read_manifest(self.root, pin_at) if pin_at else {}
+        # pin the HEAD schema (the evolution superset): files written
+        # before an add-column evolution null-fill; pinning an older
+        # version's schema would silently drop evolved columns
+        m = _read_manifest(self.root, head) if head else {}
         self.schema_pairs = [tuple(p) for p in (m.get("schema") or [])]
 
     # --- offsets ----------------------------------------------------------

@@ -147,3 +147,26 @@ def test_candle_dataset_streams_into_rollups(spark, tmp_path):
     # 1m candles, the two boundary hours share the remainder
     counts = sorted(r["n"] for r in hourly)
     assert max(counts) == 60 and len(counts) in (3, 4)
+
+
+def test_stream_schema_pins_head_superset_after_evolution(spark, tmp_path):
+    """A stream started after an add-column evolution reads the HEAD
+    schema: pre-evolution files null-fill the new column instead of the
+    stream silently dropping it."""
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    store.append(_df(spark, 0, 4))
+    evolved = _df(spark, 4, 6).withColumn("extra", F.col("v") * 10)
+    # merge with schema evolution adds the column
+    store.merge_into(
+        evolved, on=["k", "v"], when_matched=None, schema_evolution=True
+    )
+
+    q = _start(spark, root, "chg_evo", str(tmp_path / "cp_evo"))
+    q.awaitTermination(120)
+    rows = spark.sql("select * from chg_evo").collect()
+    assert "extra" in rows[0].asDict()
+    by_v = {r["v"]: r for r in rows}
+    assert by_v[0]["extra"] is None          # pre-evolution: null-fill
+    assert by_v[5]["extra"] == 50            # evolved file carries it
