@@ -397,6 +397,12 @@ _COPURCHASE_MIN_ORDERS = 2
     "size. The triangle join shuffles only the filtered edge list.",
     tags=("E5", "E13"),
 )
+def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    edges = edges.localCheckpoint()  # consumed 4x below; cut the lineage
+    return _copurchase_stats(edges)
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared co-purchase edge list (pa < pb, >= min orders together):
     one basket shuffle + deterministic sorted-pair expansion."""
@@ -431,9 +437,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
-    edges = edges.localCheckpoint()  # consumed 4x below; cut the lineage
+def _copurchase_stats(edges: DataFrame) -> DataFrame:
     degrees = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
