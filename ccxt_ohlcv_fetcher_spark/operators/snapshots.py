@@ -58,6 +58,10 @@ class CommitConflict(RuntimeError):
     """Raised when max_retries rebases all lose the CAS race."""
 
 
+class ConstraintViolation(ValueError):
+    """Raised when staged rows violate a table CHECK constraint."""
+
+
 # --- per-file Bloom filters (manifest file-skipping for point lookups) ----
 
 _BLOOM_K = 4
@@ -329,6 +333,29 @@ class SnapshotStore:
         import pyarrow.parquet as pq
 
         files = [f for f in files if pq.ParquetFile(f).metadata.num_rows > 0]
+        # CHECK constraints (Delta's table constraints): enforced on the
+        # just-written staged files (page-cache warm, and avoids
+        # recomputing a possibly-expensive input frame). SQL CHECK
+        # semantics: NULL passes, only an explicit FALSE violates. On
+        # violation the staged dir is deleted and the commit never
+        # happens — the table is unchanged.
+        constraints = dict(self.manifest().get("constraints", {}))
+        constraints.update(getattr(self, "_pending_constraints", None) or {})
+        if constraints and files:
+            staged_df = self.spark.read.parquet(*files)
+            for cname, expr in constraints.items():
+                bad = staged_df.filter(
+                    F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
+                )
+                n_bad = bad.count()
+                if n_bad:
+                    example = bad.limit(1).collect()[0].asDict()
+                    shutil.rmtree(commit_dir, ignore_errors=True)
+                    raise ConstraintViolation(
+                        f"constraint {cname!r} ({expr}) violated by "
+                        f"{n_bad} staged row(s), e.g. {example} — "
+                        "commit refused, table unchanged"
+                    )
         # store paths relative to the table root so the table can move
         rel = [os.path.relpath(f, self.path) for f in files]
         self._pending_stats = (
@@ -465,6 +492,9 @@ class SnapshotStore:
             **base.get("stats", {}),
             **getattr(self, "_pending_stats", {}),
         }
+        constraints = getattr(self, "_pending_constraints", None)
+        if constraints is None:
+            constraints = base.get("constraints", {})
         manifest = {
             "version": version,
             "parent": base_version,
@@ -475,6 +505,8 @@ class SnapshotStore:
                 self, "_pending_schema", None
             ) or base.get("schema"),
         }
+        if constraints:
+            manifest["constraints"] = constraints
         if changes is not None:
             # row-level change files of a delete/merge commit (the
             # removed row versions), consumed by read_row_changes
@@ -643,6 +675,62 @@ class SnapshotStore:
             if self._try_commit(base, new_files, "overwrite", txn=txns):
                 return base + 1
         raise CommitConflict(f"overwrite lost the CAS race {max_retries} times")
+
+    # --- table constraints (Delta-style CHECK) ----------------------------
+
+    def add_constraint(
+        self, name: str, expr: str, max_retries: int = 10
+    ) -> int:
+        """Add a CHECK constraint to the table metadata in one atomic
+        commit (operation 'metadata', row-preserving). Existing rows
+        are validated FIRST — a constraint the current table violates
+        is refused, so a committed constraint is an invariant over the
+        table's whole live history from its version onward. Every
+        writer (this instance or any other process) then enforces it
+        at stage time via the manifest — constraints travel with the
+        TABLE, not the writer. NULL passes (SQL CHECK semantics)."""
+        live = self.read()
+        bad = live.filter(
+            F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
+        )
+        n_bad = bad.count()
+        if n_bad:
+            example = bad.limit(1).collect()[0].asDict()
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r} ({expr}): {n_bad} "
+                f"existing row(s) violate it, e.g. {example}"
+            )
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            merged = dict(m.get("constraints", {}))
+            merged[name] = expr
+            self._pending_constraints = merged
+            try:
+                if self._try_commit(base, m["files"], "metadata"):
+                    return base + 1
+            finally:
+                del self._pending_constraints
+        raise CommitConflict(
+            f"add_constraint lost the CAS race {max_retries} times"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 10) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            merged = dict(m.get("constraints", {}))
+            merged.pop(name, None)
+            self._pending_constraints = merged
+            try:
+                if self._try_commit(base, m["files"], "metadata"):
+                    return base + 1
+            finally:
+                del self._pending_constraints
+        raise CommitConflict(
+            f"drop_constraint lost the CAS race {max_retries} times"
+        )
 
     def delete_where(
         self,
@@ -1095,7 +1183,10 @@ class SnapshotStore:
         return self._read_files(new, head)
 
     def read_row_changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_version: bool = False,
     ) -> DataFrame:
         """SIGNED row-level change feed: the table columns plus a
         ``_change`` column, +1 for rows added by append commits (and a
@@ -1106,22 +1197,26 @@ class SnapshotStore:
         and raises — consumers fall back to a full recompute. This is
         what lets an incremental consumer (IncrementalAggView) stay
         delta-driven across deletes, upserts AND maintenance
-        compactions."""
+        compactions. ``include_version=True`` adds ``_commit_version``
+        — the column a CDC APPLY consumer needs to net a key to its
+        LATEST state across a multi-commit range (apply_changes_batch:
+        without it, add-then-delete vs delete-then-add of the same key
+        are indistinguishable)."""
         to_v = self.latest_version() if to_version is None else to_version
-        plus: list[str] = []
-        minus: list[str] = []
+        plus: list[tuple[str, int]] = []
+        minus: list[tuple[str, int]] = []
         prev_files = set(self.manifest(from_version)["files"])
         for v in range(from_version + 1, to_v + 1):
             m = self.manifest(v)
             op = m["operation"]
             if op == "append":
-                plus.extend(f for f in m["files"] if f not in prev_files)
+                plus.extend((f, v) for f in m["files"] if f not in prev_files)
             elif op == "delete":
-                minus.extend(m.get("changes", []))
+                minus.extend((f, v) for f in m.get("changes", []))
             elif op == "merge":
-                plus.extend(m.get("added", []))
-                minus.extend(m.get("changes", []))
-            elif op != "compact":
+                plus.extend((f, v) for f in m.get("added", []))
+                minus.extend((f, v) for f in m.get("changes", []))
+            elif op not in ("compact", "metadata"):
                 raise ValueError(
                     f"read_row_changes crosses non-row-level commit "
                     f"v{v} ({op})"
@@ -1130,19 +1225,37 @@ class SnapshotStore:
         head = self.manifest(to_v)
         empty = self.read(version=to_v).limit(0)
         out = empty.withColumn("_change", F.lit(0).cast("int"))
-        if plus:
+        if include_version:
+            out = out.withColumn("_commit_version", F.lit(0).cast("int"))
+
+        def side(entries: list[tuple[str, int]], sign: int) -> None:
+            nonlocal out
             # head-schema read: change files from before an add-column
             # evolution null-fill the new columns, matching what the
-            # table read reports for those rows today
-            added = self._read_files(plus, head)
-            out = out.unionByName(
-                added.withColumn("_change", F.lit(1).cast("int"))
-            )
+            # table read reports for those rows today. One read per
+            # version-group only when versions are requested.
+            if not include_version:
+                files = [f for f, _v in entries]
+                df = self._read_files(files, head).withColumn(
+                    "_change", F.lit(sign).cast("int")
+                )
+                out = out.unionByName(df)
+                return
+            by_v: dict[int, list[str]] = {}
+            for f, v in entries:
+                by_v.setdefault(v, []).append(f)
+            for v, files in sorted(by_v.items()):
+                df = (
+                    self._read_files(files, head)
+                    .withColumn("_change", F.lit(sign).cast("int"))
+                    .withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+                out = out.unionByName(df)
+
+        if plus:
+            side(plus, 1)
         if minus:
-            removed = self._read_files(minus, head)
-            out = out.unionByName(
-                removed.withColumn("_change", F.lit(-1).cast("int"))
-            )
+            side(minus, -1)
         return out
 
     def compact(

@@ -122,7 +122,7 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
                     parts.append(ChangeFilePartition(f, +1, v))
                 for f in m.get("changes", []):
                     parts.append(ChangeFilePartition(f, -1, v))
-            elif op != "compact":
+            elif op not in ("compact", "metadata"):
                 raise ValueError(
                     f"snapshot change stream crossed non-row-level commit "
                     f"v{v} ({op}) — restart the stream from the current "
@@ -179,3 +179,70 @@ class SnapshotChangeDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SnapshotChangeDataSource)
+
+
+def apply_changes_batch(batch, target, keys: list[str]) -> None:
+    """CDC-apply one micro-batch of signed changes onto ``target``
+    (a SnapshotStore with the same schema): net out each key to its
+    LATEST state in the batch (max ``_commit_version``; within a
+    version the +1 of a merge-update outranks the -1 of the replaced
+    row), then upsert the +1 survivors and delete the -1 ones via
+    MERGE. Idempotent BY VALUE: replaying a batch re-updates keys to
+    the values they already have and re-deletes keys that are already
+    gone — no transaction bookkeeping needed, which is what makes the
+    apply safe under foreachBatch's at-least-once replays."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    if "_commit_version" not in batch.columns:
+        raise ValueError(
+            "apply_changes_batch needs _commit_version to net keys to "
+            "their latest state — use read_row_changes("
+            "include_version=True) or the snapshot_changes stream"
+        )
+    w = W.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc(), F.col("_change").desc()
+    )
+    top = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    data_cols = [c for c in top.columns if c not in ("_change", "_commit_version")]
+    ups = top.filter("_change = 1").select(*data_cols)
+    dels = top.filter("_change = -1").select(*data_cols)
+    if not ups.isEmpty():
+        target.merge_into(ups, on=keys, when_matched="update")
+    if not dels.isEmpty():
+        target.merge_into(
+            dels, on=keys, when_matched="delete", insert_not_matched=False
+        )
+
+
+def replicate_changes(
+    spark,
+    source_root: str,
+    target,
+    keys: list[str],
+    checkpoint_dir: str,
+    starting_version: int = 0,
+):
+    """Table MIRRORING over the change feed: stream ``source_root``'s
+    snapshot log and CDC-apply every batch onto ``target`` — the
+    composition that turns (change-feed source + MERGE) into Delta's
+    `APPLY CHANGES INTO`. Returns the started streaming query
+    (availableNow trigger: catches up through the current source head,
+    then stops — call again to incrementally re-sync)."""
+    register(spark)
+    return (
+        spark.readStream.format("snapshot_changes")
+        .option("path", source_root)
+        .option("startingVersion", str(starting_version))
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _bid: apply_changes_batch(b, target, keys)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -45,7 +45,7 @@ def test_stream_emits_signed_changes_across_commit_types(spark, tmp_path):
     store.append(_df(spark, 100, 105))        # v5: +5
 
     q = _start(spark, root, "chg1", str(tmp_path / "cp1"))
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     rows = spark.sql("select * from chg1").collect()
     by_sign = {}
     for r in rows:
@@ -82,7 +82,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
     run_once()
     assert spark.read.parquet(out).count() == 10
@@ -104,7 +104,7 @@ def test_stream_fails_on_overwrite(spark, tmp_path):
 
     q = _start(spark, root, "chg3", str(tmp_path / "cp3"))
     with pytest.raises(Exception, match="non-row-level|OVERWRITE|overwrite"):
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         if q.exception():
             raise q.exception()
 
@@ -134,7 +134,7 @@ def test_candle_dataset_streams_into_rollups(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     feed = spark.sql("select * from candle_feed")
     assert feed.count() == 180
     hourly = (
@@ -164,9 +164,52 @@ def test_stream_schema_pins_head_superset_after_evolution(spark, tmp_path):
     )
 
     q = _start(spark, root, "chg_evo", str(tmp_path / "cp_evo"))
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     rows = spark.sql("select * from chg_evo").collect()
     assert "extra" in rows[0].asDict()
     by_v = {r["v"]: r for r in rows}
     assert by_v[0]["extra"] is None          # pre-evolution: null-fill
     assert by_v[5]["extra"] == 50            # evolved file carries it
+
+
+def test_replicate_changes_mirrors_table_including_deletes(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.sources.change_stream import (
+        apply_changes_batch,
+        replicate_changes,
+    )
+
+    src_root = str(tmp_path / "src")
+    src = SnapshotStore(spark, src_root)
+    tgt = SnapshotStore(spark, str(tmp_path / "tgt"))
+
+    src.append(_df(spark, 0, 10))
+    src.merge_into(  # upsert: v=3 exists (update), v=100 inserts
+        _df(spark, 3, 4).union(_df(spark, 100, 101)), on=["v"]
+    )
+    src.delete_where("v in (1, 2)")
+    src.delete_where_dv("v = 5")
+
+    q = replicate_changes(
+        spark, src_root, tgt, keys=["v"], checkpoint_dir=str(tmp_path / "cp")
+    )
+    q.awaitTermination(180)
+    assert sorted(r["v"] for r in tgt.read().collect()) == sorted(
+        r["v"] for r in src.read().collect()
+    )
+
+    # incremental re-sync picks up only new commits
+    src.append(_df(spark, 200, 202))
+    src.delete_where("v = 0")
+    q = replicate_changes(
+        spark, src_root, tgt, keys=["v"], checkpoint_dir=str(tmp_path / "cp")
+    )
+    q.awaitTermination(180)
+    assert sorted(r["v"] for r in tgt.read().collect()) == sorted(
+        r["v"] for r in src.read().collect()
+    )
+
+    # replaying an already-applied batch is a value-level no-op
+    feed = src.read_row_changes(0, include_version=True)
+    before = sorted(r["v"] for r in tgt.read().collect())
+    apply_changes_batch(feed, tgt, keys=["v"])
+    assert sorted(r["v"] for r in tgt.read().collect()) == before

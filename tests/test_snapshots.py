@@ -868,3 +868,81 @@ def test_dv_files_survive_vacuum_while_referenced(spark, tmp_path):
     store.compact()
     store.vacuum(retain_versions=1, min_age_seconds=0)
     assert store.read().count() == 11
+
+
+# --- CHECK constraints ----------------------------------------------------
+
+
+def test_constraint_refuses_violating_append_table_unchanged(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    store.add_constraint("non_negative", "v >= 0")
+    with pytest.raises(ConstraintViolation, match="non_negative"):
+        store.append(_df(spark, -5, -1))
+    # refused commit leaves the table AND the log untouched
+    assert store.read().count() == 10
+    assert store.manifest()["operation"] == "metadata"
+    # valid append still passes
+    store.append(_df(spark, 10, 12))
+    assert store.read().count() == 12
+
+
+def test_constraint_travels_with_the_table(spark, tmp_path):
+    """Constraints live in the MANIFEST: a second writer instance (a
+    different process in production) enforces them without being
+    configured."""
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    path = str(tmp_path / "t")
+    SnapshotStore(spark, path).append(_df(spark, 0, 5))
+    SnapshotStore(spark, path).add_constraint("cap", "v < 1000")
+    other = SnapshotStore(spark, path)  # fresh instance, no local state
+    with pytest.raises(ConstraintViolation, match="cap"):
+        other.append(_df(spark, 2000, 2002))
+    assert other.read().count() == 5
+
+
+def test_constraint_rejects_when_existing_rows_violate(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    with pytest.raises(ConstraintViolation, match="existing"):
+        store.add_constraint("impossible", "v >= 5")
+    assert "constraints" not in store.manifest()
+
+
+def test_constraint_null_passes_and_drop_restores(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 3))
+    store.add_constraint("positive_v", "v >= 0")
+    # SQL CHECK: NULL is not FALSE -> passes
+    with_null = _df(spark, 3, 5).select(
+        F.when(F.col("v") == 3, None).otherwise(F.col("v")).alias("v")
+    )
+    store.append(with_null)
+    assert store.read().count() == 5
+    # dropping the constraint re-allows anything
+    store.drop_constraint("positive_v")
+    store.append(_df(spark, 5, 6).select((F.col("v") * -1).alias("v")))
+    assert store.read().count() == 6
+
+
+def test_metadata_commits_are_transparent_to_feeds(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 4))
+    store.add_constraint("c", "v >= 0")
+    store.append(_df(spark, 4, 6))
+    feed = store.read_row_changes(1).collect()
+    assert sorted(r["v"] for r in feed) == [4, 5]
+    assert all(r["_change"] == 1 for r in feed)
