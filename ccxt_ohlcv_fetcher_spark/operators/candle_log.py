@@ -361,6 +361,25 @@ class SnapshotCandleDataset:
         travel keeps the pre-delete snapshot)."""
         return self.store.delete_where(condition)
 
+    def enable_ohlcv_constraints(self) -> list[int]:
+        """Commit the OHLCV invariants (operators/quality.py
+        candle_rules, minus the per-timeframe grid rule — a logged
+        dataset may mix timeframes) as table CHECK constraints: every
+        writer into this dataset — this process or any other — then
+        refuses batches with inverted candles or negative volume at
+        stage time, atomically, before the data is visible. The
+        reactive quality gate (check_rules/quarantine) inspects; the
+        constraint PREVENTS. Returns the metadata commit versions."""
+        exprs = {
+            "low_le_body": "low <= least(open, close)",
+            "high_ge_body": "high >= greatest(open, close)",
+            "volume_non_negative": "volume >= 0",
+        }
+        return [
+            self.store.add_constraint(name, expr)
+            for name, expr in exprs.items()
+        ]
+
     def delete_where_dv(self, condition: str) -> tuple[int | None, int]:
         """Merge-on-read variant of :meth:`delete_where`: persists
         deletion vectors instead of rewriting files — the right mode

@@ -2380,3 +2380,70 @@ def copurchase_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+@register(
+    "event_conversion_paths",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id, min({sql_ms("ts")}) AS p_ms
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id,
+             list(e.event_type
+                  ORDER BY {sql_ms("e.ts")}, e.event_id) AS types
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE {sql_ms("e.ts")} <= fp.p_ms
+      GROUP BY e.user_id
+    ),
+    paths AS (
+      SELECT array_to_string(types, '>') AS path FROM pre
+    )
+    SELECT path, count(*) AS n_users
+    FROM paths GROUP BY path
+    HAVING count(*) >= 2
+    """,
+    doc="Top conversion paths (op E13/E25; the path-analysis report "
+    "behind funnel design): per converting user, the ordered event-"
+    "type sequence up to and including the FIRST purchase, grouped "
+    "into path strings with >= 2 users. Deterministic ordering "
+    "((ts, event_id) total order) makes the path strings hash-exact. "
+    "One user-keyed join + one sorted collect per user — sequence "
+    "length is bounded by a user's own pre-conversion history, the "
+    "same per-key posture as the session patterns.",
+    tags=("E13", "E25", "E18"),
+)
+def event_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(ms("ts")).alias("p_ms"))
+    )
+    pre = (
+        events.join(fp, "user_id")
+        .filter(ms("ts") <= F.col("p_ms"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        ms("ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("y"),
+                    )
+                )
+            ).alias("seq")
+        )
+    )
+    paths = pre.select(
+        F.array_join(
+            F.transform(F.col("seq"), lambda r: r["y"]), ">"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+    )

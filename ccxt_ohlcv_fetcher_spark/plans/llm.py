@@ -2681,3 +2681,77 @@ def ann_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(
         rot, queries, k=5, dim=64, m=8, n_codes=16, rerank=4, codebooks=cbs
     )
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, count(*) AS freq FROM (
+        SELECT unnest({SQL_WORDS}) AS term FROM documents
+      ) GROUP BY term HAVING count(*) >= 5
+    ),
+    ranked AS (
+      SELECT round(ln(CAST(row_number() OVER (ORDER BY freq DESC, term)
+                           AS DOUBLE)), 9) AS lx,
+             round(ln(CAST(freq AS DOUBLE)), 9) AS ly
+      FROM tf
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(lx * ly AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(lx * lx AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS zipf_intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit of the term rank-frequency curve (E36 corpus "
+    "statistics): OLS slope/intercept of ln(freq) on ln(rank) over "
+    "terms with freq >= 5 — natural corpora fit slope ~ -1; strong "
+    "deviation flags synthetic, templated, or heavily deduplicated "
+    "text (a corpus-health monitor next to corpus_term_drift). The "
+    "ln values round at 9 dp (bigram-LM precedent) and feed "
+    "decimal-exact moment sums, so the closed-form OLS is bit-stable "
+    "cross-engine. Global ranking runs on the aggregated term table "
+    "(vocabulary-sized, like event_key_skew_profile), never raw rows.",
+    tags=("E36", "E17", "E18"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    rk = F.row_number().over(W.orderBy(F.col("freq").desc(), "term"))
+    ranked = tf.select(
+        F.round(F.log(rk.cast("double")), 9).alias("lx"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("ly"),
+    )
+    dsum28 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum28(F.col("lx")).alias("sx"),
+        dsum28(F.col("ly")).alias("sy"),
+        dsum28(F.col("lx") * F.col("ly")).alias("sxy"),
+        dsum28(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+    )

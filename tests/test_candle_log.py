@@ -275,3 +275,25 @@ def test_restate_corrects_closed_candles(spark, ds):
         row["timestamp"]: float(row["close"]) for row in ds.read().collect()
     }
     assert got2 == got
+
+
+def test_ohlcv_constraints_block_bad_candles(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    ds = SnapshotCandleDataset(spark, str(tmp_path / "t"))
+    ds.append_idempotent(batch(spark, 0, 5))
+    ds.enable_ohlcv_constraints()
+    # an inverted candle (low above the body) must be refused atomically
+    bad = project_ohlcv_rows(
+        spark,
+        [[T0 + 100 * MIN, 100.0, 101.0, 100.5, 100.2, 5.0]],  # low > close
+        "e", "XRP/USD", "1m",
+    )
+    with pytest.raises(ConstraintViolation, match="low_le_body"):
+        ds.append_idempotent(bad)
+    assert ds.read().count() == 5
+    # well-formed candles still flow
+    ds.append_idempotent(batch(spark, 5, 8))
+    assert ds.read().count() == 8
