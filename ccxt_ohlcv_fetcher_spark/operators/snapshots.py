@@ -341,6 +341,7 @@ class SnapshotStore:
         # happens — the table is unchanged.
         constraints = dict(self.manifest().get("constraints", {}))
         constraints.update(getattr(self, "_pending_constraints", None) or {})
+        self._staged_constraints = constraints
         if constraints and files:
             staged_df = self.spark.read.parquet(*files)
             for cname, expr in constraints.items():
@@ -630,6 +631,19 @@ class SnapshotStore:
                     f"table schema changed concurrently: head has "
                     f"{head_schema}, staged append expects {expected} — "
                     f"re-read and re-append"
+                )
+            # same rule for CHECK constraints: _stage validated against
+            # the constraint set at STAGE time; a constraint added
+            # concurrently was never checked on these rows, so blindly
+            # committing could violate it. Surface the conflict (the
+            # caller re-appends, which re-validates).
+            head_constraints = head_manifest.get("constraints", {})
+            if set(head_constraints.items()) - set(
+                getattr(self, "_staged_constraints", {}).items()
+            ):
+                raise CommitConflict(
+                    "table constraints changed concurrently — re-append "
+                    "to validate against the new constraint set"
                 )
             merged = head_manifest["files"] + new_files
             if self._try_commit(base, merged, "append", txn=txn):

@@ -946,3 +946,37 @@ def test_metadata_commits_are_transparent_to_feeds(spark, tmp_path):
     feed = store.read_row_changes(1).collect()
     assert sorted(r["v"] for r in feed) == [4, 5]
     assert all(r["_change"] == 1 for r in feed)
+
+
+def test_concurrent_constraint_add_conflicts_staged_append(spark, tmp_path):
+    """A constraint committed between a writer's stage and its CAS win
+    was never validated on the staged rows — append() must surface a
+    conflict instead of committing unchecked data. The race is driven
+    through the REAL append path: a hook lands the constraint right
+    after this writer stages."""
+    path = str(tmp_path / "t")
+    store = SnapshotStore(spark, path)
+    store.append(_df(spark, 0, 5))
+
+    class Racy(SnapshotStore):
+        def _stage(self, df, allow_schema_change=False):
+            rel = super()._stage(df, allow_schema_change)
+            # concurrent writer wins the next commit with a constraint
+            SnapshotStore(self.spark, self.path).add_constraint(
+                "non_negative", "v >= 0"
+            )
+            return rel
+
+    writer = Racy(spark, path)
+    with pytest.raises(CommitConflict, match="constraints changed"):
+        writer.append(_df(spark, -3, 0))  # staged rows violate v >= 0
+    assert store.read().count() == 5  # nothing leaked
+    # a fresh append now validates against the landed constraint
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        store.append(_df(spark, -3, 0))
+    store.append(_df(spark, 5, 7))
+    assert store.read().count() == 7
