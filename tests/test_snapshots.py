@@ -980,3 +980,27 @@ def test_concurrent_constraint_add_conflicts_staged_append(spark, tmp_path):
         store.append(_df(spark, -3, 0))
     store.append(_df(spark, 5, 7))
     assert store.read().count() == 7
+
+
+def test_constraints_enforced_on_merge_and_survivor_rewrites(spark, tmp_path):
+    """Constraints run on EVERY staged rewrite, not just appends: a
+    merge whose source violates is refused atomically (survivor
+    rewrite included), and the delete path's survivor rewrite passes
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    store.add_constraint("non_negative", "v >= 0")
+    bad_src = _df(spark, 3, 5).select((F.col("v") * -1).alias("v"))
+    with pytest.raises(ConstraintViolation, match="non_negative"):
+        store.merge_into(bad_src, on=["v"])
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(10))
+    # valid merge and delete still work under the constraint
+    store.merge_into(_df(spark, 8, 12), on=["v"])
+    store.delete_where("v < 2")
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(2, 12))
