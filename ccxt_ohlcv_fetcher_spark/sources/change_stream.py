@@ -84,7 +84,9 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.start_version = int(options.get("startingVersion", "0"))
+        self._committed_version = self.start_version
         self.max_versions = int(options.get("maxVersionsPerBatch", "0")) or None
+        self.max_files = int(options.get("maxFilesPerBatch", "0")) or None
         head = _latest_version(self.root)
         # pin the HEAD schema (the evolution superset): files written
         # before an add-column evolution null-fill; pinning an older
@@ -95,16 +97,58 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
     # --- offsets ----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        self._committed_version = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         head = _latest_version(self.root)
-        return {"version": head}
+        if self.max_files is None and self.max_versions is None:
+            return {"version": head}
+        # admission control: advance the offset only as far as the
+        # caps allow — version-count, or FILE-count (a single giant
+        # backfill commit is indivisible: at least one version always
+        # advances, so progress is guaranteed). The cursor the caps
+        # advance FROM is self-healing: it ratchets to every offset
+        # this method returns (and to every committed batch), so after
+        # a checkpoint restart — where the reader cannot see the
+        # checkpointed offset — a capped stream converges forward in a
+        # few empty triggers instead of stalling, and never skips.
+        committed = self._committed_version
+        hi = head
+        if self.max_versions is not None:
+            hi = min(hi, committed + self.max_versions)
+        if self.max_files is not None:
+            budget = self.max_files
+            v = committed
+            prev_files = set(_read_manifest(self.root, v)["files"])
+            while v < hi:
+                m = _read_manifest(self.root, v + 1)
+                n = len(self._version_files(m, prev_files))
+                if budget - n < 0 and v > committed:
+                    break
+                budget -= n
+                v += 1
+                prev_files = set(m["files"])
+            hi = v
+        hi = max(hi, committed)
+        self._committed_version = hi  # ratchet (see above)
+        return {"version": hi}
+
+    @staticmethod
+    def _version_files(m: dict, prev_files: set) -> list:
+        op = m["operation"]
+        if op == "append":
+            return [f for f in m["files"] if f not in prev_files]
+        if op == "delete":
+            return list(m.get("changes", []))
+        if op == "merge":
+            return list(m.get("added", [])) + list(m.get("changes", []))
+        return []
 
     def partitions(self, start: dict, end: dict) -> list[ChangeFilePartition]:
         lo, hi = int(start["version"]), int(end["version"])
-        if self.max_versions is not None:
-            hi = min(hi, lo + self.max_versions)
+        # replayed-batch path of a restart: heal the caps' cursor
+        self._committed_version = max(self._committed_version, lo)
         parts: list[ChangeFilePartition] = []
         prev_files = set(_read_manifest(self.root, lo)["files"])
         for v in range(lo + 1, hi + 1):
@@ -149,15 +193,22 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         yield from zip(*cols, sign, ver)
 
     def commit(self, end: dict) -> None:
-        pass  # the log is the durable source; nothing to release
+        # remember progress for the admission-control caps; the log
+        # itself is the durable source — nothing to release
+        self._committed_version = int(end["version"])
 
 
 class SnapshotChangeDataSource(DataSource):
     """``format("snapshot_changes")``: streaming change feed of a
     SnapshotStore table. Options: ``path`` (table root, required),
-    ``startingVersion`` (default 0 = full history), and
-    ``maxVersionsPerBatch`` (admission control: bound how many commits
-    one micro-batch absorbs — the backfill-vs-latency knob)."""
+    ``startingVersion`` (default 0 = full history), and admission
+    control: ``maxVersionsPerBatch`` (bound how many commits one
+    micro-batch absorbs) and ``maxFilesPerBatch`` (bound by CHANGED
+    FILES — the knob that actually limits bytes when one backfill
+    commit carries thousands of files; an indivisible oversized commit
+    still advances alone, so progress is guaranteed). Caps clamp the
+    OFFSET (not the partition list), so a capped stream checkpoints
+    exactly what it emitted — nothing is skipped."""
 
     @classmethod
     def name(cls) -> str:
@@ -211,11 +262,20 @@ def apply_changes_batch(batch, target, keys: list[str]) -> None:
     data_cols = [c for c in top.columns if c not in ("_change", "_commit_version")]
     ups = top.filter("_change = 1").select(*data_cols)
     dels = top.filter("_change = -1").select(*data_cols)
+    # schema_evolution: a mirror FOLLOWS the source's add-column
+    # evolutions (the stream already emits the head-schema superset,
+    # null-filling pre-evolution rows)
     if not ups.isEmpty():
-        target.merge_into(ups, on=keys, when_matched="update")
+        target.merge_into(
+            ups, on=keys, when_matched="update", schema_evolution=True
+        )
     if not dels.isEmpty():
         target.merge_into(
-            dels, on=keys, when_matched="delete", insert_not_matched=False
+            dels,
+            on=keys,
+            when_matched="delete",
+            insert_not_matched=False,
+            schema_evolution=True,
         )
 
 

@@ -213,3 +213,82 @@ def test_replicate_changes_mirrors_table_including_deletes(spark, tmp_path):
     before = sorted(r["v"] for r in tgt.read().collect())
     apply_changes_batch(feed, tgt, keys=["v"])
     assert sorted(r["v"] for r in tgt.read().collect()) == before
+
+
+def test_max_files_per_batch_paces_without_skipping(spark, tmp_path):
+    """Admission control: with maxFilesPerBatch=2 and 1-file commits,
+    availableNow still drains EVERYTHING (caps clamp the offset, so
+    checkpoints record exactly what was emitted — the old clamp-in-
+    partitions shape silently skipped the suffix), across multiple
+    batches."""
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    for lo in range(0, 12, 2):
+        store.append(_df(spark, lo, lo + 2).coalesce(1))  # 6 x 1-file commits
+
+    out = str(tmp_path / "out")
+
+    def drain_once():
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("maxFilesPerBatch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        import glob as g
+
+        files = g.glob(out + "/*.parquet")
+        return (
+            sorted(r["v"] for r in spark.read.parquet(out).collect())
+            if files
+            else []
+        )
+
+    # availableNow snapshots ONE capped offset per invocation (the
+    # simple reader API has no admission-control loop), so pacing =
+    # bounded forward progress per invocation, never a skip
+    seen = drain_once()
+    assert seen == [0, 1, 2, 3]  # 2 files = 2 commits = 4 rows
+    progress = [len(seen)]
+    for _ in range(6):
+        seen = drain_once()
+        progress.append(len(seen))
+        if len(seen) == 12:
+            break
+    assert seen == list(range(12))  # fully drained, nothing skipped
+    assert sorted(progress) == progress  # monotone forward progress
+
+
+def test_replication_follows_schema_evolution(spark, tmp_path):
+    from ccxt_ohlcv_fetcher_spark.sources.change_stream import (
+        replicate_changes,
+    )
+
+    src_root = str(tmp_path / "src")
+    src = SnapshotStore(spark, src_root)
+    tgt = SnapshotStore(spark, str(tmp_path / "tgt"))
+
+    src.append(_df(spark, 0, 4))
+    q = replicate_changes(
+        spark, src_root, tgt, keys=["v"], checkpoint_dir=str(tmp_path / "cp")
+    )
+    q.awaitTermination(300)
+
+    # source evolves: add-column merge, then more plain appends
+    evolved = _df(spark, 4, 6).withColumn("extra", F.col("v") * 10)
+    src.merge_into(evolved, on=["k", "v"], when_matched=None, schema_evolution=True)
+    q = replicate_changes(
+        spark, src_root, tgt, keys=["v"], checkpoint_dir=str(tmp_path / "cp")
+    )
+    q.awaitTermination(300)
+    got = {r["v"]: r for r in tgt.read().collect()}
+    assert set(got) == set(range(6))
+    assert got[5]["extra"] == 50          # evolved row carries the column
+    assert got[0]["extra"] is None        # pre-evolution rows null-fill
