@@ -1272,6 +1272,46 @@ class SnapshotStore:
             side(minus, -1)
         return out
 
+    def dv_stats(self, version: int | None = None) -> dict:
+        """Deletion-vector maintenance report: per DV'd file, how many
+        row positions are logically deleted, plus table totals — the
+        compact-scheduling signal (compact-when-dv-heavy: every read
+        of a DV'd file pays the anti-join until a rewrite materializes
+        the vectors). Reads only the small DV parquet files, never
+        data files. Returns {"files": {file: n_deleted}, "n_deleted",
+        "n_dv_files", "dv_ratio"} where dv_ratio = deleted positions
+        over the snapshot's total live+deleted rows in DV'd files
+        (from footer metadata — no data I/O)."""
+        import pyarrow.parquet as pq
+
+        m = self.manifest(version)
+        dvs = m.get("dvs", {})
+        if not dvs:
+            return {"files": {}, "n_deleted": 0, "n_dv_files": 0, "dv_ratio": 0.0}
+        dv_paths = sorted({p for lst in dvs.values() for p in lst})
+        per_file: dict[str, int] = {}
+        for p in dv_paths:
+            t = pq.read_table(
+                os.path.join(self.path, p), columns=["_file"]
+            )
+            for f in t.column("_file").to_pylist():
+                per_file[f] = per_file.get(f, 0) + 1
+        # only count entries whose data file is still present AND still
+        # carries the vector (rewritten files dropped theirs)
+        per_file = {f: n for f, n in per_file.items() if f in dvs}
+        n_deleted = sum(per_file.values())
+        total_rows = 0
+        for f in per_file:
+            total_rows += pq.ParquetFile(
+                os.path.join(self.path, f)
+            ).metadata.num_rows
+        return {
+            "files": per_file,
+            "n_deleted": n_deleted,
+            "n_dv_files": len(dv_paths),
+            "dv_ratio": (n_deleted / total_rows) if total_rows else 0.0,
+        }
+
     def compact(
         self,
         target_partitions: int = 1,

@@ -1004,3 +1004,22 @@ def test_constraints_enforced_on_merge_and_survivor_rewrites(spark, tmp_path):
     store.merge_into(_df(spark, 8, 12), on=["v"])
     store.delete_where("v < 2")
     assert sorted(r["v"] for r in store.read().collect()) == list(range(2, 12))
+
+
+def test_dv_stats_drive_compaction_decision(spark, tmp_path):
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 40).coalesce(2))
+    assert store.dv_stats()["n_deleted"] == 0
+    store.delete_where_dv("v % 4 = 0")
+    stats = store.dv_stats()
+    assert stats["n_deleted"] == 10
+    assert 0 < stats["dv_ratio"] <= 0.5
+    assert sum(stats["files"].values()) == 10
+    # every reported file is a current manifest member with a vector
+    m = store.manifest()
+    assert set(stats["files"]) <= set(m["dvs"])
+    # compact materializes -> the report empties
+    store.compact()
+    assert store.dv_stats() == {
+        "files": {}, "n_deleted": 0, "n_dv_files": 0, "dv_ratio": 0.0
+    }
