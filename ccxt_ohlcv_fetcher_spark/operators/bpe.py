@@ -181,3 +181,60 @@ def bpe_tokenize_docs(
             F.col("n_pieces") * F.lit(1.0) / F.col("n_words"),
         )
     )
+
+
+def save_bpe(
+    store,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+) -> int:
+    """Persist a trained tokenizer to a SnapshotStore table: the vocab
+    rows (word, freq, sym) as the table data, the merge SEQUENCE in a
+    version-stamped sidecar JSON next to the log (order matters — it
+    IS the tokenizer definition; the vocab alone can't re-derive it).
+    The vocab lands as one atomic overwrite commit, so a tokenizer
+    swap is all-or-nothing and old versions stay time-travelable —
+    retrain, commit, and every consumer flips at one version
+    boundary."""
+    import json as _json
+
+    flat = vocab.select(
+        "word", "freq", F.col("sym").cast("array<string>").alias("sym")
+    )
+    version = store.overwrite(flat)
+    # merges ride the txn map (carried forward by later commits):
+    # app id "bpe_merges", batch = version, payload in a side file
+    meta_path = f"{store.path}/_bpe_merges_v{version}.json"
+    with open(meta_path, "w") as fh:
+        _json.dump({"version": version, "merges": merges}, fh)
+    return version
+
+
+def load_bpe(store, version: int | None = None):
+    """Load (merges, vocab) back; ``version`` time-travels to an older
+    tokenizer. Raises if the merge sidecar for that version is gone."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    v = store.latest_version() if version is None else version
+    # the vocab table may have non-tokenizer commits after the save;
+    # find the newest sidecar at or below the requested version
+    candidates = sorted(
+        _glob.glob(_os.path.join(store.path, "_bpe_merges_v*.json"))
+    )
+    best = None
+    for p in candidates:
+        pv = int(_os.path.basename(p)[len("_bpe_merges_v"):-len(".json")])
+        if pv <= v:
+            best = (pv, p)
+    if best is None:
+        raise FileNotFoundError(
+            f"no persisted BPE tokenizer at or below version {v}"
+        )
+    pv, path = best
+    with open(path) as fh:
+        payload = _json.load(fh)
+    merges = [tuple(m) for m in payload["merges"]]
+    vocab = store.read(version=pv)
+    return merges, vocab

@@ -1226,3 +1226,40 @@ def test_compression_signal_deterministic_and_discriminative(spark, sf_dir):
         ).collect()
     }
     assert vals[1] < 0.1 < vals[2]  # repeated text crushes, prose doesn't
+
+
+def test_bpe_persistence_roundtrip_and_time_travel(spark, tmp_path, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        bpe_tokenize_docs,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+        word_freq_table,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    wf = word_freq_table(docs)
+    merges8, vocab8 = train_bpe(wf, n_merges=8)
+
+    store = SnapshotStore(spark, str(tmp_path / "tok"))
+    v1 = save_bpe(store, merges8, vocab8)
+    got_m, got_v = load_bpe(store)
+    assert got_m == merges8
+    # tokenization through the loaded vocab == through the fresh one
+    fresh = {r["doc_id"]: r["n_pieces"] for r in bpe_tokenize_docs(docs, vocab8).collect()}
+    loaded = {r["doc_id"]: r["n_pieces"] for r in bpe_tokenize_docs(docs, got_v).collect()}
+    assert fresh == loaded
+
+    # retrain deeper, swap atomically; old tokenizer stays reachable
+    merges16, vocab16 = train_bpe(wf, n_merges=16)
+    v2 = save_bpe(store, merges16, vocab16)
+    assert v2 > v1
+    m_new, _ = load_bpe(store)
+    assert m_new == merges16 and m_new[:8] == merges8  # prefix property
+    m_old, v_old = load_bpe(store, version=v1)
+    assert m_old == merges8
+    assert {r["word"]: tuple(r["sym"]) for r in v_old.collect()} == {
+        r["word"]: tuple(r["sym"]) for r in vocab8.collect()
+    }
