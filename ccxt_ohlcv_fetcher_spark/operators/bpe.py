@@ -220,14 +220,14 @@ def load_bpe(store, version: int | None = None):
     v = store.latest_version() if version is None else version
     # the vocab table may have non-tokenizer commits after the save;
     # find the newest sidecar at or below the requested version
-    candidates = sorted(
-        _glob.glob(_os.path.join(store.path, "_bpe_merges_v*.json"))
-    )
-    best = None
-    for p in candidates:
-        pv = int(_os.path.basename(p)[len("_bpe_merges_v"):-len(".json")])
-        if pv <= v:
-            best = (pv, p)
+    # max over NUMERIC version, not filename order: versions are not
+    # zero-padded, so lexicographic order puts v10 before v2 and a
+    # "last match wins" filename scan would load a stale tokenizer
+    parsed = [
+        (int(_os.path.basename(p)[len("_bpe_merges_v"):-len(".json")]), p)
+        for p in _glob.glob(_os.path.join(store.path, "_bpe_merges_v*.json"))
+    ]
+    best = max((c for c in parsed if c[0] <= v), default=None)
     if best is None:
         raise FileNotFoundError(
             f"no persisted BPE tokenizer at or below version {v}"

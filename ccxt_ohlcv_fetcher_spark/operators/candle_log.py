@@ -137,12 +137,17 @@ class SnapshotCandleDataset:
         files = self.store.pruned_files(ranges)
         if not files:
             return None
-        stats = self.store.manifest().get("stats", {})
+        manifest = self.store.manifest()
+        stats = manifest.get("stats", {})
+        dvs = manifest.get("dvs", {})
         best: int | None = None
         conclusive = True
         for f in files:
             fs = stats.get(f, {})
-            if "timestamp" not in fs or any(
+            # a file carrying deletion vectors is never conclusive:
+            # its footer stats still include logically-deleted rows,
+            # so the stats-only max could be a deleted candle
+            if f in dvs or "timestamp" not in fs or any(
                 c not in fs or fs[c][0] != fs[c][1] for c in PARTITION_COLS
             ):
                 conclusive = False
@@ -160,14 +165,20 @@ class SnapshotCandleDataset:
     # --- writes -----------------------------------------------------------
 
     def _existing_keys(self, batch_ranges: list[dict], version: int) -> DataFrame | None:
-        """Key columns of every head file that could overlap the batch."""
+        """Key columns of every head file that could overlap the batch.
+
+        DV-aware: reads through ``_read_files_live`` so positions removed
+        by ``delete_where_dv`` do NOT count as existing — otherwise a
+        delete-then-refetch of a corrected candle would be silently
+        dropped by the idempotency anti-join (the row is logically gone
+        but its key still sits in the physical file)."""
         files: set[str] = set()
         for r in batch_ranges:
             files.update(self.store.pruned_files(r, version=version))
         if not files:
             return None
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in sorted(files)]
+        return self.store._read_files_live(
+            sorted(files), self.store.manifest(version)
         ).select(*KEY_COLS)
 
     def _batch_ranges(self, batch: DataFrame) -> list[dict]:
@@ -259,8 +270,11 @@ class SnapshotCandleDataset:
                 base_files = set(store.manifest(base)["files"])
                 delta = [f for f in head_manifest["files"] if f not in base_files]
                 if delta:
-                    delta_keys = self.spark.read.parquet(
-                        *[os.path.join(self.path, f) for f in delta]
+                    # DV-aware for the same delete-then-refetch reason
+                    # as _existing_keys (a racing delete_where_dv may
+                    # vector rows out of the winner's files)
+                    delta_keys = self.store._read_files_live(
+                        delta, head_manifest
                     ).select(*KEY_COLS)
                     reduced = (
                         deduped.join(

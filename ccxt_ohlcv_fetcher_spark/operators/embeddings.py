@@ -256,6 +256,11 @@ def opq_balanced_rotation(
     vectors. Rotation is orthonormal, so cosine/L2 geometry — and
     therefore exact re-rank scores — are unchanged.
     """
+    if dim % m != 0:
+        # same contract as pq_cosine_topk: an indivisible dim would
+        # make the round-robin perm indices collide (overwritten /
+        # defaulted slots -> a silently non-orthonormal "rotation")
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     comps, _, mean = pca_components(emb, dim=dim, k=dim, id_col=id_col, vec_col=vec_col)
     sub = dim // m
     perm = [0] * dim

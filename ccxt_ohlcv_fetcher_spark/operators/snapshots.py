@@ -1121,12 +1121,21 @@ class SnapshotStore:
                 self._conform(survivors, out_schema),
                 allow_schema_change=evolving,
             )
+        # _stage REASSIGNS _pending_stats; a second call in the same
+        # commit must not drop the first call's stats/blooms or the
+        # survivor files lose manifest pruning for good
+        survivor_stats = dict(getattr(self, "_pending_stats", {})) if staged else {}
         add_staged: list[str] = []
         if added is not None and not added.isEmpty():
             add_staged = self._stage(
                 self._conform(added, out_schema),
                 allow_schema_change=evolving,
             )
+            if survivor_stats:
+                self._pending_stats = {
+                    **survivor_stats,
+                    **getattr(self, "_pending_stats", {}),
+                }
         for _ in range(max_retries):
             head = self.latest_version()
             for v in range(base + 1, head + 1):

@@ -85,6 +85,10 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         self.root = options["path"]
         self.start_version = int(options.get("startingVersion", "0"))
         self._committed_version = self.start_version
+        # highest version this READER instance has handed to Spark via
+        # partitions() — the anti-duplication floor for capped streams
+        # after a checkpoint restart (see latestOffset / partitions)
+        self._emitted_through = self.start_version
         self.max_versions = int(options.get("maxVersionsPerBatch", "0")) or None
         self.max_files = int(options.get("maxFilesPerBatch", "0")) or None
         head = _latest_version(self.root)
@@ -113,7 +117,16 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         # a checkpoint restart — where the reader cannot see the
         # checkpointed offset — a capped stream converges forward in a
         # few empty triggers instead of stalling, and never skips.
-        committed = self._committed_version
+        # Exactly-once guard for that restart window: the first
+        # latestOffset of a fresh reader can still compute from
+        # start_version and land BELOW the checkpointed offset; Spark
+        # would record that lower end and re-plan already-processed
+        # versions. partitions() heals the cursor to every range it
+        # sees AND self._emitted_through suppresses re-emission of
+        # versions this reader already handed to Spark (a fresh
+        # reader's floor is start_version, so legitimate replays of an
+        # uncommitted batch after a full restart are unaffected).
+        committed = max(self._committed_version, self._emitted_through)
         hi = head
         if self.max_versions is not None:
             hi = min(hi, committed + self.max_versions)
@@ -147,8 +160,23 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[ChangeFilePartition]:
         lo, hi = int(start["version"]), int(end["version"])
-        # replayed-batch path of a restart: heal the caps' cursor
-        self._committed_version = max(self._committed_version, lo)
+        # replayed-batch path of a restart: heal the caps' cursor to
+        # BOTH ends (Spark has durably logged `end` by the time this
+        # runs, and `start` was processed by a previous batch)
+        self._committed_version = max(self._committed_version, lo, hi)
+        # never re-emit a version at-or-below the floor: the floor is
+        # every range END this reader emitted plus every range START
+        # Spark has shown it (a start was processed by a prior batch —
+        # in the post-restart inverted batch (checkpoint, lower_end],
+        # `start` IS the checkpointed offset). After such a regression
+        # Spark plans (lower_end, new_end], which overlaps versions a
+        # previous run already processed — the floor skips them
+        # (exactly-once under caps). A fresh reader's floor is
+        # start_version, so the legitimate replay of an uncommitted
+        # batch after a full restart is unaffected.
+        eff_lo = max(lo, min(self._emitted_through, hi))
+        self._emitted_through = max(self._emitted_through, lo, hi)
+        lo = eff_lo
         parts: list[ChangeFilePartition] = []
         prev_files = set(_read_manifest(self.root, lo)["files"])
         for v in range(lo + 1, hi + 1):
@@ -194,8 +222,12 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # remember progress for the admission-control caps; the log
-        # itself is the durable source — nothing to release
-        self._committed_version = int(end["version"])
+        # itself is the durable source — nothing to release. RATCHET,
+        # never assign: after a restart regression Spark commits the
+        # stale lower end, which must not rewind the healed cursor.
+        self._committed_version = max(
+            self._committed_version, int(end["version"])
+        )
 
 
 class SnapshotChangeDataSource(DataSource):

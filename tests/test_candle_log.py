@@ -297,3 +297,24 @@ def test_ohlcv_constraints_block_bad_candles(spark, tmp_path):
     # well-formed candles still flow
     ds.append_idempotent(batch(spark, 5, 8))
     assert ds.read().count() == 8
+
+
+def test_dv_delete_then_refetch_lands_corrected_row(spark, ds):
+    """ADVICE r6 (high): existing-key reads must be DV-aware. After a
+    bad candle is removed with delete_where_dv (merge-on-read), its key
+    still sits in the physical file — a DV-blind idempotency anti-join
+    would silently drop the re-ingested corrected row, and a stats-only
+    resume would report the DELETED candle as the newest offset."""
+    ds.append_idempotent(batch(spark, 0, 5))
+    bad_ts = T0 + 4 * MIN
+    ds.delete_where_dv(f"timestamp = {bad_ts}")
+    assert ds.read().count() == 4
+    # resume: the DV'd file is inconclusive for stats-only, and the
+    # data-scan fallback must not see the deleted row
+    assert ds.resume_offset("e", "XRP/USD", "1m") == T0 + 3 * MIN
+    # refetch the window containing the corrected candle: it must LAND
+    assert ds.append_idempotent(batch(spark, 3, 5)) == 1
+    assert ds.read().count() == 5
+    assert ds.read(since_ms=bad_ts).count() == 1
+    # and resume moves forward again
+    assert ds.resume_offset("e", "XRP/USD", "1m") == bad_ts

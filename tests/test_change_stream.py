@@ -292,3 +292,36 @@ def test_replication_follows_schema_evolution(spark, tmp_path):
     assert set(got) == set(range(6))
     assert got[5]["extra"] == 50          # evolved row carries the column
     assert got[0]["extra"] is None        # pre-evolution rows null-fill
+
+
+def test_capped_reader_never_reemits_after_offset_regression(spark, tmp_path):
+    """ADVICE r6 (medium): after a checkpoint restart, a fresh capped
+    reader's first latestOffset computes from startingVersion and can
+    land BELOW the checkpointed offset; Spark durably records that
+    lower end and plans an overlapping next batch. The reader must
+    (a) heal its cursor from every range partitions() shows it,
+    (b) never re-emit a version this instance already handed to Spark,
+    (c) RATCHET in commit() instead of overwriting the heal.
+    Simulates Spark's exact post-restart call sequence."""
+    from ccxt_ohlcv_fetcher_spark.sources.change_stream import (
+        SnapshotChangeStreamReader,
+    )
+
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    for lo in range(0, 16, 2):  # v1..v8, one commit each
+        store.append(_df(spark, lo, lo + 2).coalesce(1))
+
+    # previous run processed + checkpointed through v6; fresh reader:
+    r = SnapshotChangeStreamReader({"path": root, "maxVersionsPerBatch": "2"})
+    off1 = r.latestOffset()
+    assert off1["version"] == 2  # the regression (cold cursor + cap)
+    # Spark plans (checkpointed=6, off1=2]: inverted -> emits NOTHING
+    assert r.partitions({"version": 6}, off1) == []
+    r.commit(off1)  # Spark records the lower end; must not rewind heal
+    off2 = r.latestOffset()
+    assert off2["version"] == 8  # healed past the checkpoint
+    # Spark plans from its recorded lower end: (2, 8]. Versions <= 6
+    # were processed by the previous run — only 7..8 may emit.
+    parts = r.partitions({"version": 2}, off2)
+    assert sorted({p.version for p in parts}) == [7, 8]

@@ -168,3 +168,20 @@ def test_opq_ann_preserves_geometry_and_recall(spark, sf_dir):
     assert shared
     for kpair in shared:
         assert math.isclose(scores[kpair], exact_scores[kpair], rel_tol=1e-9)
+
+
+def test_opq_rotation_rejects_indivisible_dim(spark):
+    """ADVICE r6 (low): an indivisible dim made the round-robin perm
+    collide (overwritten + defaulted slots -> silently non-orthonormal
+    'rotation'); the guard must refuse before any computation."""
+    import pytest as _pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
+        opq_balanced_rotation,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        opq_balanced_rotation(emb, dim=10, m=3)

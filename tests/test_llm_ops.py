@@ -1263,3 +1263,32 @@ def test_bpe_persistence_roundtrip_and_time_travel(spark, tmp_path, sf_dir):
     assert {r["word"]: tuple(r["sym"]) for r in v_old.collect()} == {
         r["word"]: tuple(r["sym"]) for r in vocab8.collect()
     }
+
+
+def test_load_bpe_sidecar_selection_is_numeric(spark, tmp_path):
+    """ADVICE r6 (medium): sidecar versions aren't zero-padded, so
+    _bpe_merges_v10.json sorts lexicographically BEFORE v2; the loader
+    must pick the NUMERIC max at-or-below the requested version, not
+    the last filename-order match (which silently served a stale
+    tokenizer once 10+ versions existed)."""
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import load_bpe, save_bpe
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+    def vocab(tag):
+        return spark.createDataFrame(
+            [(f"w{tag}", 1, [f"w{tag}", "</w>"])],
+            "word string, freq long, sym array<string>",
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "tok"))
+    store.append(vocab("fill"))                      # v1
+    v2 = save_bpe(store, [["a", "b"]], vocab(2))     # v2 sidecar
+    assert v2 == 2
+    for _ in range(7):                               # v3..v9 filler
+        store.append(vocab("fill"))
+    v10 = save_bpe(store, [["a", "b"], ["ab", "c"]], vocab(10))
+    assert v10 == 10
+    m_new, _ = load_bpe(store)
+    assert m_new == [("a", "b"), ("ab", "c")]        # v10, not stale v2
+    m_old, _ = load_bpe(store, version=9)            # newest AT-OR-BELOW
+    assert m_old == [("a", "b")]

@@ -1023,3 +1023,36 @@ def test_dv_stats_drive_compaction_decision(spark, tmp_path):
     assert store.dv_stats() == {
         "files": {}, "n_deleted": 0, "n_dv_files": 0, "dv_ratio": 0.0
     }
+
+
+def test_merge_keeps_survivor_stats_in_manifest(spark, tmp_path):
+    """ADVICE r6 (low): merge_into stages survivors then added rows in
+    two _stage calls; the second reassigned _pending_stats, dropping
+    the survivor files' min/max stats and blooms from the manifest —
+    those files then lost pruning forever. Every post-merge file must
+    carry its stats entry."""
+    from pyspark.sql import functions as F
+
+    def kv(lo, hi, mult=1):
+        return (
+            spark.range(lo, hi)
+            .coalesce(1)
+            .select(F.col("id").alias("k"), (F.col("id") * mult).alias("v"))
+        )
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["k"], bloom_cols=["k"]
+    )
+    store.append(kv(0, 5))
+    # matched key 3 forces a survivor rewrite; key 20 is an insert, so
+    # BOTH _stage calls run in the same commit
+    r = store.merge_into(kv(3, 4, 10).unionByName(kv(20, 21, 10)), on=["k"])
+    assert (r["matched"], r["inserted"]) == (1, 1)
+    m = store.manifest()
+    for f in m["files"]:
+        assert "k" in m["stats"][f], f"survivor file {f} lost min/max stats"
+        assert "_bloom" in m["stats"][f], f"survivor file {f} lost bloom"
+    # and the stats are actually correct (prune to the survivor file)
+    assert store.pruned_files({"k": (0, 2)}) and len(
+        store.pruned_files({"k": (0, 2)})
+    ) < len(m["files"])
