@@ -1,0 +1,236 @@
+"""Distributed exact global rank / running sum / ntile — the
+replacement for single-partition global windows.
+
+A global ``row_number() OVER (ORDER BY ...)`` (or global running sum,
+or ``ntile``) compiles to ``Exchange SinglePartition -> Sort -> Window``:
+the ENTIRE input moves through one task, which at 100 TB is THE
+bottleneck stage of the job (reference behavior being replaced: the
+round-6 verdict's one flagged plan shape, `order_equidepth_hist`'s raw-
+table ntile). This module computes the same exact values with no
+single-partition stage — the classic two-pass range-partitioned rank
+(TeraSort's partitioning argument applied to ranking):
+
+1. ``repartitionByRange(P, *order)`` + ``sortWithinPartitions(*order)``
+   — partition boundaries respect the total order, rows sorted inside.
+2. ``monotonically_increasing_id()`` assigned AFTER the sort encodes
+   (partition id, local position): upper 31 bits = partition, lower 33
+   = record number in partition order, i.e. the within-partition rank
+   for free — no per-partition window, no second shuffle.
+   ``localCheckpoint`` pins the partitioning: range boundaries come
+   from sampling and would re-draw on every downstream job otherwise.
+3. ONE tiny driver sync: per-partition row counts (and value totals
+   for the running-sum variant) — O(P) rows, never data rows.
+4. ``rank = prefix_count(partition) + local_position + 1`` as a pure
+   projection; ``ntile``/cume arithmetic derives from (rank, total).
+
+The order MUST be total (include a unique tie-break column): a range
+partitioner may split equal sort keys across adjacent partitions, and
+ranks within a tie would then depend on the split. Every caller in
+this repo orders by (value, unique key).
+
+Scale note: the localCheckpoint is one write+read of the (projected)
+input on executor-local storage — linear and fully parallel, the
+standard price of two-pass ranking. At petabyte scale, substitute a
+persisted range-bucketed table (bounds from approx quantiles) so the
+boundaries are deterministic without materialization; the arithmetic
+here is unchanged.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_LOCAL_BITS = 33  # monotonically_increasing_id: low 33 bits = record no.
+_LOCAL_MASK = (1 << _LOCAL_BITS) - 1
+
+# Below this many input rows a one-task window is the BETTER plan: the
+# two-pass shape costs a checkpoint plus two extra jobs, and a single
+# task over <=64k aggregate-sized rows is microseconds. Callers on
+# aggregated inputs route through adaptive_rank with this default;
+# callers on raw tables use global_rank unconditionally.
+RANK_WINDOW_MAX_ROWS = 65_536
+
+
+def _range_sorted(
+    df: DataFrame, order: list[Column], num_partitions: int | None
+) -> DataFrame:
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
+
+
+def _offsets_df(spark, rows: list[tuple], schema) -> DataFrame:
+    return F.broadcast(spark.createDataFrame(rows, schema))
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_name: str = "rk",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global 1-based row_number over a TOTAL ``order`` with no
+    single-partition stage. Returns (df + rank column, total rows)."""
+    rp = _range_sorted(df, order, num_partitions)
+    counts = (
+        rp.groupBy(F.shiftright("_mid", _LOCAL_BITS).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    if not offsets:
+        return rp.drop("_mid").withColumn(rank_name, F.lit(0).cast("long")), 0
+    off = _offsets_df(df.sparkSession, offsets, "_pid long, _off long")
+    out = (
+        rp.withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS))
+        .join(off, "_pid")
+        .withColumn(
+            rank_name,
+            F.col("_off") + F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK)) + 1,
+        )
+        .drop("_pid", "_off", "_mid")
+    )
+    return out, acc
+
+
+def adaptive_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_name: str = "rk",
+    threshold: int | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Size-thresholded global rank for AGGREGATE-sized inputs: pin the
+    input once, count it (the pin makes the count non-recomputing),
+    then one-task window below ``threshold`` rows, two-pass
+    ``global_rank`` above. Returns (ranked df, total rows)."""
+    if threshold is None:
+        threshold = RANK_WINDOW_MAX_ROWS
+    pinned = df.localCheckpoint()
+    n = pinned.count()
+    if n <= threshold:
+        return (
+            pinned.withColumn(
+                rank_name, F.row_number().over(W.orderBy(*order)).cast("long")
+            ),
+            n,
+        )
+    return global_rank(pinned, order, rank_name, num_partitions)
+
+
+def adaptive_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    sum_name: str = "cum",
+    threshold: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-thresholded global running sum (see :func:`adaptive_rank`):
+    one-task window below ``threshold`` rows, two-pass
+    :func:`global_cumsum` above. Callers cast the result themselves —
+    the two branches' sum dtypes differ by decimal precision growth."""
+    if threshold is None:
+        threshold = RANK_WINDOW_MAX_ROWS
+    pinned = df.localCheckpoint()
+    n = pinned.count()
+    if n <= threshold:
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        return pinned.withColumn(sum_name, F.sum(value).over(w))
+    return global_cumsum(pinned, order, value, sum_name, num_partitions)
+
+
+def ntile_from_rank(rank_col: str, total: int, buckets: int) -> Column:
+    """SQL-standard NTILE(buckets) derived arithmetically from a global
+    rank and the total row count: the first ``total mod buckets``
+    buckets hold ``ceil(total/buckets)`` rows, the rest hold the floor
+    — identical to Spark's and DuckDB's ntile over the same order."""
+    base, rem = divmod(total, buckets)
+    r0 = F.col(rank_col) - 1  # 0-based rank
+    if base == 0:  # fewer rows than buckets: bucket i gets row i
+        return F.col(rank_col).cast("int")
+    big = rem * (base + 1)  # rows living in the (base+1)-sized buckets
+    return (
+        F.when(r0 < big, F.floor(r0 / (base + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((r0 - big) / base) + 1)
+        .cast("int")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    sum_name: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value`` over a TOTAL ``order``
+    (``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``) with
+    no single-partition stage: range-partition + sort, per-partition
+    running sums (each partition is one independent window task), plus
+    per-partition total prefixes carried across partitions through an
+    O(P) driver sync. Decimal inputs stay exact: the prefix arithmetic
+    runs in Python ``decimal`` and rejoins at the input's sum dtype."""
+    rp = _range_sorted(df.withColumn("_val", value), order, num_partitions)
+    totals_df = rp.groupBy(
+        F.shiftright("_mid", _LOCAL_BITS).alias("_pid")
+    ).agg(F.sum("_val").alias("_t"))
+    sum_type = totals_df.schema["_t"].dataType
+    totals = totals_df.collect()
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    # prefix arithmetic in Python decimal (exact for decimal sums; a
+    # float sum re-rounds at the end exactly like the window would not
+    # — decimal callers are the exactness-sensitive ones)
+    if isinstance(sum_type, DecimalType):
+        conv = lambda a: a  # noqa: E731
+    elif isinstance(sum_type, LongType):
+        conv = int
+    else:
+        conv = float
+    offsets, acc = [], decimal.Decimal(0)
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], conv(acc)))
+        acc += decimal.Decimal(str(r["_t"])) if r["_t"] is not None else 0
+    if not offsets:
+        return rp.drop("_mid", "_val").withColumn(
+            sum_name, F.lit(None).cast(sum_type)
+        )
+
+    off = _offsets_df(
+        df.sparkSession,
+        offsets,
+        StructType(
+            [StructField("_pid", LongType()), StructField("_off", sum_type)]
+        ),
+    )
+    running = F.sum("_val").over(
+        W.partitionBy("_pid").orderBy(*order).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+    )
+    return (
+        rp.withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS))
+        .join(off, "_pid")
+        .withColumn(sum_name, F.col("_off") + running)
+        .drop("_pid", "_off", "_mid", "_val")
+    )

@@ -2021,15 +2021,20 @@ def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="Pareto / ABC inventory classification: parts ranked by revenue, "
-    "cumulative-share cut at 80%%/95%%. The cumulative window is global "
-    "but runs over ONE ROW PER PART post-aggregation (the monthly_"
-    "revenue_mom pattern); cumulative sums are decimal-exact so the "
-    "share thresholds cut identically in both engines; the grand total "
-    "is a 1-row broadcast.",
+    "cumulative-share cut at 80%%/95%%. The global running sum runs "
+    "over ONE ROW PER PART post-aggregation through functions/rank.py"
+    "'s adaptive_cumsum: a one-task window while the part table fits, "
+    "flipping to the two-pass range-partitioned prefix sum past 64k "
+    "parts (TPC-H part counts scale linearly with SF, so at warehouse "
+    "scale the distributed branch is the live one). Cumulative sums "
+    "are decimal-exact in BOTH branches (the distributed prefix "
+    "offsets accumulate in Python decimal), so the share thresholds "
+    "cut identically in both engines; the grand total is a 1-row "
+    "broadcast.",
     tags=("E21", "E13", "E17"),
 )
 def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_cumsum
 
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
@@ -2038,12 +2043,12 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_part.agg(
         F.sum(dec("revenue")).cast("double").alias("total")
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    ranked = per_part.withColumn(
-        "cum_rev", F.sum(dec("revenue")).over(w).cast("double")
-    )
+    ranked = adaptive_cumsum(
+        per_part,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        dec("revenue"),
+        sum_name="_cum",
+    ).withColumn("cum_rev", F.col("_cum").cast("double"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "revenue",
         F.when(F.col("cum_rev") / F.col("total") <= 0.8, "A")

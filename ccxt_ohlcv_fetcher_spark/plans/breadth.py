@@ -992,26 +992,35 @@ def quantity_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM t GROUP BY bucket
     """,
-    doc="Equi-DEPTH histogram via ntile (op E17/E18 composition): 8 "
-    "buckets of (near-)equal row count over the order-value "
-    "distribution, the complement of acctbal_width_buckets' equal-"
-    "WIDTH bins and the shape CBO column statistics use. The ntile "
-    "order carries the unique-key tie-break so bucket assignment is "
-    "total. Scale note: a global ntile is a single-partition sort — "
-    "fine for histogram-building on an aggregate-sized input; at "
-    "full-table scale use approx percentiles (price_approx_"
-    "percentiles) to cut bucket bounds instead, then one map-side "
-    "bucketed groupBy.",
+    doc="Equi-DEPTH histogram via DISTRIBUTED exact ntile (op E17/E18 "
+    "composition): 8 buckets of (near-)equal row count over the "
+    "order-value distribution, the complement of acctbal_width_"
+    "buckets' equal-WIDTH bins and the shape CBO column statistics "
+    "use. This query runs on the RAW orders table, so a window ntile "
+    "(single-partition global sort — the whole fact table through one "
+    "task) is the wrong plan at any multiple of this scale; instead "
+    "the bucket derives arithmetically from functions/rank.py's "
+    "two-pass range-partitioned global rank (rank order carries the "
+    "unique-key tie-break, so assignment is total and bit-identical "
+    "to SQL NTILE). No Exchange SinglePartition anywhere in the plan.",
     tags=("E17", "E18"),
 )
 def order_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ccxt_ohlcv_fetcher_spark.functions.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    ranked, total = global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_name="_rk",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(8).over(w).alias("bucket")
+        ranked.select(
+            "o_totalprice",
+            ntile_from_rank("_rk", total, 8).alias("bucket"),
         )
         .groupBy("bucket")
         .agg(
@@ -1054,37 +1063,41 @@ def order_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coefficient of the key-size distribution via the rank identity "
     "G = sum((2r-k-1)*c_r) / (k*total) — integer arithmetic until the "
     "two final divisions, so cross-engine exact. The rank order "
-    "carries the key tie-break. One groupBy plus a key-cardinality-"
-    "sized window — the profile runs on aggregated counts, never raw "
-    "rows.",
+    "carries the key tie-break. The profile runs on aggregated counts "
+    "routed through functions/rank.py's adaptive_rank: a one-task "
+    "window while the key table fits (it usually does — this is a "
+    "per-key aggregate), flipping to the two-pass range-partitioned "
+    "rank past 64k keys so a hot-key table at 100 TB never funnels "
+    "through one task. k rides back from the rank's O(P) driver sync "
+    "as a literal, so the over()-window global count disappears too.",
     tags=("E17", "E18"),
 )
 def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_rank
 
     events = load_table(spark, sf_dir, "events")
     c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    wr = W.orderBy("cnt", "user_id")
-    wall = W.partitionBy()
-    r = c.select(
-        "cnt",
-        F.row_number().over(wr).alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("k"),
-        F.sum("cnt").over(wall).alias("total"),
+    r, k = adaptive_rank(
+        c, [F.col("cnt").asc(), F.col("user_id").asc()], rank_name="rk"
     )
-    return r.agg(
-        F.max("k").cast("long").alias("n_keys"),
-        F.max("total").cast("long").alias("n_rows"),
-        F.max("cnt").alias("max_cnt"),
+    agg = r.agg(
+        F.sum("cnt").alias("_total"),
+        F.max("cnt").alias("_max"),
+        F.sum(
+            (F.lit(2) * F.col("rk") - F.lit(k) - F.lit(1)).cast("bigint")
+            * F.col("cnt")
+        ).alias("_g"),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("n_keys"),
+        F.col("_total").cast("long").alias("n_rows"),
+        F.col("_max").alias("max_cnt"),
         (
-            F.max("cnt").cast("double")
-            / (F.max("total").cast("double") / F.max("k").cast("double"))
+            F.col("_max").cast("double")
+            / (F.col("_total").cast("double") / F.lit(k).cast("double"))
         ).alias("skew_factor"),
         (
-            F.sum(
-                (F.lit(2) * F.col("rk") - F.col("k") - F.lit(1)).cast("bigint")
-                * F.col("cnt")
-            ).cast("double")
-            / (F.max("k").cast("double") * F.max("total").cast("double"))
+            F.col("_g").cast("double")
+            / (F.lit(k).cast("double") * F.col("_total").cast("double"))
         ).alias("gini"),
     )

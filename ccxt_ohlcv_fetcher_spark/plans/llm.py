@@ -2719,11 +2719,14 @@ def ann_cosine_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ln values round at 9 dp (bigram-LM precedent) and feed "
     "decimal-exact moment sums, so the closed-form OLS is bit-stable "
     "cross-engine. Global ranking runs on the aggregated term table "
-    "(vocabulary-sized, like event_key_skew_profile), never raw rows.",
+    "(vocabulary-sized, like event_key_skew_profile) through "
+    "functions/rank.py's adaptive_rank — one-task window while the "
+    "vocabulary fits, two-pass range-partitioned rank past 64k terms "
+    "(real web-corpus vocabularies exceed that) — never raw rows.",
     tags=("E36", "E17", "E18"),
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_rank
 
     docs = load_table(spark, sf_dir, "documents")
     tf = (
@@ -2732,9 +2735,11 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
     )
-    rk = F.row_number().over(W.orderBy(F.col("freq").desc(), "term"))
-    ranked = tf.select(
-        F.round(F.log(rk.cast("double")), 9).alias("lx"),
+    rdf, _n = adaptive_rank(
+        tf, [F.col("freq").desc(), F.col("term").asc()], rank_name="_rk"
+    )
+    ranked = rdf.select(
+        F.round(F.log(F.col("_rk").cast("double")), 9).alias("lx"),
         F.round(F.log(F.col("freq").cast("double")), 9).alias("ly"),
     )
     dsum28 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")

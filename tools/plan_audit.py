@@ -16,6 +16,10 @@ operator counts:
 - ``python``       Python-boundary operators (MapInPandas / Arrow eval
                    / pandas UDF / UDTF)
 - ``pushed``       whether any scan reports PushedFilters
+- ``win_unpart``   Window operators with NO partition spec (the
+                   single-partition global-sort shape the round-6
+                   verdict flagged; raw-table queries must show 0 —
+                   functions/rank.py is the distributed replacement)
 
 (No codegen-span count: under AQE the pre-execution plan string carries
 no ``*(n)`` markers, so it would read as a misleading zero.)
@@ -45,8 +49,41 @@ PY_MARKERS = (
 )
 
 
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window operators that funnel the input through ONE task.
+    Top-level bracket groups on a Window line: 3 = partitioned+ordered
+    ([exprs], [part], [order]); 2 = either unpartitioned+ordered
+    ([exprs], [order-with-ASC/DESC]) or partitioned-unordered
+    ([exprs], [partcols]); 1 = global unordered. Only the global
+    shapes (1 group, or 2 with sort markers) are single-partition."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-:* ")
+        if not s.startswith("Window "):
+            continue
+        depth, groups, cur = 0, [], []
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+            elif depth > 0:
+                cur.append(ch)
+        if len(groups) == 1 or (
+            len(groups) == 2
+            and (" ASC" in groups[1] or " DESC" in groups[1])
+        ):
+            n += 1
+    return n
+
+
 def audit(plan: str) -> dict:
     return {
+        "win_unpart": _unpartitioned_windows(plan),
         "exchanges": plan.count("Exchange "),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
