@@ -9,12 +9,24 @@ Flag-for-flag parity with ``ccxt-ohlcv-fetch.py`` (`parse_args`,
     python -m ccxt_ohlcv_fetcher_spark migrate-sqlite ./ccxt --data-dir ...
 
 `fetch` mirrors the reference CLI (`-s -e -t --since --debug -r -q`) and
-adds `--data-dir` (the parquet dataset root replacing the per-symbol
-SQLite tree). `fetch-exchange` replaces ``fetch_exchange.sh`` (symbol
+adds `--data-dir` (the dataset root replacing the per-symbol SQLite
+tree). `fetch-exchange` replaces ``fetch_exchange.sh`` (symbol
 fan-out, default 4 workers, `:14,18-23` — without its bug of hardcoding
 ``-e bitfinex`` at `:21`). `export-csv` replaces ``sqlite2csv.sh``
 (partition-pruned scan instead of a file pick). `migrate-sqlite` is the
 one-shot bridge for existing users' SQLite trees.
+
+Datasets are SNAPSHOT-LOGGED BY DEFAULT (`operators/candle_log.py`):
+every append is an atomic commit-log transaction, so the 4-worker
+fan-out commits lock-free, readers are snapshot-isolated, and delete /
+history / changes / time travel work out of the box — the reference's
+own concurrent-writer workload (`fetch_exchange.sh:18-23`) is exactly
+what the log exists for. ``--plain-parquet`` (or ``--date-bucket``,
+which implies it) selects the bare Hive-partitioned layout instead;
+``--snapshot-log`` is accepted as a no-op for compatibility. A data
+dir that already holds a bare-parquet dataset is refused under the
+default (pass ``--plain-parquet``, or migrate it) rather than silently
+shadowed by an empty log.
 
 Live fetching needs the ``ccxt`` package, which is an *optional*
 dependency (import-gated — everything else in the engine works without
@@ -90,6 +102,27 @@ def _parse_since(iso: str | None) -> int | None:
     return int(dt.timestamp() * 1000)
 
 
+def _add_layout_flags(p, plain: bool = True) -> None:
+    """Dataset-layout flags: the snapshot log is the DEFAULT;
+    ``--snapshot-log`` stays accepted as a no-op for compatibility,
+    ``--plain-parquet`` opts out to the bare Hive layout (log-only
+    commands omit it)."""
+    p.add_argument(
+        "--snapshot-log",
+        action="store_true",
+        help="no-op: the commit log is the default dataset layout "
+        "(kept for compatibility)",
+    )
+    if plain:
+        p.add_argument(
+            "--plain-parquet",
+            action="store_true",
+            help="bare Hive-partitioned parquet instead of the commit "
+            "log (no time travel / delete / history; fan-out appends "
+            "serialize behind a lock). Implied by --date-bucket.",
+        )
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="ccxt_ohlcv_fetcher_spark",
@@ -113,12 +146,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="add a dt= partition level (bounded compaction/retention)",
     )
-    fetch.add_argument(
-        "--snapshot-log",
-        action="store_true",
-        help="back the dataset with the commit log (atomic lock-free "
-        "multi-writer appends, time travel; excludes --date-bucket)",
-    )
+    _add_layout_flags(fetch)
 
     fx = sub.add_parser("fetch-exchange", help="all symbols of one exchange")
     fx.add_argument("exchange", type=str)
@@ -128,7 +156,7 @@ def build_parser() -> argparse.ArgumentParser:
     fx.add_argument("-q", "--quit", action="store_true", dest="quit_")
     fx.add_argument("--data-dir", type=str, default="./candles")
     fx.add_argument("--date-bucket", choices=["day", "month"], default=None)
-    fx.add_argument("--snapshot-log", action="store_true")
+    _add_layout_flags(fx)
 
     ex = sub.add_parser("export-csv", help="dataset slice -> headered CSV")
     ex.add_argument("out", type=str)
@@ -136,7 +164,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("-e", "--exchange", type=str, default=None)
     ex.add_argument("-s", "--symbol", type=str, default=None)
     ex.add_argument("-t", "--timeframe", type=str, default=None)
-    ex.add_argument("--snapshot-log", action="store_true")
+    _add_layout_flags(ex)
 
     mig = sub.add_parser("migrate-sqlite", help="legacy SQLite tree -> dataset")
     mig.add_argument("root", type=str)
@@ -147,6 +175,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="walk the tree on executors (for very large trees)",
     )
     mig.add_argument("--date-bucket", choices=["day", "month"], default=None)
+    _add_layout_flags(mig)
 
     cp = sub.add_parser("compact", help="rewrite small files (1 per partition)")
     cp.add_argument("--data-dir", type=str, required=True)
@@ -161,15 +190,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="ISO-8601 watermark: only rewrite buckets at/after it "
         "(date-bucketed layouts)",
     )
-    cp.add_argument("--snapshot-log", action="store_true")
+    _add_layout_flags(cp)
 
     vac = sub.add_parser("vacuum", help="drop date buckets past retention")
-    vac.add_argument(
-        "--snapshot-log",
-        action="store_true",
-        help="logged dataset: metadata-only retention commit + physical "
-        "reclaim of unreferenced commit dirs",
-    )
+    _add_layout_flags(vac)
     vac.add_argument("--data-dir", type=str, required=True)
     vac.add_argument("--date-bucket", choices=["day", "month"], default=None)
     vac.add_argument(
@@ -198,7 +222,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--base-date-bucket",
         choices=["day", "month"],
         default=None,
-        help="dt= layout the BASE dataset was written with",
+        help="dt= layout the BASE dataset was written with (implies "
+        "the base is plain parquet)",
+    )
+    ru.add_argument(
+        "--base-plain-parquet",
+        action="store_true",
+        help="the BASE dataset is bare Hive parquet (default: "
+        "snapshot-logged)",
     )
     ru.add_argument(
         "--vacuum-older-than",
@@ -217,10 +248,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="SQL predicate over the candle columns (rows where it is "
         "TRUE are removed; NULL keeps the row)",
     )
-    de.add_argument(
-        "--snapshot-log", action="store_true", required=True,
-        help="row-level delete needs the commit log (atomic copy-on-write)",
-    )
+    _add_layout_flags(de, plain=False)
     de.add_argument(
         "--dv", action="store_true",
         help="merge-on-read: record deletion vectors instead of "
@@ -231,19 +259,13 @@ def build_parser() -> argparse.ArgumentParser:
         "history", help="commit log of a snapshot-logged dataset"
     )
     hi.add_argument("--data-dir", type=str, required=True)
-    hi.add_argument(
-        "--snapshot-log", action="store_true", required=True,
-        help="history is a commit-log concept (plain datasets have none)",
-    )
+    _add_layout_flags(hi, plain=False)
 
     ch = sub.add_parser(
         "changes", help="signed row-level change feed of a logged dataset"
     )
     ch.add_argument("--data-dir", type=str, required=True)
-    ch.add_argument(
-        "--snapshot-log", action="store_true", required=True,
-        help="the change feed is a commit-log concept",
-    )
+    _add_layout_flags(ch, plain=False)
     ch.add_argument(
         "--from-version", type=int, required=True,
         help="emit changes AFTER this version (exclusive)",
@@ -273,7 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="candle dataset root, registered as view `candles`",
     )
-    sq.add_argument("--snapshot-log", action="store_true")
+    _add_layout_flags(sq)
     sq.add_argument(
         "--version",
         type=int,
@@ -292,22 +314,51 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _make_dataset(spark, args):
-    """CandleDataset or its commit-log twin, per --snapshot-log. The
-    two expose the same ingest contract (read / resume_offset /
-    append_idempotent), so every downstream caller is agnostic."""
-    if getattr(args, "snapshot_log", False):
-        if getattr(args, "date_bucket", None):
-            raise SystemExit("--snapshot-log and --date-bucket are exclusive "
-                             "(the log prunes by manifest stats, not dt= dirs)")
-        from ccxt_ohlcv_fetcher_spark.operators.candle_log import (  # noqa: PLC0415
-            SnapshotCandleDataset,
-        )
+def _is_bare_parquet_tree(path: str) -> bool:
+    """True when ``path`` holds a CandleDataset-style Hive tree (has
+    ``exchange=`` partition dirs) without a commit log — the shape the
+    default must refuse rather than shadow with an empty log."""
+    import os  # noqa: PLC0415
 
-        return SnapshotCandleDataset(spark, args.data_dir)
-    return CandleDataset(
-        spark, args.data_dir, date_bucket=getattr(args, "date_bucket", None)
+    if not os.path.isdir(path) or os.path.isdir(
+        os.path.join(path, "_manifests")
+    ):
+        return False
+    try:
+        return any(e.startswith("exchange=") for e in os.listdir(path))
+    except OSError:
+        return False
+
+
+def _make_dataset(spark, args, data_dir: str | None = None):
+    """SnapshotCandleDataset (the DEFAULT) or the plain-parquet
+    CandleDataset per --plain-parquet/--date-bucket. The two expose the
+    same ingest contract (read / resume_offset / append_idempotent),
+    so every downstream caller is agnostic."""
+    data_dir = data_dir or args.data_dir
+    plain = getattr(args, "plain_parquet", False) or bool(
+        getattr(args, "date_bucket", None)
     )
+    if getattr(args, "snapshot_log", False) and plain:
+        raise SystemExit(
+            "--snapshot-log conflicts with --plain-parquet/--date-bucket "
+            "(the log prunes by manifest stats, not dt= dirs)"
+        )
+    if plain:
+        return CandleDataset(
+            spark, data_dir, date_bucket=getattr(args, "date_bucket", None)
+        )
+    if _is_bare_parquet_tree(data_dir):
+        raise SystemExit(
+            f"{data_dir} holds a plain-parquet dataset but the default "
+            "layout is now the snapshot log — pass --plain-parquet to "
+            "keep using it, or migrate it into a logged dataset"
+        )
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (  # noqa: PLC0415
+        SnapshotCandleDataset,
+    )
+
+    return SnapshotCandleDataset(spark, data_dir)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -375,7 +426,7 @@ def main(argv: list[str] | None = None) -> int:
             migrate_sqlite_tree,
         )
 
-        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+        dataset = _make_dataset(spark, args)
         n = migrate_sqlite_tree(
             spark,
             args.root,
@@ -386,12 +437,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "compact":
-        if args.snapshot_log:
+        if not (args.plain_parquet or args.date_bucket):
             dataset = _make_dataset(spark, args)
             v = dataset.compact()
             print(f"compacted to version={v}")
             return 0
-        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+        dataset = _make_dataset(spark, args)
         n = dataset.compact(
             args.exchange, args.symbol, args.timeframe,
             since_ms=_parse_since(args.since),
@@ -400,15 +451,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "vacuum":
-        if args.snapshot_log:
+        if not (args.plain_parquet or args.date_bucket):
             dataset = _make_dataset(spark, args)
             dropped = dataset.retention(_parse_since(args.older_than))
             reclaimed = len(dataset.vacuum())
             print(f"vacuumed files={dropped} reclaimed_dirs={reclaimed}")
             return 0
         if not args.date_bucket:
-            raise SystemExit("vacuum needs --date-bucket or --snapshot-log")
-        dataset = CandleDataset(spark, args.data_dir, date_bucket=args.date_bucket)
+            raise SystemExit(
+                "plain-parquet vacuum needs --date-bucket (or drop "
+                "--plain-parquet for the logged default)"
+            )
+        dataset = _make_dataset(spark, args)
         n = dataset.vacuum(_parse_since(args.older_than))
         print(f"vacuumed buckets={n}")
         return 0
@@ -420,7 +474,21 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.vacuum_older_than and not args.date_bucket:
             raise SystemExit("--vacuum-older-than requires --date-bucket")
-        base = CandleDataset(spark, args.data_dir, date_bucket=args.base_date_bucket)
+        if args.base_plain_parquet or args.base_date_bucket:
+            base = CandleDataset(
+                spark, args.data_dir, date_bucket=args.base_date_bucket
+            )
+        else:
+            from ccxt_ohlcv_fetcher_spark.operators.candle_log import (  # noqa: PLC0415
+                SnapshotCandleDataset,
+            )
+
+            if _is_bare_parquet_tree(args.data_dir):
+                raise SystemExit(
+                    f"{args.data_dir} holds a plain-parquet dataset — "
+                    "pass --base-plain-parquet (or --base-date-bucket)"
+                )
+            base = SnapshotCandleDataset(spark, args.data_dir)
         rollups = MaterializedRollups(
             spark,
             base,

@@ -118,7 +118,7 @@ def test_rollup_subcommand(spark, tmp_path, capsys):
 
     argv = [
         "rollup", "--data-dir", base.path, "--rollup-dir", str(tmp_path / "r"),
-        "--levels", "1h", "--date-bucket", "month",
+        "--levels", "1h", "--date-bucket", "month", "--base-plain-parquet",
     ]
     assert main(argv) == 0
     out = capsys.readouterr().out
@@ -211,11 +211,15 @@ def test_snapshot_log_cli_roundtrip(spark, tmp_path, capsys):
     assert "vacuumed files=" in capsys.readouterr().out
     assert ds.read().count() == 0  # all candles older than the cutoff
 
-    with pytest.raises(SystemExit, match="exclusive"):
+    with pytest.raises(SystemExit, match="conflicts"):
         main(["compact", "--data-dir", data_dir, "--snapshot-log",
               "--date-bucket", "day"])
-    with pytest.raises(SystemExit, match="date-bucket or --snapshot-log"):
-        main(["vacuum", "--data-dir", data_dir, "--older-than", cutoff])
+    # flagless vacuum hits the LOGGED default and succeeds
+    assert main(["vacuum", "--data-dir", data_dir, "--older-than", cutoff]) == 0
+    # the plain escape hatch still demands a date-bucketed layout
+    with pytest.raises(SystemExit, match="date-bucket"):
+        main(["vacuum", "--data-dir", data_dir, "--plain-parquet",
+              "--older-than", cutoff])
 
 
 def test_sql_subcommand(spark, tmp_path, capsys):
@@ -255,7 +259,7 @@ def test_sql_subcommand(spark, tmp_path, capsys):
 
 def test_delete_subcommand(spark, tmp_path, capsys):
     """Row-level delete from the CLI on a logged dataset; no-match is a
-    commit-free no-op; --snapshot-log is required."""
+    commit-free no-op; works flagless (the log is the default)."""
     from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
         SnapshotCandleDataset,
     )
@@ -279,8 +283,13 @@ def test_delete_subcommand(spark, tmp_path, capsys):
     assert "deleted rows=3" in capsys.readouterr().out
     assert ds.read().count() == 6
 
-    with pytest.raises(SystemExit):
-        main(["delete", "--data-dir", data_dir, "--where", "1=1"])
+    # flagless delete hits the logged default and works
+    assert main(
+        ["delete", "--data-dir", data_dir,
+         "--where", f"timestamp < {T0 + 4 * MIN}"]
+    ) == 0
+    assert "deleted rows=1" in capsys.readouterr().out
+    assert ds.read().count() == 5
 
 
 def test_history_and_time_travel_sql(spark, tmp_path, capsys):
@@ -361,3 +370,48 @@ def test_changes_subcommand(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "changes rows=8 from=v0" in out  # 6 adds + 2 removes
     assert "'_change': -1" in out and "'_change': 1" in out
+
+
+def test_default_layout_is_snapshot_log(spark, tmp_path, capsys):
+    """Round-7 flip: flagless CLI commands operate on a LOGGED dataset
+    — migrate-sqlite writes a commit log, history works without any
+    flag, and a pre-existing bare-parquet tree is refused under the
+    default instead of silently shadowed by an empty log."""
+    import os
+
+    from tests.test_sqlite_legacy import make_legacy_tree
+
+    counts = make_legacy_tree(str(tmp_path / "legacy"))
+    data_dir = str(tmp_path / "candles")
+    assert (
+        main(["migrate-sqlite", str(tmp_path / "legacy"), "--data-dir", data_dir]) == 0
+    )
+    capsys.readouterr()
+    assert os.path.isdir(os.path.join(data_dir, "_manifests"))
+    assert main(["history", "--data-dir", data_dir]) == 0
+    assert "append" in capsys.readouterr().out
+
+    # time travel / delete work out of the box on the flagless dataset
+    assert main(
+        ["delete", "--data-dir", data_dir, "--where", "timestamp < 0"]
+    ) == 0
+    assert "deleted rows=0" in capsys.readouterr().out
+
+    # bare-parquet tree under the default -> refused with guidance
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import (
+        CandleDataset,
+        project_ohlcv_rows,
+    )
+
+    plain_dir = str(tmp_path / "plain")
+    plain = CandleDataset(spark, plain_dir)
+    rows = [[1700000000000 - (1700000000000 % 60000), 1.0, 2.0, 0.5, 1.5, 3.0]]
+    plain.append_idempotent(project_ohlcv_rows(spark, rows, "e", "S/X", "1m"))
+    out = str(tmp_path / "o")
+    with pytest.raises(SystemExit, match="plain-parquet"):
+        main(["export-csv", out, "--data-dir", plain_dir])
+    # ... and accepted with the escape hatch
+    assert main(
+        ["export-csv", out, "--data-dir", plain_dir, "--plain-parquet"]
+    ) == 0
+    assert spark.read.option("header", True).csv(out).count() == 1

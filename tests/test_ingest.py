@@ -30,8 +30,18 @@ def grid(n: int, t0: int = T0) -> list[list]:
     ]
 
 
-@pytest.fixture()
-def dataset(spark, tmp_path):
+@pytest.fixture(params=["logged", "plain"])
+def dataset(spark, tmp_path, request):
+    """Every ingest-contract test runs against BOTH layouts: the
+    snapshot-logged dataset (the CLI default since round 7) and the
+    plain-parquet escape hatch — same read / resume_offset /
+    append_idempotent semantics."""
+    if request.param == "logged":
+        from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+            SnapshotCandleDataset,
+        )
+
+        return SnapshotCandleDataset(spark, str(tmp_path / "candles"))
     return CandleDataset(spark, str(tmp_path / "candles"))
 
 
@@ -225,10 +235,15 @@ def test_ingest_error_limit_raises(spark, dataset):
         )
 
 
-def test_compaction_restores_one_file_per_partition(spark, dataset):
+def test_compaction_restores_one_file_per_partition(spark, tmp_path):
     """Micro-batch appends leave a file per batch; compact() rewrites
-    each partition to one sorted file with identical contents."""
+    each partition to one sorted file with identical contents.
+    (Hive-layout-specific: asserts partition-directory file counts;
+    the logged dataset's compaction contract is pinned in
+    test_candle_log.py.)"""
     import glob
+
+    dataset = CandleDataset(spark, str(tmp_path / "candles"))
 
     rows = grid(20)
     for i in range(0, 20, 4):  # 5 separate appends = 5 files
