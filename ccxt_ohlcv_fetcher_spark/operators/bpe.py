@@ -102,11 +102,67 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _select_batch(
+    top: list,
+    batch_size: int,
+    budget: int,
+    min_pair_count: int,
+    truncated: bool,
+) -> list[tuple[str, str]]:
+    """Greedy prefix of the snapshot's (cnt desc, a, b) pair ranking
+    that is PROVABLY equal to applying the merges sequentially:
+
+    - merging (a, b) only changes counts of pairs sharing a symbol with
+      it, so a later pick disjoint from every earlier pick keeps its
+      snapshot count — the batch STOPS at the first interacting pair;
+    - the merge also CREATES pairs (x, ab) and (ab, y), whose counts
+      are bounded by the snapshot's cnt(x, a) and cnt(b, y); a later
+      pick is only safe while its count STRICTLY exceeds every such
+      bound (M below), else a created pair could out-rank it in the
+      true sequential order — the batch stops there too.
+
+    ``truncated``: the collected ranking is a prefix, so any pair
+    outside it is bounded by the last collected count (c_floor).
+    Worst case (flat count plateau) the batch degenerates to size 1 ==
+    the sequential algorithm; correctness never depends on batch size.
+    """
+    c_floor = top[-1]["cnt"] if truncated else 0
+    right_max: dict[str, int] = {}  # symbol s -> max cnt of pairs (s, y)
+    left_max: dict[str, int] = {}   # symbol s -> max cnt of pairs (x, s)
+    for r in top:
+        if r["cnt"] > right_max.get(r["a"], 0):
+            right_max[r["a"]] = r["cnt"]
+        if r["cnt"] > left_max.get(r["b"], 0):
+            left_max[r["b"]] = r["cnt"]
+    selected: list[tuple[str, str]] = []
+    used: set[str] = set()
+    m_bound = 0
+    for r in top:
+        if (
+            r["cnt"] < min_pair_count
+            or len(selected) >= min(batch_size, budget)
+            or r["a"] in used
+            or r["b"] in used
+            or (selected and r["cnt"] <= m_bound)
+        ):
+            break
+        selected.append((r["a"], r["b"]))
+        used.update((r["a"], r["b"]))
+        m_bound = max(
+            m_bound,
+            left_max.get(r["a"], 0),
+            right_max.get(r["b"], 0),
+            c_floor,
+        )
+    return selected
+
+
 def train_bpe(
     word_freqs: DataFrame,
     n_merges: int,
     checkpoint_every: int = 6,
     min_pair_count: int = 2,
+    batch_size: int = 8,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` merges; returns (merge list, final vocab
     as (word, freq, sym: array<string>)).
@@ -114,13 +170,24 @@ def train_bpe(
     Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (merging a once-seen pair memorizes noise).
 
+    BATCHED rounds (round-6 verdict item 3): the sequential loop costs
+    one pair-count Spark job PER MERGE — O(vocab) jobs at a 32k-merge
+    production vocabulary. Each round here collects the top of ONE
+    count snapshot and applies the longest prefix of it that is
+    provably order-equivalent to sequential merging (see
+    ``_select_batch``), cutting the job count toward
+    O(vocab / batch_size) while the merge SEQUENCE stays bit-identical
+    (pinned against the pure-Python sequential reference in
+    tests/test_llm_ops.py). ``batch_size=1`` recovers the sequential
+    algorithm exactly.
+
     The working set is re-partitioned from its OWN row count (one
-    partition per ~50k words, floor 1): the loop schedules one job per
-    merge, and a small vocab spread over shuffle-partition-count tasks
-    pays pure scheduling overhead 2x per merge (measured 17 s -> ~6 s
-    for 24 merges on the 500-doc fixture). At a 100 TB corpus the word
-    table has millions of rows and the same rule yields real
-    parallelism — the partitioning tracks data size, not a constant.
+    partition per ~50k words, floor 1): a small vocab spread over
+    shuffle-partition-count tasks pays pure scheduling overhead per
+    round (measured 17 s -> ~6 s for 24 merges on the 500-doc
+    fixture). At a 100 TB corpus the word table has millions of rows
+    and the same rule yields real parallelism — the partitioning
+    tracks data size, not a constant.
     """
     sized = word_freqs.select(
         "word", "freq", char_symbols("word").alias("sym")
@@ -128,21 +195,86 @@ def train_bpe(
     n_parts = max(1, min(sized.count() // 50_000 + 1, 2_000))
     vocab = sized.repartition(n_parts).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    collect_n = max(64, batch_size * 16)
+    pending_folds = 0
+    while len(merges) < n_merges:
         top = (
             pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            .limit(collect_n)
             .collect()
         )
         if not top or top[0]["cnt"] < min_pair_count:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        vocab = vocab.withColumn("sym", apply_merge(F.col("sym"), a, b))
-        if (i + 1) % checkpoint_every == 0:
+        batch = _select_batch(
+            top,
+            batch_size,
+            budget=n_merges - len(merges),
+            min_pair_count=min_pair_count,
+            truncated=len(top) == collect_n,
+        )
+        for a, b in batch:
+            merges.append((a, b))
+            vocab = vocab.withColumn("sym", apply_merge(F.col("sym"), a, b))
+        pending_folds += len(batch)
+        if pending_folds >= checkpoint_every:
             vocab = vocab.localCheckpoint()
+            pending_folds = 0
     return merges, vocab
+
+
+def piece_inventory(vocab: DataFrame) -> tuple[set, int]:
+    """The trained tokenizer's PIECE set, as greedy-match keys: each
+    distinct symbol across the vocab's segmentations becomes
+    ``(body, ends_word)`` (the end-of-word marker is one atom, so
+    ``"ab</w>"`` is the 3-atom key ``("ab", True)``). Returns
+    (keys, max piece length in atoms). Driver-sized: the inventory is
+    bounded by merges + alphabet, never by the corpus."""
+    keys: set = set()
+    max_atoms = 1
+    for r in vocab.select(
+        F.explode("sym").alias("p")
+    ).distinct().collect():
+        p = r["p"]
+        if p.endswith(END_OF_WORD):
+            body = p[: -len(END_OF_WORD)]
+            keys.add((body, True))
+            max_atoms = max(max_atoms, len(body) + 1)
+        else:
+            keys.add((p, False))
+            max_atoms = max(max_atoms, len(p))
+    return keys, max_atoms
+
+
+def encode_oov(word: str, keys: set, max_atoms: int) -> list[str]:
+    """Greedy longest-match segmentation of an OUT-OF-VOCABULARY word
+    against the learned piece inventory (the standard serve behavior —
+    WordPiece-style maximal munch over BPE pieces): at each position
+    take the longest piece (in atoms, so a word-final ``xy</w>``
+    outranks plain ``xy``); a character no piece covers becomes its own
+    piece (BPE's base alphabet guarantees termination)."""
+    out: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        r = n - i
+        step = None
+        for k in range(min(max_atoms, r + 1), 0, -1):
+            if k == r + 1:
+                if (word[i:], True) in keys:
+                    step = (r, word[i:] + END_OF_WORD)
+                    break
+            elif (word[i : i + k], False) in keys:
+                step = (k, word[i : i + k])
+                break
+        if step is None:
+            out.append(word[i])
+            i += 1
+        else:
+            out.append(step[1])
+            i += step[0]
+    if not out or not out[-1].endswith(END_OF_WORD):
+        out.append(END_OF_WORD)
+    return out
 
 
 def bpe_tokenize_docs(
@@ -150,11 +282,22 @@ def bpe_tokenize_docs(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    oov: str = "greedy",
 ) -> DataFrame:
     """Tokenize each document with the trained vocabulary: one explode
     to words, one BROADCAST join to (word -> pieces), per-doc piece
-    stats. OOV words fall back to the character split (BPE's base
-    alphabet). Output: (id, n_words, n_pieces, pieces_per_word)."""
+    stats. Output: (id, n_words, n_pieces, pieces_per_word).
+
+    ``oov`` — words absent from the training vocabulary:
+
+    - ``"greedy"`` (default): greedy longest-match against the learned
+      piece inventory (:func:`encode_oov`), Arrow-batched with the
+      driver-sized inventory in the closure — the real serve path.
+    - ``"chars"``: character-split fallback (BPE's base alphabet) —
+      plan-literal, zero Python boundary; identical to greedy when the
+      serve corpus is the training corpus (no OOV word exists), which
+      is why the registry's in-corpus query pins this mode.
+    """
     words_df = docs.select(
         F.col(id_col),
         F.explode(
@@ -164,14 +307,26 @@ def bpe_tokenize_docs(
         ).alias("word"),
     )
     pieces = vocab.select("word", F.col("sym").alias("pieces"))
-    joined = words_df.join(F.broadcast(pieces), "word", "left").select(
+    joined = words_df.join(F.broadcast(pieces), "word", "left")
+    if oov == "chars":
+        oov_n = F.size(char_symbols("word"))
+    else:
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        keys, max_atoms = piece_inventory(vocab)
+
+        def _oov_n(words):  # pandas Series -> Series (Arrow-batched)
+            return words.map(
+                lambda w: len(encode_oov(w, keys, max_atoms))
+            )
+
+        oov_n = pandas_udf(_oov_n, "int")(F.col("word"))
+    counted = joined.select(
         id_col,
-        F.coalesce(
-            F.size("pieces"), F.size(char_symbols("word"))
-        ).alias("n_pieces_word"),
+        F.coalesce(F.size("pieces"), oov_n).alias("n_pieces_word"),
     )
     return (
-        joined.groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_pieces_word").alias("n_pieces"),

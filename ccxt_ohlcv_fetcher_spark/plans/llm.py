@@ -2418,7 +2418,46 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _BPE_MEMO:
         _, vocab = train_bpe(word_freq_table(docs), n_merges=24)
         _BPE_MEMO[key] = vocab.localCheckpoint()
-    return bpe_tokenize_docs(docs, _BPE_MEMO[key])
+    # oov="chars": tokenizing the TRAINING corpus has no OOV word by
+    # construction, so the char fallback is provably identical to the
+    # greedy serve path and keeps this plan Python-free
+    return bpe_tokenize_docs(docs, _BPE_MEMO[key], oov="chars")
+
+
+@register(
+    "doc_bpe_oov_tokens",
+    oracle=None,  # iterative training + greedy serve: rows-only; the
+    # greedy longest-match segmentation is pinned piece-by-piece
+    # against an independent pure-Python reference in
+    # tests/test_llm_ops.py::test_bpe_greedy_oov_matches_reference
+    doc="BPE SERVE on held-out text (E36; round-7 verdict item 3): "
+    "train on the even-doc_id half of the corpus (batched distributed "
+    "trainer), tokenize the odd half — where out-of-vocabulary words "
+    "actually occur — with greedy longest-match against the learned "
+    "piece inventory (operators/bpe.py encode_oov), the standard "
+    "production serve behavior (vs the char-split fallback, which "
+    "over-counts pieces on every OOV word). The inventory is "
+    "driver-sized (merges + alphabet) and rides the Arrow-batched "
+    "UDF's closure — the ONE intended Python boundary here; "
+    "everything else is the same broadcast-join serve plan. Output "
+    "per doc: n_words, n_pieces, pieces_per_word.",
+    tags=("E36", "E13"),
+)
+def doc_bpe_oov_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        bpe_tokenize_docs,
+        train_bpe,
+        word_freq_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (id(spark), sf_dir, "oov")
+    if key not in _BPE_MEMO:
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        _, vocab = train_bpe(word_freq_table(train), n_merges=24)
+        _BPE_MEMO[key] = vocab.localCheckpoint()
+    serve = docs.filter(F.col("doc_id") % 2 == 1)
+    return bpe_tokenize_docs(serve, _BPE_MEMO[key], oov="greedy")
 
 
 @register(

@@ -1292,3 +1292,97 @@ def test_load_bpe_sidecar_selection_is_numeric(spark, tmp_path):
     assert m_new == [("a", "b"), ("ab", "c")]        # v10, not stale v2
     m_old, _ = load_bpe(store, version=9)            # newest AT-OR-BELOW
     assert m_old == [("a", "b")]
+
+
+def _ref_greedy(word, piece_strings):
+    """Independent maximal-munch reference over the atom sequence
+    (chars + end marker): longest concatenation present in the piece
+    set wins; a lone unmatched atom is its own piece."""
+    atoms = list(word) + ["</w>"]
+    out, i = [], 0
+    while i < len(atoms):
+        for k in range(len(atoms) - i, 0, -1):
+            cand = "".join(atoms[i : i + k])
+            if cand in piece_strings:
+                out.append(cand)
+                i += k
+                break
+        else:
+            out.append(atoms[i])
+            i += 1
+    return out
+
+
+def test_bpe_greedy_oov_matches_reference(spark, sf_dir):
+    """Greedy longest-match OOV serve == the independent pure-Python
+    maximal-munch, piece-by-piece, over every held-out word of the
+    fixture corpus; and it never produces MORE pieces than the char
+    fallback."""
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        encode_oov,
+        piece_inventory,
+        train_bpe,
+        word_freq_table,
+    )
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 2 = 0").limit(60)
+    _, vocab = train_bpe(word_freq_table(train), n_merges=16)
+    keys, max_atoms = piece_inventory(vocab)
+    piece_strings = {
+        (b + "</w>") if e else b for b, e in keys
+    }
+    held_out = {
+        r["w"]
+        for r in docs.filter("doc_id % 2 = 1")
+        .selectExpr("explode(filter(split(text, '\\\\s+'), w -> w <> '')) AS w")
+        .distinct()
+        .limit(300)
+        .collect()
+    }
+    assert held_out
+    improved = 0
+    for w in held_out:
+        got = encode_oov(w, keys, max_atoms)
+        assert got == _ref_greedy(w, piece_strings), w
+        assert "".join(got) == w + "</w>"  # lossless segmentation
+        assert len(got) <= len(w) + 1  # never worse than char split
+        improved += len(got) < len(w) + 1
+    assert improved > 0  # the merges actually compress held-out text
+
+
+def test_bpe_batched_training_equals_sequential(spark):
+    """batch_size > 1 must reproduce the sequential merge sequence
+    EXACTLY (the _select_batch safety argument), including on a count
+    plateau engineered to force tiny batches."""
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import train_bpe
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    # clustered ngrams -> overlapping pair counts with plateaus
+    frags = ["ab", "abc", "bcd", "aab", "ba", "ccc", "abab"]
+    for i in range(120):
+        w = "".join(rng.choice(frags) for _ in range(rng.randint(1, 3)))
+        rows.append((w, rng.randint(1, 9)))
+    wf = spark.createDataFrame(rows, "word string, freq long").groupBy(
+        "word"
+    ).agg(F.sum("freq").alias("freq"))
+    seq_m, seq_v = train_bpe(wf, n_merges=18, batch_size=1)
+    bat_m, bat_v = train_bpe(wf, n_merges=18, batch_size=8)
+    assert bat_m == seq_m
+    assert {r["word"]: tuple(r["sym"]) for r in bat_v.collect()} == {
+        r["word"]: tuple(r["sym"]) for r in seq_v.collect()
+    }
+
+
+def test_doc_bpe_oov_tokens_query_runs_heldout(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.plans import load_all
+
+    out = load_all()["doc_bpe_oov_tokens"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["n_pieces"] >= r["n_words"] for r in rows)
+    # serve half only: every id odd
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
