@@ -279,13 +279,18 @@ def rotate_partial(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Arrow-batched rotation (numpy matmul per batch) — the INDEX-BUILD
+    """Arrow-batched rotation (numpy GEMV per row) — the INDEX-BUILD
     path. :func:`pca_project`'s plan-literal fold is the right serving
     shape (pure codegen, composes into any downstream plan), but for a
-    build-once rotation of the whole corpus a BLAS matmul per Arrow
-    batch is ~d times cheaper than d fold expressions. Output:
+    build-once rotation of the whole corpus a BLAS kernel per Arrow
+    batch is ~d times cheaper than d fold expressions. Per-ROW matvec
+    (not one batch GEMM): BLAS GEMM blocking depends on the batch
+    SHAPE, so the same vector rotated in different batches could differ
+    in the last ulp — which would break the persisted OPQ index's
+    append == rebuild bit-equality. A fixed-shape (d x d) @ (d,) matvec
+    per row makes every row's rotation independent of batching. Output:
     (id, embedding: array<double>) in the rotated basis. Float64
-    matmul vs the fold's sequential sums: equal to ~1e-9 relative
+    matvec vs the fold's sequential sums: equal to ~1e-9 relative
     (pinned), not bitwise."""
     import numpy as np
     import pandas as pd
@@ -297,12 +302,12 @@ def rotate_partial(
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            proj = (mat - mu) @ comp.T
+            proj = [
+                comp @ (np.asarray(v, dtype=np.float64) - mu)
+                for v in pdf[vec_col]
+            ]
             yield pd.DataFrame(
-                {id_col: pdf[id_col].values, vec_col: list(proj)}
+                {id_col: pdf[id_col].values, vec_col: proj}
             )
 
     return emb.select(id_col, vec_col).mapInPandas(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
     covariance_from_moments,
@@ -185,3 +186,99 @@ def test_opq_rotation_rejects_indivisible_dim(spark):
     )
     with _pytest.raises(ValueError, match="divisible"):
         opq_balanced_rotation(emb, dim=10, m=3)
+
+
+def _opq_rows(df):
+    return sorted(
+        (r["q_id"], r["vec_id"], r["rank"], r["score"]) for r in df.collect()
+    )
+
+
+def test_opq_logged_index_bit_equal_append_compact(spark, sf_dir, tmp_path):
+    """The persisted snapshot-logged OPQ index (round-7 verdict item 4):
+    (1) queries are BIT-EQUAL to the in-memory pq_cosine_topk over the
+    same rotated corpus + frozen codebooks; (2) append encodes with the
+    frozen meta, so the grown index equals encoding the union under
+    that meta (train-once/add-forever); (3) compaction shrinks the file
+    count without changing one result row; (4) version= time-travels
+    meta and rows together."""
+    from ccxt_ohlcv_fetcher_spark.operators.embeddings import rotate_partial
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        _fold_rotate,
+        _load_opq_meta,
+        _opq_store,
+        append_opq_index_logged,
+        build_opq_index_logged,
+        query_opq_index_logged,
+    )
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    DIM = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    path = str(tmp_path / "opq")
+
+    v1 = build_opq_index_logged(
+        half1, path, dim=DIM, m=8, n_codes=16, train_iters=2
+    )
+    queries = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got1 = query_opq_index_logged(spark, path, queries, k=5, rerank=4)
+
+    # (1) bit-equality vs in-memory over the SAME frozen meta + stored
+    # rotated corpus + the same fold-rotated queries
+    meta = _load_opq_meta(path, v1)
+    store = _opq_store(spark, path)
+    rot_corpus = store.read(version=v1).select("vec_id", "embedding")
+    rq = _fold_rotate(queries, meta["comps"], DIM, "q_id", "q_vec")
+    want1 = pq_cosine_topk(
+        rot_corpus, rq, k=5, dim=DIM, m=8, n_codes=16, rerank=4,
+        codebooks=meta["codebooks"],
+    )
+    assert _opq_rows(got1) == _opq_rows(want1)
+
+    # (2) append == rebuild under the frozen meta
+    append_opq_index_logged(half2, path)
+    got_full = query_opq_index_logged(spark, path, queries, k=5, rerank=4)
+    rot_full = rotate_partial(emb, meta["comps"], [0.0] * DIM)
+    want_full = pq_cosine_topk(
+        rot_full, rq, k=5, dim=DIM, m=8, n_codes=16, rerank=4,
+        codebooks=meta["codebooks"],
+    )
+    assert _opq_rows(got_full) == _opq_rows(want_full)
+    # the appended rows changed the answer vs the half index (sanity
+    # that the test isn't vacuous)
+    assert _opq_rows(got_full) != _opq_rows(got1)
+
+    # (4) time travel reproduces the pre-append answer exactly
+    got_v1 = query_opq_index_logged(
+        spark, path, queries, k=5, rerank=4, version=v1
+    )
+    assert _opq_rows(got_v1) == _opq_rows(got1)
+
+    # (3) fragmentation: append grew the file count; clustered compact
+    # shrinks it back and changes NOTHING
+    files_before = len(store.manifest()["files"])
+    store.compact(target_partitions=4, order_by=["c0", "vec_id"])
+    files_after = len(store.manifest()["files"])
+    assert files_after < files_before
+    got_compacted = query_opq_index_logged(spark, path, queries, k=5, rerank=4)
+    assert _opq_rows(got_compacted) == _opq_rows(got_full)
+
+
+def test_opq_persisted_registry_query_plan_python_free(spark, sf_dir):
+    """The served query plan must be codegen-only: rotation is the
+    plan-literal fold, codes come from the store — no Python boundary,
+    no cartesian product."""
+    from ccxt_ohlcv_fetcher_spark.plans import load_all
+
+    df = load_all()["ann_opq_persisted_topk"].builder(spark, sf_dir)
+    rows = df.collect()
+    assert rows and len({r["q_id"] for r in rows}) == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+    assert "CartesianProduct" not in plan
