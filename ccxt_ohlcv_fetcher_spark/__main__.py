@@ -190,6 +190,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="ISO-8601 watermark: only rewrite buckets at/after it "
         "(date-bucketed layouts)",
     )
+    cp.add_argument(
+        "--auto",
+        action="store_true",
+        help="policy mode (logged datasets): compact ONLY when "
+        "merge-on-read deletion vectors exceed --dv-ratio (Delta "
+        "auto-OPTIMIZE's trigger); no-op otherwise",
+    )
+    cp.add_argument(
+        "--dv-ratio",
+        type=float,
+        default=0.1,
+        help="deleted-position ratio that triggers --auto (default 0.1)",
+    )
     _add_layout_flags(cp)
 
     vac = sub.add_parser("vacuum", help="drop date buckets past retention")
@@ -439,9 +452,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "compact":
         if not (args.plain_parquet or args.date_bucket):
             dataset = _make_dataset(spark, args)
-            v = dataset.compact()
-            print(f"compacted to version={v}")
+            v = dataset.compact(
+                when_dv_ratio_above=args.dv_ratio if args.auto else None
+            )
+            if v is None:
+                print(f"no compaction needed (dv_ratio <= {args.dv_ratio})")
+            else:
+                print(f"compacted to version={v}")
             return 0
+        if args.auto:
+            raise SystemExit("--auto needs the logged layout (drop "
+                             "--plain-parquet/--date-bucket)")
         dataset = _make_dataset(spark, args)
         n = dataset.compact(
             args.exchange, args.symbol, args.timeframe,

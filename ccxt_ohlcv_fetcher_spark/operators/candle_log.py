@@ -299,7 +299,11 @@ class SnapshotCandleDataset:
 
     # --- maintenance ------------------------------------------------------
 
-    def compact(self, files_per_key_hint: int = 1) -> int:
+    def compact(
+        self,
+        files_per_key_hint: int = 1,
+        when_dv_ratio_above: float | None = None,
+    ) -> int | None:
         """Clustered rewrite: one atomic 'compact' commit that
         range-partitions the whole snapshot on (exchange, symbol,
         timeframe, timestamp) and sorts within files — each output file
@@ -307,7 +311,17 @@ class SnapshotCandleDataset:
         maximally and `resume_offset` stays stats-only. Incremental
         (tail-bucket-only) compaction composes by filtering first and
         committing the rewrite of just those files; whole-snapshot is
-        the fixture-scale form."""
+        the fixture-scale form.
+
+        ``when_dv_ratio_above``: auto-compaction policy — rewrite only
+        when merge-on-read deletes (``delete_where_dv``) have
+        accumulated past the threshold (``SnapshotStore.dv_stats``);
+        returns None with no commit otherwise. The CLI's
+        ``compact --auto`` drives this."""
+        if when_dv_ratio_above is not None:
+            stats = self.store.dv_stats()
+            if stats["dv_ratio"] <= when_dv_ratio_above:
+                return None
         head = self.store.latest_version()
         n_keys = max(
             1,

@@ -1327,7 +1327,8 @@ class SnapshotStore:
         max_retries: int = 10,
         order_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
-    ) -> int:
+        when_dv_ratio_above: float | None = None,
+    ) -> int | None:
         """Rewrite the current snapshot's many small files into
         ``target_partitions`` files in ONE atomic commit (operation
         'compact'): readers switch from the fragmented file set to the
@@ -1338,7 +1339,20 @@ class SnapshotStore:
         re-staging, or the winner's rows would be silently dropped.
         The maintenance half of the small-file problem the
         date-bucketed CandleDataset solves by directory
-        (operators/ingest.py) — here solved by log."""
+        (operators/ingest.py) — here solved by log.
+
+        ``when_dv_ratio_above``: the self-healing merge-on-read policy
+        (Delta auto-OPTIMIZE's trigger, round-7 verdict item 5) —
+        consult :meth:`dv_stats` first and rewrite ONLY when the
+        snapshot's deleted-position ratio exceeds the threshold;
+        otherwise return ``None`` with NO commit (a light table stays
+        untouched — no version burn, nothing to vacuum). A triggered
+        compact materializes every deletion vector (rewritten files
+        drop their DV entries at commit), so the next ``dv_stats`` is
+        empty and read amplification resets to zero."""
+        if when_dv_ratio_above is not None:
+            if self.dv_stats()["dv_ratio"] <= when_dv_ratio_above:
+                return None
         for _ in range(max_retries):
             base = self.latest_version()
             snapshot = self.read(version=base)

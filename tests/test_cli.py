@@ -415,3 +415,31 @@ def test_default_layout_is_snapshot_log(spark, tmp_path, capsys):
         ["export-csv", out, "--data-dir", plain_dir, "--plain-parquet"]
     ) == 0
     assert spark.read.option("header", True).csv(out).count() == 1
+
+
+def test_compact_auto_policy_cli(spark, tmp_path, capsys):
+    """`compact --auto` on the (default) logged dataset: no-op below
+    the DV threshold, compacts above it, and the DV report empties."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import MIN, T0, batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 20))
+    ds.delete_where_dv(f"timestamp < {T0 + 1 * MIN}")  # 5% deleted
+
+    assert main(["compact", "--data-dir", data_dir, "--auto"]) == 0
+    assert "no compaction needed" in capsys.readouterr().out
+
+    ds.delete_where_dv(f"timestamp < {T0 + 10 * MIN}")  # 50% deleted
+    assert main(
+        ["compact", "--data-dir", data_dir, "--auto", "--dv-ratio", "0.3"]
+    ) == 0
+    assert "compacted to version=" in capsys.readouterr().out
+    assert ds.store.dv_stats()["n_deleted"] == 0
+    assert ds.read().count() == 10
+
+    with pytest.raises(SystemExit, match="auto"):
+        main(["compact", "--data-dir", data_dir, "--auto", "--plain-parquet"])

@@ -1056,3 +1056,35 @@ def test_merge_keeps_survivor_stats_in_manifest(spark, tmp_path):
     assert store.pruned_files({"k": (0, 2)}) and len(
         store.pruned_files({"k": (0, 2)})
     ) < len(m["files"])
+
+
+def test_compact_policy_triggers_on_dv_ratio(spark, tmp_path):
+    """Self-healing merge-on-read (round-7 verdict item 5): compact
+    with when_dv_ratio_above consults dv_stats — a light table is a
+    TRUE no-op (no commit, vectors kept), a DV-heavy table compacts,
+    materializing every vector so the report empties and live rows are
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(0, 100)
+        .coalesce(1)  # one file: dv_ratio == table-wide deleted fraction
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    # light: 5% deleted -> below the 0.3 threshold -> no commit
+    store.delete_where_dv("k < 5")
+    head = store.latest_version()
+    assert store.compact(when_dv_ratio_above=0.3) is None
+    assert store.latest_version() == head
+    assert store.dv_stats()["n_deleted"] == 5  # vectors untouched
+
+    # heavy: 40% deleted -> triggers, materializes, report empties
+    store.delete_where_dv("k >= 5 and k < 40")
+    assert store.dv_stats()["dv_ratio"] > 0.3
+    v = store.compact(when_dv_ratio_above=0.3)
+    assert v == store.latest_version()
+    assert store.dv_stats() == {
+        "files": {}, "n_deleted": 0, "n_dv_files": 0, "dv_ratio": 0.0
+    }
+    assert sorted(r["k"] for r in store.read().collect()) == list(range(40, 100))
