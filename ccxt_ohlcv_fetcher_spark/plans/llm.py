@@ -440,7 +440,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is asserted in tests/test_llm_ops.py
     doc="ANN top-k via deterministic random-hyperplane sign-LSH (op E35 "
     "scale path): bucket-join candidates then exact re-rank — touches "
-    "~|corpus|/2^planes per query instead of the full corpus.",
+    "a bounded corpus fraction per query instead of the full corpus. "
+    "DEFAULT = the measured recommended operating point (round-7 "
+    "verdict item 6): adaptive probing-sequence multiprobe m=6 at "
+    "depth 2 — 0.762 recall for ~0.44 corpus fraction on the clustered "
+    "fixture (PERFORMANCE.md §9 curve, pinned at three operating "
+    "points; the old single-bucket default bottomed at 0.60 there). "
+    "Default-path recall floor >= 0.70 pinned in "
+    "tests/test_llm_ops.py::test_lsh_registry_default_recall_floor.",
     tags=("E35",),
 )
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +455,10 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ann_cosine_topk(emb, queries, k=5, dim=64, n_planes=4)
+    return ann_cosine_topk(
+        emb, queries, k=5, dim=64, n_planes=4,
+        multiprobe=6, adaptive=True, probe_depth=2,
+    )
 
 
 @register(

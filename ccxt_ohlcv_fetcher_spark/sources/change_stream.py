@@ -338,3 +338,27 @@ def replicate_changes(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drain_available(start_query, max_rounds: int = 1000) -> int:
+    """Drain loop for CAPPED availableNow streams (round-7 verdict
+    item 7): Spark's simple-reader availableNow snapshots ONE capped
+    offset per invocation — with maxVersionsPerBatch/maxFilesPerBatch
+    set, a single ``trigger(availableNow=True).start()`` advances one
+    admission-control step, not to the head (behavior pinned in
+    tests/test_change_stream.py::test_available_now_caps_one_offset_
+    per_invocation, which fails if Spark's semantics ever change).
+    This helper re-invokes the query until a round processes zero rows,
+    i.e. the checkpoint has converged on the head. ``start_query`` is a
+    zero-arg callable returning a freshly STARTED StreamingQuery
+    against the same checkpoint. Returns the number of rounds run
+    (including the final empty one)."""
+    rounds = 0
+    while rounds < max_rounds:
+        q = start_query()
+        q.awaitTermination()
+        rounds += 1
+        total = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        if total == 0:
+            break
+    return rounds

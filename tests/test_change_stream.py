@@ -325,3 +325,66 @@ def test_capped_reader_never_reemits_after_offset_regression(spark, tmp_path):
     # were processed by the previous run — only 7..8 may emit.
     parts = r.partitions({"version": 2}, off2)
     assert sorted({p.version for p in parts}) == [7, 8]
+
+
+def test_available_now_caps_one_offset_per_invocation(spark, tmp_path):
+    """PIN Spark's simple-reader availableNow semantics under admission
+    control (round-7 verdict item 7): one invocation consumes exactly
+    ONE capped offset (here 2 versions of 6), NOT the whole backlog.
+    If a Spark upgrade starts looping latestOffset inside availableNow,
+    this assertion flips and drain_available's docs need rewriting."""
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    for lo in range(0, 12, 2):  # v1..v6
+        store.append(_df(spark, lo, lo + 2).coalesce(1))
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", root)
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 4  # 2 versions x 2 rows
+
+
+def test_drain_available_converges_capped_stream(spark, tmp_path):
+    """drain_available re-invokes a capped availableNow stream until
+    the checkpoint reaches the head: everything lands, nothing twice,
+    and the loop stops on the first empty round."""
+    from ccxt_ohlcv_fetcher_spark.sources.change_stream import (
+        drain_available,
+    )
+
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    for lo in range(0, 12, 2):  # v1..v6
+        store.append(_df(spark, lo, lo + 2).coalesce(1))
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_changes")
+            .option("path", root)
+            .option("maxVersionsPerBatch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rounds = drain_available(start)
+    # 6 versions / 2 per round = 3 productive rounds + 1 empty
+    assert rounds == 4
+    assert sorted(r["v"] for r in spark.read.parquet(out).collect()) == list(
+        range(12)
+    )

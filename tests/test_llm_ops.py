@@ -1386,3 +1386,33 @@ def test_doc_bpe_oov_tokens_query_runs_heldout(spark, sf_dir):
     assert rows and all(r["n_pieces"] >= r["n_words"] for r in rows)
     # serve half only: every id odd
     assert all(r["doc_id"] % 2 == 1 for r in rows)
+
+
+def test_lsh_registry_default_recall_floor(spark):
+    """Round-7 verdict item 6: the REGISTERED ann_cosine_topk_lsh
+    serves the recommended operating point (adaptive m=6, depth 2).
+    Pin the default path — the exact call the registry makes — at
+    recall >= 0.70 on the clustered fixture, where the old
+    single-bucket default bottomed out at ~0.38."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        ann_cosine_topk,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_embeddings(), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in ann_cosine_topk(
+            emb, queries, k=5, dim=64, n_planes=4,
+            multiprobe=6, adaptive=True, probe_depth=2,  # registry default
+        ).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.70
