@@ -1101,3 +1101,102 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(k).cast("double") * F.col("_total").cast("double"))
         ).alias("gini"),
     )
+
+
+@register(
+    "lineitem_exact_quantiles",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rk,
+             count(*) OVER () AS n
+      FROM lineitem
+    ),
+    p AS (
+      SELECT q_bp,
+             (q_bp * (SELECT CAST(max(n) AS BIGINT) FROM r) + 9999) // 10000
+               AS pos
+      FROM (VALUES (2500), (5000), (7500), (9000), (9900)) AS t(q_bp)
+    )
+    SELECT CAST(p.q_bp AS BIGINT) AS q_bp, r.v AS value
+    FROM r JOIN p ON r.rk = p.pos
+    """,
+    doc="EXACT distributed quantiles over the raw lineitem table (op "
+    "E17 exact tier; the showcase for functions/rank.py on raw data): "
+    "the value at rank ceil(q*n) under the total order (price, "
+    "orderkey, linenumber) for q in {25, 50, 75, 90, 99}%%. The rank "
+    "comes from the two-pass range-partitioned global_rank — NO "
+    "single-partition sort anywhere, so unlike a window-ntile "
+    "percentile this stays exact at any corpus size (the approx "
+    "complement is price_approx_percentiles). Quantile positions use "
+    "basis-point INTEGER arithmetic ((q_bp*n + 9999) // 10000) so both "
+    "engines pick the identical rank with zero float rounding.",
+    tags=("E17", "E22"),
+)
+def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.functions.rank import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked, n = global_rank(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [
+            F.col("l_extendedprice").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        rank_name="_rk",
+    )
+    pos = [(bp, (bp * n + 9999) // 10000) for bp in (2500, 5000, 7500, 9000, 9900)]
+    pos_df = spark.createDataFrame(pos, "q_bp long, _pos long")
+    return (
+        ranked.join(F.broadcast(pos_df), ranked["_rk"] == pos_df["_pos"])
+        .select("q_bp", F.col("l_extendedprice").alias("value"))
+    )
+
+
+@register(
+    "order_cumulative_revenue",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderdate,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM orders
+    )
+    SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+           CAST(date_part('month', o_orderdate) AS INT) AS mo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(cum) AS DOUBLE) AS month_end_cum
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Month-end cumulative revenue from a RAW-table running sum (op "
+    "E21 at scale; the global_cumsum showcase): the decimal-exact "
+    "running total over every order in (date, key) order — computed by "
+    "the two-pass range-partitioned prefix sum, NOT a single-partition "
+    "window, so the raw fact table never funnels through one task — "
+    "then collapsed to the month-end value (cumsum of positive values "
+    "is monotone, so max per month IS the month's closing total). "
+    "Decimal prefix offsets accumulate exactly (Python decimal), so "
+    "both engines agree to the last bit of the final double cast.",
+    tags=("E21", "E13", "E17"),
+)
+def order_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cumsum
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    cum = global_cumsum(
+        orders.select("o_orderdate", "o_orderkey", "o_totalprice"),
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        dec("o_totalprice"),
+        sum_name="_cum",
+    )
+    return cum.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("_cum").cast("double").alias("month_end_cum"),
+    )

@@ -137,3 +137,21 @@ def test_registry_rank_queries_branch_equal(spark, sf_dir, monkeypatch):
     for n in names:
         big = sorted(map(str, reg[n].builder(spark, sf_dir).collect()))
         assert big == small[n], n
+
+
+def test_raw_table_rank_queries_have_no_single_partition_stage(spark, sf_dir):
+    """The raw-table showcases (exact quantiles, cumulative revenue,
+    equi-depth histogram) must never funnel the fact table through one
+    task: zero Exchange SinglePartition, zero ordered unpartitioned
+    Window in their plans."""
+    from ccxt_ohlcv_fetcher_spark.plans import load_all
+
+    reg = load_all()
+    for name in (
+        "lineitem_exact_quantiles",
+        "order_cumulative_revenue",
+        "order_equidepth_hist",
+    ):
+        df = reg[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, name
