@@ -725,3 +725,93 @@ def duplicate_span_stats(
             "dup_frac", F.col("n_dup_spans") * F.lit(1.0) / F.col("n_spans")
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.88,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, the
+    8th signal of the dedup family): cluster the embedding space with
+    k-means, then compare pairs ONLY within a cluster — the candidate
+    bound that makes embedding near-dup tractable at corpus scale
+    (pairs cost ~N^2/k instead of N^2; at 100 TB, k scales with the
+    corpus so cluster populations stay bounded, and the within-cluster
+    join is an EQUI join on the cluster id — shuffle-partitioned by
+    cluster, never a broadcast of the corpus).
+
+    Removal rule (deterministic "first occurrence wins", the same
+    convention as the MinHash/SimHash tiers here): a vector is a
+    duplicate iff an EARLIER-id vector in its cluster has cosine >=
+    ``threshold`` with it. Output one row per vector:
+    (id, cluster, is_kept, dup_of = earliest such id or NULL,
+    max_sim = its highest earlier-neighbor cosine or NULL).
+
+    Boundary caveat (documented, inherent to SemDeDup): a pair
+    straddling two clusters is never compared — recall vs the exact
+    all-pairs tier is bounded by clustering quality, which is why the
+    pinned test plants duplicate groups TIGHTER than the cluster
+    radius.
+    """
+    from ccxt_ohlcv_fetcher_spark.functions.arrays import (
+        dot_product,
+        l2_norm,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.clustering import (
+        _assign,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    assigned = emb.select(
+        id_col, _assign(vec_col, centroids).alias("cluster")
+    )
+    v = emb.select(
+        id_col, F.col(vec_col), l2_norm(vec_col).alias("_n")
+    ).join(assigned, id_col)
+    a = v.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = v.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select(
+            "_id_b",
+            "_id_a",
+            (
+                dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+            ).alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+    )
+    earliest = pairs.groupBy("_id_b").agg(
+        F.min("_id_a").alias("dup_of"), F.max("_sim").alias("max_sim")
+    )
+    return (
+        v.select(id_col, "cluster")
+        .join(earliest, v[id_col] == earliest["_id_b"], "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            "max_sim",
+        )
+    )

@@ -1828,6 +1828,38 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_embeddings",
+    oracle=None,  # k-means is iterative (non-SQL-expressible); the
+    # removal rule, planted-duplicate recall, and the within-cluster
+    # candidate bound are pinned in tests/test_llm_ops.py::
+    # test_semantic_dedup_plants_and_invariants
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023; the 8th "
+    "dedup signal, op E33/E34/E35 composition): k-means clusters the "
+    "embedding space (trained once per session via the shared memo), "
+    "then cosine pairs are generated ONLY within a cluster — an EQUI "
+    "join on the cluster id, so candidates cost ~N^2/k and shuffle by "
+    "cluster instead of broadcasting the corpus; at 100 TB, k scales "
+    "with the corpus so cluster populations stay bounded. Removal is "
+    "the deterministic first-occurrence-wins rule shared with the "
+    "MinHash/SimHash tiers: a vector is a duplicate iff an earlier-id "
+    "vector in its cluster clears the cosine threshold. Output per "
+    "vector: (cluster, is_kept, dup_of, max_sim).",
+    tags=("E33", "E34", "E35"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.clustering import kmeans_centroids
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_MEMO:
+        _KMEANS_MEMO[key] = kmeans_centroids(emb, k=8, n_iter=3)
+    return semantic_dedup(
+        emb, threshold=0.88, centroids=_KMEANS_MEMO[key]
+    )
+
+
 # --- round 5: retrieval scoring, boilerplate, edit-distance dedup,
 # --- quota sampling ---------------------------------------------------------
 

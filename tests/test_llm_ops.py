@@ -1416,3 +1416,76 @@ def test_lsh_registry_default_recall_floor(spark):
         ).collect()
     }
     assert len(exact & got) / len(exact) >= 0.70
+
+
+def test_semantic_dedup_plants_and_invariants(spark):
+    """SemDeDup on a crafted corpus: 3 tight planted duplicate groups
+    inside well-separated clusters plus isolated singletons. Pins the
+    removal rule exactly (earliest id in each planted group survives,
+    every later member is removed and points at an earlier member above
+    the threshold), and the keeper invariant (no kept vector has an
+    earlier similar cluster-mate) recomputed independently in Python."""
+    import math
+    import random
+
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(3)
+    dim = 16
+
+    def unit(seed_vec):
+        n = math.sqrt(sum(x * x for x in seed_vec))
+        return [x / n for x in seed_vec]
+
+    def around(base, eps, n):
+        out = []
+        for _ in range(n):
+            out.append(
+                unit([b + rng.uniform(-eps, eps) for b in base])
+            )
+        return out
+
+    bases = [unit([1.0 if j == c else 0.05 for j in range(dim)]) for c in range(4)]
+    rows, vid = [], 0
+    planted = {}
+    for c, base in enumerate(bases[:3]):  # 3 dup groups, 4 members each
+        group = []
+        for v in around(base, 0.01, 4):
+            rows.append((vid, v))
+            group.append(vid)
+            vid += 1
+        planted[c] = group
+    for v in around(bases[3], 0.35, 8):  # isolated spread-out singletons
+        rows.append((vid, v))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, k=4, n_iter=4, threshold=0.95).collect()
+    }
+    for group in planted.values():
+        first = min(group)
+        assert out[first]["is_kept"], group
+        for m in group:
+            if m != first:
+                assert not out[m]["is_kept"]
+                assert out[m]["dup_of"] is not None and out[m]["dup_of"] < m
+                assert out[m]["max_sim"] >= 0.95
+
+    # independent Python recomputation of the first-occurrence rule,
+    # within the clusters the operator actually chose
+    vecs = dict(rows)
+    cluster_of = {i: out[i]["cluster"] for i in out}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(vecs[a], vecs[b]))
+
+    for i, r in out.items():
+        earlier_similar = [
+            j for j in out
+            if j < i and cluster_of[j] == cluster_of[i] and cos(j, i) >= 0.95
+        ]
+        assert r["is_kept"] == (not earlier_similar), i
+        if earlier_similar:
+            assert r["dup_of"] == min(earlier_similar)
