@@ -23,6 +23,8 @@ ALLOWED_NESTED_LOOP = {
     # equi BHJ on the cell id.
     "ann_cosine_topk_ivfpq",
     "ann_cosine_topk_opq",  # same 1-row codebook-delivery join as _pq
+    "ann_opq_persisted_topk",  # same 1-row codebook delivery, meta from
+    # the logged index's sidecar instead of in-memory training
     "label_best_match",  # label-blocked pair join (non-equi residual)
     "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
     # 1-row x 1-row scalar-combine crossJoins (triangle count x wedge
