@@ -662,18 +662,36 @@ def _opq_encode(
 def _fold_rotate(
     df: DataFrame, comps: list, dim: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Plan-literal rotation (pca_project's codegen fold, mean 0) back
-    into array form — the SERVE-side rotation: queries are few, so d
-    fold expressions beat an Arrow round-trip, and the query plan stays
-    Python-free."""
-    from ccxt_ohlcv_fetcher_spark.operators.embeddings import pca_project
-
-    proj = pca_project(
-        df, comps, [0.0] * dim, id_col=id_col, vec_col=vec_col
+    """SERVE-side rotation, Python-free: the rotation matrix travels as
+    broadcast DATA (a 1-row frame, the round-4 codebook-delivery
+    lesson), and the projection is ONE transform-over-axes expression —
+    d plan-literal fold expressions (pca_project's shape) compile d
+    separate codegen aggregates, which at dim=64 dominated the warm
+    query time (~4.5 s measured, almost all plan compile). Fold order
+    per axis is identical to pca_project's (sequential sum over
+    components of x*c with x cast to double), so results are
+    bit-identical to the literal form."""
+    spark = df.sparkSession
+    rot_row = F.broadcast(
+        spark.createDataFrame(
+            [([[float(c) for c in axis] for axis in comps],)],
+            "_rot array<array<double>>",
+        ).withColumn("_one", F.lit(1))
     )
-    return proj.select(
-        id_col,
-        F.array(*[F.col(f"pc{i + 1}") for i in range(dim)]).alias(vec_col),
+    rotated = F.transform(
+        F.col("_rot"),
+        lambda axis: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), axis, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        df.withColumn("_one", F.lit(1))
+        .join(rot_row, "_one")
+        .select(id_col, rotated.alias(vec_col))
     )
 
 

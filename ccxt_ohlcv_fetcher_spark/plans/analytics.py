@@ -2040,15 +2040,17 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice")).cast("double").alias("revenue")
     )
-    tot = per_part.agg(
-        F.sum(dec("revenue")).cast("double").alias("total")
-    )
     ranked = adaptive_cumsum(
         per_part,
         [F.desc("revenue"), F.asc("l_partkey")],
         dec("revenue"),
         sum_name="_cum",
     ).withColumn("cum_rev", F.col("_cum").cast("double"))
+    # grand total off the PINNED cumsum input (adaptive_cumsum
+    # checkpoints it), not a second lineitem aggregation
+    tot = ranked.agg(
+        F.sum(dec("revenue")).cast("double").alias("total")
+    )
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "revenue",
         F.when(F.col("cum_rev") / F.col("total") <= 0.8, "A")
