@@ -735,6 +735,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    keep: str = "first",
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, the
     8th signal of the dedup family): cluster the embedding space with
@@ -745,12 +746,21 @@ def semantic_dedup(
     join is an EQUI join on the cluster id — shuffle-partitioned by
     cluster, never a broadcast of the corpus).
 
-    Removal rule (deterministic "first occurrence wins", the same
-    convention as the MinHash/SimHash tiers here): a vector is a
-    duplicate iff an EARLIER-id vector in its cluster has cosine >=
-    ``threshold`` with it. Output one row per vector:
-    (id, cluster, is_kept, dup_of = earliest such id or NULL,
-    max_sim = its highest earlier-neighbor cosine or NULL).
+    Removal rule: a vector is a duplicate iff a HIGHER-PRIORITY
+    cluster-mate has cosine >= ``threshold`` with it, where priority is
+    a deterministic total order chosen by ``keep``:
+
+    - ``"first"`` (default): priority = lower id — the
+      first-occurrence-wins convention shared with the MinHash/SimHash
+      tiers here;
+    - ``"farthest"``: priority = larger squared distance to the
+      assigned centroid (ties to the lower id) — SemDeDup's own keep
+      rule (survive the most diverse example of each semantic
+      neighborhood).
+
+    Output one row per vector: (id, cluster, is_kept, dup_of = its
+    highest-priority dominating neighbor or NULL, max_sim = its
+    highest dominating-neighbor cosine or NULL).
 
     Boundary caveat (documented, inherent to SemDeDup): a pair
     straddling two clusters is never compared — recall vs the exact
@@ -767,6 +777,8 @@ def semantic_dedup(
         kmeans_centroids,
     )
 
+    if keep not in ("first", "farthest"):
+        raise ValueError(f"keep must be 'first' or 'farthest', got {keep!r}")
     if centroids is None:
         centroids = kmeans_centroids(
             emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
@@ -774,39 +786,87 @@ def semantic_dedup(
     assigned = emb.select(
         id_col, _assign(vec_col, centroids).alias("cluster")
     )
+    if keep == "farthest":
+        # SemDeDup's own keep rule: survive = the member FARTHEST from
+        # its centroid (most diverse example); priority = squared
+        # distance to the assigned centroid, ties to the lower id
+        d2_all = F.transform(
+            F.lit(centroids),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        pr = d2_all[_assign(vec_col, centroids)]
+    else:
+        pr = F.lit(0.0)  # constant priority -> ties -> lower id wins
     v = emb.select(
-        id_col, F.col(vec_col), l2_norm(vec_col).alias("_n")
+        id_col,
+        F.col(vec_col),
+        l2_norm(vec_col).alias("_n"),
+        pr.alias("_pr"),
     ).join(assigned, id_col)
     a = v.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),
+        F.col("_pr").alias("_pr_a"),
     )
     b = v.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
+        F.col("_pr").alias("_pr_b"),
     )
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("_id_a") < F.col("_id_b"))
         .select(
-            "_id_b",
             "_id_a",
+            "_id_b",
+            "_pr_a",
+            "_pr_b",
             (
                 dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
             ).alias("_sim"),
         )
         .filter(F.col("_sim") >= threshold)
     )
-    earliest = pairs.groupBy("_id_b").agg(
-        F.min("_id_a").alias("dup_of"), F.max("_sim").alias("max_sim")
+    # priority is a TOTAL order ((pr desc, id asc) with distinct ids),
+    # so exactly one side of every similar pair dominates the other
+    a_wins = (F.col("_pr_a") > F.col("_pr_b")) | (
+        (F.col("_pr_a") == F.col("_pr_b"))
+        & (F.col("_id_a") < F.col("_id_b"))
+    )
+    dominated = pairs.select(
+        F.when(a_wins, F.col("_id_b")).otherwise(F.col("_id_a")).alias("_loser"),
+        F.when(a_wins, F.col("_id_a")).otherwise(F.col("_id_b")).alias("_winner"),
+        F.when(a_wins, F.col("_pr_a")).otherwise(F.col("_pr_b")).alias("_wpr"),
+        "_sim",
+    )
+    # dup_of = the HIGHEST-priority dominating neighbor (ties -> lower
+    # id): max over struct(priority, -id) then unwrap the id
+    best = dominated.groupBy("_loser").agg(
+        F.max(
+            F.struct(
+                F.col("_wpr").alias("p"),
+                (-F.col("_winner")).alias("nid"),
+                F.col("_winner").alias("id"),
+            )
+        )["id"].alias("dup_of"),
+        F.max("_sim").alias("max_sim"),
     )
     return (
         v.select(id_col, "cluster")
-        .join(earliest, v[id_col] == earliest["_id_b"], "left")
+        .join(best, v[id_col] == best["_loser"], "left")
         .select(
             id_col,
             "cluster",

@@ -1200,3 +1200,63 @@ def order_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.max("_cum").cast("double").alias("month_end_cum"),
     )
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER () AS w
+      FROM lineitem
+    )
+    SELECT v AS weighted_median,
+           CAST(cumw AS BIGINT) AS cum_weight,
+           CAST(w AS BIGINT) AS total_weight
+    FROM r WHERE 2 * cumw >= w
+    ORDER BY cumw LIMIT 1
+    """,
+    doc="EXACT quantity-weighted median of the price distribution over "
+    "the raw lineitem table (op E17/E21 composition; the inventory-"
+    "weighted price point): the first value, in total (price, "
+    "orderkey, linenumber) order, whose running quantity weight "
+    "reaches half the total — computed with the two-pass distributed "
+    "global_cumsum (integer weights, so the running sums are exact "
+    "int64 in both engines) and a TakeOrdered(1) for the crossing "
+    "row. The half-total test is the division-free 2*cumw >= W form, "
+    "so no float rounding exists anywhere. Total weight is ONE 1-row "
+    "driver scalar (max of the materialized running sum — bounds/"
+    "moments class); no single-partition stage anywhere.",
+    tags=("E17", "E21", "E22"),
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cum = global_cumsum(
+        li.select(
+            "l_extendedprice", "l_orderkey", "l_linenumber", "l_quantity"
+        ),
+        [
+            F.col("l_extendedprice").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        F.col("l_quantity").cast("bigint"),
+        sum_name="_cumw",
+    )
+    w = cum.agg(F.max("_cumw").alias("_w")).collect()[0]["_w"]
+    return (
+        cum.filter(F.lit(2) * F.col("_cumw") >= F.lit(w))
+        .orderBy("_cumw")
+        .limit(1)
+        .select(
+            F.col("l_extendedprice").alias("weighted_median"),
+            F.col("_cumw").cast("long").alias("cum_weight"),
+            F.lit(w).cast("long").alias("total_weight"),
+        )
+    )

@@ -1489,3 +1489,77 @@ def test_semantic_dedup_plants_and_invariants(spark):
         assert r["is_kept"] == (not earlier_similar), i
         if earlier_similar:
             assert r["dup_of"] == min(earlier_similar)
+
+
+def test_semantic_dedup_farthest_keep_rule_and_boundary_recall(spark):
+    """keep=\"farthest\" (SemDeDup's own rule): within each planted
+    duplicate group the survivor is the member FARTHEST from its
+    centroid, not the earliest id; and the candidate bound is
+    measured — the fraction of ALL exact above-threshold pairs that
+    share a cluster (SemDeDup's recall ceiling) is pinned >= 0.95 on
+    the clustered fixture, where groups are tighter than the cluster
+    radius by construction."""
+    import itertools
+    import math
+    import random
+
+    from ccxt_ohlcv_fetcher_spark.operators.clustering import kmeans_centroids
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(5)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    bases = [unit([1.0 if j == c else 0.05 for j in range(dim)]) for c in range(4)]
+    # ids INTERLEAVED across groups so the lowest-id k-means seeds span
+    # all four blobs (id-blocked layout would seed every centroid
+    # inside group 0)
+    rows, planted = [], {c: [] for c in range(4)}
+    for m in range(5):
+        for c, base in enumerate(bases):
+            vid = m * 4 + c
+            rows.append(
+                (vid, unit([b + rng.uniform(-0.01, 0.01) for b in base]))
+            )
+            planted[c].append(vid)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = kmeans_centroids(emb, k=4, n_iter=4)
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.95, centroids=centroids, keep="farthest"
+        ).collect()
+    }
+    vecs = dict(rows)
+
+    def d2(i):
+        c = centroids[out[i]["cluster"]]
+        return sum((x - y) ** 2 for x, y in zip(vecs[i], c))
+
+    for group in planted.values():
+        kept = [m for m in group if out[m]["is_kept"]]
+        # the planted groups are all-pairs similar -> exactly one
+        # survivor, and it is the max-(d2, -id) member
+        assert len(kept) == 1, group
+        want = max(group, key=lambda m: (d2(m), -m))
+        assert kept[0] == want, (group, kept, want)
+        for m in group:
+            if m != want:
+                assert out[m]["dup_of"] == want
+
+    # boundary recall: exact above-threshold pairs co-clustered
+    def cos(a, b):
+        return sum(x * y for x, y in zip(vecs[a], vecs[b]))
+
+    exact_pairs = [
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if cos(a, b) >= 0.95
+    ]
+    co = sum(
+        1 for a, b in exact_pairs if out[a]["cluster"] == out[b]["cluster"]
+    )
+    assert exact_pairs and co / len(exact_pairs) >= 0.95
