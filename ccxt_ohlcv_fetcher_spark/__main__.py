@@ -291,6 +291,32 @@ def build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=50, help="rows printed (default 50)"
     )
 
+    mi = sub.add_parser(
+        "mirror",
+        help="CDC-replicate a logged dataset into another via the "
+        "signed change feed (table mirroring incl. deletes/restates)",
+    )
+    mi.add_argument("--source-dir", type=str, required=True)
+    mi.add_argument("--data-dir", type=str, required=True, help="target root")
+    mi.add_argument("--checkpoint", type=str, required=True)
+    mi.add_argument(
+        "--keys",
+        type=str,
+        default="exchange,symbol,timeframe,timestamp",
+        help="comma-separated key columns netted per batch "
+        "(default: the candle PK)",
+    )
+    mi.add_argument("--starting-version", type=int, default=0)
+    mi.add_argument(
+        "--max-versions-per-batch",
+        type=int,
+        default=0,
+        help="admission control: bound commits per micro-batch; the "
+        "command then DRAINS rounds until the checkpoint reaches the "
+        "source head (drain_available)",
+    )
+    _add_layout_flags(mi, plain=False)
+
     sq = sub.add_parser(
         "sql", help="ad-hoc SQL over fixture tables and/or a candle dataset"
     )
@@ -559,6 +585,58 @@ def main(argv: list[str] | None = None) -> int:
         ).collect():
             print(dict(r.asDict()))
         print(f"changes rows={n} from=v{args.from_version}")
+        return 0
+
+    if args.command == "mirror":
+        from ccxt_ohlcv_fetcher_spark.operators.snapshots import (  # noqa: PLC0415
+            SnapshotStore,
+        )
+        from ccxt_ohlcv_fetcher_spark.sources.change_stream import (  # noqa: PLC0415
+            apply_changes_batch,
+            drain_available,
+            register as register_changes,
+            replicate_changes,
+        )
+
+        target = SnapshotStore(spark, args.data_dir)
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        if args.max_versions_per_batch:
+            register_changes(spark)
+
+            def _start():
+                return (
+                    spark.readStream.format("snapshot_changes")
+                    .option("path", args.source_dir)
+                    .option("startingVersion", str(args.starting_version))
+                    .option(
+                        "maxVersionsPerBatch",
+                        str(args.max_versions_per_batch),
+                    )
+                    .load()
+                    .writeStream.foreachBatch(
+                        lambda b, _bid: apply_changes_batch(b, target, keys)
+                    )
+                    .option("checkpointLocation", args.checkpoint)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+
+            rounds = drain_available(_start)
+            print(
+                f"mirrored rounds={rounds} "
+                f"target_version={target.latest_version()}"
+            )
+        else:
+            q = replicate_changes(
+                spark,
+                args.source_dir,
+                target,
+                keys,
+                args.checkpoint,
+                args.starting_version,
+            )
+            q.awaitTermination()
+            print(f"mirrored target_version={target.latest_version()}")
         return 0
 
     if args.command == "sql":

@@ -443,3 +443,55 @@ def test_compact_auto_policy_cli(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="auto"):
         main(["compact", "--data-dir", data_dir, "--auto", "--plain-parquet"])
+
+
+def test_mirror_subcommand_replicates_and_follows_deletes(spark, tmp_path, capsys):
+    """`mirror`: CDC-replicate a logged candle dataset into another via
+    the change feed — initial sync, incremental re-sync after appends
+    AND a row-level delete, and the capped (--max-versions-per-batch)
+    form drains rounds until converged."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+    from tests.test_candle_log import MIN, T0, batch
+
+    src_dir = str(tmp_path / "src")
+    src = SnapshotCandleDataset(spark, src_dir)
+    src.append_idempotent(batch(spark, 0, 6))
+
+    tgt_dir = str(tmp_path / "tgt")
+    cp = str(tmp_path / "cp")
+    assert main(
+        ["mirror", "--source-dir", src_dir, "--data-dir", tgt_dir,
+         "--checkpoint", cp]
+    ) == 0
+    assert "mirrored target_version=" in capsys.readouterr().out
+    tgt = SnapshotStore(spark, tgt_dir)
+    assert tgt.read().count() == 6
+
+    # source evolves: append + row-level delete; re-sync follows both
+    src.append_idempotent(batch(spark, 6, 9))
+    src.delete_where(f"timestamp < {T0 + 2 * MIN}")
+    assert main(
+        ["mirror", "--source-dir", src_dir, "--data-dir", tgt_dir,
+         "--checkpoint", cp]
+    ) == 0
+    capsys.readouterr()
+    got = sorted(r["timestamp"] for r in tgt.read().collect())
+    want = sorted(
+        r["timestamp"] for r in src.read().collect()
+    )
+    assert got == want and len(got) == 7
+
+    # capped form on a fresh target: drains multiple rounds, same state
+    tgt2_dir = str(tmp_path / "tgt2")
+    assert main(
+        ["mirror", "--source-dir", src_dir, "--data-dir", tgt2_dir,
+         "--checkpoint", str(tmp_path / "cp2"),
+         "--max-versions-per-batch", "1"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "rounds=" in out
+    tgt2 = SnapshotStore(spark, tgt2_dir)
+    assert sorted(r["timestamp"] for r in tgt2.read().collect()) == want
