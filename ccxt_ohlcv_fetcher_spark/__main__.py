@@ -519,8 +519,7 @@ def main(argv: list[str] | None = None) -> int:
             MaterializedRollups,
         )
 
-        if args.vacuum_older_than and not args.date_bucket:
-            raise SystemExit("--vacuum-older-than requires --date-bucket")
+        rollup_logged = not args.date_bucket  # log is the default layout
         if args.base_plain_parquet or args.base_date_bucket:
             base = CandleDataset(
                 spark, args.data_dir, date_bucket=args.base_date_bucket
@@ -543,12 +542,21 @@ def main(argv: list[str] | None = None) -> int:
             levels=tuple(s.strip() for s in args.levels.split(",") if s.strip()),
             base_timeframe=args.base_timeframe,
             date_bucket=args.date_bucket,
+            logged=rollup_logged,
         )
         appended = rollups.refresh()
         parts = " ".join(f"{lvl}={n}" for lvl, n in appended.items())
         if args.vacuum_older_than:
-            dropped = rollups.store.vacuum(_parse_since(args.vacuum_older_than))
-            parts += f" vacuumed_buckets={dropped}"
+            cutoff = _parse_since(args.vacuum_older_than)
+            if rollup_logged:
+                dropped = rollups.store.retention(cutoff)
+                reclaimed = len(rollups.store.vacuum())
+                parts += (
+                    f" vacuumed_files={dropped} reclaimed_dirs={reclaimed}"
+                )
+            else:
+                dropped = rollups.store.vacuum(cutoff)
+                parts += f" vacuumed_buckets={dropped}"
         print(f"rollup rows appended: {parts}")
         return 0
 

@@ -62,19 +62,40 @@ class MaterializedRollups:
         levels: tuple[str, ...] = ("1h", "1d"),
         base_timeframe: str = "1m",
         date_bucket: str | None = None,
+        logged: bool = False,
     ):
         """``date_bucket`` gives the rollup store the same bounded-
-        maintenance layout as the base dataset (see
+        maintenance layout as the plain base dataset (see
         ``CandleDataset.__init__``): refresh appends prune at the
         directory level and retention is ``store.vacuum(...)`` — a
         directory delete, no rewrite. Coarse levels have few rows per
         bucket, so pick the bucket at least as coarse as the base's
-        (typically ``month``)."""
+        (typically ``month``).
+
+        ``logged=True`` backs the rollup STORE with the snapshot log
+        instead (the CLI default layout since round 7): refresh appends
+        are atomic commits, retention is the metadata-only
+        ``retention(older_than_ms)`` + ``vacuum()``, and readers get
+        snapshot isolation + time travel over the rollup ladder. The
+        refresh logic is layout-agnostic — both stores expose the same
+        read / _exists / append_idempotent contract."""
         self.spark = spark
         self.base = base
         self.base_timeframe = base_timeframe
         self.levels = tuple(levels)
-        self.store = CandleDataset(spark, path, date_bucket=date_bucket)
+        if logged:
+            if date_bucket:
+                raise ValueError(
+                    "logged rollup store prunes by manifest stats, "
+                    "not dt= dirs — date_bucket and logged are exclusive"
+                )
+            from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+                SnapshotCandleDataset,
+            )
+
+            self.store = SnapshotCandleDataset(spark, path)
+        else:
+            self.store = CandleDataset(spark, path, date_bucket=date_bucket)
 
     def read(
         self,

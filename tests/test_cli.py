@@ -138,12 +138,15 @@ def test_rollup_subcommand(spark, tmp_path, capsys):
     assert "vacuumed_buckets=1" in capsys.readouterr().out
 
 
-def test_rollup_vacuum_requires_date_bucket(tmp_path):
-    with pytest.raises(SystemExit):
-        main([
-            "rollup", "--data-dir", str(tmp_path / "b"), "--rollup-dir",
-            str(tmp_path / "r"), "--vacuum-older-than", "2024-01-01T00:00:00Z",
-        ])
+def test_rollup_vacuum_older_than_flagless_is_logged_retention(tmp_path, capsys):
+    """--vacuum-older-than no longer demands --date-bucket: the
+    flagless rollup store is snapshot-logged, where the cutoff runs the
+    metadata-only retention commit (a no-op on an empty store)."""
+    assert main([
+        "rollup", "--data-dir", str(tmp_path / "b"), "--rollup-dir",
+        str(tmp_path / "r"), "--vacuum-older-than", "2024-01-01T00:00:00Z",
+    ]) == 0
+    assert "vacuumed_files=0" in capsys.readouterr().out
 
 
 def test_fetch_exchange_date_bucket_flag():
@@ -495,3 +498,58 @@ def test_mirror_subcommand_replicates_and_follows_deletes(spark, tmp_path, capsy
     assert "rounds=" in out
     tgt2 = SnapshotStore(spark, tgt2_dir)
     assert sorted(r["timestamp"] for r in tgt2.read().collect()) == want
+
+
+def test_rollup_flagless_uses_logged_store_with_retention(spark, tmp_path, capsys):
+    """Flagless `rollup`: both the BASE and the rollup STORE are
+    snapshot-logged; refresh is idempotent; --vacuum-older-than runs
+    the metadata-only retention commit + physical vacuum on the logged
+    store (no --date-bucket needed)."""
+    import datetime
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.ingest import project_ohlcv_rows
+
+    DAY_T0 = 1700000000000 - (1700000000000 % 86_400_000)
+    base = SnapshotCandleDataset(spark, str(tmp_path / "base"))
+    rows = [[DAY_T0 + i * 60_000, 1.0, 2.0, 0.5, 1.5, 3.0] for i in range(180)]
+    base.append_idempotent(project_ohlcv_rows(spark, rows, "e", "S/X", "1m"))
+
+    rollup_dir = str(tmp_path / "r")
+    argv = [
+        "rollup", "--data-dir", base.path, "--rollup-dir", rollup_dir,
+        "--levels", "1h",
+    ]
+    assert main(argv) == 0
+    assert "1h=3" in capsys.readouterr().out
+    assert os.path.isdir(os.path.join(rollup_dir, "_manifests"))  # logged
+    store = SnapshotCandleDataset(spark, rollup_dir)
+    assert store.read(timeframe="1h").count() == 3
+
+    assert main(argv) == 0  # idempotent
+    assert "1h=0" in capsys.readouterr().out
+
+    # second refresh commit: hours 3-5 land in their own file(s), so
+    # the metadata-only retention (whole-file drops by max timestamp)
+    # can drop the first commit's file and keep the new one
+    more = [
+        [DAY_T0 + i * 60_000, 1.0, 2.0, 0.5, 1.5, 3.0]
+        for i in range(180, 360)
+    ]
+    base.append_idempotent(project_ohlcv_rows(spark, more, "e", "S/X", "1m"))
+    assert main(argv) == 0
+    assert "1h=3" in capsys.readouterr().out
+
+    cutoff = datetime.datetime.fromtimestamp(
+        (DAY_T0 + 3 * 3_600_000) / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    assert main(argv + ["--vacuum-older-than", cutoff]) == 0
+    out = capsys.readouterr().out
+    assert "vacuumed_files=1" in out
+    got = sorted(
+        r["timestamp"] for r in store.read(timeframe="1h").collect()
+    )
+    assert got == [DAY_T0 + h * 3_600_000 for h in (3, 4, 5)]
