@@ -915,3 +915,119 @@ def candle_pair_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spread_z"),
     )
+
+
+@register(
+    "candle_holt_backtest",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             {sql_ms("date_trunc('hour', ts)")} AS bucket_ms,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             list(close ORDER BY bucket_ms) AS closes,
+             list(bucket_ms ORDER BY bucket_ms) AS buckets
+      FROM c GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type,
+             unnest(buckets) AS bucket_ms,
+             unnest(range(1, len(closes) + 1)) AS t,
+             closes
+      FROM s
+    ),
+    h AS (
+      SELECT event_type, bucket_ms, closes[t] AS close,
+             list_reduce(
+               list_prepend(CAST([] AS DOUBLE[]),
+                            list_transform(closes[1:t], x -> [x])),
+               (acc, x) -> {HOLT_SQL_STEP}
+             ) AS st
+      FROM e
+    ),
+    f AS (
+      SELECT event_type, close,
+             lag(st[1] + st[2]) OVER w AS fc,
+             lag(close) OVER w AS prev_close
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms)
+    ),
+    i AS (
+      -- integer micro-units (the candle_log_returns_vol lesson):
+      -- round errors at 6dp and sum as int64 — decimal casts of
+      -- arbitrary doubles round differently across engines
+      SELECT event_type,
+             CAST(CAST(round(abs(close - fc), 6) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS err_i,
+             CAST(CAST(round(abs(close - prev_close), 6) AS DECIMAL(18,6))
+                  * 1000000 AS BIGINT) AS nerr_i
+      FROM f WHERE fc IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(SUM(err_i) AS DOUBLE) / 1e6 / count(*) AS mae,
+           CAST(SUM(nerr_i) AS DOUBLE) / 1e6 / count(*) AS naive_mae,
+           1 - CAST(SUM(err_i) AS DOUBLE) / CAST(SUM(nerr_i) AS DOUBLE)
+             AS skill
+    FROM i
+    GROUP BY event_type
+    """,
+    doc="Walk-forward ONE-STEP-AHEAD backtest of the Holt forecast "
+    "(ops E19/E20/E13 composition; the evaluation tier above "
+    "candle_holt_trend): each hour is predicted by the PREVIOUS "
+    "hour's level+trend (a lag over the bit-exact fold state, so no "
+    "lookahead), scored as MAE against the persistence/naive forecast "
+    "(previous close) and summarized as the skill ratio 1 - SAE/SAE_"
+    "naive per series. Absolute errors round at 6dp and accumulate as "
+    "int64 micro-units (the candle_log_returns_vol integer-moments "
+    "lesson: decimal casts of arbitrary doubles round differently "
+    "across engines), so both engines produce bit-identical doubles; "
+    "the fold is row-local, "
+    "the lag window partitions per series — one shuffle, scales with "
+    "series count.",
+    tags=("E19", "E20", "E13"),
+)
+def candle_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.indicators import holt_fold
+
+    events = load_table(spark, sf_dir, "events")
+    candles = resample_ohlcv(
+        events, "1h", ts_col="ts", price_col="value", keys=("event_type",)
+    ).select("event_type", ms("bucket_ts").alias("bucket_ms"), "close")
+    h = holt_fold(
+        candles, keys=("event_type",), close_col="close",
+        order_col="bucket_ms",
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_ms")
+    f = h.select(
+        "event_type",
+        "close",
+        F.lag(F.col("level") + F.col("trend")).over(w).alias("fc"),
+        F.lag("close").over(w).alias("prev_close"),
+    ).filter(F.col("fc").isNotNull())
+    # integer micro-units (candle_log_returns_vol lesson): round at 6dp
+    # and sum as int64 — exact in both engines
+    int_err = lambda c: (
+        F.round(F.abs(c), 6).cast("decimal(18,6)") * F.lit(1_000_000)
+    ).cast("long")
+    agg = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(int_err(F.col("close") - F.col("fc"))).alias("_sae"),
+        F.sum(int_err(F.col("close") - F.col("prev_close"))).alias("_sne"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_eval").cast("long").alias("n_eval"),
+        (F.col("_sae").cast("double") / F.lit(1e6) / F.col("n_eval")).alias(
+            "mae"
+        ),
+        (F.col("_sne").cast("double") / F.lit(1e6) / F.col("n_eval")).alias(
+            "naive_mae"
+        ),
+        (
+            F.lit(1) - F.col("_sae").cast("double") / F.col("_sne").cast("double")
+        ).alias("skill"),
+    )
