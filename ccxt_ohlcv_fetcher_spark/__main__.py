@@ -203,6 +203,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=0.1,
         help="deleted-position ratio that triggers --auto (default 0.1)",
     )
+    cp.add_argument(
+        "--max-files-per-key",
+        type=int,
+        default=8,
+        help="small-file trigger for --auto: compact when any "
+        "(exchange,symbol,timeframe) key spans more files than this "
+        "(default 8; manifest-only check)",
+    )
     _add_layout_flags(cp)
 
     vac = sub.add_parser("vacuum", help="drop date buckets past retention")
@@ -344,6 +352,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sq.add_argument("--format", choices=["csv", "json"], default="csv")
     sq.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows "
+        "(pushdown/pruning/codegen inspection without running the job)",
+    )
+    sq.add_argument(
         "--limit",
         type=int,
         default=1000,
@@ -479,10 +493,16 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.plain_parquet or args.date_bucket):
             dataset = _make_dataset(spark, args)
             v = dataset.compact(
-                when_dv_ratio_above=args.dv_ratio if args.auto else None
+                when_dv_ratio_above=args.dv_ratio if args.auto else None,
+                when_files_per_key_above=(
+                    args.max_files_per_key if args.auto else None
+                ),
             )
             if v is None:
-                print(f"no compaction needed (dv_ratio <= {args.dv_ratio})")
+                print(
+                    f"no compaction needed (dv_ratio <= {args.dv_ratio}, "
+                    f"files/key <= {args.max_files_per_key})"
+                )
             else:
                 print(f"compacted to version={v}")
             return 0
@@ -667,6 +687,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             candles.createOrReplaceTempView("candles")
         df = spark.sql(args.query)
+        if args.explain:
+            print(
+                df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            )
+            return 0
         if args.limit:
             df = df.limit(args.limit)
         pdf = df.toPandas()

@@ -299,10 +299,37 @@ class SnapshotCandleDataset:
 
     # --- maintenance ------------------------------------------------------
 
+    def fragmentation(self) -> dict:
+        """Manifest-only fragmentation report: files per
+        (exchange, symbol, timeframe) key, from per-file stats alone
+        (files whose key stats are inconclusive — mixed keys — count
+        under the ``None`` key). Zero storage I/O. The small-file
+        complement of ``SnapshotStore.dv_stats`` for ``compact --auto``:
+        appends add ~one file per key per batch, so files-per-key IS
+        the read-amplification factor of a pruned key scan."""
+        m = self.store.manifest()
+        stats = m.get("stats", {})
+        per_key: dict = {}
+        for f in m["files"]:
+            fs = stats.get(f, {})
+            if all(
+                c in fs and fs[c][0] == fs[c][1] for c in PARTITION_COLS
+            ):
+                key = tuple(fs[c][0] for c in PARTITION_COLS)
+            else:
+                key = None
+            per_key[key] = per_key.get(key, 0) + 1
+        return {
+            "files_per_key": per_key,
+            "max_files_per_key": max(per_key.values(), default=0),
+            "n_files": len(m["files"]),
+        }
+
     def compact(
         self,
         files_per_key_hint: int = 1,
         when_dv_ratio_above: float | None = None,
+        when_files_per_key_above: int | None = None,
     ) -> int | None:
         """Clustered rewrite: one atomic 'compact' commit that
         range-partitions the whole snapshot on (exchange, symbol,
@@ -313,14 +340,34 @@ class SnapshotCandleDataset:
         committing the rewrite of just those files; whole-snapshot is
         the fixture-scale form.
 
-        ``when_dv_ratio_above``: auto-compaction policy — rewrite only
-        when merge-on-read deletes (``delete_where_dv``) have
-        accumulated past the threshold (``SnapshotStore.dv_stats``);
-        returns None with no commit otherwise. The CLI's
-        ``compact --auto`` drives this."""
-        if when_dv_ratio_above is not None:
-            stats = self.store.dv_stats()
-            if stats["dv_ratio"] <= when_dv_ratio_above:
+        Auto-compaction policy (the CLI's ``compact --auto``): when any
+        trigger is given, rewrite ONLY if one fires — returns None with
+        no commit otherwise (a healthy table costs nothing).
+
+        - ``when_dv_ratio_above``: merge-on-read deletes
+          (``delete_where_dv``) accumulated past the threshold
+          (``SnapshotStore.dv_stats``).
+        - ``when_files_per_key_above``: small-file fragmentation — some
+          key's file count (:meth:`fragmentation`, manifest-only)
+          exceeds the threshold; the reference's per-batch appends
+          create exactly this shape over time."""
+        triggers = [
+            t
+            for t in (when_dv_ratio_above, when_files_per_key_above)
+            if t is not None
+        ]
+        if triggers:
+            fired = False
+            if when_dv_ratio_above is not None:
+                fired |= (
+                    self.store.dv_stats()["dv_ratio"] > when_dv_ratio_above
+                )
+            if not fired and when_files_per_key_above is not None:
+                fired |= (
+                    self.fragmentation()["max_files_per_key"]
+                    > when_files_per_key_above
+                )
+            if not fired:
                 return None
         head = self.store.latest_version()
         n_keys = max(

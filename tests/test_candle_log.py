@@ -318,3 +318,27 @@ def test_dv_delete_then_refetch_lands_corrected_row(spark, ds):
     assert ds.read(since_ms=bad_ts).count() == 1
     # and resume moves forward again
     assert ds.resume_offset("e", "XRP/USD", "1m") == bad_ts
+
+
+def test_compact_auto_fragmentation_trigger(spark, ds):
+    """compact --auto's other half: the manifest-only fragmentation
+    report counts files per key, and when_files_per_key_above compacts
+    only once a key's file count exceeds the threshold — a healthy
+    table is a true no-op."""
+    for lo in range(0, 12, 3):  # 4 appends -> ~4 files for the one key
+        ds.append_idempotent(batch(spark, lo, lo + 3))
+    frag = ds.fragmentation()
+    assert frag["max_files_per_key"] >= 4
+    assert sum(frag["files_per_key"].values()) == frag["n_files"]
+
+    head = ds.store.latest_version()
+    # healthy by a loose threshold -> no commit
+    assert ds.compact(when_files_per_key_above=10) is None
+    assert ds.store.latest_version() == head
+    # fragmented by a tight threshold -> compacts, data unchanged
+    v = ds.compact(when_files_per_key_above=2)
+    assert v == ds.store.latest_version()
+    assert ds.fragmentation()["max_files_per_key"] == 1
+    assert ds.read().count() == 12
+    # post-compact the same trigger is quiet again
+    assert ds.compact(when_files_per_key_above=2) is None

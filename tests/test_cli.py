@@ -553,3 +553,23 @@ def test_rollup_flagless_uses_logged_store_with_retention(spark, tmp_path, capsy
         r["timestamp"] for r in store.read(timeframe="1h").collect()
     )
     assert got == [DAY_T0 + h * 3_600_000 for h in (3, 4, 5)]
+
+
+def test_sql_explain_prints_plan_without_running(spark, tmp_path, capsys):
+    """`sql --explain`: the formatted physical plan (PushedFilters /
+    scan shape visible) with no row output — the pushdown-inspection
+    surface for ad-hoc users."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    assert main([
+        "sql", "--sf-dir", sf_dir, "--explain",
+        "--query",
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 1000",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out and "o_totalprice" in out
+    assert "o_orderkey" not in out.splitlines()[-2]  # no row output
