@@ -1088,3 +1088,54 @@ def test_compact_policy_triggers_on_dv_ratio(spark, tmp_path):
         "files": {}, "n_deleted": 0, "n_dv_files": 0, "dv_ratio": 0.0
     }
     assert sorted(r["k"] for r in store.read().collect()) == list(range(40, 100))
+
+
+def test_merge_and_delete_rebase_over_injected_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Deterministic rebase race (no thread timing): a blind append by
+    ANOTHER writer commits between the merge's (then the delete's)
+    snapshot read and its first CAS attempt — the wrapped _try_commit
+    injects it, so the first CAS genuinely loses. Both operations must
+    retry onto the new head and preserve the racing writer's rows
+    (WriteSerializable: blind appends commute with merge/delete)."""
+    from pyspark.sql import functions as F
+
+    def kv(lo, hi, mult=1):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * mult).alias("v")
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(kv(0, 5))
+    racer = SnapshotStore(spark, str(tmp_path / "t"))
+
+    def inject_once(rows):
+        state = {"done": False}
+        orig = SnapshotStore._try_commit
+
+        def racy(self, *a, **kw):
+            if not state["done"]:
+                state["done"] = True
+                racer.append(rows)  # racing blind append wins the CAS
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(SnapshotStore, "_try_commit", racy)
+        return lambda: monkeypatch.setattr(SnapshotStore, "_try_commit", orig)
+
+    restore = inject_once(kv(100, 103))
+    r = store.merge_into(kv(3, 4, 10).unionByName(kv(50, 51)), on=["k"])
+    restore()
+    assert (r["matched"], r["inserted"]) == (1, 1)
+    got = {row["k"]: row["v"] for row in store.read().collect()}
+    assert got[3] == 30 and got[50] == 50          # merge applied
+    assert all(got[k] == k for k in (100, 101, 102))  # racer preserved
+    assert len(got) == 9  # 5 base + 3 raced + 1 insert
+
+    restore = inject_once(kv(200, 202))
+    version, n = store.delete_where("k >= 100 AND k < 103")
+    restore()
+    assert n == 3 and version == store.latest_version()
+    got2 = sorted(row["k"] for row in store.read().collect())
+    assert 200 in got2 and 201 in got2 and 100 not in got2
+    assert len(got2) == 8  # 9 - 3 deleted + 2 raced
