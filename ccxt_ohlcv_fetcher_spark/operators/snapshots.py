@@ -14,7 +14,8 @@ next numbered manifest that references them.
 Layout::
 
     path/data/commit-<token>/part-*.parquet   (one dir per commit)
-    path/_manifests/v00000001.json            (file list, parent, op)
+    path/_manifests/v00000001.json            (commit DELTA: add/remove)
+    path/_manifests/ckpt-v00000020.json       (full state, every N commits)
 
 Protocol (Delta's, scaled down):
 
@@ -34,12 +35,21 @@ Protocol (Delta's, scaled down):
 
 Scale notes: on a real object store the exclusive create maps to
 put-if-absent (S3 conditional PUT / GCS generation-0 precondition),
-exactly how open-source Delta commits on those stores. Manifests list
-file PATHS (O(files), compacted by rewriting a base manifest), and
-reads bypass directory listing entirely — the slow operation at
-100 TB. Cite: reference stores one SQLite file per symbol with no
-multi-writer story (ccxt-ohlcv-fetch.py:125-139); this is the
-warehouse-grade replacement.
+exactly how open-source Delta commits on those stores. Since round 8
+each per-commit manifest records only the commit's DELTA — files
+added/removed, new txn watermarks, schema/constraints only when they
+change — so a commit writes O(changed files), not O(table files). A
+full-state CHECKPOINT (``ckpt-v*.json``, Delta's checkpoint-parquet
+pattern) is written every ``checkpoint_interval`` commits; readers
+reconstruct any snapshot from the newest checkpoint at-or-below it
+plus the ≤interval delta tail, so resolving the head costs
+O(checkpoint + interval) file reads regardless of how many commits or
+files the table has — the bound that keeps driver-side metadata cost
+flat at millions of files / high commit rates. Reads still bypass
+directory listing entirely — the slow operation at 100 TB. Cite:
+reference stores one SQLite file per symbol with no multi-writer
+story (ccxt-ohlcv-fetch.py:125-139); this is the warehouse-grade
+replacement.
 """
 
 from __future__ import annotations
@@ -108,6 +118,68 @@ def _bloom_may_contain(entry: dict, value) -> bool:
     )
 
 
+# --- delta-manifest reconstruction (checkpoint + tail) --------------------
+
+
+def _empty_state() -> dict:
+    return {"version": 0, "parent": None, "files": [], "operation": "empty"}
+
+
+def _apply_delta(state: dict, d: dict) -> dict:
+    """Apply one format-2 delta manifest to a reconstructed snapshot
+    state, producing the next version's full state (same shape the old
+    full-list manifests had, so every reader of ``manifest()`` is
+    format-agnostic). Carry-forward rules mirror the old writer:
+    txn watermarks accumulate, schema/constraints inherit unless the
+    delta sets them, per-file stats follow their file, deletion
+    vectors follow their file unless the delta drops or replaces
+    them."""
+    removed = set(d.get("remove", ()))
+    files = [f for f in state["files"] if f not in removed]
+    files += list(d.get("add", ()))
+    out = {
+        "version": d["version"],
+        "parent": d["parent"],
+        "operation": d["operation"],
+        "files": files,
+    }
+    txn = {**state.get("txn", {}), **d.get("txn_new", {})}
+    if txn:
+        out["txn"] = txn
+    schema = d["schema"] if "schema" in d else state.get("schema")
+    if schema:
+        out["schema"] = schema
+    constraints = (
+        d["constraints"] if "constraints" in d else state.get("constraints", {})
+    )
+    if constraints:
+        out["constraints"] = constraints
+    fset = set(files)
+    stats = {
+        f: s for f, s in state.get("stats", {}).items() if f in fset
+    }
+    stats.update(d.get("stats_add", {}))
+    if stats:
+        out["stats"] = stats
+    dvs = {
+        f: list(v)
+        for f, v in state.get("dvs", {}).items()
+        if f in fset
+    }
+    for f in d.get("dv_drop", ()):
+        dvs.pop(f, None)
+    for f, lst in d.get("dv", {}).items():
+        if f in fset and lst:
+            dvs[f] = list(lst)
+    if dvs:
+        out["dvs"] = dvs
+    if d.get("changes") is not None:
+        out["changes"] = d["changes"]
+    if d.get("added") is not None:
+        out["added"] = d["added"]
+    return out
+
+
 class SnapshotStore:
     def __init__(
         self,
@@ -115,6 +187,7 @@ class SnapshotStore:
         path: str,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        checkpoint_interval: int = 20,
     ):
         """``stats_cols``: column names whose per-file min/max are read
         from the parquet footers at stage time and recorded in the
@@ -138,6 +211,16 @@ class SnapshotStore:
         self.bloom_cols = tuple(bloom_cols or ())
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
+        # full-state checkpoint cadence: every N commits the committer
+        # also writes ckpt-v{N}.json so readers reconstruct any
+        # snapshot from ≤ (1 checkpoint + interval deltas) file reads
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
+        # version -> reconstructed state; bounded (immutable per
+        # version, so never invalidated — only evicted)
+        self._state_cache: dict[int, dict] = {}
+        # instrumentation: what the last _state() reconstruction
+        # touched — {"version", "checkpoint": v|None, "tail_manifests"}
+        self.last_head_read: dict | None = None
 
     # --- log inspection ---------------------------------------------------
 
@@ -182,12 +265,89 @@ class SnapshotStore:
         except OSError:  # best-effort: readers fall back to probing
             pass
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"ckpt-v{version:08d}.json")
+
+    def _cache_put(self, version: int, state: dict) -> None:
+        if len(self._state_cache) >= 64:
+            self._state_cache.pop(next(iter(self._state_cache)))
+        self._state_cache[version] = state
+
+    def _state(self, v: int) -> dict:
+        """Reconstruct the full snapshot state of version ``v``: walk
+        back from ``v`` until a cached state, a checkpoint file, or a
+        legacy full-list manifest (format 1 is its own checkpoint),
+        then replay the collected delta tail forward. Bounded by the
+        checkpoint cadence: ≤ 1 checkpoint read + ``interval`` delta
+        reads regardless of table size or commit count."""
+        if v == 0:
+            return _empty_state()
+        cached = self._state_cache.get(v)
+        if cached is not None:
+            self.last_head_read = {
+                "version": v, "checkpoint": None, "tail_manifests": 0,
+            }
+            return cached
+        chain: list[dict] = []
+        base: dict | None = None
+        ckpt_used: int | None = None
+        tail = 0
+        cur = v
+        while cur > 0:
+            hit = self._state_cache.get(cur)
+            if hit is not None:
+                base = hit
+                break
+            cp = self._ckpt_path(cur)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    base = json.load(fh)
+                ckpt_used = cur
+                break
+            with open(self._manifest_path(cur)) as fh:
+                m = json.load(fh)
+            tail += 1
+            if "files" in m:  # legacy full manifest: self-checkpointing
+                base = m
+                break
+            chain.append(m)
+            cur -= 1
+        state = base if base is not None else _empty_state()
+        for d in reversed(chain):
+            state = _apply_delta(state, d)
+        self._cache_put(v, state)
+        self.last_head_read = {
+            "version": v, "checkpoint": ckpt_used, "tail_manifests": tail,
+        }
+        return state
+
+    def _write_checkpoint(self, version: int, state: dict) -> None:
+        """Best-effort full-state checkpoint (readers never REQUIRE
+        one — a missing/failed checkpoint just lengthens the delta
+        walk). Atomic content via temp + rename; only the committer of
+        ``version`` writes it, so there is no write race."""
+        tmp = os.path.join(
+            self._manifest_dir, f"_ckpt_staging.{uuid.uuid4().hex[:12]}"
+        )
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, self._ckpt_path(version))
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
         if v == 0:
-            return {"version": 0, "parent": None, "files": [], "operation": "empty"}
-        with open(self._manifest_path(v)) as fh:
-            return json.load(fh)
+            return _empty_state()
+        state = self._state(v)
+        # shallow-protect the cached state: callers may extend the top
+        # level / the files list; nested dicts are treated read-only
+        # by every writer path (they copy before mutating)
+        return {**state, "files": list(state["files"])}
 
     def history(self) -> list[dict]:
         """Every retained manifest, oldest first (op, version, counts).
@@ -477,63 +637,83 @@ class SnapshotStore:
         dvs: dict[str, list[str]] | None = None,
     ) -> bool:
         version = base_version + 1
-        base = self.manifest(base_version)
-        # txn map carries forward through every commit (Delta's
-        # SetTransaction): the head manifest always knows the last
-        # applied batch per streaming writer. A list stamps several
-        # (app_id, batch) watermarks atomically in one commit.
-        txns = dict(base.get("txn", {}))
-        for app, batch in (
-            [txn] if isinstance(txn, tuple) else (txn or [])
-        ):
-            txns[app] = batch
-        # file stats carry forward for retained files; staged files
-        # bring their own. Entries for dropped files fall away.
-        stats = {
-            **base.get("stats", {}),
-            **getattr(self, "_pending_stats", {}),
-        }
-        constraints = getattr(self, "_pending_constraints", None)
-        if constraints is None:
-            constraints = base.get("constraints", {})
-        manifest = {
+        base = self._state(base_version) if base_version else _empty_state()
+        base_fset = set(base["files"])
+        new_fset = set(files)
+        # the commit manifest records the DELTA only — O(changed files)
+        # per commit write, not O(table files); readers reconstruct
+        # via checkpoint + tail (see _state)
+        delta: dict = {
+            "format": 2,
             "version": version,
             "parent": base_version,
             "operation": operation,
-            "files": files,
-            "txn": txns,
-            "schema": getattr(
-                self, "_pending_schema", None
-            ) or base.get("schema"),
+            "add": [f for f in files if f not in base_fset],
+            "remove": [f for f in base["files"] if f not in new_fset],
         }
-        if constraints:
-            manifest["constraints"] = constraints
+        # txn watermarks set by THIS commit (Delta's SetTransaction);
+        # carry-forward is the reconstruction's job. A list stamps
+        # several (app_id, batch) watermarks atomically in one commit.
+        txn_new = {
+            app: batch
+            for app, batch in (
+                [txn] if isinstance(txn, tuple) else (txn or [])
+            )
+        }
+        if txn_new:
+            delta["txn_new"] = txn_new
+        schema = getattr(self, "_pending_schema", None) or base.get("schema")
+        if schema != base.get("schema"):
+            delta["schema"] = schema
+        constraints = getattr(self, "_pending_constraints", None)
+        if constraints is not None and constraints != base.get(
+            "constraints", {}
+        ):
+            delta["constraints"] = constraints
+        # per-file stats/blooms ride with the files they describe:
+        # only the staged (added) files' entries are written; retained
+        # files keep theirs through reconstruction
+        pending_stats = getattr(self, "_pending_stats", {})
+        stats_add = {
+            f: pending_stats[f] for f in delta["add"] if f in pending_stats
+        }
+        if stats_add:
+            delta["stats_add"] = stats_add
         if changes is not None:
             # row-level change files of a delete/merge commit (the
             # removed row versions), consumed by read_row_changes
-            manifest["changes"] = changes
+            delta["changes"] = changes
         if added is not None:
             # files whose rows are NEW in a merge commit (updates +
             # inserts) — the +1 side of the row feed; survivor-rewrite
             # files are explicitly not in this list
-            manifest["added"] = added
+            delta["added"] = added
         # deletion vectors: {data file -> [dv parquet files]} of row
         # positions logically deleted from that file (merge-on-read).
-        # Default carries the base's vectors forward RESTRICTED to files
-        # still present — an append keeps them, a rewrite of a file
-        # (compact / CoW delete / merge) materializes and drops them.
-        # Pass dvs={} to clear explicitly, or a dict to add entries.
-        live_dvs = {
-            f: v
-            for f, v in (
-                dvs if dvs is not None else base.get("dvs", {})
-            ).items()
-            if f in set(files) and v
-        }
-        if live_dvs:
-            manifest["dvs"] = live_dvs
-        if self.stats_cols or self.bloom_cols:
-            manifest["stats"] = {f: stats.get(f, {}) for f in files}
+        # dvs=None carries the base's vectors forward RESTRICTED to
+        # files still present (reconstruction's default — nothing to
+        # write); an explicit dict records only the entries that
+        # differ from the base, plus drops for retained files whose
+        # vectors disappear (dvs={} clears all).
+        if dvs is not None:
+            base_dvs = base.get("dvs", {})
+            live_dvs = {
+                f: v for f, v in dvs.items() if f in new_fset and v
+            }
+            dv_delta = {
+                f: v
+                for f, v in live_dvs.items()
+                if base_dvs.get(f) != v
+            }
+            dv_drop = [
+                f
+                for f in base_dvs
+                if f in new_fset and f not in live_dvs
+            ]
+            if dv_delta:
+                delta["dv"] = dv_delta
+            if dv_drop:
+                delta["dv_drop"] = dv_drop
         os.makedirs(self._manifest_dir, exist_ok=True)
         # write the full content to a temp file, then hard-link it into
         # place: os.link fails with FileExistsError when the target
@@ -546,13 +726,20 @@ class SnapshotStore:
             self._manifest_dir, f"_staging.{uuid.uuid4().hex[:12]}"
         )
         with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(delta, fh)
         try:
             os.link(tmp, self._manifest_path(version))
         except FileExistsError:
             return False
         finally:
             os.unlink(tmp)
+        # the committer already holds base state + delta: cache the new
+        # head state and, on cadence, persist it as the checkpoint that
+        # bounds every future reader's reconstruction walk
+        state = _apply_delta(base, delta)
+        self._cache_put(version, state)
+        if version % self.checkpoint_interval == 0:
+            self._write_checkpoint(version, state)
         self._write_head_hint(version)
         return True
 
@@ -1451,10 +1638,20 @@ class SnapshotStore:
             # hint+1 would strand latest_version()'s forward probe on a
             # missing manifest
             self._write_head_hint(head)
-            for v in range(1, max(1, head - retain_versions + 1)):
-                p = self._manifest_path(v)
-                if os.path.exists(p):
-                    os.remove(p)
+            lo = max(1, head - retain_versions + 1)
+            # delta manifests reconstruct from a base at-or-below them:
+            # before deleting the pre-window deltas, pin a checkpoint at
+            # the window's OLDEST retained version so every retained
+            # version still reconstructs (checkpoint + tail only)
+            if not os.path.exists(self._ckpt_path(lo)):
+                self._write_checkpoint(lo, self._state(lo))
+            for v in range(1, lo):
+                for p in (self._manifest_path(v), self._ckpt_path(v)):
+                    if os.path.exists(p):
+                        os.remove(p)
+                # pruned versions must also leave this instance's state
+                # cache: their time travel is gone by contract
+                self._state_cache.pop(v, None)
         return deleted
 
 

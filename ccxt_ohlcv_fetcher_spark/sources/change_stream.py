@@ -13,8 +13,8 @@ reconcile a rewritten past — restart from the current snapshot).
 
 Scale shape: ``partitions(start, end)`` maps each changed FILE to one
 ``InputPartition``, so a batch's files are read as parallel executor
-tasks with pyarrow — the driver touches only manifests (JSON, O(files)
-per commit), never rows. Offsets are exactly-once by construction:
+tasks with pyarrow — the driver touches only manifests (format-2 delta
+JSON, O(changed files) per commit), never rows. Offsets are exactly-once by construction:
 version ranges are half-open ``(start, end]``, so a restarted query
 resumes from the checkpointed version with no overlap and no gap (the
 same resume-from-log contract the snapshot sink's txn markers give the
@@ -73,6 +73,40 @@ def _latest_version(root: str) -> int:
     return v
 
 
+def _added_files(root: str, m: dict) -> list:
+    """Files whose rows are NEW in an append commit. Format-2 delta
+    manifests carry the answer verbatim (``add`` — the checkpointed
+    log's whole point: the stream reads O(changed files) of metadata
+    per version, never a full file list); legacy full-list manifests
+    fall back to the diff against the parent's list."""
+    if "add" in m:
+        return list(m["add"])
+    prev = (
+        set(_read_manifest(root, m["parent"]).get("files", ()))
+        if m.get("parent")
+        else set()
+    )
+    return [f for f in m["files"] if f not in prev]
+
+
+def _head_schema(root: str, head: int) -> list:
+    """The head snapshot's schema pairs: walk back from ``head`` until
+    a manifest that SETS the schema (format-2 deltas only record it on
+    change), a checkpoint file (full state), or a legacy full manifest.
+    Bounded by the store's checkpoint cadence."""
+    v = head
+    while v > 0:
+        ck = os.path.join(root, "_manifests", f"ckpt-v{v:08d}.json")
+        if os.path.exists(ck):
+            with open(ck) as fh:
+                return [tuple(p) for p in (json.load(fh).get("schema") or [])]
+        m = _read_manifest(root, v)
+        if "schema" in m or "files" in m:
+            return [tuple(p) for p in (m.get("schema") or [])]
+        v -= 1
+    return []
+
+
 class ChangeFilePartition(InputPartition):
     def __init__(self, path: str, sign: int, version: int):
         self.path = path
@@ -95,8 +129,7 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         # pin the HEAD schema (the evolution superset): files written
         # before an add-column evolution null-fill; pinning an older
         # version's schema would silently drop evolved columns
-        m = _read_manifest(self.root, head) if head else {}
-        self.schema_pairs = [tuple(p) for p in (m.get("schema") or [])]
+        self.schema_pairs = _head_schema(self.root, head) if head else []
 
     # --- offsets ----------------------------------------------------------
 
@@ -133,25 +166,22 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         if self.max_files is not None:
             budget = self.max_files
             v = committed
-            prev_files = set(_read_manifest(self.root, v)["files"])
             while v < hi:
                 m = _read_manifest(self.root, v + 1)
-                n = len(self._version_files(m, prev_files))
+                n = len(self._version_files(m))
                 if budget - n < 0 and v > committed:
                     break
                 budget -= n
                 v += 1
-                prev_files = set(m["files"])
             hi = v
         hi = max(hi, committed)
         self._committed_version = hi  # ratchet (see above)
         return {"version": hi}
 
-    @staticmethod
-    def _version_files(m: dict, prev_files: set) -> list:
+    def _version_files(self, m: dict) -> list:
         op = m["operation"]
         if op == "append":
-            return [f for f in m["files"] if f not in prev_files]
+            return _added_files(self.root, m)
         if op == "delete":
             return list(m.get("changes", []))
         if op == "merge":
@@ -178,14 +208,12 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         self._emitted_through = max(self._emitted_through, lo, hi)
         lo = eff_lo
         parts: list[ChangeFilePartition] = []
-        prev_files = set(_read_manifest(self.root, lo)["files"])
         for v in range(lo + 1, hi + 1):
             m = _read_manifest(self.root, v)
             op = m["operation"]
             if op == "append":
-                for f in m["files"]:
-                    if f not in prev_files:
-                        parts.append(ChangeFilePartition(f, +1, v))
+                for f in _added_files(self.root, m):
+                    parts.append(ChangeFilePartition(f, +1, v))
             elif op == "delete":
                 for f in m.get("changes", []):
                     parts.append(ChangeFilePartition(f, -1, v))
@@ -200,7 +228,6 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
                     f"v{v} ({op}) — restart the stream from the current "
                     "snapshot"
                 )
-            prev_files = set(m["files"])
         return parts
 
     # --- reads (executor-side) --------------------------------------------

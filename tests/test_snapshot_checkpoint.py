@@ -1,0 +1,157 @@
+"""Manifest checkpoints (round-8 verdict item 1): per-commit
+manifests are DELTAS (O(changed files) to write), a full-state
+checkpoint lands every ``checkpoint_interval`` commits, and readers
+reconstruct any snapshot from (newest checkpoint at-or-below it) +
+(≤ interval delta manifests) — so head-read cost is bounded by the
+cadence, never by table size or commit count. Interop pins: vacuum
+prune_log re-checkpoints the retention boundary; a deleted checkpoint
+only lengthens the walk (never breaks a read); time travel, stats
+pruning, DV carry-forward, and the change stream all reconstruct the
+same state the old full-list manifests recorded.
+"""
+
+import json
+import os
+
+import pytest
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+
+def _one(spark, v: int):
+    return spark.range(v, v + 1).selectExpr("id as v")
+
+
+@pytest.fixture()
+def store105(spark, tmp_path):
+    """105 single-row append commits at interval 20 (checkpoints at
+    20, 40, 60, 80, 100; head 105 = checkpoint 100 + 5-delta tail)."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["v"], checkpoint_interval=20
+    )
+    for i in range(105):
+        assert store.append(_one(spark, i)) == i + 1
+    return store
+
+
+def test_head_read_touches_checkpoint_plus_tail_only(spark, store105):
+    # a FRESH store object (cold cache — a new reader process) resolves
+    # the head from exactly one checkpoint + the post-checkpoint tail
+    fresh = SnapshotStore(
+        spark, store105.path, stats_cols=["v"], checkpoint_interval=20
+    )
+    assert fresh.read().count() == 105
+    touched = fresh.last_head_read
+    assert touched["version"] == 105
+    assert touched["checkpoint"] == 100
+    assert touched["tail_manifests"] == 5
+    # and the bound holds for ANY version, not just the head
+    fresh2 = SnapshotStore(spark, store105.path, checkpoint_interval=20)
+    assert fresh2.read(version=47).count() == 47
+    t = fresh2.last_head_read
+    assert t["checkpoint"] == 40 and t["tail_manifests"] == 7
+
+
+def test_delta_manifest_size_stays_flat(store105):
+    # the O(files)-per-commit failure mode: manifest v105 would list
+    # 105 files in the old format; the delta lists ~1. Allow slack for
+    # stats payload but pin the order of magnitude.
+    p = store105._manifest_path
+    early = os.path.getsize(p(3))
+    late = os.path.getsize(p(105))
+    assert late < 3 * early
+    m = json.load(open(p(105)))
+    assert m["format"] == 2 and len(m["add"]) >= 1 and m["remove"] == []
+    assert "files" not in m
+
+
+def test_checkpoint_reconstruction_matches_delta_replay(spark, store105):
+    # state(100) from the checkpoint file must equal state(100) rebuilt
+    # by replaying all 100 deltas (checkpoint deleted, cold cache)
+    via_ckpt = SnapshotStore(spark, store105.path).manifest(100)
+    os.remove(store105._ckpt_path(100))
+    via_replay = SnapshotStore(spark, store105.path).manifest(100)
+    assert via_ckpt == via_replay
+    assert len(via_ckpt["files"]) == 100
+    # a missing checkpoint NEVER breaks a read — the walk just extends
+    # back to the previous checkpoint (80)
+    fresh = SnapshotStore(spark, store105.path)
+    assert fresh.read().count() == 105
+    assert fresh.last_head_read["checkpoint"] == 80
+    assert fresh.last_head_read["tail_manifests"] == 25
+
+
+def test_time_travel_and_stats_pruning_survive_checkpointing(spark, store105):
+    assert store105.read(version=37).count() == 37
+    # manifest min/max stats carried through checkpoint + delta replay:
+    # an equality probe on v prunes to exactly the owning file
+    fresh = SnapshotStore(spark, store105.path, stats_cols=["v"])
+    kept = fresh.pruned_files({"v": (42, 42)})
+    assert len(kept) == 1
+    total = len(fresh.manifest()["files"])
+    assert total == 105
+
+
+def test_prune_log_checkpoints_the_boundary(spark, store105):
+    store105.vacuum(retain_versions=10, min_age_seconds=0, prune_log=True)
+    lo = 105 - 10 + 1  # 96
+    assert os.path.exists(store105._ckpt_path(lo))
+    fresh = SnapshotStore(spark, store105.path)
+    assert fresh.read().count() == 105
+    assert fresh.read(version=100).count() == 100
+    # versions before the window are gone — manifests AND checkpoints
+    with pytest.raises(FileNotFoundError):
+        fresh.manifest(95)
+    assert not os.path.exists(store105._ckpt_path(80))
+    assert [h["version"] for h in fresh.history()] == list(range(96, 106))
+
+
+def test_checkpoint_preserves_dv_txn_constraints(spark, tmp_path):
+    """The non-file manifest state (deletion vectors, txn watermarks,
+    CHECK constraints, schema) must survive a checkpoint + tail
+    reconstruction bit-for-bit."""
+    store = SnapshotStore(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    store.append(spark.range(10).selectExpr("id as v"))
+    store.add_constraint("nonneg", "v >= 0")
+    store.delete_where_dv("v = 3")
+    store.append(_one(spark, 99), txn=("app", 7))
+    for i in range(3):  # push past the interval so a checkpoint lands
+        store.append(_one(spark, 200 + i))
+    assert os.path.exists(store._ckpt_path(5))
+    fresh = SnapshotStore(spark, store.path, checkpoint_interval=5)
+    m = fresh.manifest()
+    assert m["constraints"] == {"nonneg": "v >= 0"}
+    assert m["txn"] == {"app": 7}
+    assert m.get("dvs")  # the DV survived reconstruction
+    vals = {r["v"] for r in fresh.read().collect()}
+    assert 3 not in vals and 99 in vals and len(vals) == 13
+    # and the exactly-once txn check still works through the checkpoint
+    assert fresh.append(_one(spark, 100), txn=("app", 7)) is None
+
+
+def test_change_stream_reads_delta_manifests(spark, tmp_path):
+    """The snapshot_changes source consumes format-2 logs: appends via
+    the delta's own add-list, schema resolved by the walk-back."""
+    from ccxt_ohlcv_fetcher_spark.sources.change_stream import register
+
+    store = SnapshotStore(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    for i in range(9):
+        store.append(_one(spark, i))
+    store.delete_where("v = 2")
+    register(spark)
+    out = str(tmp_path / "out")
+    (
+        spark.readStream.format("snapshot_changes")
+        .option("path", store.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.read.parquet(out).collect()
+    plus = {r["v"] for r in rows if r["_change"] == 1}
+    minus = {r["v"] for r in rows if r["_change"] == -1}
+    assert plus == set(range(9)) and minus == {2}
