@@ -51,8 +51,17 @@ _LOCAL_MASK = (1 << _LOCAL_BITS) - 1
 # two-pass shape costs a checkpoint plus two extra jobs, and a single
 # task over <=64k aggregate-sized rows is microseconds. Callers on
 # aggregated inputs route through adaptive_rank with this default;
-# callers on raw tables use global_rank unconditionally.
+# callers on raw tables use adaptive_*_source with the raw threshold.
 RANK_WINDOW_MAX_ROWS = 65_536
+
+# Raw-table gate (round-8 verdict item 3): a one-task sort over a few
+# million NARROW rows (the rank inputs project 2-4 columns) is tens of
+# MB and well under a second — cheaper than the two-pass shape's fixed
+# cost (checkpoint write+read plus two extra jobs, ~0.6 s measured at
+# sf0.1). Above it the single task becomes the straggler stage and the
+# two-pass plan wins. The branch choice costs ONE count() job, which
+# on a parquet scan is answered from footer metadata.
+RAW_RANK_WINDOW_MAX_ROWS = 4_000_000
 
 
 def _range_sorted(
@@ -130,6 +139,51 @@ def adaptive_rank(
             n,
         )
     return global_rank(pinned, order, rank_name, num_partitions)
+
+
+def adaptive_rank_source(
+    df: DataFrame,
+    order: list[Column],
+    rank_name: str = "rk",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Size-gated global rank for RAW-TABLE inputs. Unlike
+    :func:`adaptive_rank` it does NOT checkpoint before counting: a
+    source scan re-reads deterministically and its ``count()`` is
+    answered from parquet footer metadata, while checkpointing would
+    materialize the whole fact table just to decide the branch. Below
+    ``RAW_RANK_WINDOW_MAX_ROWS`` (module-level, monkeypatchable — the
+    branch-equality tests force each side) the one-task window wins;
+    above it, the two-pass :func:`global_rank` with no
+    single-partition stage. Returns (ranked df, total rows)."""
+    n = df.count()
+    if n <= RAW_RANK_WINDOW_MAX_ROWS:
+        return (
+            df.withColumn(
+                rank_name, F.row_number().over(W.orderBy(*order)).cast("long")
+            ),
+            n,
+        )
+    return global_rank(df, order, rank_name, num_partitions)
+
+
+def adaptive_cumsum_source(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    sum_name: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-gated global running sum for RAW-TABLE inputs (the cumsum
+    twin of :func:`adaptive_rank_source`): one metadata-cheap count,
+    then one-task window below ``RAW_RANK_WINDOW_MAX_ROWS``, two-pass
+    :func:`global_cumsum` above. Callers cast the result themselves
+    (decimal precision growth matches between branches — both run the
+    same Spark SUM typing)."""
+    if df.count() <= RAW_RANK_WINDOW_MAX_ROWS:
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+        return df.withColumn(sum_name, F.sum(value).over(w))
+    return global_cumsum(df, order, value, sum_name, num_partitions)
 
 
 def adaptive_cumsum(

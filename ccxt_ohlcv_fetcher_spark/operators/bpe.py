@@ -108,18 +108,42 @@ def _select_batch(
     budget: int,
     min_pair_count: int,
     truncated: bool,
+    made_symbols: set | None = None,
 ) -> list[tuple[str, str]]:
     """Greedy prefix of the snapshot's (cnt desc, a, b) pair ranking
-    that is PROVABLY equal to applying the merges sequentially:
+    that is PROVABLY equal to applying the merges sequentially.
 
-    - merging (a, b) only changes counts of pairs sharing a symbol with
-      it, so a later pick disjoint from every earlier pick keeps its
-      snapshot count — the batch STOPS at the first interacting pair;
-    - the merge also CREATES pairs (x, ab) and (ab, y), whose counts
-      are bounded by the snapshot's cnt(x, a) and cnt(b, y); a later
-      pick is only safe while its count STRICTLY exceeds every such
-      bound (M below), else a created pair could out-rank it in the
-      true sequential order — the batch stops there too.
+    CONFLICT-GRAPH rule (round-8 verdict item 2 — sharper than the
+    round-7 any-shared-symbol test): applying the merge (a, b) changes
+    the count of an EXISTING pair type q = (x, y) iff ``y == a`` (an
+    occurrence of q can end where a merged occurrence begins: "x a b"
+    destroys one (x, a)) or ``x == b`` ("a b y" destroys one (b, y)) —
+    and those counts only DECREASE. A later candidate sharing a symbol
+    any other way — (a, c), (c, b), even a second pick reusing a whole
+    side like (a, c') — keeps its exact snapshot count, so it stays
+    safely comparable. The batch therefore stops at the first candidate
+    whose RIGHT symbol is a picked LEFT or whose LEFT symbol is a
+    picked RIGHT (skipping is unsound: a decreased count may still
+    out-rank everything below it), but sails past the merely
+    symbol-sharing candidates the old rule broke on.
+
+    CREATED pairs: the merge also creates types (x, ab) and (ab, y)
+    with counts bounded by the snapshot's cnt(x, a) and cnt(b, y); a
+    later pick is only safe while its count STRICTLY exceeds every
+    such bound (M below), else a created pair could out-rank it in the
+    true sequential order.
+
+    COLLISION guard: if the fused string ``a + b`` equals an ALREADY
+    EXISTING symbol (reachable when two merge paths compose the same
+    string, e.g. "abc" via ("ab","c") and ("a","bc")), the merge can
+    INCREASE that existing symbol's pair counts beyond the created-pair
+    bound — such a pick is taken (it is the argmax, so it is itself
+    correct) but TERMINATES the batch. ``made_symbols`` is the
+    driver-maintained set of multi-character symbols (END_OF_WORD plus
+    every prior merge's fused string — initial symbols are single
+    characters, so nothing else can collide with a length-≥2 fused
+    string); None disables the guard (only for callers that prove
+    collisions impossible).
 
     ``truncated``: the collected ranking is a prefix, so any pair
     outside it is bounded by the last collected count (c_floor).
@@ -135,19 +159,27 @@ def _select_batch(
         if r["cnt"] > left_max.get(r["b"], 0):
             left_max[r["b"]] = r["cnt"]
     selected: list[tuple[str, str]] = []
-    used: set[str] = set()
+    left_picked: set[str] = set()   # a-sides of picks
+    right_picked: set[str] = set()  # b-sides of picks
+    made = set(made_symbols) if made_symbols is not None else None
     m_bound = 0
     for r in top:
         if (
             r["cnt"] < min_pair_count
             or len(selected) >= min(batch_size, budget)
-            or r["a"] in used
-            or r["b"] in used
+            or r["b"] in left_picked
+            or r["a"] in right_picked
             or (selected and r["cnt"] <= m_bound)
         ):
             break
+        fused = r["a"] + r["b"]
         selected.append((r["a"], r["b"]))
-        used.update((r["a"], r["b"]))
+        if made is not None and fused in made:
+            break  # collision: boosted existing type — terminal pick
+        left_picked.add(r["a"])
+        right_picked.add(r["b"])
+        if made is not None:
+            made.add(fused)
         m_bound = max(
             m_bound,
             left_max.get(r["a"], 0),
@@ -163,6 +195,7 @@ def train_bpe(
     checkpoint_every: int = 6,
     min_pair_count: int = 2,
     batch_size: int = 8,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` merges; returns (merge list, final vocab
     as (word, freq, sym: array<string>)).
@@ -188,6 +221,10 @@ def train_bpe(
     fixture). At a 100 TB corpus the word table has millions of rows
     and the same rule yields real parallelism — the partitioning
     tracks data size, not a constant.
+
+    ``stats``: optional dict filled with {"rounds", "merges"} — rounds
+    is the number of pair-count Spark jobs (driver syncs), the number
+    the batching exists to minimize (measured curve in PERFORMANCE.md).
     """
     sized = word_freqs.select(
         "word", "freq", char_symbols("word").alias("sym")
@@ -195,9 +232,16 @@ def train_bpe(
     n_parts = max(1, min(sized.count() // 50_000 + 1, 2_000))
     vocab = sized.repartition(n_parts).localCheckpoint()
     merges: list[tuple[str, str]] = []
+    # multi-char symbols in existence: END_OF_WORD plus every merge's
+    # fused string (initial symbols are single characters) — the
+    # collision-guard input for _select_batch, maintained driver-side
+    # with zero extra Spark jobs
+    made_symbols: set[str] = {END_OF_WORD}
     collect_n = max(64, batch_size * 16)
     pending_folds = 0
+    rounds = 0
     while len(merges) < n_merges:
+        rounds += 1
         top = (
             pair_counts(vocab)
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
@@ -212,7 +256,9 @@ def train_bpe(
             budget=n_merges - len(merges),
             min_pair_count=min_pair_count,
             truncated=len(top) == collect_n,
+            made_symbols=made_symbols,
         )
+        made_symbols.update(a + b for a, b in batch)
         for a, b in batch:
             merges.append((a, b))
             vocab = vocab.withColumn("sym", apply_merge(F.col("sym"), a, b))
@@ -220,6 +266,8 @@ def train_bpe(
         if pending_folds >= checkpoint_every:
             vocab = vocab.localCheckpoint()
             pending_folds = 0
+    if stats is not None:
+        stats.update({"rounds": rounds, "merges": len(merges)})
     return merges, vocab
 
 

@@ -1000,19 +1000,23 @@ def quantity_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(single-partition global sort — the whole fact table through one "
     "task) is the wrong plan at any multiple of this scale; instead "
     "the bucket derives arithmetically from functions/rank.py's "
-    "two-pass range-partitioned global rank (rank order carries the "
-    "unique-key tie-break, so assignment is total and bit-identical "
-    "to SQL NTILE). No Exchange SinglePartition anywhere in the plan.",
+    "SIZE-GATED rank (adaptive_rank_source, round-8 verdict item 3): "
+    "one metadata-cheap count picks a one-task window below 4M rows "
+    "(where the two-pass shape's fixed checkpoint cost loses) and the "
+    "two-pass range-partitioned global rank above (no Exchange "
+    "SinglePartition — branch equality pinned in tests/test_rank.py). "
+    "Rank order carries the unique-key tie-break, so assignment is "
+    "total and bit-identical to SQL NTILE on both branches.",
     tags=("E17", "E18"),
 )
 def order_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.functions.rank import (
-        global_rank,
+        adaptive_rank_source,
         ntile_from_rank,
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    ranked, total = global_rank(
+    ranked, total = adaptive_rank_source(
         orders.select("o_totalprice", "o_orderkey"),
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         rank_name="_rk",
@@ -1127,19 +1131,20 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "E17 exact tier; the showcase for functions/rank.py on raw data): "
     "the value at rank ceil(q*n) under the total order (price, "
     "orderkey, linenumber) for q in {25, 50, 75, 90, 99}%%. The rank "
-    "comes from the two-pass range-partitioned global_rank — NO "
-    "single-partition sort anywhere, so unlike a window-ntile "
-    "percentile this stays exact at any corpus size (the approx "
-    "complement is price_approx_percentiles). Quantile positions use "
-    "basis-point INTEGER arithmetic ((q_bp*n + 9999) // 10000) so both "
-    "engines pick the identical rank with zero float rounding.",
+    "comes from the SIZE-GATED adaptive_rank_source: a one-task window "
+    "below 4M rows, the two-pass range-partitioned global_rank above "
+    "(NO single-partition sort), so unlike a window-ntile percentile "
+    "this stays exact at any corpus size (the approx complement is "
+    "price_approx_percentiles). Quantile positions use basis-point "
+    "INTEGER arithmetic ((q_bp*n + 9999) // 10000) so both engines "
+    "pick the identical rank with zero float rounding.",
     tags=("E17", "E22"),
 )
 def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.functions.rank import global_rank
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_rank_source
 
     li = load_table(spark, sf_dir, "lineitem")
-    ranked, n = global_rank(
+    ranked, n = adaptive_rank_source(
         li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
         [
             F.col("l_extendedprice").asc(),
@@ -1174,21 +1179,24 @@ def lineitem_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Month-end cumulative revenue from a RAW-table running sum (op "
     "E21 at scale; the global_cumsum showcase): the decimal-exact "
-    "running total over every order in (date, key) order — computed by "
-    "the two-pass range-partitioned prefix sum, NOT a single-partition "
-    "window, so the raw fact table never funnels through one task — "
-    "then collapsed to the month-end value (cumsum of positive values "
-    "is monotone, so max per month IS the month's closing total). "
-    "Decimal prefix offsets accumulate exactly (Python decimal), so "
-    "both engines agree to the last bit of the final double cast.",
+    "running total over every order in (date, key) order — size-gated "
+    "(adaptive_cumsum_source): one-task window below 4M rows, the "
+    "two-pass range-partitioned prefix sum above, so the raw fact "
+    "table never funnels through one task at scale — then collapsed "
+    "to the month-end value (cumsum of positive values is monotone, "
+    "so max per month IS the month's closing total). Decimal prefix "
+    "offsets accumulate exactly (Python decimal), so both engines "
+    "agree to the last bit of the final double cast.",
     tags=("E21", "E13", "E17"),
 )
 def order_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cumsum
+    from ccxt_ohlcv_fetcher_spark.functions.rank import (
+        adaptive_cumsum_source,
+    )
     from ccxt_ohlcv_fetcher_spark.plans.registry import dec
 
     orders = load_table(spark, sf_dir, "orders")
-    cum = global_cumsum(
+    cum = adaptive_cumsum_source(
         orders.select("o_orderdate", "o_orderkey", "o_totalprice"),
         [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
         dec("o_totalprice"),
@@ -1224,20 +1232,24 @@ def order_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the raw lineitem table (op E17/E21 composition; the inventory-"
     "weighted price point): the first value, in total (price, "
     "orderkey, linenumber) order, whose running quantity weight "
-    "reaches half the total — computed with the two-pass distributed "
-    "global_cumsum (integer weights, so the running sums are exact "
-    "int64 in both engines) and a TakeOrdered(1) for the crossing "
-    "row. The half-total test is the division-free 2*cumw >= W form, "
-    "so no float rounding exists anywhere. Total weight is ONE 1-row "
-    "driver scalar (max of the materialized running sum — bounds/"
-    "moments class); no single-partition stage anywhere.",
+    "reaches half the total — computed with the size-gated "
+    "adaptive_cumsum_source (one-task window below 4M rows, two-pass "
+    "distributed prefix sum above; integer weights, so the running "
+    "sums are exact int64 in both engines) and a TakeOrdered(1) for "
+    "the crossing row. The half-total test is the division-free "
+    "2*cumw >= W form, so no float rounding exists anywhere. Total "
+    "weight is ONE 1-row driver scalar (max of the materialized "
+    "running sum — bounds/moments class); no single-partition stage "
+    "on the at-scale branch.",
     tags=("E17", "E21", "E22"),
 )
 def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cumsum
+    from ccxt_ohlcv_fetcher_spark.functions.rank import (
+        adaptive_cumsum_source,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    cum = global_cumsum(
+    cum = adaptive_cumsum_source(
         li.select(
             "l_extendedprice", "l_orderkey", "l_linenumber", "l_quantity"
         ),

@@ -68,6 +68,7 @@ def _batched(freqs: dict, n_merges: int, min_count: int, batch: int, coll: int):
     like limit(collect_n) does)."""
     vocab = {w: tuple(list(w) + [END_OF_WORD]) for w in freqs}
     merges: list = []
+    made = {END_OF_WORD}  # mirror of train_bpe's collision-guard set
     while len(merges) < n_merges:
         counts = _counts(vocab, freqs)
         ranked = sorted(
@@ -82,8 +83,10 @@ def _batched(freqs: dict, n_merges: int, min_count: int, batch: int, coll: int):
             budget=n_merges - len(merges),
             min_pair_count=min_count,
             truncated=len(ranked) == coll,
+            made_symbols=made,
         )
         assert sel, "selection must always take at least the argmax"
+        made.update(a + b for a, b in sel)
         for a, b in sel:
             merges.append((a, b))
             vocab = {w: _apply(s, a, b) for w, s in vocab.items()}

@@ -113,11 +113,13 @@ def test_adaptive_cumsum_branches_agree(spark):
 
 
 def test_registry_rank_queries_branch_equal(spark, sf_dir, monkeypatch):
-    """The four global-rank registry queries produce IDENTICAL results
+    """Every rank-gated registry query produces IDENTICAL results
     whether the adaptive primitives take the one-task-window branch
     (fixture scale) or the distributed two-pass branch (forced here by
-    zeroing the threshold) — so the oracle greenness of the small
-    branch certifies the big one."""
+    zeroing BOTH thresholds) — so the oracle greenness of the small
+    branch certifies the big one. Covers the aggregate-input gates
+    (RANK_WINDOW_MAX_ROWS) and the raw-table gates added by round-8
+    verdict item 3 (RAW_RANK_WINDOW_MAX_ROWS)."""
     import ccxt_ohlcv_fetcher_spark.functions.rank as rank_mod
     from ccxt_ohlcv_fetcher_spark.plans import load_all
 
@@ -127,6 +129,9 @@ def test_registry_rank_queries_branch_equal(spark, sf_dir, monkeypatch):
         "event_key_skew_profile",
         "corpus_zipf_fit",
         "part_revenue_abc",
+        "lineitem_exact_quantiles",
+        "order_cumulative_revenue",
+        "lineitem_weighted_median",
     ]
     small = {}
     for n in names:
@@ -134,24 +139,57 @@ def test_registry_rank_queries_branch_equal(spark, sf_dir, monkeypatch):
             map(str, reg[n].builder(spark, sf_dir).collect())
         )
     monkeypatch.setattr(rank_mod, "RANK_WINDOW_MAX_ROWS", 0)
+    monkeypatch.setattr(rank_mod, "RAW_RANK_WINDOW_MAX_ROWS", 0)
     for n in names:
         big = sorted(map(str, reg[n].builder(spark, sf_dir).collect()))
         assert big == small[n], n
 
 
-def test_raw_table_rank_queries_have_no_single_partition_stage(spark, sf_dir):
-    """The raw-table showcases (exact quantiles, cumulative revenue,
-    equi-depth histogram) must never funnel the fact table through one
-    task: zero Exchange SinglePartition, zero ordered unpartitioned
-    Window in their plans."""
+def test_raw_table_rank_queries_have_no_single_partition_stage(
+    spark, sf_dir, monkeypatch
+):
+    """On the AT-SCALE branch (raw threshold forced to 0 — above the
+    gate a real table takes exactly this path), the raw-table
+    showcases (exact quantiles, cumulative revenue, equi-depth
+    histogram) must never funnel the fact table through one task:
+    zero Exchange SinglePartition in their plans."""
+    import ccxt_ohlcv_fetcher_spark.functions.rank as rank_mod
     from ccxt_ohlcv_fetcher_spark.plans import load_all
 
+    monkeypatch.setattr(rank_mod, "RAW_RANK_WINDOW_MAX_ROWS", 0)
     reg = load_all()
     for name in (
         "lineitem_exact_quantiles",
         "order_cumulative_revenue",
         "order_equidepth_hist",
+        "lineitem_weighted_median",
     ):
         df = reg[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_adaptive_source_gate_picks_window_below_threshold(spark):
+    """At fixture scale the raw-table gate must pick the one-task
+    window (the whole point of round-8 item 3: don't pay the two-pass
+    fixed cost on inputs a single task sorts in milliseconds) — and
+    the two sides must agree exactly."""
+    from ccxt_ohlcv_fetcher_spark.functions.rank import (
+        adaptive_cumsum_source,
+        adaptive_rank_source,
+    )
+
+    df = _messy(spark, n=500)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    ranked, n = adaptive_rank_source(df, order, rank_name="rk")
+    assert n == 500
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # the gate chose the window branch
+    want = df.withColumn(
+        "rk", F.row_number().over(W.orderBy(*order)).cast("long")
+    )
+    assert ranked.select("k", "rk").exceptAll(want.select("k", "rk")).isEmpty()
+    cs = adaptive_cumsum_source(df, order, F.col("k").cast("bigint"), "c")
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    want_c = df.withColumn("c", F.sum(F.col("k").cast("bigint")).over(w))
+    assert cs.select("k", "c").exceptAll(want_c.select("k", "c")).isEmpty()
