@@ -848,6 +848,10 @@ def train_pq_codebooks(
             )
         ).alias("_e")
     ).select(F.col("_e.s").alias("_s"), F.col("_e.v").alias("_v"))
+    # pin the exploded working set once: every Lloyd iteration re-reads
+    # it (k-means' iterative shape), and without the pin each iteration
+    # re-runs the explode over the corpus scan
+    rows = rows.localCheckpoint()
     seeds = (
         corpus.orderBy(corpus_id).limit(n_codes).select(F.col(vec_col).alias("_c")).collect()
     )
@@ -855,9 +859,19 @@ def train_pq_codebooks(
         [[float(x) for x in r["_c"][j * sub : (j + 1) * sub]] for r in seeds]
         for j in range(m)
     ]
+    spark = corpus.sparkSession
     for _ in range(n_iter):
-        cb = F.lit(codebooks)
-        cbj = F.element_at(cb, F.col("_s") + 1)
+        # codebooks travel as broadcast DATA (the _codebook_row lesson:
+        # the m*n_codes*sub literal array dominated per-iteration plan
+        # compile), joined on a constant key — same arithmetic, same
+        # trajectory, small plan
+        cb_row = F.broadcast(
+            spark.createDataFrame(
+                [(codebooks,)], "_cbt array<array<array<double>>>"
+            ).withColumn("_one", F.lit(1))
+        )
+        it_rows = rows.withColumn("_one", F.lit(1)).join(cb_row, "_one")
+        cbj = F.element_at(F.col("_cbt"), F.col("_s") + 1)
         dists = F.transform(
             cbj,
             lambda c: F.aggregate(
@@ -870,7 +884,7 @@ def train_pq_codebooks(
             F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
         )[0]["i"]
         means = (
-            rows.select("_s", code.alias("_c"), "_v")
+            it_rows.select("_s", code.alias("_c"), "_v")
             .select("_s", "_c", F.posexplode("_v").alias("_j", "_x"))
             .groupBy("_s", "_c", "_j")
             .agg(

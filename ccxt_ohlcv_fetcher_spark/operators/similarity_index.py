@@ -597,9 +597,31 @@ def _opq_meta_path(path: str, version: int) -> str:
     return _os.path.join(path, f"_opq_meta_v{version}.json")
 
 
-def _load_opq_meta(path: str, version: int) -> dict:
+def _write_opq_meta(path: str, version: int, payload: dict) -> None:
+    """Atomic sidecar write (ADVICE r7: a plain open/write could be
+    seen half-written, and a crash mid-write left a corrupt file the
+    loader would choke on): full content to a temp file, then
+    ``os.replace`` into the version-stamped name."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tmp = _os.path.join(path, f"_opq_meta_staging.{_uuid.uuid4().hex[:12]}")
+    with open(tmp, "w") as fh:
+        _json.dump(payload, fh)
+    _os.replace(tmp, _opq_meta_path(path, version))
+
+
+def _load_opq_meta(path: str, version: int, store=None) -> dict:
     """Newest OPQ meta sidecar at-or-below ``version`` by NUMERIC
-    version (the load_bpe lesson: unpadded filenames sort v10 < v2)."""
+    version (the load_bpe lesson: unpadded filenames sort v10 < v2).
+
+    Staleness refusal (ADVICE r7): the sidecar lands AFTER the store
+    commit, so a crash in that window leaves a new build whose head
+    rows would silently decode under the PREVIOUS build's rotation/
+    codebooks. When ``store`` is passed, the loader walks back from
+    ``version`` to the latest overwrite (= build/retrain) commit and
+    refuses a sidecar older than it — fail loud, never mis-decode."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -613,6 +635,24 @@ def _load_opq_meta(path: str, version: int) -> dict:
         raise FileNotFoundError(
             f"no OPQ meta sidecar at or below version {version}"
         )
+    if store is not None:
+        rebuild_v = 0
+        for v in range(version, 0, -1):
+            try:
+                op = store.manifest(v)["operation"]
+            except FileNotFoundError:
+                break  # log pruned below here: nothing newer to refuse on
+            if op == "overwrite":
+                rebuild_v = v
+                break
+        if best[0] < rebuild_v:
+            raise RuntimeError(
+                f"OPQ meta sidecar v{best[0]} is OLDER than the index's "
+                f"last rebuild commit v{rebuild_v} — the build crashed "
+                "between commit and sidecar write; re-run "
+                "build_opq_index_logged (decoding the new rows with the "
+                "old meta would silently return wrong neighbors)"
+            )
     with open(best[1]) as fh:
         return _json.load(fh)
 
@@ -643,7 +683,7 @@ def _opq_encode(
 
     sub = len(codebooks[0][0])
     cb_row = _codebook_row(rot.sparkSession, codebooks)
-    return (
+    coded = (
         rot.withColumn("_one", F.lit(1))
         .join(F.broadcast(cb_row), "_one")
         .withColumn("codes", _pq_codes(vec_col, sub))
@@ -654,9 +694,14 @@ def _opq_encode(
             _pq_recon_norm().alias("rn"),
             F.element_at("codes", 1).alias("c0"),
         )
-        .repartitionByRange(max(1, n_files), "c0", id_col)
-        .sortWithinPartitions("c0", id_col)
+        # pin before the range repartition: its boundary SAMPLING job
+        # would otherwise recompute the whole encode a second time
+        # (round-8 cold-path profile — encode+commit was 4.4 s)
+        .localCheckpoint()
     )
+    return coded.repartitionByRange(
+        max(1, n_files), "c0", id_col
+    ).sortWithinPartitions("c0", id_col)
 
 
 def _fold_rotate(
@@ -704,6 +749,7 @@ def build_opq_index_logged(
     train_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: tuple | None = None,
 ) -> int:
     """Persist the FULL OPQ serving tier (round-7 verdict item 4) as a
     SnapshotStore table: variance-balanced rotation of the corpus
@@ -714,7 +760,13 @@ def build_opq_index_logged(
     a version-stamped meta sidecar (the save_bpe pattern), so appends
     and queries at any version reproduce the exact build-time encoding,
     and a retrain is an atomic overwrite+sidecar swap with the old
-    index still time-travelable. Returns the commit version."""
+    index still time-travelable. Returns the commit version.
+
+    ``trained=(comps, rot, codebooks)``: reuse an already-trained
+    rotation + rotated corpus + codebooks (the round-8 cold-path fix:
+    ann_cosine_topk_opq and this build run the identical deterministic
+    training pipeline over the same corpus — computing it twice per
+    session doubled the cold cost for zero information)."""
     from ccxt_ohlcv_fetcher_spark.operators.embeddings import (
         opq_balanced_rotation,
         rotate_partial,
@@ -723,35 +775,36 @@ def build_opq_index_logged(
         train_pq_codebooks,
     )
 
-    import json as _json
-
     spark = corpus.sparkSession
-    comps, _mean = opq_balanced_rotation(
-        corpus, dim=dim, m=m, id_col=id_col, vec_col=vec_col
-    )
-    rot = rotate_partial(
-        corpus, comps, [0.0] * dim, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint()
-    codebooks = train_pq_codebooks(
-        rot, dim, m, n_codes, n_iter=train_iters,
-        corpus_id=id_col, vec_col=vec_col,
-    )
+    if trained is not None:
+        comps, rot, codebooks = trained
+    else:
+        comps, _mean = opq_balanced_rotation(
+            corpus, dim=dim, m=m, id_col=id_col, vec_col=vec_col
+        )
+        rot = rotate_partial(
+            corpus, comps, [0.0] * dim, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
+        codebooks = train_pq_codebooks(
+            rot, dim, m, n_codes, n_iter=train_iters,
+            corpus_id=id_col, vec_col=vec_col,
+        )
     store = _opq_store(spark, path)
     version = store.overwrite(
         _opq_encode(rot, codebooks, n_codes, id_col, vec_col)
     )
-    with open(_opq_meta_path(path, version), "w") as fh:
-        _json.dump(
-            {
-                "version": version,
-                "dim": dim,
-                "m": m,
-                "n_codes": n_codes,
-                "comps": comps,
-                "codebooks": codebooks,
-            },
-            fh,
-        )
+    _write_opq_meta(
+        path,
+        version,
+        {
+            "version": version,
+            "dim": dim,
+            "m": m,
+            "n_codes": n_codes,
+            "comps": comps,
+            "codebooks": codebooks,
+        },
+    )
     return version
 
 
@@ -770,7 +823,7 @@ def append_opq_index_logged(
 
     spark = delta.sparkSession
     store = _opq_store(spark, path)
-    meta = _load_opq_meta(path, store.latest_version())
+    meta = _load_opq_meta(path, store.latest_version(), store=store)
     rot = rotate_partial(
         delta, meta["comps"], [0.0] * meta["dim"],
         id_col=id_col, vec_col=vec_col,
@@ -811,7 +864,7 @@ def query_opq_index_logged(
 
     store = _opq_store(spark, path)
     v = store.latest_version() if version is None else version
-    meta = _load_opq_meta(path, v)
+    meta = _load_opq_meta(path, v, store=store)
     dim, n_codes = meta["dim"], meta["n_codes"]
     sub = dim // meta["m"]
     rq = _fold_rotate(queries, meta["comps"], dim, query_id, query_vec)

@@ -269,6 +269,39 @@ def test_opq_logged_index_bit_equal_append_compact(spark, sf_dir, tmp_path):
     assert _opq_rows(got_compacted) == _opq_rows(got_full)
 
 
+def test_opq_stale_sidecar_refused(spark, sf_dir, tmp_path):
+    """ADVICE r7: a crash between a RETRAIN's store commit and its
+    sidecar write must fail loud at query time — decoding the new rows
+    with the previous build's rotation/codebooks would silently return
+    wrong neighbors. Simulated by deleting the newest sidecar after a
+    second build."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        build_opq_index_logged,
+        query_opq_index_logged,
+    )
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "opq")
+    build_opq_index_logged(emb.filter("vec_id % 2 = 0"), path, dim=64,
+                           m=8, n_codes=16, train_iters=1)
+    v2 = build_opq_index_logged(emb, path, dim=64, m=8, n_codes=16,
+                                train_iters=1)  # retrain overwrite
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assert query_opq_index_logged(spark, path, queries, k=3).count() > 0
+    os.remove(os.path.join(path, f"_opq_meta_v{v2}.json"))
+    assert glob.glob(os.path.join(path, "_opq_meta_v*.json"))  # v1 remains
+    with _pytest.raises(RuntimeError, match="OLDER than the index's last"):
+        query_opq_index_logged(spark, path, queries, k=3).count()
+
+
 def test_opq_persisted_registry_query_plan_python_free(spark, sf_dir):
     """The served query plan must be codegen-only: rotation is the
     plan-literal fold, codes come from the store — no Python boundary,
