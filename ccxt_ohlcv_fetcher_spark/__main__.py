@@ -253,6 +253,13 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot-logged)",
     )
     ru.add_argument(
+        "--rollup-plain-parquet",
+        action="store_true",
+        help="the ROLLUP store is bare Hive parquet (escape hatch for "
+        "pre-existing plain rollup stores; default: snapshot-logged "
+        "unless --date-bucket)",
+    )
+    ru.add_argument(
         "--vacuum-older-than",
         type=str,
         default=None,
@@ -288,8 +295,9 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--data-dir", type=str, required=True)
     _add_layout_flags(ch, plain=False)
     ch.add_argument(
-        "--from-version", type=int, required=True,
-        help="emit changes AFTER this version (exclusive)",
+        "--from-version", type=int, default=None,
+        help="emit changes AFTER this version (exclusive; required "
+        "without --drain, default 0 with it)",
     )
     ch.add_argument(
         "--to-version", type=int, default=None,
@@ -297,6 +305,30 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ch.add_argument(
         "--limit", type=int, default=50, help="rows printed (default 50)"
+    )
+    ch.add_argument(
+        "--drain",
+        action="store_true",
+        help="capped catch-up mode (drain_available): stream the feed "
+        "through the snapshot_changes source into --out parquet, "
+        "re-triggering rounds until the checkpoint converges on the "
+        "source head; exactly-once across restarts via --checkpoint",
+    )
+    ch.add_argument(
+        "--out", type=str, default=None,
+        help="(--drain) parquet dir receiving the signed change rows",
+    )
+    ch.add_argument(
+        "--checkpoint", type=str, default=None,
+        help="(--drain) streaming checkpoint dir (resume cursor)",
+    )
+    ch.add_argument(
+        "--max-versions-per-batch", type=int, default=0,
+        help="(--drain) admission control: commits absorbed per round",
+    )
+    ch.add_argument(
+        "--max-files-per-batch", type=int, default=0,
+        help="(--drain) admission control: changed files per round",
     )
 
     mi = sub.add_parser(
@@ -539,7 +571,20 @@ def main(argv: list[str] | None = None) -> int:
             MaterializedRollups,
         )
 
-        rollup_logged = not args.date_bucket  # log is the default layout
+        # log is the default rollup-store layout; --date-bucket or the
+        # explicit escape hatch opt out
+        rollup_logged = not (args.date_bucket or args.rollup_plain_parquet)
+        if rollup_logged and _is_bare_parquet_tree(args.rollup_dir):
+            # same refusal rule as every --data-dir path (ADVICE r7): a
+            # pre-existing plain-parquet rollup store must not be
+            # silently shadowed by a new empty log (orphaned files +
+            # a full recompute)
+            raise SystemExit(
+                f"{args.rollup_dir} holds a plain-parquet rollup store "
+                "but the default layout is now the snapshot log — pass "
+                "--rollup-plain-parquet (with --date-bucket if it was "
+                "date-bucketed) to keep using it"
+            )
         if args.base_plain_parquet or args.base_date_bucket:
             base = CandleDataset(
                 spark, args.data_dir, date_bucket=args.base_date_bucket
@@ -604,6 +649,49 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "changes":
         dataset = _make_dataset(spark, args)
+        if args.drain:
+            if not (args.out and args.checkpoint):
+                raise SystemExit("changes --drain needs --out and --checkpoint")
+            from ccxt_ohlcv_fetcher_spark.sources.change_stream import (  # noqa: PLC0415
+                drain_available,
+                register as register_changes,
+            )
+
+            register_changes(spark)
+            src_path = dataset.store.path
+
+            def _start_drain():
+                reader = (
+                    spark.readStream.format("snapshot_changes")
+                    .option("path", src_path)
+                    .option(
+                        "startingVersion", str(args.from_version or 0)
+                    )
+                )
+                if args.max_versions_per_batch:
+                    reader = reader.option(
+                        "maxVersionsPerBatch",
+                        str(args.max_versions_per_batch),
+                    )
+                if args.max_files_per_batch:
+                    reader = reader.option(
+                        "maxFilesPerBatch", str(args.max_files_per_batch)
+                    )
+                return (
+                    reader.load()
+                    .writeStream.format("parquet")
+                    .option("path", args.out)
+                    .option("checkpointLocation", args.checkpoint)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+
+            rounds = drain_available(_start_drain)
+            n = spark.read.parquet(args.out).count()
+            print(f"drained rounds={rounds} rows_total={n} -> {args.out}")
+            return 0
+        if args.from_version is None:
+            raise SystemExit("changes needs --from-version (or --drain)")
         feed = dataset.store.read_row_changes(
             args.from_version, args.to_version
         )
@@ -677,8 +765,16 @@ def main(argv: list[str] | None = None) -> int:
 
             register_views(spark, args.sf_dir)
         if args.data_dir:
-            if args.version is not None and not args.snapshot_log:
-                raise SystemExit("--version needs --snapshot-log")
+            # time travel works on any LOGGED dataset — the default
+            # layout — so gate on the plain opt-out, not on the
+            # compatibility no-op --snapshot-log flag (ADVICE r7)
+            if args.version is not None and getattr(
+                args, "plain_parquet", False
+            ):
+                raise SystemExit(
+                    "--version needs the logged layout (drop "
+                    "--plain-parquet)"
+                )
             ds = _make_dataset(spark, args)
             candles = (
                 ds.read(version=args.version)

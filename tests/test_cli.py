@@ -323,9 +323,15 @@ def test_history_and_time_travel_sql(spark, tmp_path, capsys):
     ) == 0
     assert "9" in capsys.readouterr().out
 
-    with pytest.raises(SystemExit, match="--version needs"):
-        main(["sql", "--data-dir", data_dir, "--version", "1",
-              "--query", "SELECT 1"])
+    # --version without any layout flag hits the logged DEFAULT and
+    # works (ADVICE r7: the old gate demanded the no-op --snapshot-log);
+    # the refusal now applies to the plain opt-out only — see
+    # test_sql_version_time_travels_default_logged_dataset.
+    assert main(
+        ["sql", "--data-dir", data_dir, "--version", "1",
+         "--query", "SELECT count(*) AS n FROM candles"]
+    ) == 0
+    assert "6" in capsys.readouterr().out
 
 
 def test_delete_subcommand_dv_mode(spark, tmp_path, capsys):
@@ -573,3 +579,102 @@ def test_sql_explain_prints_plan_without_running(spark, tmp_path, capsys):
     assert "Physical Plan" in out
     assert "PushedFilters" in out and "o_totalprice" in out
     assert "o_orderkey" not in out.splitlines()[-2]  # no row output
+
+
+def test_changes_drain_converges_exactly_once(spark, tmp_path, capsys):
+    """`changes --drain` (round-8 verdict item 5): capped catch-up over
+    the snapshot_changes source — multiple admission-control rounds
+    converge on the source head, the drained parquet holds exactly the
+    feed's rows, and a re-run with the same checkpoint drains ZERO new
+    rows (exactly-once). An append after convergence drains only the
+    delta."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    for i in range(5):  # 5 commits, 3 rows each
+        ds.append_idempotent(batch(spark, 3 * i, 3 * i + 3))
+    out, ck = str(tmp_path / "feed"), str(tmp_path / "ck")
+
+    drain = [
+        "changes", "--data-dir", data_dir, "--drain", "--out", out,
+        "--checkpoint", ck, "--max-versions-per-batch", "1",
+    ]
+    assert main(drain) == 0
+    msg = capsys.readouterr().out
+    rounds = int(msg.split("rounds=")[1].split()[0])
+    total = int(msg.split("rows_total=")[1].split()[0])
+    assert rounds >= 6  # 5 capped rounds + the final empty one
+    assert total == 15
+    feed = spark.read.parquet(out)
+    assert feed.filter("_change = 1").count() == 15
+    assert feed.select("_commit_version").distinct().count() == 5
+
+    # exactly-once: a re-run against the same checkpoint adds nothing
+    assert main(drain) == 0
+    msg2 = capsys.readouterr().out
+    assert int(msg2.split("rows_total=")[1].split()[0]) == 15
+
+    # incremental: one more commit drains only its rows
+    ds.append_idempotent(batch(spark, 15, 17))
+    assert main(drain) == 0
+    msg3 = capsys.readouterr().out
+    assert int(msg3.split("rows_total=")[1].split()[0]) == 17
+
+    # batch mode still demands --from-version
+    with pytest.raises(SystemExit, match="from-version"):
+        main(["changes", "--data-dir", data_dir])
+
+
+def test_sql_version_time_travels_default_logged_dataset(
+    spark, tmp_path, capsys
+):
+    """ADVICE r7: time travel must work on the DEFAULT logged layout
+    without any flag — the old gate demanded --snapshot-log, a
+    documented no-op."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 4))
+    ds.append_idempotent(batch(spark, 4, 9))
+    assert main([
+        "sql", "--data-dir", data_dir, "--version", "1",
+        "--query", "SELECT count(*) AS n FROM candles",
+    ]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["n", "4"]
+    with pytest.raises(SystemExit, match="logged layout"):
+        main([
+            "sql", "--data-dir", data_dir, "--plain-parquet",
+            "--version", "1", "--query", "SELECT 1",
+        ])
+
+
+def test_rollup_refuses_bare_parquet_rollup_store(spark, tmp_path):
+    """ADVICE r7: a pre-existing plain-parquet rollup store must be
+    refused under the logged default (same rule as every --data-dir),
+    not silently shadowed by a new empty log."""
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "base")
+    SnapshotCandleDataset(spark, data_dir).append_idempotent(
+        batch(spark, 0, 3)
+    )
+    rollup_dir = str(tmp_path / "rollups")
+    os.makedirs(os.path.join(rollup_dir, "exchange=e"))  # bare Hive tree
+    with pytest.raises(SystemExit, match="rollup store"):
+        main([
+            "rollup", "--data-dir", data_dir, "--rollup-dir", rollup_dir,
+        ])
