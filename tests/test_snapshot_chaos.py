@@ -1,0 +1,151 @@
+"""Concurrent-writer chaos property test (round-8 verdict item 6):
+randomized schedules of {append, delete_where_dv, merge_into, compact,
+vacuum} across 3 REAL writer threads on one snapshot log, checked for
+linearizability against a serial oracle.
+
+The oracle: the commit log's version order IS the serialization the
+CAS enforces, and every row-level commit records exactly what it did
+(append files, merge added/changes, delete changes). Replaying the
+signed row feed version-by-version into a driver-side multiset model
+must reproduce the table's own snapshot reads — at the head and at
+every intermediate version. This catches the whole lost-update family:
+a rebase that drops a racing append's files, a delete double-applying
+through a DV carried past a rewrite, merge survivors rewritten from a
+stale snapshot, compact folding in a half-commit, vacuum reclaiming a
+referenced dir. The round-7 injected merge/delete rebase race (commit
+b620d73) found real bugs; this generalizes it to ≥50 random schedules.
+
+Writers conflict for real: delete/merge/compact raise CommitConflict
+when racing a rewrite (the documented contract) — an aborted op leaves
+only unreferenced staged files, which must stay invisible.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from collections import Counter
+
+from pyspark.sql import functions as F  # noqa: F401  (predicate building)
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+    CommitConflict,
+    SnapshotStore,
+)
+
+N_SCHEDULES = 50
+N_WRITERS = 3
+OPS_PER_WRITER = 3
+
+
+def _rows_df(spark, pairs):
+    return spark.createDataFrame(pairs, "k bigint, v bigint")
+
+
+def _worker(spark, path, widx, seed, errors):
+    """One writer thread: its appends use a private key range (so only
+    merges ever touch shared keys), merges upsert the shared [0, 10)
+    range, deletes are predicate-wide, compact/vacuum are maintenance.
+    CommitConflict aborts the op (contract); anything else is a bug."""
+    rng = random.Random(seed)
+    store = SnapshotStore(spark, path, stats_cols=["k"])
+    base = 1000 * (widx + 1)
+    counter = 0
+    for _ in range(OPS_PER_WRITER):
+        op = rng.choice(
+            ["append", "append", "merge", "delete_dv", "compact", "vacuum"]
+        )
+        try:
+            if op == "append":
+                n = rng.randint(1, 3)
+                pairs = [
+                    (base + counter + i, rng.randint(0, 99)) for i in range(n)
+                ]
+                counter += n
+                store.append(_rows_df(spark, pairs))
+            elif op == "merge":
+                ks = rng.sample(range(10), rng.randint(1, 3))
+                src = _rows_df(
+                    spark, [(k, rng.randint(100, 199)) for k in ks]
+                )
+                store.merge_into(src, on=["k"], when_matched="update")
+            elif op == "delete_dv":
+                store.delete_where_dv(f"v % 5 = {rng.randint(0, 4)}")
+            elif op == "compact":
+                store.compact(target_partitions=2)
+            else:
+                # default min_age skips every young dir — concurrent-safe
+                store.vacuum(retain_versions=3)
+        except CommitConflict:
+            pass  # documented: rewrites conflict; the op is abandoned
+        except Exception as e:  # pragma: no cover - the failure signal
+            errors.append((widx, op, repr(e)))
+            return
+
+
+def _run_schedule(spark, path, seed) -> dict:
+    errors: list = []
+    threads = [
+        threading.Thread(
+            target=_worker, args=(spark, path, w, seed * 101 + w, errors)
+        )
+        for w in range(N_WRITERS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return {"errors": errors}
+
+
+def _verify_against_serial_oracle(spark, path):
+    store = SnapshotStore(spark, path, stats_cols=["k"])
+    head = store.latest_version()
+    if head == 0:
+        return 0
+    feed = store.read_row_changes(0, head, include_version=True).collect()
+    by_version: dict[int, list] = {}
+    for r in feed:
+        by_version.setdefault(r["_commit_version"], []).append(r)
+    # replay the log into the model, checking EVERY version's snapshot
+    model: Counter = Counter()
+    for v in range(1, head + 1):
+        for r in by_version.get(v, ()):
+            key = (r["k"], r["v"])
+            if r["_change"] == 1:
+                model[key] += 1
+            else:
+                model[key] -= 1
+                assert model[key] >= 0, (
+                    f"v{v}: feed removed a row the model never saw: {key}"
+                )
+        got = Counter(
+            (r["k"], r["v"]) for r in store.read(version=v).collect()
+        )
+        assert got == +model, f"snapshot v{v} diverged from the serial oracle"
+    # shared keys (only ever written via MERGE) must be unique
+    live = store.read().filter("k < 1000")
+    assert (
+        live.groupBy("k").count().filter("count > 1").isEmpty()
+    ), "merge lost key-uniqueness on the shared range"
+    # reclamation AFTER quiescence must not change the head read
+    before = Counter((r["k"], r["v"]) for r in store.read().collect())
+    store.vacuum(retain_versions=1, min_age_seconds=0)
+    after = Counter((r["k"], r["v"]) for r in store.read().collect())
+    assert before == after, "vacuum reclaimed files the head references"
+    return head
+
+
+def test_concurrent_writer_chaos_linearizable(spark, tmp_path):
+    total_commits = 0
+    for seed in range(N_SCHEDULES):
+        path = str(tmp_path / f"t{seed}")
+        # seed the table so early deletes/merges have something to hit
+        SnapshotStore(spark, path, stats_cols=["k"]).append(
+            _rows_df(spark, [(k, k % 7) for k in range(10)])
+        )
+        result = _run_schedule(spark, path, seed)
+        assert not result["errors"], result["errors"]
+        total_commits += _verify_against_serial_oracle(spark, path)
+    # sanity: the schedules actually committed real concurrent work
+    assert total_commits >= N_SCHEDULES * 4
