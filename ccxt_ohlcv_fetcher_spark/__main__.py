@@ -211,6 +211,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(exchange,symbol,timeframe) key spans more files than this "
         "(default 8; manifest-only check)",
     )
+    cp.add_argument(
+        "--partial",
+        action="store_true",
+        help="bin-packing partial compact (logged datasets): rewrite "
+        "ONLY files under --small-file-mb, carrying big files by "
+        "reference and rebasing over concurrent appends — the "
+        "maintenance shape for very large tables (a full rewrite "
+        "touches everything)",
+    )
+    cp.add_argument(
+        "--small-file-mb",
+        type=int,
+        default=32,
+        help="(--partial) files smaller than this are rewritten "
+        "(default 32 MiB; also the output target size)",
+    )
     _add_layout_flags(cp)
 
     vac = sub.add_parser("vacuum", help="drop date buckets past retention")
@@ -524,6 +540,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "compact":
         if not (args.plain_parquet or args.date_bucket):
             dataset = _make_dataset(spark, args)
+            if args.partial:
+                v = dataset.store.compact_partial(
+                    small_file_bytes=args.small_file_mb * 1024 * 1024
+                )
+                if v is None:
+                    print("no partial compaction needed (too few small files)")
+                else:
+                    print(f"partially compacted to version={v}")
+                return 0
             v = dataset.compact(
                 when_dv_ratio_above=args.dv_ratio if args.auto else None,
                 when_files_per_key_above=(

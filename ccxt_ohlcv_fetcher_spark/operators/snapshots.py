@@ -522,8 +522,13 @@ class SnapshotStore:
         self._pending_stats = (
             {r: self._footer_stats(f) for r, f in zip(rel, files)}
             if self.stats_cols
-            else {}
+            else {r: {} for r in rel}
         )
+        # per-file byte size always rides the manifest: the bin-packing
+        # partial compact selects its rewrite set from the LOG alone
+        # (no per-file HEAD/stat calls at maintenance time)
+        for r, f in zip(rel, files):
+            self._pending_stats[r]["_bytes"] = os.path.getsize(f)
         if self.bloom_cols:
             # per-file Bloom filters ride the write path (the staged
             # file is just-written and page-cache warm; one column read
@@ -1575,6 +1580,74 @@ class SnapshotStore:
             if self._try_commit(base, new_files, "compact"):
                 return base + 1
         raise CommitConflict(f"compact lost the CAS race {max_retries} times")
+
+    def compact_partial(
+        self,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        target_file_bytes: int | None = None,
+        max_retries: int = 10,
+        min_files: int = 2,
+    ) -> int | None:
+        """Bin-packing PARTIAL compaction (Delta OPTIMIZE's actual
+        shape; the 100 TB complement of :meth:`compact`): rewrite ONLY
+        the snapshot's files smaller than ``small_file_bytes`` into
+        ~``target_file_bytes`` outputs, carrying every other file over
+        by reference. A full-snapshot rewrite to fix a trickle of small
+        appended files is exactly the maintenance cost a 100 TB table
+        cannot pay — this touches O(small files) data instead.
+
+        Selection reads NO file metadata: per-file sizes ride the
+        manifest (``_bytes``, recorded at stage time), so the rewrite
+        set comes from the log alone; a legacy file lacking the entry
+        falls back to one ``os.path.getsize``. Touched files' deletion
+        vectors are materialized by the rewrite (they leave the
+        manifest with their files); untouched files keep theirs.
+
+        Concurrency: unlike the full compact (which must re-read from
+        the exact head), the partial rewrite REBASES over concurrent
+        appends — an appended file was not in the selected set and
+        carries over untouched (same WriteSerializable argument as
+        delete/merge). Losing to a delete/merge/compact raises
+        ``CommitConflict`` (they may have rewritten or DV'd the
+        selected files). Returns the committed version, or None when
+        fewer than ``min_files`` files qualify (no commit, no version
+        burn)."""
+        base = self.latest_version()
+        m = self.manifest(base)
+        stats = m.get("stats", {})
+
+        def _size(f: str) -> int:
+            b = stats.get(f, {}).get("_bytes")
+            if b is None:
+                b = os.path.getsize(os.path.join(self.path, f))
+            return b
+
+        small = [f for f in m["files"] if _size(f) < small_file_bytes]
+        if len(small) < min_files:
+            return None
+        target = target_file_bytes or small_file_bytes
+        total = sum(_size(f) for f in small)
+        n_out = max(1, min(len(small) - 1, (total + target - 1) // target))
+        live = self._read_files_live(small, m).coalesce(n_out)
+        staged = self._stage(live)
+        small_set = set(small)
+        for _ in range(max_retries):
+            head = self.latest_version()
+            for v in range(base + 1, head + 1):
+                op = self.manifest(v)["operation"]
+                if op != "append":
+                    raise CommitConflict(
+                        f"compact_partial read v{base} but v{v} is {op!r} "
+                        "— re-read and retry"
+                    )
+            merged = [
+                f for f in self.manifest(head)["files"] if f not in small_set
+            ] + staged
+            if self._try_commit(head, merged, "compact"):
+                return head + 1
+        raise CommitConflict(
+            f"compact_partial lost the CAS race {max_retries} times"
+        )
 
     # --- maintenance ------------------------------------------------------
 

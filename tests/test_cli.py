@@ -678,3 +678,31 @@ def test_rollup_refuses_bare_parquet_rollup_store(spark, tmp_path):
         main([
             "rollup", "--data-dir", data_dir, "--rollup-dir", rollup_dir,
         ])
+
+
+def test_compact_partial_subcommand(spark, tmp_path, capsys):
+    """`compact --partial`: bin-packing rewrite of the logged dataset's
+    small files only (the 100 TB maintenance shape)."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    for i in range(5):  # five tiny commits
+        ds.append_idempotent(batch(spark, 2 * i, 2 * i + 2))
+    files_before = len(ds.store.manifest()["files"])
+    assert main([
+        "compact", "--data-dir", data_dir, "--partial",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "partially compacted to version=" in out
+    assert len(ds.store.manifest()["files"]) < files_before
+    assert ds.read().count() == 10
+    # nothing small left under a 0-ish threshold -> clean no-op
+    assert main([
+        "compact", "--data-dir", data_dir, "--partial",
+        "--small-file-mb", "0",
+    ]) == 0
+    assert "no partial compaction needed" in capsys.readouterr().out

@@ -53,7 +53,10 @@ def _worker(spark, path, widx, seed, errors):
     counter = 0
     for _ in range(OPS_PER_WRITER):
         op = rng.choice(
-            ["append", "append", "merge", "delete_dv", "compact", "vacuum"]
+            [
+                "append", "append", "merge", "delete_dv",
+                "compact", "compact_partial", "vacuum",
+            ]
         )
         try:
             if op == "append":
@@ -73,6 +76,10 @@ def _worker(spark, path, widx, seed, errors):
                 store.delete_where_dv(f"v % 5 = {rng.randint(0, 4)}")
             elif op == "compact":
                 store.compact(target_partitions=2)
+            elif op == "compact_partial":
+                # every chaos file is tiny, so this exercises the
+                # rebase-over-append path of the bin-packing rewrite
+                store.compact_partial(small_file_bytes=10**9)
             else:
                 # default min_age skips every young dir — concurrent-safe
                 store.vacuum(retain_versions=3)
