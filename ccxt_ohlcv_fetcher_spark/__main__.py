@@ -305,6 +305,15 @@ def build_parser() -> argparse.ArgumentParser:
     hi.add_argument("--data-dir", type=str, required=True)
     _add_layout_flags(hi, plain=False)
 
+    rs = sub.add_parser(
+        "restore",
+        help="roll a logged dataset back to an old version (one "
+        "metadata-only commit; the bad versions stay for forensics)",
+    )
+    rs.add_argument("--data-dir", type=str, required=True)
+    rs.add_argument("--version", type=int, required=True)
+    _add_layout_flags(rs, plain=False)
+
     ch = sub.add_parser(
         "changes", help="signed row-level change feed of a logged dataset"
     )
@@ -670,6 +679,12 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{h['version']:06d} parent=v{h['parent']:06d} "
                 f"{h['operation']:<9} files={h['n_files']}"
             )
+        return 0
+
+    if args.command == "restore":
+        dataset = _make_dataset(spark, args)
+        v = dataset.store.restore(args.version)
+        print(f"restored to snapshot of v{args.version} as version={v}")
         return 0
 
     if args.command == "changes":

@@ -1581,6 +1581,56 @@ class SnapshotStore:
                 return base + 1
         raise CommitConflict(f"compact lost the CAS race {max_retries} times")
 
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """Delta-style ``RESTORE TABLE ... TO VERSION``: roll the table
+        back to ``version``'s snapshot as ONE NEW metadata-only commit
+        — the old version's file set (with its schema, stats and
+        deletion vectors) is re-referenced verbatim, no data is read or
+        written, and the bad intermediate versions stay on the log for
+        forensics until vacuumed. The operational answer to "that
+        delete/merge was wrong": O(1) data cost at any table size.
+
+        Refuses when any target file no longer exists (vacuum already
+        reclaimed past the target — its time travel is gone by
+        contract). The restore commit is NOT row-level (it rewrites
+        history like overwrite), so the change feed refuses ranges
+        crossing it and incremental consumers recompute."""
+        target = self.manifest(version)
+        if not target.get("schema"):
+            raise ValueError(f"cannot restore to empty version {version}")
+        missing = [
+            f
+            for f in target["files"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} of its "
+                f"files were vacuumed (e.g. {missing[0]})"
+            )
+        # the commit must re-carry the target's metadata: schema (a
+        # later evolution may need reverting), per-file stats/blooms
+        # (re-added files would otherwise lose manifest pruning), and
+        # deletion vectors (re-added files keep their logical deletes)
+        self._pending_schema = target.get("schema")
+        self._pending_stats = dict(target.get("stats", {}))
+        try:
+            for _ in range(max_retries):
+                base = self.latest_version()
+                if self._try_commit(
+                    base,
+                    list(target["files"]),
+                    "restore",
+                    dvs=dict(target.get("dvs", {})),
+                ):
+                    return base + 1
+        finally:
+            del self._pending_schema
+            del self._pending_stats
+        raise CommitConflict(
+            f"restore lost the CAS race {max_retries} times"
+        )
+
     def compact_partial(
         self,
         small_file_bytes: int = 32 * 1024 * 1024,

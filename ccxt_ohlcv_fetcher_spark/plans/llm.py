@@ -1015,6 +1015,73 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH src AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT *, round(pow(CAST(n_tokens AS DOUBLE), 0.3), 9) AS raw_w
+      FROM src
+    )
+    SELECT lang, n_docs, n_tokens,
+           raw_w / SUM(raw_w) OVER () AS sample_rate,
+           round(1.0e6 * (raw_w / SUM(raw_w) OVER ())
+                 / CAST(n_tokens AS DOUBLE), 9) AS epochs_at_1m_budget
+    FROM w ORDER BY lang
+    """,
+    doc="Temperature-scaled multilingual mixture weights (north-star "
+    "pipeline op; the alpha-sampling formula every multilingual "
+    "training mix uses, alpha=0.3 per mBERT/XLM-R): per-source token "
+    "counts, w_i = n_i^alpha normalized to sampling rates, plus the "
+    "repeat factor (epochs) each source runs at a 1M-token budget — "
+    "rate*budget/n_tokens > 1 means the low-resource source repeats, "
+    "the quantity a data-mix planner actually schedules from. "
+    "Complements doc_stratified_sample (which APPLIES rates; this "
+    "computes them). pow() is rounded to 9 decimals before the "
+    "normalization (the corpus_zipf_fit ln() lesson) so both engines' "
+    "libm agree bit-for-bit; the window normalization is a 3-row "
+    "aggregate, nothing global-sorted.",
+    tags=("E36", "E13", "E17"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ccxt_ohlcv_fetcher_spark.operators.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words("text"))).cast("bigint").alias("n_tokens"),
+    )
+    raw_w = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)), 9
+    )
+    w = src.withColumn("raw_w", raw_w)
+    total = W.partitionBy()
+    return (
+        w.select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("raw_w") / F.sum("raw_w").over(total)).alias(
+                "sample_rate"
+            ),
+            F.round(
+                F.lit(1.0e6)
+                * (F.col("raw_w") / F.sum("raw_w").over(total))
+                / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("epochs_at_1m_budget"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- E36: text analysis ------------------------------------------------------
 
 

@@ -706,3 +706,22 @@ def test_compact_partial_subcommand(spark, tmp_path, capsys):
         "--small-file-mb", "0",
     ]) == 0
     assert "no partial compaction needed" in capsys.readouterr().out
+
+
+def test_restore_subcommand(spark, tmp_path, capsys):
+    """`restore`: one metadata-only rollback commit on the logged
+    default layout."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 6))   # v1
+    ds.append_idempotent(batch(spark, 6, 9))   # v2
+    main(["delete", "--data-dir", data_dir, "--where", "close > 0"])
+    assert ds.read().count() == 0
+    assert main(["restore", "--data-dir", data_dir, "--version", "2"]) == 0
+    assert "version=4" in capsys.readouterr().out
+    assert ds.read().count() == 9
