@@ -1615,20 +1615,25 @@ class SnapshotStore:
         self._pending_schema = target.get("schema")
         self._pending_stats = dict(target.get("stats", {}))
         try:
-            for _ in range(max_retries):
-                base = self.latest_version()
-                if self._try_commit(
-                    base,
-                    list(target["files"]),
-                    "restore",
-                    dvs=dict(target.get("dvs", {})),
-                ):
-                    return base + 1
+            # NO rebase: a restore racing ANY concurrent commit must
+            # conflict — blindly retrying onto the new head would
+            # silently discard the racer's rows (the restore manifest
+            # references only the target's files). Delta's RESTORE has
+            # the same contract. max_retries kept for signature parity.
+            base = self.latest_version()
+            if self._try_commit(
+                base,
+                list(target["files"]),
+                "restore",
+                dvs=dict(target.get("dvs", {})),
+            ):
+                return base + 1
         finally:
             del self._pending_schema
             del self._pending_stats
         raise CommitConflict(
-            f"restore lost the CAS race {max_retries} times"
+            "restore lost the CAS race — the table changed concurrently; "
+            "re-read the head and decide whether the restore still applies"
         )
 
     def compact_partial(

@@ -71,3 +71,33 @@ def test_restore_reverts_schema_evolution(spark, tmp_path):
     assert store.manifest()["schema"] == [["v", "bigint"]]
     assert store.read().columns == ["v"]
     assert store.read().count() == 5
+
+
+def test_restore_conflicts_with_concurrent_commit(spark, tmp_path):
+    """A restore racing ANY commit must conflict loudly — a rebase
+    would silently discard the racer's rows (the restore manifest
+    references only the target's files)."""
+    path = str(tmp_path / "t")
+    store = SnapshotStore(spark, path)
+    store.append(_df(spark, 0, 5))   # v1
+    store.append(_df(spark, 5, 9))   # v2
+    # simulate the race: another writer wins the next version first
+    other = SnapshotStore(spark, path)
+    files = other._stage(_df(spark, 100, 103))
+    head = other.latest_version()
+    base_seen = store.latest_version()
+    assert other._try_commit(
+        head, other.manifest(head)["files"] + files, "append"
+    )
+    # the restore computed against base_seen loses the CAS and refuses
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import CommitConflict
+
+    class StaleStore(SnapshotStore):
+        def latest_version(self):
+            return base_seen  # sees the pre-race head
+
+    with pytest.raises(CommitConflict, match="changed concurrently"):
+        StaleStore(spark, path).restore(1)
+    # nothing lost: the racer's rows are still in the head read
+    vals = {r["v"] for r in SnapshotStore(spark, path).read().collect()}
+    assert vals == set(range(9)) | {100, 101, 102}
