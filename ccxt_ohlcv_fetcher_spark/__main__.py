@@ -373,6 +373,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     mi.add_argument("--starting-version", type=int, default=0)
     mi.add_argument(
+        "--verify",
+        action="store_true",
+        help="after replication, compare order-independent content "
+        "fingerprints (count + xxhash64 sum) of source and target "
+        "live rows; non-zero exit on mismatch (anti-entropy check)",
+    )
+    mi.add_argument(
         "--max-versions-per-batch",
         type=int,
         default=0,
@@ -793,6 +800,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             q.awaitTermination()
             print(f"mirrored target_version={target.latest_version()}")
+        if args.verify:
+            from ccxt_ohlcv_fetcher_spark.sources.change_stream import (  # noqa: PLC0415
+                content_fingerprint,
+            )
+
+            src_fp = content_fingerprint(
+                SnapshotStore(spark, args.source_dir).read()
+            )
+            tgt_fp = content_fingerprint(target.read())
+            if src_fp != tgt_fp:
+                print(
+                    f"VERIFY FAILED: source {src_fp} != target {tgt_fp}"
+                )
+                return 1
+            print(f"verified: fingerprints match {src_fp}")
         return 0
 
     if args.command == "sql":

@@ -367,6 +367,27 @@ def replicate_changes(
     )
 
 
+def content_fingerprint(df) -> tuple[int, int]:
+    """Order-independent content fingerprint of a DataFrame: row count
+    plus the exact decimal SUM of per-row xxhash64 over every column
+    (commutative, so partitioning/ordering never matters; decimal sum
+    so no overflow wrap under ANSI). Two relations with equal
+    fingerprints are equal with xxhash64-collision probability. The
+    anti-entropy primitive behind ``mirror --verify``: one scan per
+    side, no shuffle beyond a scalar aggregate, no row movement."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                "decimal(38,0)"
+            )
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
 def drain_available(start_query, max_rounds: int = 1000) -> int:
     """Drain loop for CAPPED availableNow streams (round-7 verdict
     item 7): Spark's simple-reader availableNow snapshots ONE capped

@@ -493,17 +493,26 @@ def test_mirror_subcommand_replicates_and_follows_deletes(spark, tmp_path, capsy
     )
     assert got == want and len(got) == 7
 
-    # capped form on a fresh target: drains multiple rounds, same state
+    # capped form on a fresh target: drains multiple rounds, same
+    # state, and --verify's anti-entropy fingerprints match
     tgt2_dir = str(tmp_path / "tgt2")
     assert main(
         ["mirror", "--source-dir", src_dir, "--data-dir", tgt2_dir,
          "--checkpoint", str(tmp_path / "cp2"),
-         "--max-versions-per-batch", "1"]
+         "--max-versions-per-batch", "1", "--verify"]
     ) == 0
     out = capsys.readouterr().out
-    assert "rounds=" in out
+    assert "rounds=" in out and "fingerprints match" in out
     tgt2 = SnapshotStore(spark, tgt2_dir)
     assert sorted(r["timestamp"] for r in tgt2.read().collect()) == want
+
+    # a corrupted replica fails the verify with exit 1
+    tgt2.delete_where(f"timestamp = {T0 + 5 * MIN}")
+    assert main(
+        ["mirror", "--source-dir", src_dir, "--data-dir", tgt2_dir,
+         "--checkpoint", str(tmp_path / "cp2"), "--verify"]
+    ) == 1
+    assert "VERIFY FAILED" in capsys.readouterr().out
 
 
 def test_rollup_flagless_uses_logged_store_with_retention(spark, tmp_path, capsys):

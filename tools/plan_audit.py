@@ -21,6 +21,13 @@ operator counts:
                    verdict flagged; raw-table queries must show 0 —
                    functions/rank.py is the distributed replacement)
 
+Size-GATED raw-table queries (round-8 verdict item 3) legitimately
+plan a one-task window at fixture scale — adaptive_rank_source /
+adaptive_cumsum_source pick it below RAW_RANK_WINDOW_MAX_ROWS. For
+those queries the audit re-plans with the threshold forced to 0 and
+records ``win_unpart_at_scale`` — the branch a real table takes —
+which must be 0 (also enforced by tests/test_rank.py).
+
 (No codegen-span count: under AQE the pre-execution plan string carries
 no ``*(n)`` markers, so it would read as a misleading zero.)
 
@@ -105,12 +112,38 @@ def main() -> int:
 
     registry = load_all()
     spark = get_spark("plan-audit", shuffle_partitions=8)
+
+    # queries whose rank primitive is size-gated: at fixture scale they
+    # correctly choose the one-task window; their AT-SCALE branch is
+    # audited separately with the gate forced open
+    import ccxt_ohlcv_fetcher_spark.functions.rank as rank_mod
+
+    GATED = {
+        "order_equidepth_hist",
+        "lineitem_exact_quantiles",
+        "order_cumulative_revenue",
+        "lineitem_weighted_median",
+    }
+
     out: dict[str, dict] = {}
     for name, spec in sorted(registry.items()):
         try:
             df = spec.builder(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
             out[name] = audit(plan)
+            if name in GATED:
+                saved = rank_mod.RAW_RANK_WINDOW_MAX_ROWS
+                rank_mod.RAW_RANK_WINDOW_MAX_ROWS = 0
+                try:
+                    big = spec.builder(spark, sf_dir)
+                    big_plan = (
+                        big._jdf.queryExecution().executedPlan().toString()
+                    )
+                    out[name]["win_unpart_at_scale"] = (
+                        _unpartitioned_windows(big_plan)
+                    )
+                finally:
+                    rank_mod.RAW_RANK_WINDOW_MAX_ROWS = saved
         except Exception as e:  # noqa: BLE001 — record, don't abort the sweep
             out[name] = {"error": str(e)[:200]}
         row = out[name]
