@@ -85,6 +85,52 @@ def apply_merge(symbols: Column, a: str, b: str) -> Column:
     return F.aggregate(symbols, F.expr("CAST(array() AS ARRAY<STRING>)"), step)
 
 
+def apply_merge_batch(
+    symbols: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a CONFLICT-FREE merge batch (a `_select_batch` output) in
+    ONE fold pass — provably equal to applying the merges sequentially
+    with :func:`apply_merge`, because the selection rule guarantees
+    batch merges cannot interact on the same word:
+
+    - an adjacency (t, x) matches at most ONE batch merge (pairs are
+      distinct), so no priority question arises within the pass;
+    - a merge's fusion cannot CREATE an adjacency another batch merge
+      matches: created adjacencies are (·, ab) / (ab, ·), and no batch
+      pair contains a fused string (the collision guard makes such a
+      pick batch-terminal);
+    - a merge's fusion cannot DESTROY another batch merge's adjacency:
+      that requires a pair (x, a) or (b, y) against a picked (a, b),
+      exactly what the conflict rule excludes from the batch.
+
+    The payoff is plan-side: the sequential form nests ``len(batch)``
+    aggregate expressions per round (the measured apply-side wall at
+    4096 merges), this is ONE aggregate with a when-chain — O(1) plan
+    depth per round. Pinned equal to the nested form on randomized
+    corpora in tests/test_llm_ops.py."""
+    if len(merges) == 1:
+        return apply_merge(symbols, *merges[0])
+
+    def fuse_of(top: Column, x: Column) -> Column:
+        expr = F.lit(None).cast("string")
+        for a, b in reversed(merges):
+            expr = F.when(
+                (top == F.lit(a)) & (x == F.lit(b)), F.lit(a + b)
+            ).otherwise(expr)
+        return expr
+
+    def step(acc: Column, x: Column) -> Column:
+        fused = fuse_of(F.element_at(acc, -1), x)
+        return F.when(
+            (F.size(acc) > 0) & fused.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        symbols, F.expr("CAST(array() AS ARRAY<STRING>)"), step
+    )
+
+
 def pair_counts(vocab: DataFrame) -> DataFrame:
     """Frequency-weighted adjacent-pair counts over (word, freq, sym)."""
     n = F.size("sym")
@@ -259,10 +305,14 @@ def train_bpe(
             made_symbols=made_symbols,
         )
         made_symbols.update(a + b for a, b in batch)
-        for a, b in batch:
-            merges.append((a, b))
-            vocab = vocab.withColumn("sym", apply_merge(F.col("sym"), a, b))
-        pending_folds += len(batch)
+        merges.extend(batch)
+        # whole batch in ONE fold expression (see apply_merge_batch):
+        # plan depth per round is 1, so the checkpoint cadence counts
+        # ROUNDS (fold expressions), not merges
+        vocab = vocab.withColumn(
+            "sym", apply_merge_batch(F.col("sym"), batch)
+        )
+        pending_folds += 1
         if pending_folds >= checkpoint_every:
             vocab = vocab.localCheckpoint()
             pending_folds = 0

@@ -1563,3 +1563,78 @@ def test_semantic_dedup_farthest_keep_rule_and_boundary_recall(spark):
         1 for a, b in exact_pairs if out[a]["cluster"] == out[b]["cluster"]
     )
     assert exact_pairs and co / len(exact_pairs) >= 0.95
+
+
+def test_bpe_batch_apply_equals_nested_sequential(spark):
+    """apply_merge_batch (one fold per round, round-8 apply-side fix)
+    must equal the nested per-merge apply_merge form on every word —
+    across real _select_batch batches from adversarial tiny-alphabet
+    corpora (maximal pair interaction, multi-merge batches with shared
+    LEFT symbols like (a,b)+(a,c))."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        apply_merge,
+        apply_merge_batch,
+        char_symbols,
+        pair_counts,
+        train_bpe,
+        _select_batch,
+    )
+
+    rng = random.Random(11)
+    words = list({
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 10)))
+        for _ in range(60)
+    })
+    wf = spark.createDataFrame(
+        [(w, rng.randint(1, 9)) for w in words], "word string, freq bigint"
+    )
+    vocab = wf.select(
+        "word", "freq", char_symbols("word").alias("sym")
+    ).localCheckpoint()
+    made = {"</w>"}
+    n_batches = 0
+    for _round in range(6):
+        top = (
+            pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(256)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        batch = _select_batch(
+            top, 8, budget=64, min_pair_count=2, truncated=len(top) == 256,
+            made_symbols=made,
+        )
+        if not batch:
+            break
+        made.update(a + b for a, b in batch)
+        n_batches += 1
+        one_pass = vocab.withColumn(
+            "sym", apply_merge_batch(F.col("sym"), batch)
+        )
+        nested = vocab
+        for a, b in batch:
+            nested = nested.withColumn(
+                "sym", apply_merge(F.col("sym"), a, b)
+            )
+        got = {r["word"]: tuple(r["sym"]) for r in one_pass.collect()}
+        want = {r["word"]: tuple(r["sym"]) for r in nested.collect()}
+        assert got == want, (batch, {
+            w: (got[w], want[w]) for w in got if got[w] != want[w]
+        })
+        vocab = one_pass.localCheckpoint()
+    assert n_batches >= 3  # the comparison actually exercised batches
+
+    # and the end-to-end trainer (now batch-applying) still matches the
+    # pure-Python sequential reference on this corpus
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    merges, trained = train_bpe(wf, n_merges=12, batch_size=8)
+    ref_merges, ref_vocab = _ref_bpe(freqs, n_merges=12, min_pair_count=2)
+    assert merges == ref_merges
+    got_final = {r["word"]: tuple(r["sym"]) for r in trained.collect()}
+    assert got_final == {w: tuple(s) for w, s in ref_vocab.items()}
