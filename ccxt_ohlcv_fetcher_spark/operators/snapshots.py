@@ -177,6 +177,8 @@ def _apply_delta(state: dict, d: dict) -> dict:
         out["changes"] = d["changes"]
     if d.get("added") is not None:
         out["added"] = d["added"]
+    if d.get("restore_of") is not None:
+        out["restore_of"] = d["restore_of"]
     return out
 
 
@@ -640,6 +642,7 @@ class SnapshotStore:
         changes: list[str] | None = None,
         added: list[str] | None = None,
         dvs: dict[str, list[str]] | None = None,
+        extra: dict | None = None,
     ) -> bool:
         version = base_version + 1
         base = self._state(base_version) if base_version else _empty_state()
@@ -684,6 +687,10 @@ class SnapshotStore:
         }
         if stats_add:
             delta["stats_add"] = stats_add
+        if extra:
+            # operation-specific annotations carried verbatim into the
+            # reconstructed state (e.g. restore's target version)
+            delta.update(extra)
         if changes is not None:
             # row-level change files of a delete/merge commit (the
             # removed row versions), consumed by read_row_changes
@@ -1626,6 +1633,7 @@ class SnapshotStore:
                 list(target["files"]),
                 "restore",
                 dvs=dict(target.get("dvs", {})),
+                extra={"restore_of": version},
             ):
                 return base + 1
         finally:
@@ -1642,6 +1650,7 @@ class SnapshotStore:
         target_file_bytes: int | None = None,
         max_retries: int = 10,
         min_files: int = 2,
+        order_by: list[str] | None = None,
     ) -> int | None:
         """Bin-packing PARTIAL compaction (Delta OPTIMIZE's actual
         shape; the 100 TB complement of :meth:`compact`): rewrite ONLY
@@ -1683,7 +1692,17 @@ class SnapshotStore:
         target = target_file_bytes or small_file_bytes
         total = sum(_size(f) for f in small)
         n_out = max(1, min(len(small) - 1, (total + target - 1) // target))
-        live = self._read_files_live(small, m).coalesce(n_out)
+        live = self._read_files_live(small, m)
+        if order_by:
+            # clustered bin-packing: each rewritten output owns a
+            # disjoint key range, so the fresh files' manifest min/max
+            # stats prune range predicates (the compact(order_by=...)
+            # behavior, scoped to the small-file set)
+            live = live.repartitionByRange(
+                n_out, *order_by
+            ).sortWithinPartitions(*order_by)
+        else:
+            live = live.coalesce(n_out)
         staged = self._stage(live)
         small_set = set(small)
         for _ in range(max_retries):

@@ -137,3 +137,37 @@ def test_partial_compact_is_row_preserving_for_the_change_feed(
     feed = store.read_row_changes(0, v)
     assert feed.filter("_change = 1").count() == 8
     assert feed.filter("_change = -1").count() == 0
+
+
+def test_partial_compact_order_by_clusters_outputs(spark, tmp_path):
+    """order_by gives the rewritten bins disjoint key ranges, so their
+    fresh manifest stats prune range probes (scoped OPTIMIZE+sort)."""
+    store = SnapshotStore(spark, str(tmp_path / "t"), stats_cols=["v"])
+    for i in range(6):  # interleaved keys across tiny commits
+        store.append(
+            spark.range(6).selectExpr(f"id * 6 + {i} as v", "id as tag")
+        )
+    v = store.compact_partial(
+        small_file_bytes=10**9,
+        target_file_bytes=1,  # force several output bins
+        order_by=["v"],
+    )
+    assert v is not None
+    m = store.manifest()
+    ranges = sorted(tuple(m["stats"][f]["v"]) for f in m["files"])
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint: range pruning works
+    probe = store.pruned_files({"v": (0, 3)})
+    assert len(probe) < len(m["files"])
+    assert store.read().count() == 36
+
+
+def test_restore_of_recorded_in_history(spark, tmp_path):
+    """restore commits carry their target version in the manifest so
+    history explains WHAT the rollback restored."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 5))
+    store.append(_df(spark, 5, 9))
+    store.restore(1)
+    assert store.manifest()["restore_of"] == 1
