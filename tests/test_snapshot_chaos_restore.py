@@ -1,0 +1,147 @@
+"""Chaos matrix, conflict-class edition: schedules that also fire
+RESTORE and constraint metadata commits alongside the row-level ops.
+Restore rewrites history, so the serial oracle generalizes to
+SEGMENTS: between history rewrites the signed feed must replay each
+snapshot exactly; each restore commit's snapshot must equal its
+recorded target's snapshot bit-for-bit; constraint commits are
+row-preserving. Restores and rewrites may abort with CommitConflict
+(the documented contract — restore NEVER rebases); aborted ops must
+leave no trace."""
+
+from __future__ import annotations
+
+import random
+import threading
+from collections import Counter
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+    CommitConflict,
+    ConstraintViolation,
+    SnapshotStore,
+)
+
+N_SCHEDULES = 20
+N_WRITERS = 3
+OPS_PER_WRITER = 3
+
+
+def _rows_df(spark, pairs):
+    return spark.createDataFrame(pairs, "k bigint, v bigint")
+
+
+def _snapshot(store, version=None) -> Counter:
+    return Counter(
+        (r["k"], r["v"]) for r in store.read(version=version).collect()
+    )
+
+
+def _worker(spark, path, widx, seed, errors):
+    rng = random.Random(seed)
+    store = SnapshotStore(spark, path, stats_cols=["k"])
+    base = 1000 * (widx + 1)
+    counter = 0
+    for _ in range(OPS_PER_WRITER):
+        op = rng.choice(
+            ["append", "append", "merge", "delete_dv",
+             "restore", "constraint"]
+        )
+        try:
+            if op == "append":
+                pairs = [(base + counter, rng.randint(0, 99))]
+                counter += 1
+                store.append(_rows_df(spark, pairs))
+            elif op == "merge":
+                ks = rng.sample(range(10), 2)
+                store.merge_into(
+                    _rows_df(spark, [(k, rng.randint(100, 199)) for k in ks]),
+                    on=["k"],
+                    when_matched="update",
+                )
+            elif op == "delete_dv":
+                store.delete_where_dv(f"v % 5 = {rng.randint(0, 4)}")
+            elif op == "restore":
+                head = store.latest_version()
+                if head >= 2:
+                    store.restore(rng.randint(1, head - 1))
+            else:
+                store.add_constraint(f"c_{widx}_{counter}", "k >= 0")
+                counter += 1
+        except (CommitConflict, ConstraintViolation, ValueError):
+            pass  # documented aborts; must leave the table untouched
+        except Exception as e:  # pragma: no cover - the failure signal
+            errors.append((widx, op, repr(e)))
+            return
+
+
+def _verify_segments(spark, path):
+    store = SnapshotStore(spark, path, stats_cols=["k"])
+    head = store.latest_version()
+    snaps = {v: _snapshot(store, v) for v in range(1, head + 1)}
+    seg_start = None
+    for v in range(1, head + 1):
+        m = store.manifest(v)
+        op = m["operation"]
+        if op == "restore":
+            # the restore snapshot IS its target's snapshot
+            assert snaps[v] == snaps[m["restore_of"]], f"restore v{v}"
+            seg_start = v
+            continue
+        if op == "metadata":
+            # constraint commits are row-preserving
+            assert snaps[v] == snaps.get(v - 1, Counter()), f"metadata v{v}"
+            continue
+        if seg_start is None:
+            seg_start = 0 if v == 1 else seg_start
+    # segment-wise feed replay: between history rewrites the signed
+    # feed reproduces every snapshot. Segments END just BEFORE each
+    # restore (the feed refuses to cross one) and RESTART at it.
+    restores = [
+        v for v in range(1, head + 1)
+        if store.manifest(v)["operation"] == "restore"
+    ]
+    segments, prev = [], 0
+    for r in restores:
+        segments.append((prev, r - 1))
+        prev = r
+    segments.append((prev, head))
+    for lo, hi in segments:
+        if hi <= lo:
+            continue
+        model = snaps.get(lo, Counter()).copy()
+        feed = store.read_row_changes(
+            lo, hi, include_version=True
+        ).collect()
+        by_v: dict[int, list] = {}
+        for r in feed:
+            by_v.setdefault(r["_commit_version"], []).append(r)
+        for v in range(lo + 1, hi + 1):
+            for r in by_v.get(v, ()):
+                key = (r["k"], r["v"])
+                model[key] += r["_change"]
+                assert model[key] >= 0, (v, key)
+            assert +model == snaps[v], f"segment replay diverged at v{v}"
+    return head
+
+
+def test_chaos_with_restore_and_constraints(spark, tmp_path):
+    total = 0
+    for seed in range(N_SCHEDULES):
+        path = str(tmp_path / f"t{seed}")
+        SnapshotStore(spark, path, stats_cols=["k"]).append(
+            _rows_df(spark, [(k, k % 7) for k in range(10)])
+        )
+        errors: list = []
+        threads = [
+            threading.Thread(
+                target=_worker,
+                args=(spark, path, w, seed * 131 + w, errors),
+            )
+            for w in range(N_WRITERS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        total += _verify_segments(spark, path)
+    assert total >= N_SCHEDULES * 3
