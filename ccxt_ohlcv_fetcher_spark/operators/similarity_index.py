@@ -453,7 +453,21 @@ def build_ivfpq_index(
         )
     )
     encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
-    cb_row.write.mode("overwrite").parquet(path.rstrip("/") + "/_meta")
+    # stage + rename so _meta is never PARTIALLY present: a crash
+    # mid-write leaves only an ignored _meta_staging_* dir and readers
+    # fail loud on the missing _meta instead of decoding garbage (same
+    # fix class as the logged-OPQ sidecar; underscore prefix keeps the
+    # staging dir out of the data read's partition discovery)
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid2
+
+    tmp = path.rstrip("/") + f"/_meta_staging_{_uuid2.uuid4().hex[:12]}"
+    cb_row.write.mode("overwrite").parquet(tmp)
+    target = path.rstrip("/") + "/_meta"
+    if _os.path.isdir(target):
+        _shutil.rmtree(target)
+    _os.rename(tmp, target)
     return n_cells
 
 

@@ -15,7 +15,9 @@ Layout::
 
     path/data/commit-<token>/part-*.parquet   (one dir per commit)
     path/_manifests/v00000001.json            (commit DELTA: add/remove)
-    path/_manifests/ckpt-v00000020.json       (full state, every N commits)
+    path/_manifests/ckpt-v00000020.json       (full state, every N commits;
+    path/_manifests/ckpt-v00000040.parquet     json or parquet per store
+                                               config — readers take either)
 
 Protocol (Delta's, scaled down):
 
@@ -182,6 +184,119 @@ def _apply_delta(state: dict, d: dict) -> dict:
     return out
 
 
+# full-state checkpoint <-> parquet encoding (Delta's checkpoint-parquet
+# pattern, scaled down): one row per table file carrying that file's
+# stats + deletion vectors, change/added annotations as typed rows, and
+# the table-level scalars (version/schema/constraints/txn/...) in the
+# parquet footer's key-value metadata. The win over the JSON checkpoint
+# is decode shape at scale: a million-file state is a columnar batch
+# read, not a monolithic JSON document parse.
+
+_CKPT_META_KEY = b"snapshot_state"
+
+try:  # ~6x faster parse for the big checkpoint documents; read-side
+    import orjson as _fastjson  # only (writes stay stdlib for stable
+except ImportError:  # formatting), so logs stay interchangeable
+    _fastjson = json
+
+
+def _ckpt_write_parquet(state: dict, out_path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats = state.get("stats", {})
+    dvs = state.get("dvs", {})
+    kinds: list[str] = []
+    paths: list[str] = []
+    stats_col: list[str | None] = []
+    dv_col: list[list[str] | None] = []
+    for f in state["files"]:
+        kinds.append("file")
+        paths.append(f)
+        s = stats.get(f)
+        # per-file stats ride as a pre-keyed JSON fragment
+        # ('"path":{...}'): their shape is open (min/max pairs, _bloom
+        # blobs, _bytes, future fields) and the decode then reassembles
+        # the whole stats dict with ONE C-speed json.loads over a join
+        # of the column — a million tiny per-row parses (or per-row
+        # key-quoting) on the read path is what made the naive decode
+        # slower than the JSON checkpoint it replaces
+        stats_col.append(
+            None if s is None else f"{json.dumps(f)}:{json.dumps(s)}"
+        )
+        dv = dvs.get(f)
+        dv_col.append(list(dv) if dv else None)
+    for f in state.get("changes") or ():
+        kinds.append("change")
+        paths.append(f)
+        stats_col.append(None)
+        dv_col.append(None)
+    for f in state.get("added") or ():
+        kinds.append("added")
+        paths.append(f)
+        stats_col.append(None)
+        dv_col.append(None)
+    meta = {
+        k: v
+        for k, v in state.items()
+        if k not in ("files", "stats", "dvs", "changes", "added")
+    }
+    # presence vs emptiness matters downstream ([] "changes" is still a
+    # change-feed marker; absent means not a delete/merge commit)
+    meta["_has"] = {
+        "changes": "changes" in state,
+        "added": "added" in state,
+    }
+    tbl = pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "stats": pa.array(stats_col, pa.string()),
+            "dv": pa.array(dv_col, pa.list_(pa.string())),
+        }
+    ).replace_schema_metadata({_CKPT_META_KEY: json.dumps(meta).encode()})
+    pq.write_table(tbl, out_path)
+
+
+def _ckpt_read_parquet(path: str) -> dict:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    meta = json.loads(tbl.schema.metadata[_CKPT_META_KEY].decode())
+    has = meta.pop("_has", {})
+    kind = tbl.column("kind")
+    ftbl = tbl.filter(pc.equal(kind, "file"))
+    files = ftbl.column("path").to_pylist()
+    # stats: drop nulls, join the pre-keyed fragments, single parse —
+    # every row-wise step is an Arrow kernel, only the final loads and
+    # the join touch Python-level data
+    frag_arr = pc.drop_null(ftbl.column("stats"))
+    stats = (
+        _fastjson.loads("{" + ",".join(frag_arr.to_pylist()) + "}")
+        if len(frag_arr)
+        else {}
+    )
+    dmask = pc.is_valid(ftbl.column("dv"))
+    dtbl = ftbl.filter(dmask)
+    dvs = dict(
+        zip(dtbl.column("path").to_pylist(), dtbl.column("dv").to_pylist())
+    )
+    changes = tbl.filter(pc.equal(kind, "change")).column("path").to_pylist()
+    added = tbl.filter(pc.equal(kind, "added")).column("path").to_pylist()
+    state = dict(meta)
+    state["files"] = files
+    if stats:
+        state["stats"] = stats
+    if dvs:
+        state["dvs"] = dvs
+    if has.get("changes"):
+        state["changes"] = changes
+    if has.get("added"):
+        state["added"] = added
+    return state
+
+
 class SnapshotStore:
     def __init__(
         self,
@@ -190,6 +305,7 @@ class SnapshotStore:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         checkpoint_interval: int = 20,
+        checkpoint_format: str = "json",
     ):
         """``stats_cols``: column names whose per-file min/max are read
         from the parquet footers at stage time and recorded in the
@@ -206,7 +322,26 @@ class SnapshotStore:
         filters would still cost one footer+page read per file — the
         manifest copy costs zero I/O at query time. Sized at ~10 bits
         per distinct value (k=4, fpp ~ 1-2%), capped at 64 KiB,
-        zlib+base64 in the manifest."""
+        zlib+base64 in the manifest.
+
+        ``checkpoint_format``: ``"json"`` (default) or ``"parquet"``
+        (Delta's actual checkpoint encoding). A WRITE-side choice
+        only — readers accept either format transparently, so stores
+        can switch formats mid-life and mixed-format logs replay
+        fine. Measured at a synthetic 1M-file state
+        (tools/ckpt_format_bench.py, PERFORMANCE.md §13): parquet is
+        ~4.5x smaller (40 vs 178 MB — the object-store GET/storage
+        cost that dominates checkpoint reads at 100 TB) and ~1.3x
+        faster to write; full-state DECODE is parity (both formats
+        bottleneck on materializing the same per-file stats dicts in
+        Python, ~6 s/M files), so choose parquet when checkpoints
+        travel over a network or storage bills matter."""
+        if checkpoint_format not in ("json", "parquet"):
+            raise ValueError(
+                f"checkpoint_format must be 'json' or 'parquet', "
+                f"got {checkpoint_format!r}"
+            )
+        self.checkpoint_format = checkpoint_format
         self.spark = spark
         self.path = path
         self.stats_cols = tuple(stats_cols or ())
@@ -270,6 +405,25 @@ class SnapshotStore:
     def _ckpt_path(self, version: int) -> str:
         return os.path.join(self._manifest_dir, f"ckpt-v{version:08d}.json")
 
+    def _ckpt_parquet_path(self, version: int) -> str:
+        return os.path.join(
+            self._manifest_dir, f"ckpt-v{version:08d}.parquet"
+        )
+
+    def _read_checkpoint(self, version: int) -> dict | None:
+        """Load the full-state checkpoint at ``version`` in whichever
+        format exists (read side is format-agnostic — the configured
+        ``checkpoint_format`` only governs writes, so mixed-format
+        logs and mid-life format switches replay fine)."""
+        pp = self._ckpt_parquet_path(version)
+        if os.path.exists(pp):
+            return _ckpt_read_parquet(pp)
+        jp = self._ckpt_path(version)
+        if os.path.exists(jp):
+            with open(jp, "rb") as fh:
+                return _fastjson.loads(fh.read())
+        return None
+
     def _cache_put(self, version: int, state: dict) -> None:
         if len(self._state_cache) >= 64:
             self._state_cache.pop(next(iter(self._state_cache)))
@@ -300,10 +454,9 @@ class SnapshotStore:
             if hit is not None:
                 base = hit
                 break
-            cp = self._ckpt_path(cur)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    base = json.load(fh)
+            ck = self._read_checkpoint(cur)
+            if ck is not None:
+                base = ck
                 ckpt_used = cur
                 break
             with open(self._manifest_path(cur)) as fh:
@@ -332,9 +485,13 @@ class SnapshotStore:
             self._manifest_dir, f"_ckpt_staging.{uuid.uuid4().hex[:12]}"
         )
         try:
-            with open(tmp, "w") as fh:
-                json.dump(state, fh)
-            os.replace(tmp, self._ckpt_path(version))
+            if self.checkpoint_format == "parquet":
+                _ckpt_write_parquet(state, tmp)
+                os.replace(tmp, self._ckpt_parquet_path(version))
+            else:
+                with open(tmp, "w") as fh:
+                    json.dump(state, fh)
+                os.replace(tmp, self._ckpt_path(version))
         except OSError:
             try:
                 os.unlink(tmp)
@@ -1790,10 +1947,14 @@ class SnapshotStore:
             # before deleting the pre-window deltas, pin a checkpoint at
             # the window's OLDEST retained version so every retained
             # version still reconstructs (checkpoint + tail only)
-            if not os.path.exists(self._ckpt_path(lo)):
+            if self._read_checkpoint(lo) is None:
                 self._write_checkpoint(lo, self._state(lo))
             for v in range(1, lo):
-                for p in (self._manifest_path(v), self._ckpt_path(v)):
+                for p in (
+                    self._manifest_path(v),
+                    self._ckpt_path(v),
+                    self._ckpt_parquet_path(v),
+                ):
                     if os.path.exists(p):
                         os.remove(p)
                 # pruned versions must also leave this instance's state
