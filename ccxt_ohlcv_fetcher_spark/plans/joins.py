@@ -416,3 +416,78 @@ def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_err_id").alias("next_error_id"),
         ms("asof_err_ts").alias("next_error_ms"),
     )
+
+
+@register(
+    "bucketed_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Shuffle-free co-located join via BUCKETED tables (op E5 at its "
+    "100 TB shape): orders and customer are written once as catalog "
+    "bucketed tables (bucketBy 8 on the join key, operators/bucketed.py) "
+    "so the scan itself carries HashPartitioning and the sort-merge join "
+    "needs NO Exchange on either side — the per-query shuffle that "
+    "dominates repeated fact-table joins at scale is paid once at write "
+    "time. The only shuffle left is the 5-row segment rollup. Plan shape "
+    "pinned (broadcast disabled = the neither-side-fits regime) in "
+    "tests/test_bucketed.py; values strategy-agnostic via this oracle.",
+    tags=("E5", "E13"),
+)
+def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed import bucketed_view
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dsum
+
+    o = bucketed_view(spark, sf_dir, "orders", "o_custkey", 8)
+    c = bucketed_view(spark, sf_dir, "customer", "c_custkey", 8)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "bucketed_custkey_order_stats",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_spend,
+           MAX(o_totalprice) AS max_order
+    FROM orders
+    GROUP BY 1
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 20
+    """,
+    doc="ZERO-shuffle aggregation on a bucketed table (op E13 + E22): "
+    "the per-custkey agg runs entirely within buckets (scan partitioning "
+    "already satisfies the distribution) and the top-20 is a "
+    "TakeOrderedAndProject — the whole query executes with no Exchange "
+    "at all, the plan you want when the same per-key rollup runs hourly "
+    "over a 100 TB fact table. Pinned in tests/test_bucketed.py.",
+    tags=("E13", "E22"),
+)
+def bucketed_custkey_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed import bucketed_view
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dsum
+
+    o = bucketed_view(spark, sf_dir, "orders", "o_custkey", 8)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+        .orderBy(F.desc("total_spend"), "o_custkey")
+        .limit(20)
+    )

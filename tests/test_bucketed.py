@@ -1,0 +1,128 @@
+"""Bucketed-table layout (operators/bucketed.py): the write-once
+pre-shuffle that makes every later join/agg on the bucket key
+shuffle-free. Pins (a) the plan shape under the neither-side-fits
+regime (broadcast disabled): bucketed scans, SortMergeJoin with NO
+Exchange beneath it, zero-Exchange per-key aggregation; (b) value
+equality with the plain unbucketed plans; (c) the one-file-per-bucket
+write layout and per-session build memoization.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.bucketed import bucketed_view
+from ccxt_ohlcv_fetcher_spark.plans import load_all
+from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """The 100 TB join regime: neither side fits in memory, so the
+    planner cannot fall back to a broadcast that would ALSO avoid the
+    shuffle and mask a bucketing regression."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _initial_plan(df) -> str:
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_bucketed_join_has_no_exchange_below_smj(spark, sf_dir, no_broadcast):
+    q = load_all()["bucketed_segment_revenue"].builder(spark, sf_dir)
+    plan = _initial_plan(q)
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    # the ONLY shuffle is the post-join 5-row segment rollup; in
+    # particular nothing between the scans and the join
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(c_mktsegment" in plan
+
+
+def test_bucketed_agg_runs_with_zero_exchanges(spark, sf_dir, no_broadcast):
+    q = load_all()["bucketed_custkey_order_stats"].builder(spark, sf_dir)
+    plan = _initial_plan(q)
+    assert plan.count("Bucketed: true") == 1
+    assert plan.count("Exchange") == 0
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_results_equal_plain_plans(spark, sf_dir, no_broadcast):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    got = load_all()["bucketed_segment_revenue"].builder(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    top_plain = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+        .orderBy(F.desc("total_spend"), "o_custkey")
+        .limit(20)
+    )
+    top_got = load_all()["bucketed_custkey_order_stats"].builder(spark, sf_dir)
+    assert list(map(tuple, top_got.collect())) == list(
+        map(tuple, top_plain.collect())
+    )
+
+
+def test_one_file_per_bucket_and_memoized_build(spark, sf_dir):
+    df = bucketed_view(spark, sf_dir, "customer", "c_custkey", 8)
+    name = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bkt_customer_")
+    ][0]
+    loc = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).replace("file:", "")
+    parts = glob.glob(os.path.join(loc, "part-*.parquet"))
+    # repartition(n, key) routes with the same murmur3-pmod as the
+    # bucket-id assignment -> exactly one data file per bucket
+    assert len(parts) == 8
+    mtimes = sorted(os.path.getmtime(p) for p in parts)
+    df2 = bucketed_view(spark, sf_dir, "customer", "c_custkey", 8)
+    assert df2.count() == df.count()
+    assert sorted(
+        os.path.getmtime(p)
+        for p in glob.glob(os.path.join(loc, "part-*.parquet"))
+    ) == mtimes, "second call must reuse, not rewrite"
