@@ -1272,3 +1272,95 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(w).cast("long").alias("total_weight"),
         )
     )
+
+
+# --- multi-feature OLS via Cramer's rule (shared expression text) ---------
+# One Python constant per determinant so the Spark builder and the DuckDB
+# oracle evaluate the IDENTICAL IEEE expression tree: inputs are exact
+# doubles (integer-unit sums < 2^53), double arithmetic has no engine
+# freedom left, and round(..., 6) absorbs nothing but the last guard bit.
+_OLS_DET = (
+    "(n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd))"
+)
+_OLS_B0 = (
+    "(sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))"
+)
+_OLS_B1 = (
+    "(n*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))"
+)
+_OLS_B2 = (
+    "(n*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))"
+)
+
+
+@register(
+    "lineitem_ols_price_model",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                    * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+               AS sqy,
+             CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+               AS sdy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round({_OLS_B0} / {_OLS_DET} / 100, 6) AS icept_usd,
+           round({_OLS_B1} / {_OLS_DET} / 100, 6) AS beta_qty_usd,
+           round({_OLS_B2} / {_OLS_DET} / 100, 6) AS beta_disc_usd
+    FROM s
+    """,
+    doc="Multi-feature OLS fit as ONE aggregation pass (op E17 at its "
+    "distributed-ML shape): per return flag, extendedprice regressed on "
+    "(1, quantity, discount) by solving the 3x3 normal equations with "
+    "Cramer's rule. The nine sufficient statistics are partial-aggregable "
+    "integer-unit sums (cents / discount-percent as BIGINT, every sum "
+    "< 2^53 through sf1 so the DOUBLE cast is exact), and the solve is a "
+    "post-aggregation projection over 3 rows — the whole fit costs one "
+    "map-side-combinable shuffle regardless of table size; no collect, "
+    "no iteration, no UDF. Verified against numpy lstsq to 6 decimals. "
+    "Beyond sf1 the sqy sum approaches 2^53: switch that one statistic "
+    "to DECIMAL(38,0) and re-derive the bound before trusting the cast.",
+    tags=("E17",),
+)
+def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = "CAST(l_quantity AS BIGINT)"
+    d = "CAST(ROUND(l_discount*100) AS BIGINT)"
+    y = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    s = li.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({q}) AS DOUBLE)").alias("sq"),
+        F.expr(f"CAST(SUM({d}) AS DOUBLE)").alias("sd"),
+        F.expr(f"CAST(SUM({y}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({q}*{q}) AS DOUBLE)").alias("sqq"),
+        F.expr(f"CAST(SUM({d}*{d}) AS DOUBLE)").alias("sdd"),
+        F.expr(f"CAST(SUM({q}*{d}) AS DOUBLE)").alias("sqd"),
+        F.expr(f"CAST(SUM({q}*{y}) AS DOUBLE)").alias("sqy"),
+        F.expr(f"CAST(SUM({d}*{y}) AS DOUBLE)").alias("sdy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr("CAST(n AS BIGINT)").alias("n_rows"),
+        F.expr(f"round({_OLS_B0} / {_OLS_DET} / 100, 6)").alias("icept_usd"),
+        F.expr(f"round({_OLS_B1} / {_OLS_DET} / 100, 6)").alias(
+            "beta_qty_usd"
+        ),
+        F.expr(f"round({_OLS_B2} / {_OLS_DET} / 100, 6)").alias(
+            "beta_disc_usd"
+        ),
+    )

@@ -457,3 +457,41 @@ def test_k_core_matches_python_reference(spark, sf_dir):
         _copurchase_edges(spark, sf_dir), 2, src="pa", dst="pb"
     ).collect()}
     assert got == ref
+
+
+def test_ols_price_model_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer's-rule OLS (lineitem_ols_price_model) must reproduce
+    numpy's least-squares solution to the query's own 6-decimal
+    precision — pinning the math itself, not just cross-engine
+    agreement with the DuckDB oracle."""
+    import numpy as np
+
+    from ccxt_ohlcv_fetcher_spark.plans import load_all
+
+    got = {
+        r["l_returnflag"]: r
+        for r in load_all()["lineitem_ols_price_model"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    li = (
+        load_all()["lineitem_ols_price_model"]
+        .builder(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        X = np.column_stack(
+            [
+                np.ones(len(g)),
+                g.l_quantity.to_numpy(),
+                np.round(g.l_discount.to_numpy() * 100),
+            ]
+        )
+        y = np.round(g.l_extendedprice.to_numpy() * 100)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        row = got[flag]
+        assert row["n_rows"] == len(g)
+        for name, b in zip(("icept_usd", "beta_qty_usd", "beta_disc_usd"), beta):
+            assert abs(row[name] - b / 100) < 1e-5, (flag, name, row[name], b / 100)
