@@ -1167,3 +1167,67 @@ def ivf_pq_cosine_topk(
 
 def _norm(vec: list[float]) -> float:
     return sum(x * x for x in vec) ** 0.5
+
+
+def truncated_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    trunc_dim: int,
+    overfetch: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Matryoshka-style adaptive retrieval (Kusupati et al. 2022 §4.3
+    "funnel retrieval"): stage 1 scores every corpus vector with only
+    the FIRST ``trunc_dim`` components and keeps ``k * overfetch``
+    candidates per query; stage 2 re-scores just that shortlist with
+    the full vector. Output matches :func:`cosine_topk`
+    (q_id, vec_id, score, rank) with full-precision scores, ties by id.
+
+    Scale shape: stage 1 is the same broadcast x corpus scan as the
+    exact tier but arithmetic drops by dim/trunc_dim; stage 2 touches
+    k * overfetch rows per query. In a real deployment the truncated
+    prefix is MATERIALIZED as its own column so the stage-1 scan also
+    reads dim/trunc_dim of the bytes — here it is sliced from the full
+    vector (the fixture stores one column), which keeps the plan's
+    shuffle/join shape identical while understating only the I/O win.
+    Recall floor vs the exact tier is pinned in tests/test_llm_ops.py;
+    a self-match (query vector present in the corpus) always survives
+    stage 1 because its truncated cosine is exactly 1.0."""
+    tslice = lambda c: F.slice(F.col(c), 1, trunc_dim)  # noqa: E731
+    tcorpus = corpus.select(
+        F.col(corpus_id), tslice(corpus_vec).alias(corpus_vec)
+    )
+    tqueries = queries.select(
+        F.col(query_id), tslice(query_vec).alias(query_vec)
+    )
+    shortlist = cosine_topk(
+        tcorpus, tqueries, k * overfetch,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+    ).select(query_id, corpus_id)
+    exact = (
+        shortlist.join(_with_norm(corpus, corpus_vec, "_cn"), corpus_id)
+        .join(F.broadcast(_with_norm(queries, query_vec, "_qn")), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            (
+                dot_product(corpus_vec, query_vec)
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.col(corpus_id)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )

@@ -491,3 +491,123 @@ def bucketed_custkey_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), "o_custkey")
         .limit(20)
     )
+
+
+@register(
+    "sole_slow_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 80 DAY)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25
+    """,
+    doc="TPC-H Q21's decorrelation shape (ops E5+E8+E13+E22, adapted to "
+    "the fixture's shipdate-only schema: late = shipped >80 days after "
+    "order date): suppliers who were the SOLE late shipper on a "
+    "multi-supplier order. The oracle states it as correlated "
+    "EXISTS/NOT-EXISTS; the Spark plan rewrites both subqueries into ONE "
+    "per-order aggregate (countDistinct suppliers, countDistinct LATE "
+    "suppliers) joined back to the late rows — for a row whose own "
+    "supplier is late, EXISTS(other supplier) = n_supp >= 2 and "
+    "NOT EXISTS(other LATE supplier) = n_late_supp = 1. At 100 TB that "
+    "is one exchange on l_orderkey reused by agg and join (vs TWO "
+    "correlated self-joins of the fact table), then a broadcast of the "
+    "supplier dim and a 25-row TakeOrdered.",
+    tags=("E5", "E8", "E13", "E22"),
+)
+def sole_slow_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    dated = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAY"),
+    )
+    per_order = dated.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    late_f = dated.filter(
+        F.col("_late") & (F.col("o_orderstatus") == "F")
+    ).select("l_orderkey", "l_suppkey")
+    return (
+        late_f.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "idle_rich_customers_by_nation",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H Q22's shape (ops E8+E13 + uncorrelated scalar subquery, "
+    "adapted: the fixture has no phone column and every customer has "
+    "SOME order, so the anti condition is 'no order since 2001-01-01'): "
+    "above-average-balance customers gone idle, rolled up by nation. "
+    "Spark: the scalar average is a 1-row broadcast cross join (the "
+    "allowlisted scalar-combine BNLJ shape), the NOT EXISTS a left-anti "
+    "join against the date-filtered orders (filter pushed to the scan), "
+    "the nation dim a broadcast. AVG stays plain double: both engines "
+    "compute sum/count of the SAME filtered set in one partial-agg pass, "
+    "and the comparison threshold tolerates last-bit wobble because no "
+    "fixture balance sits within 1e-9 of the average.",
+    tags=("E8", "E13"),
+)
+def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dsum
+
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

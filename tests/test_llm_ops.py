@@ -1638,3 +1638,40 @@ def test_bpe_batch_apply_equals_nested_sequential(spark):
     assert merges == ref_merges
     got_final = {r["word"]: tuple(r["sym"]) for r in trained.collect()}
     assert got_final == {w: tuple(s) for w, s in ref_vocab.items()}
+
+
+def test_truncated_rerank_recall_and_selfmatch(spark, sf_dir):
+    """Matryoshka funnel retrieval (truncated_rerank_topk): recall@5 vs
+    the exact tier at the registered operating point (trunc 32 of 64,
+    overfetch 4), plus two invariants that hold regardless of embedding
+    distribution: every self-match survives stage 1 (truncated cosine of
+    an identical vector is exactly 1.0, so it cannot be cut), and the
+    surviving pairs' scores/ranks are full-precision (bit-equal to the
+    exact tier's score for the same pair)."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        cosine_topk,
+        truncated_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]): r["score"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"]): r["score"]
+        for r in truncated_rerank_topk(
+            emb, queries, k=5, trunc_dim=32, overfetch=4
+        ).collect()
+    }
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    # isotropic fixture -> a 32-prefix is a random projection; 0.69
+    # measured at sf0.001 and sf0.01, pin with noise margin
+    assert recall >= 0.55, f"funnel recall collapsed: {recall}"
+    for pair in exact.keys() & approx.keys():
+        assert approx[pair] == exact[pair], "rerank must use full vectors"
+    self_pairs = {(q, q) for q, _ in exact if (q, q) in exact}
+    assert self_pairs <= approx.keys()

@@ -16,6 +16,8 @@ from ccxt_ohlcv_fetcher_spark.plans import load_all
 ALLOWED_NESTED_LOOP = {
     "embedding_near_dup",
     "cosine_topk_exact",  # deliberate broadcast cross join: corpus x |Q| queries
+    "ann_truncated_rerank_topk",  # same corpus x |Q| shape, stage 1 on
+    # the 32-prefix; stage 2 is an equi join on the 4k-row shortlist
     "ann_cosine_topk_pq",  # same shape: PQ code table x broadcast queries (ADC)
     # 1-row codebook-delivery joins (codebook as broadcast DATA, not plan
     # literals): the join key is a foldable constant, so Spark plans the
@@ -31,6 +33,8 @@ ALLOWED_NESTED_LOOP = {
     # count x edge/vertex counts) — each side is a full aggregate, so
     # the BNLJ moves exactly one row regardless of data scale.
     "copurchase_graph_stats",
+    "idle_rich_customers_by_nation",  # customers x 1-row global-average
+    # threshold (Q22's uncorrelated scalar subquery as a 1-row broadcast)
     "theta_audience_overlap",  # 1-row sketch x 1-row sketch combine
     "bitmap_distinct_rollup",  # daily rows x 1-row span total
     "monthly_revenue_mom",  # monthly rows x 1-row grand total
