@@ -414,14 +414,27 @@ class SnapshotStore:
         """Load the full-state checkpoint at ``version`` in whichever
         format exists (read side is format-agnostic — the configured
         ``checkpoint_format`` only governs writes, so mixed-format
-        logs and mid-life format switches replay fine)."""
+        logs and mid-life format switches replay fine).
+
+        A checkpoint that exists but fails to DECODE (torn write that
+        survived a crash, bit rot, truncated copy) is treated exactly
+        like a missing one: checkpoints are derived caches and the
+        delta manifests remain the ground truth, so the only correct
+        response is a longer walk — never a failed read, and never
+        trusting partial content."""
         pp = self._ckpt_parquet_path(version)
         if os.path.exists(pp):
-            return _ckpt_read_parquet(pp)
+            try:
+                return _ckpt_read_parquet(pp)
+            except (ValueError, KeyError, OSError):
+                pass  # ArrowInvalid/short file -> fall through
         jp = self._ckpt_path(version)
         if os.path.exists(jp):
-            with open(jp, "rb") as fh:
-                return _fastjson.loads(fh.read())
+            try:
+                with open(jp, "rb") as fh:
+                    return _fastjson.loads(fh.read())
+            except (ValueError, KeyError, OSError):
+                pass
         return None
 
     def _cache_put(self, version: int, state: dict) -> None:

@@ -611,3 +611,46 @@ def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "dpp_conversion_rollup",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events e
+    WHERE e.event_type IN ('purchase', 'signup')
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Dynamic partition pruning (scan-layer op beyond E5): the fact "
+    "side is events rewritten partitionBy(event_type), the filter lives "
+    "on a MATERIALIZED dimension's category attribute, so which fact "
+    "partitions survive is unknowable at plan time — Spark inserts a "
+    "dynamicpruningexpression subquery that reuses the dim broadcast "
+    "and skips the non-conversion partitions before reading a byte "
+    "(2 of 5 directories scanned; shape pinned in "
+    "tests/test_partitioned_dpp.py). The oracle states the equivalent "
+    "static predicate because DuckDB sees one flat parquet file — "
+    "values must match whichever way the engine prunes.",
+    tags=("E5", "E13"),
+)
+def dpp_conversion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.partitioned import (
+        partitioned_events_with_dim,
+    )
+    from ccxt_ohlcv_fetcher_spark.plans.registry import dsum
+
+    fact, dim = partitioned_events_with_dim(spark, sf_dir)
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("category") == "conversion")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -263,3 +263,36 @@ def test_prune_log_pins_and_deletes_parquet_checkpoints(spark, tmp_path):
 def test_parquet_checkpoint_format_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="checkpoint_format"):
         SnapshotStore(spark, str(tmp_path / "t"), checkpoint_format="avro")
+
+
+@pytest.mark.parametrize("fmt", ["json", "parquet"])
+def test_corrupt_checkpoint_only_lengthens_the_walk(spark, tmp_path, fmt):
+    """A checkpoint that exists but cannot be decoded (torn write that
+    survived a crash, truncation, bit rot) must behave exactly like a
+    missing one: checkpoints are derived caches, the delta manifests
+    stay the ground truth, so reads fall back to the longer walk and
+    return the same state — never an error, never partial content."""
+    store = SnapshotStore(
+        spark,
+        str(tmp_path / "t"),
+        checkpoint_interval=5,
+        checkpoint_format=fmt,
+    )
+    for i in range(12):
+        store.append(_one(spark, i))
+    truth = SnapshotStore(spark, store.path).manifest(12)
+    ckpt = (
+        store._ckpt_parquet_path(10)
+        if fmt == "parquet"
+        else store._ckpt_path(10)
+    )
+    assert os.path.exists(ckpt)
+    with open(ckpt, "wb") as fh:  # truncate mid-content
+        fh.write(b"\x00garbage not a checkpoint")
+    fresh = SnapshotStore(spark, store.path)
+    assert fresh.manifest(12) == truth
+    # the corrupt v10 checkpoint was skipped; the cold walk reached v5's
+    # (read() below would hit the state cache and reset the counters)
+    assert fresh.last_head_read["checkpoint"] == 5
+    assert fresh.last_head_read["tail_manifests"] == 7
+    assert fresh.read().count() == 12
