@@ -3010,3 +3010,45 @@ def ann_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return truncated_rerank_topk(emb, queries, k=5, trunc_dim=32, overfetch=4)
+
+
+@register(
+    "doc_lang_logreg",
+    oracle=None,  # iterative Newton fit — not SQL-expressible; the
+    # coefficients are pinned against an independent numpy IRLS to 1e-6
+    # in tests/test_mlfit.py, and the decimal-summed statistics make
+    # the output bit-deterministic across runs/partitionings
+    doc="Distributed LOGISTIC REGRESSION via IRLS (the classifier class "
+    "of in-engine ML, op §2.10-adjacent like k-means/PageRank/OLS): "
+    "P(lang='en') from ln(n_chars) and mean token length. Each Newton "
+    "iteration is ONE aggregation producing the p-weighted normal "
+    "equations (DECIMAL(28,14) sums -> associative, bit-stable) plus a "
+    "driver-side 3x3 Cramer solve — an iteration shuffles 11 numbers "
+    "per partition regardless of table size; converges in <= 25 "
+    "iterations at tol 1e-9 (operators/mlfit.py). The quality-filter "
+    "models of real corpus pipelines are exactly this shape.",
+    tags=("E17",),
+)
+def doc_lang_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import (
+        doc_lang_features,
+        logistic_irls,
+    )
+
+    feats = doc_lang_features(load_table(spark, sf_dir, "documents"))
+    fit = logistic_irls(feats, "y", ["x1", "x2"])
+    return spark.createDataFrame(
+        [
+            (
+                int(fit["n"]),
+                int(fit["n_iter"]),
+                bool(fit["converged"]),
+                float(fit["beta"][0]),
+                float(fit["beta"][1]),
+                float(fit["beta"][2]),
+                float(fit["log_lik"]),
+            )
+        ],
+        "n_docs bigint, n_iter int, converged boolean, beta_icept double,"
+        " beta_logchars double, beta_toklen double, log_lik double",
+    )
