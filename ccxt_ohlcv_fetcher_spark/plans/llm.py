@@ -3052,3 +3052,40 @@ def doc_lang_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, n_iter int, converged boolean, beta_icept double,"
         " beta_logchars double, beta_toklen double, log_lik double",
     )
+
+
+@register(
+    "doc_seeded_shuffle",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)", "epoch0")},
+                      doc_id) AS BIGINT) AS shuffle_pos,
+           doc_id, lang
+    FROM documents
+    ORDER BY shuffle_pos
+    """,
+    doc="Seeded deterministic GLOBAL SHUFFLE (north-star training-prep "
+    "op): the example order a trainer consumes must be decorrelated "
+    "from ingest order yet bit-reproducible across runs, cluster sizes, "
+    "and engines — so the permutation key is the salted md5 hash of the "
+    "doc id ('epoch0'; a new epoch = new salt = fresh independent "
+    "permutation, no data movement decided on the driver). Positions "
+    "come from adaptive_rank_source: one-task window at fixture scale, "
+    "the two-pass range-partitioned global_rank above the row "
+    "threshold — at 100 TB the shuffle is repartitionByRange on the "
+    "hash (balanced by construction: the hash is uniform) with an O(P) "
+    "driver sync, never a single-partition sort.",
+    tags=("E18",),
+)
+def doc_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_rank_source
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_h", md5_long(F.col("doc_id").cast("string"), salt="epoch0")
+    )
+    ranked, _ = adaptive_rank_source(
+        docs, [F.col("_h"), F.col("doc_id")], rank_name="shuffle_pos"
+    )
+    return ranked.select("shuffle_pos", "doc_id", "lang").orderBy(
+        "shuffle_pos"
+    )

@@ -132,6 +132,7 @@ def test_registry_rank_queries_branch_equal(spark, sf_dir, monkeypatch):
         "lineitem_exact_quantiles",
         "order_cumulative_revenue",
         "lineitem_weighted_median",
+        "doc_seeded_shuffle",
     ]
     small = {}
     for n in names:
