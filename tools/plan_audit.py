@@ -123,6 +123,7 @@ def main() -> int:
         "lineitem_exact_quantiles",
         "order_cumulative_revenue",
         "lineitem_weighted_median",
+        "doc_seeded_shuffle",
     }
 
     out: dict[str, dict] = {}
