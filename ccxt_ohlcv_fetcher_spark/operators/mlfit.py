@@ -21,8 +21,6 @@ against an independent numpy IRLS to 1e-6 in tests/test_mlfit.py.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -128,3 +126,83 @@ def doc_lang_features(docs: DataFrame) -> DataFrame:
             / F.size(F.split(F.col("text"), " "))
         ).alias("x2"),
     )
+
+
+def fit_glm(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    family: str = "gaussian",
+    max_iter: int = 25,
+    tol: float = 1e-9,
+    ridge: float = 1e-6,
+) -> dict:
+    """Width-general GLM fit by sufficient-statistic aggregation:
+    ``gaussian`` (identity link — one pass, the OLS normal equations)
+    or ``binomial`` (logit link — IRLS, one aggregation per Newton
+    step). Any feature width: the driver solves a (k+1)x(k+1) system
+    with numpy per step while the cluster only ever shuffles
+    O(k^2) numbers per partition — the same shape at 2 features or
+    200, at 1 GB or 100 TB.
+
+    Same determinism contract as :func:`logistic_irls`: every per-row
+    term is summed as DECIMAL(28,14), so coefficients are
+    bit-identical across partitionings. Returns
+    {beta, n_iter, converged, n} (gaussian: n_iter=1, converged=True).
+    """
+    import numpy as np
+
+    if family not in ("gaussian", "binomial"):
+        raise ValueError(f"unsupported family {family!r}")
+    k = len(feature_cols) + 1
+    y = F.col(label_col).cast("double")
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    dsum14 = lambda c: F.sum(c.cast("decimal(28,14)")).cast(  # noqa: E731
+        "double"
+    )
+
+    def newton_stats(w, r):
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(dsum14(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
+        for i in range(k):
+            aggs.append(dsum14(r * xs[i]).alias(f"g{i}"))
+        aggs.append(F.count(F.lit(1)).alias("n"))
+        row = df.agg(*aggs).collect()[0]
+        a = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                a[i, j] = a[j, i] = row[f"s{i}{j}"]
+        a += ridge * np.eye(k)
+        g = np.array([row[f"g{i}"] for i in range(k)])
+        return a, g, row["n"]
+
+    if family == "gaussian":
+        a, g, n = newton_stats(F.lit(1.0), y)
+        beta = np.linalg.solve(a, g)
+        return {
+            "beta": [float(b) for b in beta],
+            "n_iter": 1,
+            "converged": True,
+            "n": n,
+        }
+    beta = np.zeros(k)
+    n_iter, converged, n = 0, False, 0
+    for n_iter in range(1, max_iter + 1):
+        z = xs[0] * F.lit(float(beta[0]))
+        for bi, xc in zip(beta[1:], xs[1:]):
+            z = z + F.lit(float(bi)) * xc
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        a, g, n = newton_stats(p * (F.lit(1.0) - p), y - p)
+        delta = np.linalg.solve(a, g)
+        beta = beta + delta
+        if float(np.max(np.abs(delta))) < tol:
+            converged = True
+            break
+    return {
+        "beta": [float(b) for b in beta],
+        "n_iter": n_iter,
+        "converged": converged,
+        "n": n,
+    }
