@@ -25,6 +25,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _finite_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Drop rows where any model column is NULL or non-finite. Without
+    this, a null feature (e.g. ln(0) from an empty document) is skipped
+    by the sums it appears in but NOT by count()/s00, so the normal
+    equations describe two different row sets and the fit is silently
+    wrong. Filtering is the GLM-standard complete-case treatment, done
+    once up front so every sufficient statistic sees the same rows."""
+    cond = None
+    for c in cols:
+        d = F.col(c).cast("double")
+        ok = d.isNotNull() & ~F.isnan(d) & (F.abs(d) != float("inf"))
+        cond = ok if cond is None else (cond & ok)
+    return df.filter(cond)
+
+
+#: Abramowitz & Stegun 7.1.26 erf coefficients — the classic rational
+#: approximation (max abs error 1.5e-7), used for the probit link
+#: because Spark SQL ships no erf/normal-CDF builtin. The numpy pin in
+#: tests/test_mlfit.py evaluates the SAME polynomial.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _norm_cdf(z):
+    """Standard normal CDF Phi(z) as a built-in-only Spark column
+    (whole-stage-codegen friendly — no UDF): Phi(z) = (1+erf(z/sqrt2))/2
+    with erf via Horner on the A&S 7.1.26 polynomial over |x|."""
+    x = z * F.lit(0.7071067811865476)
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * ax)
+    poly = F.lit(_ERF_A[4])
+    for c in reversed(_ERF_A[:4]):
+        poly = poly * t + F.lit(c)
+    erf_abs = F.lit(1.0) - poly * t * F.exp(-(ax * ax))
+    erf = F.when(x < 0, -erf_abs).otherwise(erf_abs)
+    return (F.lit(1.0) + erf) * F.lit(0.5)
+
+
 def _solve3(a: list[list[float]], b: list[float]) -> list[float]:
     """Cramer's-rule solve for the 3x3 Newton system (driver-side,
     nanoseconds — the data never leaves the cluster)."""
@@ -62,6 +100,7 @@ def logistic_irls(
     {beta, n_iter, converged, log_lik, n}."""
     if len(feature_cols) != 2:
         raise ValueError("logistic_irls fits exactly 2 features + intercept")
+    df = _finite_rows(df, [label_col, *feature_cols])
     x1, x2 = feature_cols
     y = F.col(label_col).cast("double")
     beta = [0.0, 0.0, 0.0]
@@ -94,6 +133,8 @@ def logistic_irls(
         )
         aggs.append(F.count(F.lit(1)).alias("n"))
         row = df.agg(*aggs).collect()[0]
+        if not row["n"]:
+            raise ValueError("logistic_irls: no finite-featured rows")
         a = [[0.0] * 3 for _ in range(3)]
         for i in range(3):
             for j in range(i, 3):
@@ -138,12 +179,20 @@ def fit_glm(
     ridge: float = 1e-6,
 ) -> dict:
     """Width-general GLM fit by sufficient-statistic aggregation:
-    ``gaussian`` (identity link — one pass, the OLS normal equations)
-    or ``binomial`` (logit link — IRLS, one aggregation per Newton
-    step). Any feature width: the driver solves a (k+1)x(k+1) system
-    with numpy per step while the cluster only ever shuffles
-    O(k^2) numbers per partition — the same shape at 2 features or
-    200, at 1 GB or 100 TB.
+    ``gaussian`` (identity link — one pass, the OLS normal equations),
+    ``binomial`` (logit link), ``poisson`` (log link) or ``probit``
+    (normal-CDF link) — the last three via IRLS/Fisher scoring, one
+    aggregation per Newton step. Any feature width: the driver solves
+    a (k+1)x(k+1) system with numpy per step while the cluster only
+    ever shuffles O(k^2) numbers per partition — the same shape at 2
+    features or 200, at 1 GB or 100 TB.
+
+    Probit uses the Abramowitz & Stegun 7.1.26 rational erf
+    approximation for the normal CDF (Spark ships no erf builtin; max
+    abs error 1.5e-7 in Phi). tests/test_mlfit.py pins the distributed
+    fit against a numpy IRLS using the SAME formula, so the pin
+    certifies the aggregation, and the approximation itself is the
+    documented contract.
 
     Same determinism contract as :func:`logistic_irls`: every per-row
     term is summed as DECIMAL(28,14), so coefficients are
@@ -152,8 +201,9 @@ def fit_glm(
     """
     import numpy as np
 
-    if family not in ("gaussian", "binomial"):
+    if family not in ("gaussian", "binomial", "poisson", "probit"):
         raise ValueError(f"unsupported family {family!r}")
+    df = _finite_rows(df, [label_col, *feature_cols])
     k = len(feature_cols) + 1
     y = F.col(label_col).cast("double")
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
@@ -170,6 +220,8 @@ def fit_glm(
             aggs.append(dsum14(r * xs[i]).alias(f"g{i}"))
         aggs.append(F.count(F.lit(1)).alias("n"))
         row = df.agg(*aggs).collect()[0]
+        if not row["n"]:
+            raise ValueError("fit_glm: no finite-featured rows")
         a = np.zeros((k, k))
         for i in range(k):
             for j in range(i, k):
@@ -188,13 +240,38 @@ def fit_glm(
             "n": n,
         }
     beta = np.zeros(k)
+    if family == "poisson":
+        # standard GLM warm start: intercept-only model, b0 = ln(ybar)
+        # (one extra decimal-sum agg, saves ~half the Newton steps —
+        # each step is a full aggregation job, so this is a net win).
+        # The pin in tests/test_mlfit.py uses the same start.
+        r0 = df.agg(
+            dsum14(y).alias("sy"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if not r0["n"]:
+            raise ValueError("fit_glm: no finite-featured rows")
+        beta[0] = float(np.log(max(r0["sy"] / r0["n"], 1e-12)))
     n_iter, converged, n = 0, False, 0
     for n_iter in range(1, max_iter + 1):
         z = xs[0] * F.lit(float(beta[0]))
         for bi, xc in zip(beta[1:], xs[1:]):
             z = z + F.lit(float(bi)) * xc
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        a, g, n = newton_stats(p * (F.lit(1.0) - p), y - p)
+        if family == "binomial":
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            w, r = p * (F.lit(1.0) - p), y - p
+        elif family == "poisson":
+            # log link: mu = exp(z), Hessian weight = mu, score = y-mu.
+            # z clamped at +-30 (mu in [1e-13, 1e13]) so a divergent
+            # early step can't overflow the DECIMAL(28,14) sums — the
+            # standard IRLS safeguard; converged fits sit far inside.
+            mu = F.exp(F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0)))
+            w, r = mu, y - mu
+        else:  # probit — Fisher scoring with the A&S 7.1.26 erf
+            p = _norm_cdf(z)
+            d = F.exp(z * z * F.lit(-0.5)) * F.lit(0.3989422804014327)
+            v = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-12))
+            w, r = d * d / v, (y - p) * d / v
+        a, g, n = newton_stats(w, r)
         delta = np.linalg.solve(a, g)
         beta = beta + delta
         if float(np.max(np.abs(delta))) < tol:

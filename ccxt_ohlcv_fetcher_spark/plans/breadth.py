@@ -1364,3 +1364,56 @@ def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_disc_usd"
         ),
     )
+
+
+@register(
+    "customer_order_counts_poisson",
+    oracle=None,  # iterative Fisher scoring — not SQL-expressible; the
+    # coefficients are pinned against an independent numpy IRLS on the
+    # identical feature projection (tests/test_mlfit.py) at 2 AND 3
+    # features, and DECIMAL(28,14) sums make them bit-deterministic
+    doc="Distributed POISSON REGRESSION (GLM log link) via IRLS "
+    "aggregation — the count-model member of the in-engine ML family "
+    "(OLS one-pass, binomial/probit IRLS in operators/mlfit.py): "
+    "per-customer order count (0 for the never-ordered third, via "
+    "left-join + coalesce) modeled on account balance and BUILDING "
+    "segment membership. Each Newton step is ONE aggregation shipping "
+    "the mu-weighted (k+1)^2 normal-equation sums per partition plus a "
+    "driver numpy solve; no collect of data, no UDF — the same shape "
+    "at 100 TB. The working response is clamped at |z|<=30 so a "
+    "divergent early step cannot overflow the decimal sums.",
+    tags=("E17",),
+)
+def customer_order_counts_poisson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    feats = cust.join(
+        cnt, cust["c_custkey"] == cnt["o_custkey"], "left"
+    ).select(
+        F.coalesce("n_orders", F.lit(0)).cast("double").alias("y"),
+        (F.col("c_acctbal") / 1000.0).alias("x1"),
+        (F.col("c_mktsegment") == "BUILDING").cast("double").alias("x2"),
+    )
+    fit = fit_glm(feats, "y", ["x1", "x2"], family="poisson")
+    return spark.createDataFrame(
+        [
+            (
+                int(fit["n"]),
+                int(fit["n_iter"]),
+                bool(fit["converged"]),
+                round(float(fit["beta"][0]), 10),
+                round(float(fit["beta"][1]), 10),
+                round(float(fit["beta"][2]), 10),
+            )
+        ],
+        "n_customers bigint, n_iter int, converged boolean,"
+        " beta_icept double, beta_acctbal double, beta_building double",
+    )

@@ -100,3 +100,145 @@ def test_fit_glm_binomial_equals_logistic_irls(spark, sf_dir):
     assert a["n_iter"] == b["n_iter"] and a["converged"] and b["converged"]
     for x, y_ in zip(a["beta"], b["beta"]):
         assert abs(x - y_) < 1e-9 * max(1.0, abs(x))
+
+
+def _numpy_glm_irls(X, y, family, max_iter=25, tol=1e-9, ridge=1e-6):
+    """Independent IRLS with the SAME link formulas the Spark side
+    documents (incl. the A&S 7.1.26 erf for probit) — pins the
+    distributed aggregation, which is what the operator claims."""
+
+    def erf(x):
+        p, a = 0.3275911, (
+            0.254829592, -0.284496736, 1.421413741,
+            -1.453152027, 1.061405429,
+        )
+        ax = np.abs(x)
+        t = 1.0 / (1.0 + p * ax)
+        poly = a[4]
+        for c in reversed(a[:4]):
+            poly = poly * t + c
+        return np.sign(x) * (1.0 - poly * t * np.exp(-ax * ax))
+
+    beta = np.zeros(X.shape[1])
+    if family == "poisson":
+        beta[0] = np.log(max(y.mean(), 1e-12))
+    for it in range(1, max_iter + 1):
+        z = X @ beta
+        if family == "binomial":
+            pr = 1.0 / (1.0 + np.exp(-z))
+            w, r = pr * (1 - pr), y - pr
+        elif family == "poisson":
+            mu = np.exp(np.clip(z, -30.0, 30.0))
+            w, r = mu, y - mu
+        else:  # probit
+            pr = 0.5 * (1.0 + erf(z * 0.7071067811865476))
+            d = 0.3989422804014327 * np.exp(-0.5 * z * z)
+            v = np.maximum(pr * (1 - pr), 1e-12)
+            w, r = d * d / v, (y - pr) * d / v
+        a = (X * w[:, None]).T @ X + ridge * np.eye(X.shape[1])
+        delta = np.linalg.solve(a, X.T @ r)
+        beta = beta + delta
+        if np.max(np.abs(delta)) < tol:
+            return beta, it, True
+    return beta, max_iter, False
+
+
+def _cust_count_feats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(
+        cnt, cust["c_custkey"] == cnt["o_custkey"], "left"
+    ).select(
+        F.coalesce("n_orders", F.lit(0)).cast("double").alias("y"),
+        (F.col("c_acctbal") / 1000.0).alias("x1"),
+        (F.col("c_mktsegment") == "BUILDING").cast("double").alias("x2"),
+        (F.col("c_nationkey") / 10.0).alias("x3"),
+    )
+
+
+def test_fit_glm_poisson_matches_numpy_2_and_3_features(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    feats = _cust_count_feats(spark, sf_dir)
+    pdf = feats.toPandas()
+    y = pdf.y.to_numpy()
+    for cols in (["x1", "x2"], ["x1", "x2", "x3"]):
+        fit = fit_glm(feats, "y", cols, family="poisson")
+        X = np.column_stack(
+            [np.ones(len(pdf))] + [pdf[c].to_numpy() for c in cols]
+        )
+        beta_np, it_np, conv_np = _numpy_glm_irls(X, y, "poisson")
+        assert fit["converged"] and conv_np
+        for got, want in zip(fit["beta"], beta_np):
+            assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (
+                cols, fit["beta"], beta_np.tolist(),
+            )
+    # the count model must see a positive mean rate: intercept near
+    # ln(mean orders per customer), materially > 0
+    assert fit["beta"][0] > 0.5
+
+
+def test_fit_glm_probit_matches_numpy(spark, sf_dir):
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    feats = doc_lang_features(load_table(spark, sf_dir, "documents"))
+    fit = fit_glm(feats, "y", ["x1", "x2"], family="probit")
+    pdf = feats.dropna().toPandas()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    beta_np, it_np, conv_np = _numpy_glm_irls(
+        X, pdf.y.to_numpy().astype(float), "probit"
+    )
+    assert fit["converged"] and conv_np
+    for got, want in zip(fit["beta"], beta_np):
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (
+            fit["beta"], beta_np.tolist(),
+        )
+    # probit and logit agree on direction (scaled ~1.6x apart)
+    logit = logistic_irls(feats, "y", ["x1", "x2"])
+    assert np.sign(fit["beta"][1]) == np.sign(logit["beta"][1])
+
+
+def test_glm_skips_null_and_nonfinite_feature_rows(spark, sf_dir):
+    """A null/NaN feature row (e.g. ln(0) from an empty doc) must be
+    complete-case-filtered — previously it was skipped by the x-sums
+    but still counted by s00/count, silently skewing the fit."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    feats = doc_lang_features(load_table(spark, sf_dir, "documents"))
+    poisoned = feats.unionByName(
+        spark.createDataFrame(
+            [(1, None, 4.0), (0, float("nan"), 4.0),
+             (1, float("inf"), 4.0)],
+            "y int, x1 double, x2 double",
+        )
+    )
+    clean = logistic_irls(feats, "y", ["x1", "x2"])
+    noisy = logistic_irls(poisoned, "y", ["x1", "x2"])
+    assert clean["beta"] == noisy["beta"]
+    assert clean["n"] == noisy["n"]
+    g_clean = fit_glm(feats, "y", ["x1", "x2"], family="binomial")
+    g_noisy = fit_glm(poisoned, "y", ["x1", "x2"], family="binomial")
+    assert g_clean["beta"] == g_noisy["beta"]
+
+
+def test_glm_empty_input_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    empty = spark.createDataFrame([], "y double, x1 double, x2 double")
+    with pytest.raises(ValueError, match="no finite-featured rows"):
+        logistic_irls(empty, "y", ["x1", "x2"])
+    with pytest.raises(ValueError, match="no finite-featured rows"):
+        fit_glm(empty, "y", ["x1", "x2"], family="poisson")
+    with pytest.raises(ValueError, match="no finite-featured rows"):
+        fit_glm(empty, "y", ["x1", "x2"], family="gaussian")
