@@ -412,7 +412,7 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="time-travel: pin the `candles` view to this snapshot "
-        "version (needs --snapshot-log)",
+        "version (not available with --plain-parquet)",
     )
     sq.add_argument("--format", choices=["csv", "json"], default="csv")
     sq.add_argument(

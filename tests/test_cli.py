@@ -734,3 +734,16 @@ def test_restore_subcommand(spark, tmp_path, capsys):
     assert main(["restore", "--data-dir", data_dir, "--version", "2"]) == 0
     assert "version=4" in capsys.readouterr().out
     assert ds.read().count() == 9
+
+
+def test_sql_version_help_matches_gating():
+    """Verdict r9 doc fix: the gating was corrected in r7 to key on the
+    --plain-parquet opt-out, but the help text still said 'needs
+    --snapshot-log'. The help must describe the actual rule."""
+    parser = build_parser()
+    sub = next(
+        a for a in parser._subparsers._group_actions
+    ).choices["sql"]
+    help_text = sub.format_help()
+    assert "not available with --plain-parquet" in help_text
+    assert "needs --snapshot-log" not in help_text
