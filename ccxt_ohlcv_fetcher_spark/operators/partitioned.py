@@ -58,6 +58,14 @@ def partitioned_events_with_dim(
     like the other layout builders (bucketed/ANN indexes)."""
     key = (id(spark), sf_dir)
     paths = _MEMO.get(key)
+    if paths is not None and not all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths
+    ):
+        # id(spark) can be REUSED after a session is gc'd, and /tmp can
+        # be cleaned mid-process — a memo hit is only valid if the
+        # layout is still on disk (bucketed.py guards its memo with
+        # catalog.tableExists; this is the parquet-path equivalent)
+        paths = None
     if paths is None:
         digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         fact_path = os.path.join(base_dir, f"events_{digest}")

@@ -420,6 +420,23 @@ def build_ivfpq_index(
     )
 
     assert dim % m == 0
+    # REBUILD protection (ADVICE r9): mode("overwrite") wipes the whole
+    # index path — including the previous _meta — before the new one is
+    # staged, so a crash anywhere in the rebuild used to permanently
+    # delete the only copy of the codebooks. Rename the old _meta aside
+    # to a SIBLING of the index dir (inside it would be wiped too)
+    # before touching data; drop the backup only after the new _meta is
+    # fully in place. A crash mid-rebuild then always leaves a complete
+    # meta on disk (recoverable), never garbage at the read path.
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid2
+
+    target = path.rstrip("/") + "/_meta"
+    old = None
+    if _os.path.isdir(target):
+        old = path.rstrip("/") + f"._meta_old_{_uuid2.uuid4().hex[:12]}"
+        _os.rename(target, old)
     sub = dim // m
     spark = corpus.sparkSession
     cseeds = (
@@ -458,16 +475,11 @@ def build_ivfpq_index(
     # fail loud on the missing _meta instead of decoding garbage (same
     # fix class as the logged-OPQ sidecar; underscore prefix keeps the
     # staging dir out of the data read's partition discovery)
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid2
-
     tmp = path.rstrip("/") + f"/_meta_staging_{_uuid2.uuid4().hex[:12]}"
     cb_row.write.mode("overwrite").parquet(tmp)
-    target = path.rstrip("/") + "/_meta"
-    if _os.path.isdir(target):
-        _shutil.rmtree(target)
     _os.rename(tmp, target)
+    if old is not None:
+        _shutil.rmtree(old, ignore_errors=True)
     return n_cells
 
 

@@ -1675,3 +1675,116 @@ def test_truncated_rerank_recall_and_selfmatch(spark, sf_dir):
         assert approx[pair] == exact[pair], "rerank must use full vectors"
     self_pairs = {(q, q) for q, _ in exact if (q, q) in exact}
     assert self_pairs <= approx.keys()
+
+
+def test_ivfpq_rebuild_meta_swap_is_crash_recoverable(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r9: rebuilding an existing index must never destroy the
+    old _meta before the new one is in place — and the destroyer is
+    not just the final swap: mode('overwrite') on the data wipes the
+    whole index path (old _meta included) at the START of the rebuild.
+    The old _meta is therefore renamed aside to a SIBLING of the index
+    dir before any data write: (a) a clean rebuild leaves exactly one
+    _meta and no backup residue; (b) a crash injected at the staging
+    swap (after the data overwrite already wiped the path) leaves the
+    complete old meta on disk in the sibling backup (recoverable),
+    never deleted."""
+    import glob
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators.similarity_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "ivfpq_rebuild")
+    build_ivfpq_index(emb, path, dim=64, n_cells=8, m=8, n_codes=16)
+
+    # (a) clean rebuild: one _meta, no backup residue, queryable
+    build_ivfpq_index(emb, path, dim=64, n_cells=8, m=8, n_codes=16)
+    assert os.path.isdir(os.path.join(path, "_meta"))
+    assert not glob.glob(path + "._meta_old_*")
+    assert query_ivfpq_index(spark, path, queries, k=3, n_probe=4).count() > 0
+    meta_files = set(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(path, "_meta", "*.parquet"))
+    )
+
+    # (b) crash between rename-aside and rename-in: old meta survives
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if os.path.basename(dst) == "_meta" and "_meta_staging_" in src:
+            raise OSError("injected crash before staging swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        build_ivfpq_index(emb, path, dim=64, n_cells=8, m=8, n_codes=16)
+    monkeypatch.undo()
+    survivors = glob.glob(path + "._meta_old_*")
+    assert len(survivors) == 1, "old meta must be renamed aside, not wiped"
+    assert {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(survivors[0], "*.parquet"))
+    } == meta_files, "renamed-aside meta must be the COMPLETE previous meta"
+
+
+def _mrl_embeddings(n=800, dim=64, decay=0.92, seed=42):
+    """Deterministic ANISOTROPIC fixture: per-coordinate std decays
+    geometrically (decay^j on coordinate j), the energy profile
+    Matryoshka-trained embeddings exhibit — the leading prefix carries
+    most of the variance (here the first 32 of 64 coordinates hold
+    99.5% of total variance at decay 0.92). This is the regime funnel
+    retrieval is FOR; the parquet fixture's isotropic Gaussians are its
+    worst case (a prefix is a random projection)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    scales = decay ** np.arange(dim)
+    vecs = rng.standard_normal((n, dim)) * scales
+    return [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+
+
+def test_truncated_rerank_recall_on_anisotropic_fixture(spark):
+    """Round-10 verdict item 4: demonstrate the real MRL win. On a
+    decaying-variance corpus the same operating point that measures
+    0.69 recall on the isotropic fixture (the honest worst case, pinned
+    above) reaches >= 0.95 — the pinned floor documents that funnel
+    recall is a property of the embedding's prefix-variance profile,
+    not of the operator. Self-match and full-precision-rerank
+    invariants hold on both fixtures."""
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import (
+        cosine_topk,
+        truncated_rerank_topk,
+    )
+
+    emb = spark.createDataFrame(
+        _mrl_embeddings(), "vec_id long, embedding array<double>"
+    ).repartition(8)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]): r["score"]
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"]): r["score"]
+        for r in truncated_rerank_topk(
+            emb, queries, k=5, trunc_dim=32, overfetch=4
+        ).collect()
+    }
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    # measured 1.00 at seed 42 / n=800; pin with noise margin
+    assert recall >= 0.95, f"anisotropic funnel recall: {recall}"
+    for pair in exact.keys() & approx.keys():
+        assert approx[pair] == exact[pair]
+    assert {(q, q) for q in range(20)} <= approx.keys()
