@@ -205,9 +205,24 @@ def test_parquet_checkpoint_state_equals_delta_replay(spark, tmp_path):
         os.remove(sp._ckpt_parquet_path(v))
     for v in range(1, head + 1):
         replayed = SnapshotStore(spark, sp.path).manifest(v)
-        assert json.loads(json.dumps(via_ckpt[v])) == replayed, (
+        assert _plain(via_ckpt[v]) == _plain(replayed), (
             f"state diverged at version {v}"
         )
+
+
+def _plain(state: dict) -> dict:
+    """Normalize a reconstructed state for comparison: force the lazy
+    stats mapping (round-10: checkpoint decode defers the stats parse)
+    into a plain dict, drop an empty one (the lazy path attaches the
+    key unconditionally — it cannot know emptiness without forcing;
+    the eager path omits it), then JSON-round-trip to canonical
+    containers."""
+    out = {
+        k: (dict(v) if k == "stats" else v) for k, v in state.items()
+    }
+    if not out.get("stats"):
+        out.pop("stats", None)
+    return json.loads(json.dumps(out))
 
 
 def test_parquet_checkpoint_read_transparent(spark, tmp_path):
@@ -296,3 +311,120 @@ def test_corrupt_checkpoint_only_lengthens_the_walk(spark, tmp_path, fmt):
     assert fresh.last_head_read["checkpoint"] == 5
     assert fresh.last_head_read["tail_manifests"] == 7
     assert fresh.read().count() == 12
+
+
+def test_checkpoint_write_failure_never_escapes_append(spark, tmp_path):
+    """ADVICE r9 (medium): _write_checkpoint is best-effort, but only
+    OSError was caught — the parquet path raises ValueError/TypeError
+    through pyarrow, which then propagated out of append() AFTER the
+    commit manifest existed. Any checkpoint-write exception must be
+    swallowed; the commit stands and readers just walk a longer delta
+    tail."""
+    import ccxt_ohlcv_fetcher_spark.operators.snapshots as snap
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), checkpoint_interval=2,
+        checkpoint_format="parquet",
+    )
+    store.append(_one(spark, 0))
+    orig = snap._ckpt_write_parquet
+
+    def boom(state, path):
+        raise ValueError("injected pyarrow-style failure")
+
+    snap._ckpt_write_parquet = boom
+    try:
+        # lands exactly on the checkpoint cadence — must still commit
+        assert store.append(_one(spark, 1)) == 2
+    finally:
+        snap._ckpt_write_parquet = orig
+    assert store.read().count() == 2
+    assert not os.path.exists(store._ckpt_parquet_path(2))
+    # next cadence point checkpoints normally again
+    store.append(_one(spark, 2))
+    assert store.append(_one(spark, 3)) == 4
+    assert os.path.exists(store._ckpt_parquet_path(4))
+
+
+def test_prune_log_refuses_to_delete_without_readable_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium), the dangerous half: vacuum(prune_log=True)
+    pins a checkpoint at the retention boundary, but if that
+    best-effort write silently fails, deleting the pre-window delta
+    manifests would leave every retained version unreconstructable.
+    The prune must re-verify the checkpoint reads back and SKIP the
+    deletion otherwise."""
+    import ccxt_ohlcv_fetcher_spark.operators.snapshots as snap
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), checkpoint_interval=1000,
+        checkpoint_format="parquet",
+    )
+    for i in range(12):
+        store.append(_one(spark, i))
+    orig = snap._ckpt_write_parquet
+
+    def boom(state, path):
+        raise ValueError("injected failure")
+
+    snap._ckpt_write_parquet = boom
+    try:
+        store.vacuum(retain_versions=5, min_age_seconds=0, prune_log=True)
+    finally:
+        snap._ckpt_write_parquet = orig
+    # no manifest was deleted: every version still reconstructs
+    fresh = SnapshotStore(spark, store.path)
+    assert fresh.read().count() == 12
+    assert fresh.read(version=8).count() == 8
+    assert fresh.manifest(1)["version"] == 1
+    # and a later healthy vacuum completes the prune
+    store.vacuum(retain_versions=5, min_age_seconds=0, prune_log=True)
+    fresh2 = SnapshotStore(spark, store.path)
+    assert fresh2.read().count() == 12
+    with pytest.raises(FileNotFoundError):
+        fresh2.manifest(3)
+
+
+def test_head_read_list_only_never_forces_stats_parse(spark, tmp_path):
+    """Round-10 verdict item 1: a head read that only lists files must
+    not materialize the per-file stats dicts (~6 s per million files,
+    in BOTH checkpoint formats). The checkpoint decode hands back a
+    lazy mapping; the delta-tail replay derives views without forcing;
+    only a consumer that actually touches stats (pruned read,
+    checkpoint write, partial compact) pays the parse."""
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import _LazyStats
+
+    for fmt in ("parquet", "json"):
+        store = SnapshotStore(
+            spark, str(tmp_path / f"t_{fmt}"), stats_cols=["v"],
+            checkpoint_interval=5, checkpoint_format=fmt,
+        )
+        for i in range(12):
+            store.append(_one(spark, i))
+        fresh = SnapshotStore(
+            spark, store.path, stats_cols=["v"], checkpoint_interval=5
+        )
+        assert fresh.read().count() == 12, fmt
+        assert fresh.last_head_read["checkpoint"] == 10
+        state = fresh._state_cache[12]
+        lazy = state["stats"]
+        assert isinstance(lazy, _LazyStats), fmt
+        assert lazy._dict is None, (
+            f"{fmt}: list-only head read forced the stats parse"
+        )
+        # a pruning call consults stats: the same cached state now
+        # forces, and the pruned file set is still exact
+        assert len(fresh.pruned_files({"v": (3, 3)})) == 1, fmt
+        assert lazy._dict is not None, fmt
+        # forced content == a pure-delta-replay reconstruction's stats
+        for v in range(1, 13):
+            for p in (
+                store._ckpt_parquet_path(v), store._ckpt_path(v),
+            ):
+                if os.path.exists(p):
+                    os.remove(p)
+        replay = SnapshotStore(
+            spark, store.path, checkpoint_interval=10**9
+        ).manifest(12)
+        assert dict(lazy.items()) == dict(replay["stats"]), fmt

@@ -2,8 +2,15 @@
 synthetic file count far beyond the fixtures (the regime wishlist r8 #5
 targets — millions of files per checkpoint read at 100 TB).
 
+Round-10 shape (verdict item 1): both formats now decode stats LAZILY —
+a head read that only lists files skips materializing the per-file
+stats dicts entirely (that allocation, ~6 s/M files, dominated both
+formats' decode). This bench therefore times three phases per format:
+write, list-only read (decode + touch files, never stats), and the
+stats force (what a pruning read additionally pays).
+
 Run: PYTHONPATH=/root/repo python tools/ckpt_format_bench.py [n_files]
-Prints one JSON line per (format, op) with wall seconds and bytes.
+Prints one JSON line with wall seconds and bytes.
 No Spark session needed — the checkpoint codec is pure driver code.
 """
 
@@ -14,8 +21,10 @@ import tempfile
 import time
 
 from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+    _LazyStats,
     _ckpt_read_parquet,
     _ckpt_write_parquet,
+    _fastjson,
 )
 
 
@@ -44,30 +53,81 @@ def synth_state(n_files: int) -> dict:
     }
 
 
+def _write_json_blob(state: dict, path: str) -> None:
+    """The store's JSON checkpoint shape (stats as one pre-joined blob
+    of pre-keyed fragments — see SnapshotStore._write_checkpoint)."""
+    doc = {k: v for k, v in state.items() if k != "stats"}
+    stats = state.get("stats", {})
+    if stats:
+        doc["stats_blob"] = ",".join(
+            f"{json.dumps(f)}:{json.dumps(s)}" for f, s in stats.items()
+        )
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+
+
+def _read_json_blob(path: str) -> dict:
+    with open(path, "rb") as fh:
+        doc = _fastjson.loads(fh.read())
+    blob = doc.pop("stats_blob", None)
+    if blob:
+        doc["stats"] = _LazyStats(
+            thunk=lambda: _fastjson.loads("{" + blob + "}")
+        )
+    return doc
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     state = synth_state(n)
     out = {"n_files": n}
     with tempfile.TemporaryDirectory() as d:
         jp = os.path.join(d, "ckpt.json")
+        jl = os.path.join(d, "ckpt_legacy.json")
         pp = os.path.join(d, "ckpt.parquet")
+
         t0 = time.perf_counter()
-        with open(jp, "w") as fh:
-            json.dump(state, fh)
+        _write_json_blob(state, jp)
         out["json_write_s"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         _ckpt_write_parquet(state, pp)
         out["parquet_write_s"] = round(time.perf_counter() - t0, 4)
+        # the pre-blob monolithic format, for the trajectory record
+        t0 = time.perf_counter()
+        with open(jl, "w") as fh:
+            json.dump(state, fh)
+        out["json_legacy_write_s"] = round(time.perf_counter() - t0, 4)
         out["json_bytes"] = os.path.getsize(jp)
         out["parquet_bytes"] = os.path.getsize(pp)
+        out["json_legacy_bytes"] = os.path.getsize(jl)
+
+        # list-only read: decode + touch the file list, never stats —
+        # the common head read when no pruning predicate is given
         t0 = time.perf_counter()
-        with open(jp) as fh:
-            sj = json.load(fh)
-        out["json_read_s"] = round(time.perf_counter() - t0, 4)
+        sj = _read_json_blob(jp)
+        assert len(sj["files"]) == n
+        out["json_read_list_s"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         sp = _ckpt_read_parquet(pp)
-        out["parquet_read_s"] = round(time.perf_counter() - t0, 4)
-        assert sp == json.loads(json.dumps(sj)) == sp
+        assert len(sp["files"]) == n
+        out["parquet_read_list_s"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        with open(jl, "rb") as fh:
+            sl = _fastjson.loads(fh.read())
+        assert len(sl["files"]) == n
+        out["json_legacy_read_s"] = round(time.perf_counter() - t0, 4)
+
+        # the stats force — what a pruning read additionally pays
+        t0 = time.perf_counter()
+        n_stats_j = len(sj["stats"])
+        out["json_stats_force_s"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        n_stats_p = len(sp["stats"])
+        out["parquet_stats_force_s"] = round(time.perf_counter() - t0, 4)
+        assert n_stats_j == n_stats_p == n
+
+        # full-state equality across all three paths (forces included)
+        assert sp == sj == sl
     print(json.dumps(out))
 
 
