@@ -1,0 +1,201 @@
+"""Snapshot-logged BUCKETED tables: the write-once pre-shuffle of
+``operators/bucketed.py`` as a durable, governed artifact (round-9
+verdict item 2).
+
+``operators/bucketed.py`` demonstrates the layout through per-session
+catalog tables under /tmp — the zero-exchange plans are real but the
+artifact is ephemeral and ungoverned. This module puts the SAME layout
+on the snapshot log: every commit's data files are written through
+Spark's ``bucketBy`` writer (bucket id in the file name, Spark's
+murmur3-pmod routing), the bucket key + count live in the MANIFEST
+(``bucket_spec``, carried across versions like the schema), and reads
+resolve a snapshot-exact file set that Spark still recognizes as
+hash-partitioned — so the shuffle-free sort-merge joins and per-key
+aggregations now come from a table with ACID commits, time travel,
+stats pruning, and retention.
+
+How the read keeps the bucketing: Spark only trusts bucket layout via
+the catalog, and a catalog table scans a DIRECTORY — while snapshot
+isolation needs exactly the manifest's files. The bridge is a
+per-version VIEW DIRECTORY of hardlinks (``_views/v{N}/`` under the
+table root): link the manifest's files (bucket ids ride the preserved
+basenames), register an external ``CLUSTERED BY`` table over it once,
+and every read of that version is both snapshot-exact AND
+zero-exchange. Hardlinks cost no data copy; the view dir is built
+atomically (staging + rename) and memoized per (path, version).
+
+Append / rebuild equivalence: because ``_write_stage_files`` routes
+every commit through the same ``repartition(n, key) + bucketBy(n,
+key)`` writer, an append adds at most one file per bucket and the
+bucket assignment of every row is identical to a from-scratch rebuild
+— the plans stay exchange-free with multiple files per bucket (Spark
+unions same-bucket files into one partition; only the scan-side sort
+elimination needs the one-file-per-bucket build, which compact()
+restores). Pinned in tests/test_bucketed.py.
+
+Provenance: the reference's per-symbol SQLite files
+(ccxt-ohlcv-fetch.py:134-138) are the degenerate co-locate-by-key
+layout; this is that idea with Spark's hash buckets + a Delta-style
+commit log around it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+
+class BucketedSnapshotStore(SnapshotStore):
+    """A SnapshotStore whose physical layout is hash-bucketed on a
+    declared key. All log semantics (CAS commits, txn idempotency,
+    constraints, stats/bloom pruning, time travel, vacuum) are
+    inherited; only the data-file writer and the read surface change.
+
+    ``bucket_col``/``n_buckets`` may be omitted when opening an
+    existing table — they are recovered from the manifest's
+    ``bucket_spec``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_col: str | None = None,
+        n_buckets: int | None = None,
+        **kwargs,
+    ):
+        super().__init__(spark, path, **kwargs)
+        spec = self.manifest().get("bucket_spec") if bucket_col is None else None
+        if bucket_col is None:
+            if not spec:
+                raise ValueError(
+                    "new bucketed table needs bucket_col + n_buckets; "
+                    "existing tables carry them in the manifest"
+                )
+            bucket_col, n_buckets = spec["col"], spec["n"]
+        self.bucket_col = bucket_col
+        self.n_buckets = int(n_buckets or 8)
+        # stamped into the next commit's delta iff it differs from the
+        # carried spec (first commit, or an explicit re-bucket)
+        self._pending_bucket_spec = {
+            "col": self.bucket_col, "n": self.n_buckets,
+        }
+
+    # --- write side --------------------------------------------------------
+
+    def _write_stage_files(self, df: DataFrame, commit_dir: str) -> None:
+        """Every commit goes through the bucketBy writer: the bucket id
+        is encoded in each file name (``..._00007.c000...``), which is
+        what the read-side external table uses to map files to buckets.
+        ``repartition(n, col)`` uses the same murmur3-pmod routing as
+        the bucket assignment, so each task holds exactly one bucket
+        and a commit writes at most one file per bucket."""
+        tmp = f"_bktlog_stage_{uuid.uuid4().hex[:12]}"
+        (
+            df.repartition(self.n_buckets, F.col(self.bucket_col))
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("path", commit_dir)
+            .bucketBy(self.n_buckets, self.bucket_col)
+            .sortBy(self.bucket_col)
+            .saveAsTable(tmp)
+        )
+        # external table (explicit path): DROP unregisters, files stay
+        self.spark.sql(f"DROP TABLE {tmp}")
+
+    # --- read side ---------------------------------------------------------
+
+    def _view_dir(self, version: int) -> str:
+        """Materialize (once) the snapshot-exact hardlink farm for
+        ``version``. Atomic: links land in a staging dir, then one
+        rename; a loser of a concurrent race just reuses the winner's
+        dir. Basenames are unique across commits (the bucketBy writer
+        embeds a per-job uuid), so a flat dir never collides."""
+        vd = os.path.join(self.path, "_views", f"v{version:08d}")
+        if os.path.isdir(vd):
+            return vd
+        m = self.manifest(version)
+        staging = f"{vd}.staging-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging)
+        for rel in m["files"]:
+            src = os.path.join(self.path, rel)
+            os.link(src, os.path.join(staging, os.path.basename(rel)))
+        try:
+            os.rename(staging, vd)
+        except OSError:  # concurrent builder won; theirs is complete
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+        return vd
+
+    def read_bucketed(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated read whose scan reports
+        ``HashPartitioning(bucket_col, n_buckets)`` — joins and
+        aggregations on the bucket key plan with ZERO exchanges on
+        this side, at ANY version (time travel keeps the layout: old
+        files were bucketed by the same spec the old manifest
+        carries).
+
+        Deletion-vector reads fall back to the generic path (the
+        anti-join output partitioning is not the scan's); bucketed
+        tables here are the append/compact/overwrite family."""
+        m = self.manifest(version)
+        if m.get("dvs"):
+            return self.read(version)
+        spec = m.get("bucket_spec") or {
+            "col": self.bucket_col, "n": self.n_buckets,
+        }
+        if not m["files"]:
+            return self.read(version)
+        vd = self._view_dir(m["version"])
+        digest = hashlib.md5(
+            f"{os.path.abspath(self.path)}|{m['version']}".encode()
+        ).hexdigest()[:10]
+        name = f"bktlog_{digest}"
+        if not self.spark.catalog.tableExists(name):
+            ddl = self._ddl(m["schema"])
+            self.spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{spec['col']}`) "
+                f"SORTED BY (`{spec['col']}`) "
+                f"INTO {spec['n']} BUCKETS LOCATION '{vd}'"
+            )
+        return self.spark.table(name)
+
+
+# (abs sf_dir, table, col, n) -> store path; cross-checked against the
+# on-disk log so a cleaned /tmp or recycled session id rebuilds
+# (the partitioned.py memo lesson, ADVICE r9)
+_MEMO: dict[tuple, str] = {}
+
+
+def logged_bucketed_view(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    base_dir: str = "/tmp/spark_graft_bucketed_log",
+) -> DataFrame:
+    """Build-once/query-many surface for the registry queries: the
+    fixture table as a snapshot-LOGGED bucketed table (one initial
+    commit), read back snapshot-exact with the bucket layout intact."""
+    key = (os.path.abspath(sf_dir), table, bucket_col, n_buckets)
+    path = _MEMO.get(key)
+    if path is None or not os.path.isdir(os.path.join(path, "_manifests")):
+        digest = hashlib.md5("|".join(map(str, key)).encode()).hexdigest()[:10]
+        path = os.path.join(base_dir, f"{table}_{digest}")
+        if not os.path.isdir(os.path.join(path, "_manifests")):
+            from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+            store = BucketedSnapshotStore(
+                spark, path, bucket_col=bucket_col, n_buckets=n_buckets
+            )
+            store.append(load_table(spark, sf_dir, table))
+        _MEMO[key] = path
+    return BucketedSnapshotStore(spark, path).read_bucketed()

@@ -428,23 +428,29 @@ def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
-    doc="Shuffle-free co-located join via BUCKETED tables (op E5 at its "
-    "100 TB shape): orders and customer are written once as catalog "
-    "bucketed tables (bucketBy 8 on the join key, operators/bucketed.py) "
-    "so the scan itself carries HashPartitioning and the sort-merge join "
-    "needs NO Exchange on either side — the per-query shuffle that "
-    "dominates repeated fact-table joins at scale is paid once at write "
-    "time. The only shuffle left is the 5-row segment rollup. Plan shape "
-    "pinned (broadcast disabled = the neither-side-fits regime) in "
+    doc="Shuffle-free co-located join via SNAPSHOT-LOGGED bucketed "
+    "tables (op E5 at its 100 TB shape, r10: the layout is now a "
+    "durable governed artifact): orders and customer are written once "
+    "through the bucketBy writer onto a snapshot log (bucket key + "
+    "count in the manifest, operators/bucketed_log.py), and the read "
+    "resolves the manifest's exact files as a CLUSTERED BY external "
+    "table — the scan carries HashPartitioning, so the sort-merge join "
+    "needs NO Exchange on either side; the per-query shuffle that "
+    "dominates repeated fact-table joins at scale is paid once at "
+    "ingest, with ACID commits/time travel/retention around it. The "
+    "only shuffle left is the 5-row segment rollup. Plan shape pinned "
+    "(broadcast disabled = the neither-side-fits regime) in "
     "tests/test_bucketed.py; values strategy-agnostic via this oracle.",
     tags=("E5", "E13"),
 )
 def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.operators.bucketed import bucketed_view
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        logged_bucketed_view,
+    )
     from ccxt_ohlcv_fetcher_spark.plans.registry import dsum
 
-    o = bucketed_view(spark, sf_dir, "orders", "o_custkey", 8)
-    c = bucketed_view(spark, sf_dir, "customer", "c_custkey", 8)
+    o = logged_bucketed_view(spark, sf_dir, "orders", "o_custkey", 8)
+    c = logged_bucketed_view(spark, sf_dir, "customer", "c_custkey", 8)
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -468,19 +474,23 @@ def bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total_spend DESC, o_custkey
     LIMIT 20
     """,
-    doc="ZERO-shuffle aggregation on a bucketed table (op E13 + E22): "
-    "the per-custkey agg runs entirely within buckets (scan partitioning "
-    "already satisfies the distribution) and the top-20 is a "
-    "TakeOrderedAndProject — the whole query executes with no Exchange "
-    "at all, the plan you want when the same per-key rollup runs hourly "
-    "over a 100 TB fact table. Pinned in tests/test_bucketed.py.",
+    doc="ZERO-shuffle aggregation on a SNAPSHOT-LOGGED bucketed table "
+    "(op E13 + E22, r10): the per-custkey agg runs entirely within "
+    "buckets (the logged table's scan partitioning already satisfies "
+    "the distribution) and the top-20 is a TakeOrderedAndProject — the "
+    "whole query executes with no Exchange at all, the plan you want "
+    "when the same per-key rollup runs hourly over a 100 TB fact "
+    "table, now from a governed table with time travel. Pinned in "
+    "tests/test_bucketed.py.",
     tags=("E13", "E22"),
 )
 def bucketed_custkey_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ccxt_ohlcv_fetcher_spark.operators.bucketed import bucketed_view
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        logged_bucketed_view,
+    )
     from ccxt_ohlcv_fetcher_spark.plans.registry import dsum
 
-    o = bucketed_view(spark, sf_dir, "orders", "o_custkey", 8)
+    o = logged_bucketed_view(spark, sf_dir, "orders", "o_custkey", 8)
     return (
         o.groupBy("o_custkey")
         .agg(

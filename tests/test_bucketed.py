@@ -126,3 +126,85 @@ def test_one_file_per_bucket_and_memoized_build(spark, sf_dir):
         os.path.getmtime(p)
         for p in glob.glob(os.path.join(loc, "part-*.parquet"))
     ) == mtimes, "second call must reuse, not rewrite"
+
+
+# --- snapshot-logged bucketed tables (round-10 verdict item 2) -------------
+
+
+def test_logged_bucketed_append_equals_rebuild(
+    spark, sf_dir, tmp_path, no_broadcast
+):
+    """BucketedSnapshotStore: every commit goes through the bucketBy
+    writer, so build-then-append must equal a from-scratch rebuild —
+    same rows, same per-bucket routing — AND the grown (multi-file-
+    per-bucket) table must still plan its key-agg and co-located join
+    with zero pre-join exchanges."""
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    grown = BucketedSnapshotStore(
+        spark, str(tmp_path / "grown"), bucket_col="o_custkey", n_buckets=8
+    )
+    grown.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    grown.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    rebuilt = BucketedSnapshotStore(
+        spark, str(tmp_path / "rebuilt"), bucket_col="o_custkey", n_buckets=8
+    )
+    rebuilt.append(orders)
+    a = grown.read_bucketed()
+    b = rebuilt.read_bucketed()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # same rows per bucket file-set: routing is deterministic murmur3
+    agg = a.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = _initial_plan(agg)
+    assert plan.count("Bucketed: true") == 1 and plan.count("Exchange") == 0
+    join = a.join(b, a.o_custkey == b.o_custkey)
+    jplan = _initial_plan(join.select(a.o_orderkey))
+    assert "SortMergeJoin" in jplan and jplan.count("Exchange") == 0
+
+
+def test_logged_bucketed_manifest_spec_and_time_travel(spark, tmp_path):
+    """The bucket key + count live in the MANIFEST (carried like the
+    schema): a fresh store opens without re-declaring them, and a
+    time-travel read of an old version keeps the bucketed plan."""
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    store.append(spark.range(100).selectExpr("id as k", "id * 2 as v"))
+    store.append(spark.range(100, 200).selectExpr("id as k", "id * 2 as v"))
+    assert store.manifest()["bucket_spec"] == {"col": "k", "n": 4}
+    assert store.manifest(1)["bucket_spec"] == {"col": "k", "n": 4}
+    fresh = BucketedSnapshotStore(spark, store.path)
+    assert (fresh.bucket_col, fresh.n_buckets) == ("k", 4)
+    old = fresh.read_bucketed(version=1)
+    assert old.count() == 100
+    plan = _initial_plan(
+        old.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plan.count("Bucketed: true") == 1 and plan.count("Exchange") == 0
+    # generic snapshot read agrees on values (layout is transparent)
+    assert sorted(map(tuple, fresh.read().collect())) == sorted(
+        map(tuple, fresh.read_bucketed().collect())
+    )
+
+
+def test_logged_bucketed_dv_read_falls_back(spark, tmp_path, no_broadcast):
+    """A deletion-vector version reads through the generic DV-aware
+    path (correctness over layout) — and values reflect the delete."""
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    store.append(spark.range(50).selectExpr("id as k", "id as v"))
+    store.delete_where_dv("k = 7")
+    got = {r["k"] for r in store.read_bucketed().collect()}
+    assert got == set(range(50)) - {7}
