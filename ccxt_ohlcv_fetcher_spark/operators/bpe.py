@@ -235,6 +235,49 @@ def _select_batch(
     return selected
 
 
+def _train_bpe_driver(
+    rows: list, n_merges: int, min_pair_count: int
+) -> tuple[list[tuple[str, str]], list]:
+    """Sequential BPE on the driver for SMALL vocabularies (round-10
+    cold-path cut): the distributed trainer's per-round cost is one
+    Spark job of pure scheduling latency when the word table is tiny —
+    24 merges over the 31-word fixture vocab paid ~6 s of job overhead
+    for milliseconds of work. Same algorithm, same deterministic
+    tie-break (count desc, then lexicographically smallest pair), same
+    early stop — the distributed batched trainer is pinned
+    bit-identical to exactly this sequential definition in
+    tests/test_llm_ops.py, so gating on size changes nothing but
+    latency. Returns (merges, [(word, freq, sym-list), ...])."""
+    vocab = {w: list(w) + [END_OF_WORD] for w, _ in rows}
+    freqs = dict(rows)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, f in freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        if best_cnt < min_pair_count:
+            break
+        a, b = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, [(w, f, vocab[w]) for w, f in rows]
+
+
 def train_bpe(
     word_freqs: DataFrame,
     n_merges: int,
@@ -242,6 +285,7 @@ def train_bpe(
     min_pair_count: int = 2,
     batch_size: int = 8,
     stats: dict | None = None,
+    driver_threshold: int = 65_536,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``n_merges`` merges; returns (merge list, final vocab
     as (word, freq, sym: array<string>)).
@@ -275,7 +319,31 @@ def train_bpe(
     sized = word_freqs.select(
         "word", "freq", char_symbols("word").alias("sym")
     ).localCheckpoint()
-    n_parts = max(1, min(sized.count() // 50_000 + 1, 2_000))
+    n_words = sized.count()
+    if n_words <= driver_threshold:
+        # size-gated driver path (same gate pattern as the rank
+        # primitive): a vocab this small costs O(n_words * n_merges)
+        # driver work — microseconds to low seconds — vs one Spark
+        # job of scheduling latency PER ROUND distributed. The merge
+        # sequence and segmentations are bit-identical by definition
+        # (the distributed path is pinned against this algorithm);
+        # driver_threshold=0 forces the distributed path (scale
+        # benches, equality tests).
+        rows = [
+            (r["word"], r["freq"])
+            for r in sized.select("word", "freq").collect()
+        ]
+        rows.sort()  # deterministic iteration, independent of layout
+        merges, out = _train_bpe_driver(rows, n_merges, min_pair_count)
+        if stats is not None:
+            stats.update(
+                {"rounds": 0, "merges": len(merges), "driver": True}
+            )
+        vocab = word_freqs.sparkSession.createDataFrame(
+            out, "word string, freq bigint, sym array<string>"
+        )
+        return merges, vocab
+    n_parts = max(1, min(n_words // 50_000 + 1, 2_000))
     vocab = sized.repartition(n_parts).localCheckpoint()
     merges: list[tuple[str, str]] = []
     # multi-char symbols in existence: END_OF_WORD plus every merge's

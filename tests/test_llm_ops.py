@@ -1166,7 +1166,11 @@ def test_bpe_matches_reference_implementation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(60)
     wf = word_freq_table(docs)
     freqs = {r["word"]: r["freq"] for r in wf.collect()}
-    merges, vocab = train_bpe(wf, n_merges=12)
+    # driver_threshold=0: this test pins the DISTRIBUTED trainer
+    # against the sequential reference (the r10 size gate would
+    # otherwise serve this small vocab from the driver, making the
+    # comparison trivial)
+    merges, vocab = train_bpe(wf, n_merges=12, driver_threshold=0)
     ref_merges, ref_vocab = _ref_bpe(freqs, n_merges=12)
     assert merges == ref_merges
     got = {r["word"]: tuple(r["sym"]) for r in vocab.collect()}
@@ -1370,8 +1374,12 @@ def test_bpe_batched_training_equals_sequential(spark):
     wf = spark.createDataFrame(rows, "word string, freq long").groupBy(
         "word"
     ).agg(F.sum("freq").alias("freq"))
-    seq_m, seq_v = train_bpe(wf, n_merges=18, batch_size=1)
-    bat_m, bat_v = train_bpe(wf, n_merges=18, batch_size=8)
+    seq_m, seq_v = train_bpe(
+        wf, n_merges=18, batch_size=1, driver_threshold=0
+    )
+    bat_m, bat_v = train_bpe(
+        wf, n_merges=18, batch_size=8, driver_threshold=0
+    )
     assert bat_m == seq_m
     assert {r["word"]: tuple(r["sym"]) for r in bat_v.collect()} == {
         r["word"]: tuple(r["sym"]) for r in seq_v.collect()
@@ -1788,3 +1796,28 @@ def test_truncated_rerank_recall_on_anisotropic_fixture(spark):
     for pair in exact.keys() & approx.keys():
         assert approx[pair] == exact[pair]
     assert {(q, q) for q in range(20)} <= approx.keys()
+
+
+def test_bpe_driver_gate_equals_distributed(spark, sf_dir):
+    """Round-10 cold-path cut: small vocabularies train on the driver
+    (sequential BPE, zero Spark jobs) — the gate must be INVISIBLE:
+    identical merge sequence and identical per-word segmentations vs
+    the forced-distributed trainer, and the stats dict records which
+    path served."""
+    from ccxt_ohlcv_fetcher_spark.operators.bpe import (
+        train_bpe,
+        word_freq_table,
+    )
+
+    wf = word_freq_table(load_table(spark, sf_dir, "documents"))
+    st_d, st_s = {}, {}
+    m_drv, v_drv = train_bpe(wf, n_merges=24, stats=st_d)
+    m_dist, v_dist = train_bpe(
+        wf, n_merges=24, stats=st_s, driver_threshold=0
+    )
+    assert st_d.get("driver") is True and st_d["rounds"] == 0
+    assert "driver" not in st_s and st_s["rounds"] > 0
+    assert m_drv == m_dist
+    assert {r["word"]: tuple(r["sym"]) for r in v_drv.collect()} == {
+        r["word"]: tuple(r["sym"]) for r in v_dist.collect()
+    }

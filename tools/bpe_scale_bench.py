@@ -75,7 +75,10 @@ def main() -> None:
         stats: dict = {}
         t0 = time.time()
         merges, _vocab = train_bpe(
-            wf, n_merges=n, batch_size=batch, stats=stats
+            wf, n_merges=n, batch_size=batch, stats=stats,
+            driver_threshold=0,  # this bench measures the DISTRIBUTED
+            # trainer; the r10 size gate would otherwise serve this
+            # 50k-word lexicon from the driver
         )
         wall = time.time() - t0
         print(
