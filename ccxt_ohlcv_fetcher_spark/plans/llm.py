@@ -3055,6 +3055,48 @@ def doc_lang_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lang_probit",
+    oracle=None,  # iterative Fisher scoring — not SQL-expressible; the
+    # coefficients are pinned against a same-formula numpy IRLS in
+    # tests/test_mlfit.py (incl. the documented A&S erf approximation),
+    # and the decimal-summed statistics are bit-deterministic
+    doc="Distributed PROBIT REGRESSION via Fisher-scoring IRLS "
+    "(operators/mlfit.py fit_glm family='probit'): P(lang='en') under "
+    "the normal-CDF link on the same features as doc_lang_logreg — "
+    "the econometrics-standard counterpart whose coefficients sit "
+    "~1.6x below logit's. The normal CDF is the Abramowitz-Stegun "
+    "7.1.26 erf polynomial evaluated as built-in column arithmetic "
+    "(Spark ships no erf; stays inside whole-stage codegen, no UDF); "
+    "each Newton step is ONE aggregation of the weighted normal "
+    "equations plus a driver numpy solve — O(k^2) numbers per "
+    "partition at any table size.",
+    tags=("E17",),
+)
+def doc_lang_probit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import (
+        doc_lang_features,
+        fit_glm,
+    )
+
+    feats = doc_lang_features(load_table(spark, sf_dir, "documents"))
+    fit = fit_glm(feats, "y", ["x1", "x2"], family="probit")
+    return spark.createDataFrame(
+        [
+            (
+                int(fit["n"]),
+                int(fit["n_iter"]),
+                bool(fit["converged"]),
+                round(float(fit["beta"][0]), 10),
+                round(float(fit["beta"][1]), 10),
+                round(float(fit["beta"][2]), 10),
+            )
+        ],
+        "n_docs bigint, n_iter int, converged boolean, beta_icept double,"
+        " beta_logchars double, beta_toklen double",
+    )
+
+
+@register(
     "doc_seeded_shuffle",
     oracle=f"""
     SELECT CAST(ROW_NUMBER() OVER (

@@ -208,3 +208,34 @@ def test_logged_bucketed_dv_read_falls_back(spark, tmp_path, no_broadcast):
     store.delete_where_dv("k = 7")
     got = {r["k"] for r in store.read_bucketed().collect()}
     assert got == set(range(50)) - {7}
+
+
+def test_logged_bucketed_compact_restores_one_file_per_bucket(
+    spark, tmp_path, no_broadcast
+):
+    """Maintenance keeps the layout: compact() stages through the
+    overridden bucketBy writer, so the small-file cleanup of N appends
+    (N files per bucket) lands exactly one file per bucket again, in
+    one atomic commit — and the zero-exchange plans are untouched."""
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    for lo in (0, 100, 200):
+        store.append(
+            spark.range(lo, lo + 100).selectExpr("id as k", "id * 2 as v")
+        )
+    assert len(store.manifest()["files"]) == 12  # 3 appends x 4 buckets
+    assert store.compact() == 4
+    m = store.manifest()
+    assert len(m["files"]) == 4
+    assert m["bucket_spec"] == {"col": "k", "n": 4}  # carried through
+    df = store.read_bucketed()
+    assert df.count() == 300
+    plan = _initial_plan(
+        df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert plan.count("Bucketed: true") == 1 and plan.count("Exchange") == 0
