@@ -133,6 +133,47 @@ class BucketedSnapshotStore(SnapshotStore):
             shutil.rmtree(staging, ignore_errors=True)
         return vd
 
+    def vacuum(self, *args, **kwargs):
+        """Inherited reclamation, plus bucketed-layout hygiene: view
+        dirs (and their registered catalog tables) for versions whose
+        manifests were pruned are dropped too — their time travel is
+        gone by contract, and a hardlink farm per dead version would
+        otherwise accumulate forever. Hardlinks pin the underlying
+        data inodes, so skipping this would also quietly defeat the
+        data-file reclamation itself."""
+        import glob
+        import shutil
+
+        deleted = super().vacuum(*args, **kwargs)
+        views = os.path.join(self.path, "_views")
+        if os.path.isdir(views):
+            for vd in glob.glob(os.path.join(views, "v*")):
+                base = os.path.basename(vd)
+                if ".staging-" in base:
+                    continue
+                try:
+                    v = int(base[1:])
+                except ValueError:
+                    continue
+                if os.path.exists(self._manifest_path(v)):
+                    continue
+                self._drop_view_table(v)
+                shutil.rmtree(vd, ignore_errors=True)
+        return deleted
+
+    def _view_table_name(self, version: int) -> str:
+        digest = hashlib.md5(
+            f"{os.path.abspath(self.path)}|{version}".encode()
+        ).hexdigest()[:10]
+        return f"bktlog_{digest}"
+
+    def _drop_view_table(self, version: int) -> None:
+        name = self._view_table_name(version)
+        if self.spark.catalog.tableExists(name):
+            # external table: DROP unregisters only; the dir removal
+            # is the caller's job
+            self.spark.sql(f"DROP TABLE {name}")
+
     def read_bucketed(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read whose scan reports
         ``HashPartitioning(bucket_col, n_buckets)`` — joins and
@@ -153,10 +194,7 @@ class BucketedSnapshotStore(SnapshotStore):
         if not m["files"]:
             return self.read(version)
         vd = self._view_dir(m["version"])
-        digest = hashlib.md5(
-            f"{os.path.abspath(self.path)}|{m['version']}".encode()
-        ).hexdigest()[:10]
-        name = f"bktlog_{digest}"
+        name = self._view_table_name(m["version"])
         if not self.spark.catalog.tableExists(name):
             ddl = self._ddl(m["schema"])
             self.spark.sql(
@@ -196,6 +234,12 @@ def logged_bucketed_view(
             store = BucketedSnapshotStore(
                 spark, path, bucket_col=bucket_col, n_buckets=n_buckets
             )
-            store.append(load_table(spark, sf_dir, table))
+            # txn watermark makes the one-time build exactly-once even
+            # across CONCURRENT builder processes racing on the same
+            # path: the loser's append is skipped by the commit log
+            # itself, never double-loading the table
+            store.append(
+                load_table(spark, sf_dir, table), txn=("bucketed_build", 1)
+            )
         _MEMO[key] = path
     return BucketedSnapshotStore(spark, path).read_bucketed()

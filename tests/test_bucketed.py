@@ -239,3 +239,50 @@ def test_logged_bucketed_compact_restores_one_file_per_bucket(
         df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     )
     assert plan.count("Bucketed: true") == 1 and plan.count("Exchange") == 0
+
+
+def test_logged_bucketed_vacuum_prunes_view_dirs_and_tables(
+    spark, tmp_path
+):
+    """Hygiene at scale: view dirs are hardlink farms pinning data
+    inodes — vacuum(prune_log=True) must drop the dirs AND the
+    registered catalog tables of pruned versions (their time travel is
+    gone by contract), while the retained versions' views keep
+    working. The build-once append is txn-stamped, so a re-run of the
+    builder never double-loads."""
+    import glob
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    for lo in range(0, 500, 100):
+        store.append(
+            spark.range(lo, lo + 100).selectExpr("id as k", "id as v"),
+            txn=("loader", lo),
+        )
+    # duplicate delivery of an already-committed batch: skipped
+    assert store.append(
+        spark.range(0, 100).selectExpr("id as k", "id as v"),
+        txn=("loader", 0),
+    ) is None
+    for v in (1, 3, 5):  # materialize views + catalog tables
+        assert store.read_bucketed(version=v).count() == v * 100
+    names = {v: store._view_table_name(v) for v in (1, 3, 5)}
+    assert all(spark.catalog.tableExists(n) for n in names.values())
+    store.vacuum(retain_versions=2, min_age_seconds=0, prune_log=True)
+    kept = {
+        int(os.path.basename(d)[1:])
+        for d in glob.glob(os.path.join(store.path, "_views", "v*"))
+        if ".staging-" not in d
+    }
+    assert kept == {5}, kept  # v1/v3 pruned with their manifests
+    assert not spark.catalog.tableExists(names[1])
+    assert not spark.catalog.tableExists(names[3])
+    assert spark.catalog.tableExists(names[5])
+    assert store.read_bucketed(version=5).count() == 500
+    assert store.read_bucketed().count() == 500
