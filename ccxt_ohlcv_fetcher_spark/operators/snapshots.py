@@ -672,19 +672,55 @@ class SnapshotStore:
     def history(self) -> list[dict]:
         """Every retained manifest, oldest first (op, version, counts).
         Versions pruned from the log (vacuum ``prune_log=True``) are
-        skipped — their time travel is gone by design."""
+        skipped — their time travel is gone by design.
+
+        Cost shape (round 10): ONE bounded state reconstruction for the
+        oldest retained version, then a single forward walk over the
+        raw delta manifests accumulating ``n_files += adds - removes``
+        — O(versions) small JSON parses + O(files) once, instead of a
+        full state materialization PER VERSION (O(versions x files),
+        which thrashed the 64-entry state cache on long logs). Legacy
+        full-list manifests reset the count from their own file list,
+        so mixed-format logs walk identically."""
+        head = self.latest_version()
+        lo = next(
+            (
+                v
+                for v in range(1, head + 1)
+                if os.path.exists(self._manifest_path(v))
+            ),
+            None,
+        )
+        if lo is None:
+            return []
         out = []
-        for v in range(1, self.latest_version() + 1):
+        n_files = len(self._state(lo)["files"])
+        with open(self._manifest_path(lo)) as fh:
+            m = json.load(fh)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_files": n_files,
+            }
+        )
+        for v in range(lo + 1, head + 1):
             try:
-                m = self.manifest(v)
+                with open(self._manifest_path(v)) as fh:
+                    m = json.load(fh)
             except FileNotFoundError:
                 continue
+            if "files" in m:  # legacy full manifest: authoritative list
+                n_files = len(m["files"])
+            else:
+                n_files += len(m.get("add", ())) - len(m.get("remove", ()))
             out.append(
                 {
                     "version": m["version"],
                     "parent": m["parent"],
                     "operation": m["operation"],
-                    "n_files": len(m["files"]),
+                    "n_files": n_files,
                 }
             )
         return out

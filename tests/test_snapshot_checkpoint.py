@@ -428,3 +428,39 @@ def test_head_read_list_only_never_forces_stats_parse(spark, tmp_path):
             spark, store.path, checkpoint_interval=10**9
         ).manifest(12)
         assert dict(lazy.items()) == dict(replay["stats"]), fmt
+
+
+def test_history_walks_deltas_without_per_version_reconstruction(
+    spark, tmp_path
+):
+    """history() (round 10) accumulates n_files from the raw deltas —
+    one bounded base reconstruction + O(versions) small parses. Must
+    equal the per-version manifest() ground truth over a log mixing
+    appends, a row-level delete, a compact, and a pruned prefix."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["v"], checkpoint_interval=4
+    )
+    for i in range(6):
+        store.append(_one(spark, i))
+    store.delete_where("v = 2")
+    store.compact()
+    store.append(_one(spark, 99))
+    got = store.history()
+    want = []
+    for v in range(1, store.latest_version() + 1):
+        m = store.manifest(v)
+        want.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+            }
+        )
+    assert got == want
+    # prefix pruning: history starts at the oldest retained version
+    store.vacuum(retain_versions=3, min_age_seconds=0, prune_log=True)
+    fresh = SnapshotStore(spark, store.path)
+    pruned_hist = fresh.history()
+    assert [h["version"] for h in pruned_hist] == [7, 8, 9]
+    assert pruned_hist == want[6:]
