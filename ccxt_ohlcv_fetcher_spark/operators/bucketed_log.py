@@ -70,7 +70,7 @@ class BucketedSnapshotStore(SnapshotStore):
         **kwargs,
     ):
         super().__init__(spark, path, **kwargs)
-        spec = self.manifest().get("bucket_spec") if bucket_col is None else None
+        spec = self.manifest().get("bucket_spec")
         if bucket_col is None:
             if not spec:
                 raise ValueError(
@@ -78,6 +78,20 @@ class BucketedSnapshotStore(SnapshotStore):
                     "existing tables carry them in the manifest"
                 )
             bucket_col, n_buckets = spec["col"], spec["n"]
+        elif spec and (
+            bucket_col != spec["col"] or int(n_buckets or 8) != spec["n"]
+        ):
+            # a spec change over EXISTING files would declare a uniform
+            # hash layout the old files do not have — Spark would trust
+            # HashPartitioning, skip the exchange, and return silently
+            # wrong joins/aggs. Re-bucketing requires rewriting every
+            # row: open with the committed spec and call rebucket().
+            raise ValueError(
+                f"table is bucketed by {spec['col']!r} x {spec['n']}; "
+                f"declared {bucket_col!r} x {n_buckets} — changing the "
+                "layout needs rebucket() (a full rewrite), not a "
+                "re-declaration"
+            )
         self.bucket_col = bucket_col
         self.n_buckets = int(n_buckets or 8)
         # stamped into the next commit's delta iff it differs from the
@@ -133,29 +147,62 @@ class BucketedSnapshotStore(SnapshotStore):
             shutil.rmtree(staging, ignore_errors=True)
         return vd
 
-    def vacuum(self, *args, **kwargs):
-        """Inherited reclamation, plus bucketed-layout hygiene: view
-        dirs (and their registered catalog tables) for versions whose
-        manifests were pruned are dropped too — their time travel is
-        gone by contract, and a hardlink farm per dead version would
-        otherwise accumulate forever. Hardlinks pin the underlying
-        data inodes, so skipping this would also quietly defeat the
-        data-file reclamation itself."""
+    def rebucket(
+        self, bucket_col: str, n_buckets: int, max_retries: int = 10
+    ) -> int | None:
+        """Change the bucket layout by REWRITING every row through the
+        new spec in one atomic overwrite commit — the only sound way
+        to re-bucket (mixing layouts under one declared spec returns
+        silently wrong joins/aggs; __init__ refuses it). Old versions
+        keep their own spec in their own manifests, so time travel
+        still reads them with the layout they were written under."""
+        snapshot = self.read()
+        self.bucket_col = bucket_col
+        self.n_buckets = int(n_buckets)
+        self._pending_bucket_spec = {"col": bucket_col, "n": int(n_buckets)}
+        return self.overwrite(snapshot, max_retries=max_retries)
+
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        min_age_seconds: float = 3600.0,
+        prune_log: bool = False,
+    ) -> list[str]:
+        """Inherited reclamation, plus bucketed-layout hygiene. View
+        dirs are HARDLINK farms — they pin the data inodes, so leaving
+        them in place silently defeats the base vacuum's space
+        reclamation even though the commit dirs are gone. Dropped here
+        (with their registered catalog tables): view dirs OUTSIDE the
+        retention window (their data is reclaimed — the version is
+        unreadable by contract, prune_log or not), and crashed
+        ``.staging-*`` farms older than ``min_age_seconds``."""
         import glob
         import shutil
+        import time as _time
 
-        deleted = super().vacuum(*args, **kwargs)
+        deleted = super().vacuum(retain_versions, min_age_seconds, prune_log)
+        head = self.latest_version()
+        lo = max(1, head - retain_versions + 1)
         views = os.path.join(self.path, "_views")
         if os.path.isdir(views):
+            now = _time.time()
             for vd in glob.glob(os.path.join(views, "v*")):
                 base = os.path.basename(vd)
                 if ".staging-" in base:
+                    # a builder that died between makedirs and rename;
+                    # age-gate like the base vacuum so an IN-FLIGHT
+                    # build is never yanked out from under its writer
+                    try:
+                        if now - os.path.getmtime(vd) > min_age_seconds:
+                            shutil.rmtree(vd, ignore_errors=True)
+                    except OSError:
+                        pass
                     continue
                 try:
                     v = int(base[1:])
                 except ValueError:
                     continue
-                if os.path.exists(self._manifest_path(v)):
+                if v >= lo and os.path.exists(self._manifest_path(v)):
                     continue
                 self._drop_view_table(v)
                 shutil.rmtree(vd, ignore_errors=True)
@@ -228,16 +275,18 @@ def logged_bucketed_view(
     if path is None or not os.path.isdir(os.path.join(path, "_manifests")):
         digest = hashlib.md5("|".join(map(str, key)).encode()).hexdigest()[:10]
         path = os.path.join(base_dir, f"{table}_{digest}")
-        if not os.path.isdir(os.path.join(path, "_manifests")):
+        store = BucketedSnapshotStore(
+            spark, path, bucket_col=bucket_col, n_buckets=n_buckets
+        )
+        # gate on a COMMITTED version, not directory existence: a
+        # builder that died between makedirs and the manifest CAS
+        # would otherwise poison the path forever (empty log, no
+        # bucket_spec). The txn watermark makes the build exactly-once
+        # even across CONCURRENT builders racing on the same path —
+        # the loser's append is skipped by the commit log itself.
+        if store.latest_version() == 0:
             from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
 
-            store = BucketedSnapshotStore(
-                spark, path, bucket_col=bucket_col, n_buckets=n_buckets
-            )
-            # txn watermark makes the one-time build exactly-once even
-            # across CONCURRENT builder processes racing on the same
-            # path: the loser's append is skipped by the commit log
-            # itself, never double-loading the table
             store.append(
                 load_table(spark, sf_dir, table), txn=("bucketed_build", 1)
             )

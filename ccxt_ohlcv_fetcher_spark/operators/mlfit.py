@@ -207,9 +207,17 @@ def fit_glm(
     k = len(feature_cols) + 1
     y = F.col(label_col).cast("double")
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    dsum14 = lambda c: F.sum(c.cast("decimal(28,14)")).cast(  # noqa: E731
-        "double"
-    )
+    # poisson sums widen to DECIMAL(38,9): the clamped |z|<=30 bounds
+    # mu at ~1.07e13, but the summed terms are mu*x_i*x_j — at
+    # DECIMAL(28,14) (max ~1e14) a modest feature magnitude overflows
+    # the per-row CAST to NULL, which F.sum then silently skips while
+    # count() keeps the row: exactly the inconsistent-row-set bug
+    # _finite_rows exists to prevent. Scale 9 still makes the sums
+    # order-exact (bit-stable across partitionings); the 0.5e-9
+    # per-term rounding is ~1e-9 relative on the fixture sums, far
+    # inside the 1e-6 numpy-pin tolerance.
+    dscale = "decimal(38,9)" if family == "poisson" else "decimal(28,14)"
+    dsum14 = lambda c: F.sum(c.cast(dscale)).cast("double")  # noqa: E731
 
     def newton_stats(w, r):
         aggs = []

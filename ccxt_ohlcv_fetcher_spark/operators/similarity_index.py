@@ -420,23 +420,10 @@ def build_ivfpq_index(
     )
 
     assert dim % m == 0
-    # REBUILD protection (ADVICE r9): mode("overwrite") wipes the whole
-    # index path — including the previous _meta — before the new one is
-    # staged, so a crash anywhere in the rebuild used to permanently
-    # delete the only copy of the codebooks. Rename the old _meta aside
-    # to a SIBLING of the index dir (inside it would be wiped too)
-    # before touching data; drop the backup only after the new _meta is
-    # fully in place. A crash mid-rebuild then always leaves a complete
-    # meta on disk (recoverable), never garbage at the read path.
     import os as _os
     import shutil as _shutil
     import uuid as _uuid2
 
-    target = path.rstrip("/") + "/_meta"
-    old = None
-    if _os.path.isdir(target):
-        old = path.rstrip("/") + f"._meta_old_{_uuid2.uuid4().hex[:12]}"
-        _os.rename(target, old)
     sub = dim // m
     spark = corpus.sparkSession
     cseeds = (
@@ -469,6 +456,22 @@ def build_ivfpq_index(
             _top_cells(vec_col, 1)[0].alias("cell"),
         )
     )
+    # REBUILD protection (ADVICE r9): mode("overwrite") wipes the whole
+    # index path — including the previous _meta — before the new one is
+    # staged, so a crash anywhere from here on used to permanently
+    # delete the only copy of the codebooks. Rename the old _meta aside
+    # to a SIBLING of the index dir (inside it would be wiped too),
+    # done IMMEDIATELY before the wipe — not at function entry — so
+    # concurrent readers keep a readable index through the (possibly
+    # long) seed-collection and codebook-training phases above. A crash
+    # mid-rebuild then always leaves a complete meta on disk
+    # (recoverable), never garbage at the read path.
+    target = path.rstrip("/") + "/_meta"
+    if _os.path.isdir(target):
+        _os.rename(
+            target,
+            path.rstrip("/") + f"._meta_old_{_uuid2.uuid4().hex[:12]}",
+        )
     encoded.write.mode("overwrite").partitionBy("cell").parquet(path)
     # stage + rename so _meta is never PARTIALLY present: a crash
     # mid-write leaves only an ignored _meta_staging_* dir and readers
@@ -478,8 +481,13 @@ def build_ivfpq_index(
     tmp = path.rstrip("/") + f"/_meta_staging_{_uuid2.uuid4().hex[:12]}"
     cb_row.write.mode("overwrite").parquet(tmp)
     _os.rename(tmp, target)
-    if old is not None:
-        _shutil.rmtree(old, ignore_errors=True)
+    # a successful build sweeps EVERY backup sibling — this run's and
+    # any stale ones a previously crashed rebuild left behind (each
+    # crash makes a fresh uuid-named backup; only success cleans up)
+    import glob as _glob
+
+    for stale in _glob.glob(path.rstrip("/") + "._meta_old_*"):
+        _shutil.rmtree(stale, ignore_errors=True)
     return n_cells
 
 

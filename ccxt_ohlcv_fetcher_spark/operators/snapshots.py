@@ -158,7 +158,18 @@ class _LazyStats:
     def _force(self) -> dict:
         if self._dict is None:
             if self._thunk is not None:
-                d = self._thunk()
+                try:
+                    d = self._thunk()
+                except Exception:
+                    # the deferred parse moved OUT of _read_checkpoint's
+                    # corrupt-checkpoint try/except; keep that contract
+                    # here: stats are a derived pruning cache, so a
+                    # payload that decodes structurally but fails the
+                    # stats parse degrades to NO stats — every consumer
+                    # treats a missing entry conservatively (pruning
+                    # keeps the file, compact_partial skips it) — never
+                    # an exception deep inside a read path
+                    d = {}
             else:
                 p = self._parent
                 base = p._force() if isinstance(p, _LazyStats) else p
@@ -217,6 +228,24 @@ class _LazyStats:
 
     def __repr__(self):
         return f"_LazyStats({self._force()!r})"
+
+
+def _stats_blob_encode(stats) -> str:
+    """Per-file stats as ONE pre-joined blob of pre-keyed JSON
+    fragments ('"path":{...},...') — the JSON checkpoint's stats
+    encoding. Shared by the store writer and tools/ckpt_format_bench.py
+    so the bench always times the format the store actually writes."""
+    if isinstance(stats, _LazyStats):
+        stats = stats._force()
+    return ",".join(
+        f"{json.dumps(f)}:{json.dumps(s)}" for f, s in stats.items()
+    )
+
+
+def _stats_blob_lazy(blob: str) -> "_LazyStats":
+    """The matching decode: hold the blob unparsed; one C-speed loads
+    on first actual stats use."""
+    return _LazyStats(thunk=lambda: _fastjson.loads("{" + blob + "}"))
 
 
 def _apply_delta(state: dict, d: dict) -> dict:
@@ -555,9 +584,7 @@ class SnapshotStore:
                     doc = _fastjson.loads(fh.read())
                 blob = doc.pop("stats_blob", None)
                 if blob:
-                    doc["stats"] = _LazyStats(
-                        thunk=lambda: _fastjson.loads("{" + blob + "}")
-                    )
+                    doc["stats"] = _stats_blob_lazy(blob)
                 return doc
             except (ValueError, KeyError, OSError):
                 pass
@@ -635,15 +662,10 @@ class SnapshotStore:
                 # re-keys it lazily (same deferred shape as the parquet
                 # column). Legacy checkpoints with an inline "stats"
                 # dict still read fine.
-                stats = state.get("stats", {})
-                if isinstance(stats, _LazyStats):
-                    stats = stats._force()
                 doc = {k: v for k, v in state.items() if k != "stats"}
-                if stats:
-                    doc["stats_blob"] = ",".join(
-                        f"{json.dumps(f)}:{json.dumps(s)}"
-                        for f, s in stats.items()
-                    )
+                blob = _stats_blob_encode(state.get("stats", {}))
+                if blob:
+                    doc["stats_blob"] = blob
                 with open(tmp, "w") as fh:
                     json.dump(doc, fh)
                 os.replace(tmp, self._ckpt_path(version))
@@ -683,36 +705,29 @@ class SnapshotStore:
         full-list manifests reset the count from their own file list,
         so mixed-format logs walk identically."""
         head = self.latest_version()
-        lo = next(
-            (
-                v
-                for v in range(1, head + 1)
-                if os.path.exists(self._manifest_path(v))
-            ),
-            None,
-        )
-        if lo is None:
-            return []
         out = []
-        n_files = len(self._state(lo)["files"])
-        with open(self._manifest_path(lo)) as fh:
-            m = json.load(fh)
-        out.append(
-            {
-                "version": m["version"],
-                "parent": m["parent"],
-                "operation": m["operation"],
-                "n_files": n_files,
-            }
-        )
-        for v in range(lo + 1, head + 1):
+        n_files: int | None = None  # None = needs a base reconstruction
+        for v in range(1, head + 1):
             try:
                 with open(self._manifest_path(v)) as fh:
                     m = json.load(fh)
             except FileNotFoundError:
+                # pruned prefix — or an interrupted prune's mid-log
+                # hole: either way the running count is no longer
+                # derivable from deltas alone; re-base at the next
+                # reconstructible version
+                n_files = None
                 continue
             if "files" in m:  # legacy full manifest: authoritative list
                 n_files = len(m["files"])
+            elif n_files is None:
+                try:
+                    n_files = len(self._state(v)["files"])
+                except (FileNotFoundError, KeyError):
+                    # not reconstructible (no checkpoint at-or-below,
+                    # base manifests gone): list what we can, like the
+                    # old per-version walk did
+                    continue
             else:
                 n_files += len(m.get("add", ())) - len(m.get("remove", ()))
             out.append(

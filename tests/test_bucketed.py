@@ -286,3 +286,78 @@ def test_logged_bucketed_vacuum_prunes_view_dirs_and_tables(
     assert spark.catalog.tableExists(names[5])
     assert store.read_bucketed(version=5).count() == 500
     assert store.read_bucketed().count() == 500
+
+
+def test_logged_bucketed_rejects_spec_change_and_rebuckets(
+    spark, tmp_path, no_broadcast
+):
+    """Review r10: re-declaring a different bucket spec over existing
+    files would make Spark trust a uniform hash layout the old files
+    don't have — silently wrong joins/aggs. Opening with a mismatched
+    spec must refuse; rebucket() (a full rewrite) is the sound path,
+    and old versions keep reading under their own spec."""
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    store.append(spark.range(200).selectExpr("id as k", "id as v"))
+    with pytest.raises(ValueError, match="rebucket"):
+        BucketedSnapshotStore(
+            spark, store.path, bucket_col="k", n_buckets=8
+        )
+    with pytest.raises(ValueError, match="rebucket"):
+        BucketedSnapshotStore(
+            spark, store.path, bucket_col="v", n_buckets=4
+        )
+    assert store.rebucket("k", 8) == 2
+    assert store.manifest()["bucket_spec"] == {"col": "k", "n": 8}
+    assert store.manifest(1)["bucket_spec"] == {"col": "k", "n": 4}
+    df = store.read_bucketed()
+    assert df.count() == 200
+    plan = _initial_plan(df.groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    assert plan.count("Exchange") == 0
+    # values identical across the rewrite; old version still readable
+    assert sorted(r["k"] for r in df.collect()) == list(range(200))
+    assert store.read_bucketed(version=1).count() == 200
+    # reopen recovers the NEW spec
+    fresh = BucketedSnapshotStore(spark, store.path)
+    assert (fresh.bucket_col, fresh.n_buckets) == ("k", 8)
+
+
+def test_logged_bucketed_vacuum_reclaims_views_without_prune_log(
+    spark, tmp_path
+):
+    """Review r10: view dirs are hardlink farms pinning data inodes.
+    vacuum with the DEFAULT prune_log=False reclaims old commit dirs —
+    the matching view dirs must go too (their versions are unreadable
+    by contract) or zero bytes are actually freed. Crashed .staging-*
+    farms older than the age gate are swept as well."""
+    import glob
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=2
+    )
+    for lo in range(0, 300, 100):
+        store.append(spark.range(lo, lo + 100).selectExpr("id as k"))
+    for v in (1, 2, 3):
+        store.read_bucketed(version=v)
+    crashed = os.path.join(
+        store.path, "_views", "v00000001.staging-deadbeef"
+    )
+    os.makedirs(crashed)
+    os.utime(crashed, (1, 1))  # ancient -> past any age gate
+    store.vacuum(retain_versions=1, min_age_seconds=0)  # prune_log off
+    kept = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(store.path, "_views", "v*"))
+    }
+    assert kept == {"v00000003"}, kept
+    assert store.read_bucketed(version=3).count() == 300

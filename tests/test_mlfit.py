@@ -242,3 +242,33 @@ def test_glm_empty_input_raises(spark):
         fit_glm(empty, "y", ["x1", "x2"], family="poisson")
     with pytest.raises(ValueError, match="no finite-featured rows"):
         fit_glm(empty, "y", ["x1", "x2"], family="gaussian")
+
+
+def test_fit_glm_poisson_wide_feature_magnitudes(spark):
+    """Review r10: poisson sums widened to DECIMAL(38,9) — at (28,14)
+    a clamped mu (~1e13) times x_i*x_j overflowed the per-row cast to
+    NULL, silently dropping terms from the sums. Fit a count model
+    with feature magnitudes up to ~50 and verify against the
+    same-formula numpy IRLS."""
+    import math
+
+    rows = []
+    for i in range(400):
+        x = (i % 100) / 2.0  # 0..49.5
+        lam = math.exp(0.3 + 0.04 * x)
+        # deterministic pseudo-counts around lam
+        rows.append((float(int(lam + (i % 7) - 3) if lam > 3 else 1), x))
+    df = spark.createDataFrame(rows, "y double, x double")
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    pdf = df.toPandas()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x])
+    fit1 = fit_glm(df, "y", ["x"], family="poisson")
+    beta_np, it_np, conv_np = _numpy_glm_irls(
+        X, pdf.y.to_numpy(), "poisson"
+    )
+    assert fit1["converged"] and conv_np
+    for got, want in zip(fit1["beta"], beta_np):
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (
+            fit1["beta"], beta_np.tolist(),
+        )

@@ -464,3 +464,56 @@ def test_history_walks_deltas_without_per_version_reconstruction(
     pruned_hist = fresh.history()
     assert [h["version"] for h in pruned_hist] == [7, 8, 9]
     assert pruned_hist == want[6:]
+
+
+def test_history_survives_interrupted_prune_hole(spark, tmp_path):
+    """Review r10: a vacuum(prune_log=True) killed mid-deletion leaves
+    a HOLE (some low manifests gone, checkpoint pinned higher).
+    history() must not crash, must not silently mis-accumulate
+    n_files across the hole — it re-bases at the next reconstructible
+    version and lists from there."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), checkpoint_interval=4
+    )
+    for i in range(10):
+        store.append(_one(spark, i))
+    # simulate the interrupted prune: v1-v3 and v5 deleted, checkpoints
+    # at 4 and 8 survive
+    for v in (1, 2, 3, 5):
+        os.remove(store._manifest_path(v))
+    fresh = SnapshotStore(spark, store.path, checkpoint_interval=4)
+    hist = fresh.history()
+    versions = [h["version"] for h in hist]
+    # v4 reconstructs (checkpoint 4); v6/v7 genuinely need the deleted
+    # v5 delta, so they are unlistable — exactly the set the old
+    # per-version manifest() walk could serve; the walk re-bases at
+    # checkpoint 8 and accumulates deltas from there
+    assert versions == [4, 8, 9, 10]
+    by_v = {h["version"]: h["n_files"] for h in hist}
+    for v in versions:
+        assert by_v[v] == v, (v, by_v)
+
+
+def test_corrupt_stats_payload_degrades_to_no_stats(spark, tmp_path):
+    """Review r10: the deferred stats parse moved outside
+    _read_checkpoint's corrupt-checkpoint guard — a payload that
+    decodes structurally but whose stats are garbage must degrade to
+    NO stats at force time (pruning keeps every file, conservatively),
+    never throw from inside a read path."""
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["v"], checkpoint_interval=2
+    )
+    for i in range(4):
+        store.append(_one(spark, i))
+    ck = store._ckpt_path(4)
+    assert os.path.exists(ck)
+    doc = json.load(open(ck))
+    assert "stats_blob" in doc
+    doc["stats_blob"] = '"broken'  # structurally inside the doc, but
+    json.dump(doc, open(ck, "w"))  # not parseable as fragments
+    fresh = SnapshotStore(spark, store.path, stats_cols=["v"])
+    assert fresh.read().count() == 4  # list-only read: untouched
+    kept = fresh.pruned_files({"v": (2, 2)})
+    assert len(kept) == 4, "no stats -> conservatively keep every file"
+    # and the table stays fully writable/checkpointable
+    assert store.append(_one(spark, 99)) == 5

@@ -21,10 +21,11 @@ import tempfile
 import time
 
 from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
-    _LazyStats,
     _ckpt_read_parquet,
     _ckpt_write_parquet,
     _fastjson,
+    _stats_blob_encode,
+    _stats_blob_lazy,
 )
 
 
@@ -54,14 +55,12 @@ def synth_state(n_files: int) -> dict:
 
 
 def _write_json_blob(state: dict, path: str) -> None:
-    """The store's JSON checkpoint shape (stats as one pre-joined blob
-    of pre-keyed fragments — see SnapshotStore._write_checkpoint)."""
+    """The store's JSON checkpoint shape, via the store's OWN codec
+    helpers (so the bench cannot drift from the real format)."""
     doc = {k: v for k, v in state.items() if k != "stats"}
-    stats = state.get("stats", {})
-    if stats:
-        doc["stats_blob"] = ",".join(
-            f"{json.dumps(f)}:{json.dumps(s)}" for f, s in stats.items()
-        )
+    blob = _stats_blob_encode(state.get("stats", {}))
+    if blob:
+        doc["stats_blob"] = blob
     with open(path, "w") as fh:
         json.dump(doc, fh)
 
@@ -71,9 +70,7 @@ def _read_json_blob(path: str) -> dict:
         doc = _fastjson.loads(fh.read())
     blob = doc.pop("stats_blob", None)
     if blob:
-        doc["stats"] = _LazyStats(
-            thunk=lambda: _fastjson.loads("{" + blob + "}")
-        )
+        doc["stats"] = _stats_blob_lazy(blob)
     return doc
 
 
