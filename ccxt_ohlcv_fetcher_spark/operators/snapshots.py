@@ -869,10 +869,14 @@ class SnapshotStore:
         )
         # zero-row part files (empty upstream partitions) carry no data
         # and no stats — referencing them would defeat stats pruning and
-        # metadata-only retention, so they never enter the manifest
+        # metadata-only retention, so they never enter the manifest.
+        # Row counts captured in the same footer read ride the manifest
+        # as per-file `_rows` (Iceberg's record_count): count_rows()
+        # then answers COUNT(*) from metadata alone.
         import pyarrow.parquet as pq
 
-        files = [f for f in files if pq.ParquetFile(f).metadata.num_rows > 0]
+        rows_of = {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+        files = [f for f in files if rows_of[f] > 0]
         # CHECK constraints (Delta's table constraints): enforced on the
         # just-written staged files (page-cache warm, and avoids
         # recomputing a possibly-expensive input frame). SQL CHECK
@@ -909,6 +913,7 @@ class SnapshotStore:
         # (no per-file HEAD/stat calls at maintenance time)
         for r, f in zip(rel, files):
             self._pending_stats[r]["_bytes"] = os.path.getsize(f)
+            self._pending_stats[r]["_rows"] = rows_of[f]
         if self.bloom_cols:
             # per-file Bloom filters ride the write path (the staged
             # file is just-written and page-cache warm; one column read
@@ -1762,6 +1767,44 @@ class SnapshotStore:
                 raise ValueError("empty table (version 0) has no schema")
             return self.spark.createDataFrame([], schema=self._ddl(schema))
         return self._read_files_live(m["files"], m)
+
+    def count_rows(self, version: int | None = None) -> int:
+        """COUNT(*) without scanning data files (Iceberg's
+        record_count): per-file ``_rows`` stamped into the manifest at
+        stage time, minus live deletion-vector positions. A DV parquet
+        holds (file, pos) pairs for EVERY file one delete touched and
+        is referenced from each of them, and a later rewrite
+        materializes SOME files' pairs away — so DV footer counts
+        cannot be trusted; instead the distinct DV files' ``_file``
+        column is read (driver-side pyarrow, I/O bounded by the number
+        of DELETED rows — small by the DV design) and only pairs whose
+        (file, dv) reference is still live in the manifest are
+        subtracted, mirroring the read path's per-file anti-join.
+        LEGACY files committed before ``_rows`` existed fall back to
+        one footer read each. No Spark job, no data-file scan, at any
+        table size."""
+        import pyarrow.parquet as pq
+
+        m = self.manifest(version)
+        stats = m.get("stats", {})
+        total = 0
+        for f in m["files"]:
+            n = (stats.get(f) or {}).get("_rows")
+            if n is None:
+                n = pq.ParquetFile(
+                    os.path.join(self.path, f)
+                ).metadata.num_rows
+            total += n
+        dvs = m.get("dvs") or {}
+        live = {(f, p) for f, lst in dvs.items() for p in lst}
+        for p in sorted({p for _, p in live}):
+            col = pq.read_table(
+                os.path.join(self.path, p), columns=["_file"]
+            ).column(0)
+            for f in col.to_pylist():
+                if (f, p) in live:
+                    total -= 1
+        return total
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
