@@ -303,6 +303,13 @@ def build_parser() -> argparse.ArgumentParser:
         "history", help="commit log of a snapshot-logged dataset"
     )
     hi.add_argument("--data-dir", type=str, required=True)
+    hi.add_argument(
+        "--counts",
+        action="store_true",
+        help="append exact row counts per version (metadata-only: "
+        "manifest _rows stats minus live deletion-vector positions; "
+        "no data scan)",
+    )
     _add_layout_flags(hi, plain=False)
 
     rs = sub.add_parser(
@@ -682,10 +689,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "history":
         dataset = _make_dataset(spark, args)
         for h in dataset.store.history():
-            print(
+            line = (
                 f"v{h['version']:06d} parent=v{h['parent']:06d} "
                 f"{h['operation']:<9} files={h['n_files']}"
             )
+            if getattr(args, "counts", False):
+                line += f" rows={dataset.store.count_rows(h['version'])}"
+            print(line)
         return 0
 
     if args.command == "restore":

@@ -747,3 +747,25 @@ def test_sql_version_help_matches_gating():
     help_text = sub.format_help()
     assert "not available with --plain-parquet" in help_text
     assert "needs --snapshot-log" not in help_text
+
+
+def test_history_counts_flag_prints_metadata_row_counts(
+    spark, tmp_path, capsys
+):
+    """`history --counts` appends exact per-version row counts from
+    the manifest (count_rows: _rows stats minus live DV positions) —
+    no data scan."""
+    from ccxt_ohlcv_fetcher_spark.operators.candle_log import (
+        SnapshotCandleDataset,
+    )
+    from tests.test_candle_log import batch
+
+    data_dir = str(tmp_path / "logged")
+    ds = SnapshotCandleDataset(spark, data_dir)
+    ds.append_idempotent(batch(spark, 0, 6))   # v1
+    ds.append_idempotent(batch(spark, 6, 9))   # v2
+    assert main(
+        ["history", "--data-dir", data_dir, "--counts"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "rows=6" in out and "rows=9" in out
