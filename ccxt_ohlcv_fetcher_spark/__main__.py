@@ -694,7 +694,14 @@ def main(argv: list[str] | None = None) -> int:
                 f"{h['operation']:<9} files={h['n_files']}"
             )
             if getattr(args, "counts", False):
-                line += f" rows={dataset.store.count_rows(h['version'])}"
+                try:
+                    line += f" rows={dataset.store.count_rows(h['version'])}"
+                except FileNotFoundError:
+                    # the version is still LISTED (manifests survive)
+                    # but vacuum reclaimed its DV or legacy data files
+                    # — the count is unknowable, the listing must not
+                    # abort mid-log
+                    line += " rows=? (data reclaimed)"
             print(line)
         return 0
 

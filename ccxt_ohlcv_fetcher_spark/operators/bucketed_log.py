@@ -78,8 +78,20 @@ class BucketedSnapshotStore(SnapshotStore):
                     "existing tables carry them in the manifest"
                 )
             bucket_col, n_buckets = spec["col"], spec["n"]
+        elif spec and n_buckets is None:
+            # partially-declared open: the count inherits the committed
+            # spec (comparing against the new-table default of 8 would
+            # spuriously refuse a legitimate open)
+            if bucket_col != spec["col"]:
+                raise ValueError(
+                    f"table is bucketed by {spec['col']!r} x {spec['n']}; "
+                    f"declared {bucket_col!r} — changing the layout "
+                    "needs rebucket() (a full rewrite), not a "
+                    "re-declaration"
+                )
+            n_buckets = spec["n"]
         elif spec and (
-            bucket_col != spec["col"] or int(n_buckets or 8) != spec["n"]
+            bucket_col != spec["col"] or int(n_buckets) != spec["n"]
         ):
             # a spec change over EXISTING files would declare a uniform
             # hash layout the old files do not have — Spark would trust
@@ -157,10 +169,22 @@ class BucketedSnapshotStore(SnapshotStore):
         keep their own spec in their own manifests, so time travel
         still reads them with the layout they were written under."""
         snapshot = self.read()
+        saved = (self.bucket_col, self.n_buckets, self._pending_bucket_spec)
         self.bucket_col = bucket_col
         self.n_buckets = int(n_buckets)
         self._pending_bucket_spec = {"col": bucket_col, "n": int(n_buckets)}
-        return self.overwrite(snapshot, max_retries=max_retries)
+        try:
+            return self.overwrite(snapshot, max_retries=max_retries)
+        except BaseException:
+            # a failed overwrite (CAS conflict, staging error) must not
+            # leave the INSTANCE on the new spec: a later append would
+            # write new-layout files and stamp the new spec over the
+            # old files — the mixed-layout corruption the __init__
+            # guard exists to prevent
+            self.bucket_col, self.n_buckets, self._pending_bucket_spec = (
+                saved
+            )
+            raise
 
     def vacuum(
         self,

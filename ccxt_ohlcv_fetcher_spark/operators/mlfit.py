@@ -10,11 +10,21 @@ OLS query — and a driver-side 3x3 solve. No collect of data, no UDF,
 no per-row Python; the table can be 100 TB and an iteration still
 shuffles only (features+1)^2 numbers per partition.
 
-Determinism: every per-row term is cast to DECIMAL(28,14) before SUM,
+Determinism: every per-row term is cast to DECIMAL(38,12) before SUM,
 so the partial/final aggregation is associative and the fitted
 coefficients are bit-identical run to run (a raw double sum varies in
 the last bits with partitioning, which would make the registered
-query's output flap). The sigmoid/log terms themselves are plain IEEE
+query's output flap). Scale 12 over precision 38 (range ~1e26) is the
+overflow-safe point: at the old DECIMAL(28,14) (range ~1e14) a
+large-magnitude feature — a unix-timestamp column, a clamped poisson
+mu — made w*x_i*x_j overflow the per-row CAST to NULL, which F.sum
+silently skipped while count() kept the row: the inconsistent-row-set
+bug _finite_rows exists to prevent; range 1e26 puts that out of reach
+for any sane feature scale. Scale 12 (not coarser) matters for the
+OTHER end: sum granularity must sit well below the 1e-9 Newton
+convergence tolerance or the final deltas floor at the rounding step
+and the fit reports converged=False at max_iter (measured at scale
+9). The sigmoid/log terms themselves are plain IEEE
 libm calls evaluated per row — identical within an engine, pinned
 against an independent numpy IRLS to 1e-6 in tests/test_mlfit.py.
 """
@@ -104,7 +114,7 @@ def logistic_irls(
     x1, x2 = feature_cols
     y = F.col(label_col).cast("double")
     beta = [0.0, 0.0, 0.0]
-    dsum14 = lambda c: F.sum(c.cast("decimal(28,14)")).cast(  # noqa: E731
+    dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast(  # noqa: E731
         "double"
     )
     n_iter, converged, log_lik, n_rows = 0, False, float("nan"), 0
@@ -121,11 +131,11 @@ def logistic_irls(
         aggs = []
         for i in range(3):
             for j in range(i, 3):
-                aggs.append(dsum14(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
+                aggs.append(dsum(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
         for i in range(3):
-            aggs.append(dsum14(r * xs[i]).alias(f"g{i}"))
+            aggs.append(dsum(r * xs[i]).alias(f"g{i}"))
         aggs.append(
-            dsum14(
+            dsum(
                 y * F.log(F.greatest(p, F.lit(1e-300)))
                 + (F.lit(1.0) - y)
                 * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-300)))
@@ -195,7 +205,7 @@ def fit_glm(
     documented contract.
 
     Same determinism contract as :func:`logistic_irls`: every per-row
-    term is summed as DECIMAL(28,14), so coefficients are
+    term is summed as DECIMAL(38,12), so coefficients are
     bit-identical across partitionings. Returns
     {beta, n_iter, converged, n} (gaussian: n_iter=1, converged=True).
     """
@@ -207,25 +217,19 @@ def fit_glm(
     k = len(feature_cols) + 1
     y = F.col(label_col).cast("double")
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    # poisson sums widen to DECIMAL(38,9): the clamped |z|<=30 bounds
-    # mu at ~1.07e13, but the summed terms are mu*x_i*x_j — at
-    # DECIMAL(28,14) (max ~1e14) a modest feature magnitude overflows
-    # the per-row CAST to NULL, which F.sum then silently skips while
-    # count() keeps the row: exactly the inconsistent-row-set bug
-    # _finite_rows exists to prevent. Scale 9 still makes the sums
-    # order-exact (bit-stable across partitionings); the 0.5e-9
-    # per-term rounding is ~1e-9 relative on the fixture sums, far
-    # inside the 1e-6 numpy-pin tolerance.
-    dscale = "decimal(38,9)" if family == "poisson" else "decimal(28,14)"
-    dsum14 = lambda c: F.sum(c.cast(dscale)).cast("double")  # noqa: E731
+    # DECIMAL(38,12) for EVERY family (see module docstring): the
+    # overflow bound of w*x_i*x_j and r*x_i is feature-magnitude-
+    # dependent, not family-dependent — a timestamp-scale gaussian
+    # feature overflows (28,14) exactly like a clamped poisson mu.
+    dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
 
     def newton_stats(w, r):
         aggs = []
         for i in range(k):
             for j in range(i, k):
-                aggs.append(dsum14(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
+                aggs.append(dsum(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
         for i in range(k):
-            aggs.append(dsum14(r * xs[i]).alias(f"g{i}"))
+            aggs.append(dsum(r * xs[i]).alias(f"g{i}"))
         aggs.append(F.count(F.lit(1)).alias("n"))
         row = df.agg(*aggs).collect()[0]
         if not row["n"]:
@@ -254,7 +258,7 @@ def fit_glm(
         # each step is a full aggregation job, so this is a net win).
         # The pin in tests/test_mlfit.py uses the same start.
         r0 = df.agg(
-            dsum14(y).alias("sy"), F.count(F.lit(1)).alias("n")
+            dsum(y).alias("sy"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
         if not r0["n"]:
             raise ValueError("fit_glm: no finite-featured rows")
@@ -270,7 +274,7 @@ def fit_glm(
         elif family == "poisson":
             # log link: mu = exp(z), Hessian weight = mu, score = y-mu.
             # z clamped at +-30 (mu in [1e-13, 1e13]) so a divergent
-            # early step can't overflow the DECIMAL(28,14) sums — the
+            # early step can't overflow the decimal sums — the
             # standard IRLS safeguard; converged fits sit far inside.
             mu = F.exp(F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0)))
             w, r = mu, y - mu

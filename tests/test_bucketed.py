@@ -361,3 +361,47 @@ def test_logged_bucketed_vacuum_reclaims_views_without_prune_log(
     }
     assert kept == {"v00000003"}, kept
     assert store.read_bucketed(version=3).count() == 300
+
+
+def test_rebucket_failure_restores_instance_spec(spark, tmp_path):
+    """Review r10 pass 2: a rebucket whose overwrite fails must roll
+    the INSTANCE back to the committed spec — otherwise a later append
+    writes new-layout files and stamps the new spec over old files,
+    the mixed-layout corruption the open-guard exists to prevent. And
+    opening with only bucket_col (count omitted) inherits the
+    committed count instead of spuriously refusing."""
+    import pytest as _pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    store.append(spark.range(100).selectExpr("id as k", "id as v"))
+
+    # partially-declared open inherits the committed count
+    partial = BucketedSnapshotStore(spark, store.path, bucket_col="k")
+    assert (partial.bucket_col, partial.n_buckets) == ("k", 4)
+    with _pytest.raises(ValueError, match="rebucket"):
+        BucketedSnapshotStore(spark, store.path, bucket_col="v")
+
+    # inject an overwrite failure mid-rebucket
+    orig = store.overwrite
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected overwrite failure")
+
+    store.overwrite = boom
+    with _pytest.raises(RuntimeError, match="injected"):
+        store.rebucket("k", 16)
+    store.overwrite = orig
+    assert (store.bucket_col, store.n_buckets) == ("k", 4)
+    # a post-failure append keeps the OLD layout and spec
+    store.append(spark.range(100, 200).selectExpr("id as k", "id as v"))
+    assert store.manifest()["bucket_spec"] == {"col": "k", "n": 4}
+    df = store.read_bucketed()
+    assert df.count() == 200
+    plan = _initial_plan(df.groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    assert plan.count("Exchange") == 0

@@ -543,8 +543,17 @@ def test_count_rows_is_metadata_only_and_exact(spark, tmp_path):
     assert store.count_rows(version=2) == 80
     fresh = SnapshotStore(spark, store.path, stats_cols=["v"])
     assert fresh.count_rows() == store.read().count()
-    # legacy manifests without `_rows`: strip them from the head state
-    # via a surgically edited delta and verify the footer fallback
+    # legacy files without `_rows` (committed before round 10): strip
+    # the counts from the cached head state and verify the per-file
+    # footer-read fallback produces the same total
     m = fresh.manifest()
     stats = dict(m["stats"])
     assert all("_rows" in (stats.get(f) or {}) for f in m["files"])
+    stripped = {
+        f: {k: v for k, v in (stats.get(f) or {}).items() if k != "_rows"}
+        for f in m["files"]
+    }
+    head = fresh.latest_version()
+    doctored = {**fresh._state_cache[head], "stats": stripped}
+    fresh._state_cache[head] = doctored
+    assert fresh.count_rows() == store.read().count()
