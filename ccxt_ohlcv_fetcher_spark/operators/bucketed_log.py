@@ -77,6 +77,16 @@ class BucketedSnapshotStore(SnapshotStore):
                     "new bucketed table needs bucket_col + n_buckets; "
                     "existing tables carry them in the manifest"
                 )
+            if n_buckets is not None and int(n_buckets) != spec["n"]:
+                # symmetric with the col-mismatch guard below: a bare
+                # count re-declaration must not silently inherit the
+                # committed one while the caller believes they changed it
+                raise ValueError(
+                    f"table is bucketed by {spec['col']!r} x {spec['n']}; "
+                    f"declared n_buckets={n_buckets} — changing the "
+                    "layout needs rebucket() (a full rewrite), not a "
+                    "re-declaration"
+                )
             bucket_col, n_buckets = spec["col"], spec["n"]
         elif spec and n_buckets is None:
             # partially-declared open: the count inherits the committed
@@ -163,24 +173,39 @@ class BucketedSnapshotStore(SnapshotStore):
         self, bucket_col: str, n_buckets: int, max_retries: int = 10
     ) -> int | None:
         """Change the bucket layout by REWRITING every row through the
-        new spec in one atomic overwrite commit — the only sound way
-        to re-bucket (mixing layouts under one declared spec returns
+        new spec in one atomic commit — the only sound way to
+        re-bucket (mixing layouts under one declared spec returns
         silently wrong joins/aggs; __init__ refuses it). Old versions
         keep their own spec in their own manifests, so time travel
-        still reads them with the layout they were written under."""
-        snapshot = self.read()
+        still reads them with the layout they were written under.
+
+        Concurrency: compact()'s row-preserving-rewrite contract, NOT
+        overwrite()'s replace contract — the rewrite is only valid
+        against the exact version it read, so losing the CAS race to a
+        concurrent append means re-reading from the new head and
+        re-staging (overwrite's rebase would silently drop the
+        winner's rows from the live table). On any failure the
+        INSTANCE rolls back to the committed spec: a later append must
+        not write new-layout files under the old manifest spec."""
+        from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+            CommitConflict,
+        )
+
         saved = (self.bucket_col, self.n_buckets, self._pending_bucket_spec)
         self.bucket_col = bucket_col
         self.n_buckets = int(n_buckets)
         self._pending_bucket_spec = {"col": bucket_col, "n": int(n_buckets)}
         try:
-            return self.overwrite(snapshot, max_retries=max_retries)
+            for _ in range(max_retries):
+                base = self.latest_version()
+                snapshot = self.read(version=base)
+                new_files = self._stage(snapshot)
+                if self._try_commit(base, new_files, "rebucket"):
+                    return base + 1
+            raise CommitConflict(
+                f"rebucket lost the CAS race {max_retries} times"
+            )
         except BaseException:
-            # a failed overwrite (CAS conflict, staging error) must not
-            # leave the INSTANCE on the new spec: a later append would
-            # write new-layout files and stamp the new spec over the
-            # old files — the mixed-layout corruption the __init__
-            # guard exists to prevent
             self.bucket_col, self.n_buckets, self._pending_bucket_spec = (
                 saved
             )

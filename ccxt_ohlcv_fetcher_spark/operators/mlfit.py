@@ -15,16 +15,20 @@ so the partial/final aggregation is associative and the fitted
 coefficients are bit-identical run to run (a raw double sum varies in
 the last bits with partitioning, which would make the registered
 query's output flap). Scale 12 over precision 38 (range ~1e26) is the
-overflow-safe point: at the old DECIMAL(28,14) (range ~1e14) a
-large-magnitude feature — a unix-timestamp column, a clamped poisson
-mu — made w*x_i*x_j overflow the per-row CAST to NULL, which F.sum
-silently skipped while count() kept the row: the inconsistent-row-set
-bug _finite_rows exists to prevent; range 1e26 puts that out of reach
-for any sane feature scale. Scale 12 (not coarser) matters for the
-OTHER end: sum granularity must sit well below the 1e-9 Newton
-convergence tolerance or the final deltas floor at the rounding step
-and the fit reports converged=False at max_iter (measured at scale
-9). The sigmoid/log terms themselves are plain IEEE
+working point of a real trade: at the old DECIMAL(28,14) (range
+~1e14) a large-magnitude feature — a unix-timestamp column, a clamped
+poisson mu — made w*x_i*x_j overflow the per-row CAST to NULL, which
+F.sum silently skipped while count() kept the row (the
+inconsistent-row-set bug _finite_rows exists to prevent); and scale
+COARSER than ~1e-12 floors the final Newton deltas at the rounding
+step so the fit reports converged=False at max_iter (measured at
+scale 9 against the 1e-9 tolerance). Range 1e26 is wide, not
+unbounded: per-row terms up to ~1e18 (timestamp-squared) fit, but the
+SUM accumulator can still saturate on enough such rows — any NULL
+statistic now raises a loud "standardize your features" ValueError
+instead of solving a garbage system. Standardizing large-magnitude
+features remains the statistically right call anyway (conditioning of
+the normal equations). The sigmoid/log terms themselves are plain IEEE
 libm calls evaluated per row — identical within an engine, pinned
 against an independent numpy IRLS to 1e-6 in tests/test_mlfit.py.
 """
@@ -145,6 +149,12 @@ def logistic_irls(
         row = df.agg(*aggs).collect()[0]
         if not row["n"]:
             raise ValueError("logistic_irls: no finite-featured rows")
+        if any(row[f] is None for f in row.asDict() if f != "n"):
+            raise ValueError(
+                "logistic_irls: sufficient-statistic overflow (a sum "
+                "exceeded DECIMAL(38,12) range) — standardize or "
+                "rescale large-magnitude features before fitting"
+            )
         a = [[0.0] * 3 for _ in range(3)]
         for i in range(3):
             for j in range(i, 3):
@@ -234,6 +244,17 @@ def fit_glm(
         row = df.agg(*aggs).collect()[0]
         if not row["n"]:
             raise ValueError("fit_glm: no finite-featured rows")
+        if any(row[f] is None for f in row.asDict() if f != "n"):
+            # a NULL statistic means a per-row term or the accumulator
+            # exceeded DECIMAL(38,12) range (~1e26) — e.g. raw
+            # timestamp-scale features over tens of millions of rows.
+            # Fail LOUD with the remedy instead of solving a garbage
+            # system (or crashing in numpy with a bare TypeError).
+            raise ValueError(
+                "fit_glm: sufficient-statistic overflow (a sum "
+                "exceeded DECIMAL(38,12) range) — standardize or "
+                "rescale large-magnitude features before fitting"
+            )
         a = np.zeros((k, k))
         for i in range(k):
             for j in range(i, k):
@@ -273,10 +294,15 @@ def fit_glm(
             w, r = p * (F.lit(1.0) - p), y - p
         elif family == "poisson":
             # log link: mu = exp(z), Hessian weight = mu, score = y-mu.
-            # z clamped at +-30 (mu in [1e-13, 1e13]) so a divergent
-            # early step can't overflow the decimal sums — the
-            # standard IRLS safeguard; converged fits sit far inside.
-            mu = F.exp(F.greatest(F.least(z, F.lit(30.0)), F.lit(-30.0)))
+            # z clamped at +-20 (mu <= 4.85e8) so a divergent early
+            # step can't overflow the DECIMAL(38,12) per-row terms even
+            # with features up to ~1e8 (mu*x*x <= 4.85e24 < 1e26) —
+            # the standard IRLS safeguard, sized to the sum scale (at
+            # the previous +-30, a 1e7-magnitude feature overflowed the
+            # cast to NULL and rows silently left the sums). Converged
+            # fits sit far inside: a rate of e^20 per observation is
+            # beyond any real count model.
+            mu = F.exp(F.greatest(F.least(z, F.lit(20.0)), F.lit(-20.0)))
             w, r = mu, y - mu
         else:  # probit — Fisher scoring with the A&S 7.1.26 erf
             p = _norm_cdf(z)

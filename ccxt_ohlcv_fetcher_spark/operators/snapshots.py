@@ -875,7 +875,8 @@ class SnapshotStore:
         # then answers COUNT(*) from metadata alone.
         import pyarrow.parquet as pq
 
-        rows_of = {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+        md_of = {f: pq.ParquetFile(f).metadata for f in files}
+        rows_of = {f: md_of[f].num_rows for f in files}
         files = [f for f in files if rows_of[f] > 0]
         # CHECK constraints (Delta's table constraints): enforced on the
         # just-written staged files (page-cache warm, and avoids
@@ -904,7 +905,10 @@ class SnapshotStore:
         # store paths relative to the table root so the table can move
         rel = [os.path.relpath(f, self.path) for f in files]
         self._pending_stats = (
-            {r: self._footer_stats(f) for r, f in zip(rel, files)}
+            {
+                r: self._footer_stats(f, md=md_of[f])
+                for r, f in zip(rel, files)
+            }
             if self.stats_cols
             else {r: {} for r in rel}
         )
@@ -933,13 +937,16 @@ class SnapshotStore:
                     self._pending_stats.setdefault(r, {})["_bloom"] = bl
         return rel
 
-    def _footer_stats(self, path: str) -> dict:
+    def _footer_stats(self, path: str, md=None) -> dict:
         """Per-file [min, max] for each stats col, from parquet footer
         metadata (no data read). A col missing stats is omitted —
-        readers treat that as "may contain anything"."""
+        readers treat that as "may contain anything". ``md`` reuses an
+        already-opened footer (the stage path opens each file's footer
+        once for the zero-row filter/_rows capture — no second open)."""
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(path).metadata
+        if md is None:
+            md = pq.ParquetFile(path).metadata
         idx = {
             md.schema.column(i).name: i for i in range(md.num_columns)
         }
@@ -1795,15 +1802,7 @@ class SnapshotStore:
                     os.path.join(self.path, f)
                 ).metadata.num_rows
             total += n
-        dvs = m.get("dvs") or {}
-        live = {(f, p) for f, lst in dvs.items() for p in lst}
-        for p in sorted({p for _, p in live}):
-            col = pq.read_table(
-                os.path.join(self.path, p), columns=["_file"]
-            ).column(0)
-            for f in col.to_pylist():
-                if (f, p) in live:
-                    total -= 1
+        total -= sum(self._live_dv_counts(m).values())
         return total
 
     def read_changes(
@@ -1922,29 +1921,49 @@ class SnapshotStore:
         dvs = m.get("dvs", {})
         if not dvs:
             return {"files": {}, "n_deleted": 0, "n_dv_files": 0, "dv_ratio": 0.0}
-        dv_paths = sorted({p for lst in dvs.values() for p in lst})
-        per_file: dict[str, int] = {}
-        for p in dv_paths:
-            t = pq.read_table(
-                os.path.join(self.path, p), columns=["_file"]
-            )
-            for f in t.column("_file").to_pylist():
-                per_file[f] = per_file.get(f, 0) + 1
-        # only count entries whose data file is still present AND still
-        # carries the vector (rewritten files dropped theirs)
-        per_file = {f: n for f, n in per_file.items() if f in dvs}
+        per_file = self._live_dv_counts(m)
         n_deleted = sum(per_file.values())
+        stats = m.get("stats", {})
         total_rows = 0
         for f in per_file:
-            total_rows += pq.ParquetFile(
-                os.path.join(self.path, f)
-            ).metadata.num_rows
+            n = (stats.get(f) or {}).get("_rows")
+            if n is None:  # legacy file committed before _rows existed
+                n = pq.ParquetFile(
+                    os.path.join(self.path, f)
+                ).metadata.num_rows
+            total_rows += n
         return {
             "files": per_file,
             "n_deleted": n_deleted,
-            "n_dv_files": len(dv_paths),
+            "n_dv_files": len({p for lst in dvs.values() for p in lst}),
             "dv_ratio": (n_deleted / total_rows) if total_rows else 0.0,
         }
+
+    def _live_dv_counts(self, m: dict) -> dict[str, int]:
+        """Per data file, how many of its row positions are deleted by
+        the manifest's LIVE deletion vectors. One DV parquet holds
+        (file, pos) pairs for every file a delete touched and a rewrite
+        drops only that file's reference — so counting reads the
+        distinct DV files' ``_file`` column (driver-side pyarrow, I/O
+        bounded by deleted rows) and tallies only pairs whose
+        (file, dv) reference the manifest still carries, mirroring the
+        read path's per-file anti-join. Shared by count_rows() and
+        dv_stats() so the liveness rule lives in exactly one place."""
+        import pyarrow.parquet as pq
+
+        dvs = m.get("dvs") or {}
+        if not dvs:
+            return {}
+        live = {(f, p) for f, lst in dvs.items() for p in lst}
+        per_file: dict[str, int] = {}
+        for p in sorted({p for _, p in live}):
+            col = pq.read_table(
+                os.path.join(self.path, p), columns=["_file"]
+            ).column(0)
+            for f in col.to_pylist():
+                if (f, p) in live:
+                    per_file[f] = per_file.get(f, 0) + 1
+        return per_file
 
     def compact(
         self,

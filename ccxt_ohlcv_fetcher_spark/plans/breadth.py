@@ -1380,7 +1380,7 @@ def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment membership. Each Newton step is ONE aggregation shipping "
     "the mu-weighted (k+1)^2 normal-equation sums per partition plus a "
     "driver numpy solve; no collect of data, no UDF — the same shape "
-    "at 100 TB. The working response is clamped at |z|<=30 so a "
+    "at 100 TB. The working response is clamped at |z|<=20 so a "
     "divergent early step cannot overflow the decimal sums.",
     tags=("E17",),
 )

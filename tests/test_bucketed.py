@@ -387,16 +387,16 @@ def test_rebucket_failure_restores_instance_spec(spark, tmp_path):
     with _pytest.raises(ValueError, match="rebucket"):
         BucketedSnapshotStore(spark, store.path, bucket_col="v")
 
-    # inject an overwrite failure mid-rebucket
-    orig = store.overwrite
+    # inject a staging failure mid-rebucket
+    orig = store._stage
 
     def boom(*a, **kw):
-        raise RuntimeError("injected overwrite failure")
+        raise RuntimeError("injected staging failure")
 
-    store.overwrite = boom
+    store._stage = boom
     with _pytest.raises(RuntimeError, match="injected"):
         store.rebucket("k", 16)
-    store.overwrite = orig
+    store._stage = orig
     assert (store.bucket_col, store.n_buckets) == ("k", 4)
     # a post-failure append keeps the OLD layout and spec
     store.append(spark.range(100, 200).selectExpr("id as k", "id as v"))
@@ -405,3 +405,44 @@ def test_rebucket_failure_restores_instance_spec(spark, tmp_path):
     assert df.count() == 200
     plan = _initial_plan(df.groupBy("k").agg(F.count(F.lit(1)).alias("n")))
     assert plan.count("Exchange") == 0
+
+
+def test_rebucket_preserves_concurrent_append_rows(spark, tmp_path):
+    """Review r10 pass 3: rebucket must follow compact()'s
+    row-preserving-rewrite concurrency contract, not overwrite()'s
+    replace contract — a concurrent append committing between the
+    rewrite's read and its CAS must survive into the re-bucketed
+    table (overwrite's rebase silently dropped it)."""
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    store.append(spark.range(100).selectExpr("id as k", "id as v"))
+
+    real_stage = store._stage
+    fired = {"done": False}
+
+    def stage_with_concurrent_append(df, **kw):
+        staged = real_stage(df, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # writer B commits AFTER the rewrite read its snapshot but
+            # BEFORE the rewrite's CAS — the classic lost-update window
+            writer_b = BucketedSnapshotStore(spark, store.path)
+            writer_b.append(
+                spark.range(100, 150).selectExpr("id as k", "id as v")
+            )
+        return staged
+
+    store._stage = stage_with_concurrent_append
+    try:
+        v = store.rebucket("k", 8)
+    finally:
+        store._stage = real_stage
+    assert v == store.latest_version()
+    assert store.manifest()["bucket_spec"] == {"col": "k", "n": 8}
+    got = sorted(r["k"] for r in store.read_bucketed().collect())
+    assert got == list(range(150)), "concurrent append's rows were lost"

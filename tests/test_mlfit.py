@@ -128,7 +128,7 @@ def _numpy_glm_irls(X, y, family, max_iter=25, tol=1e-9, ridge=1e-6):
             pr = 1.0 / (1.0 + np.exp(-z))
             w, r = pr * (1 - pr), y - pr
         elif family == "poisson":
-            mu = np.exp(np.clip(z, -30.0, 30.0))
+            mu = np.exp(np.clip(z, -20.0, 20.0))
             w, r = mu, y - mu
         else:  # probit
             pr = 0.5 * (1.0 + erf(z * 0.7071067811865476))
