@@ -124,6 +124,31 @@ class BucketedSnapshotStore(SnapshotStore):
 
     # --- write side --------------------------------------------------------
 
+    def _try_commit(self, base_version, files, operation, **kwargs):
+        """Layout guard at the CAS (review r10 pass 4): a store
+        instance opened BEFORE a rebucket still stages files under its
+        stale spec — letting its commit through would stamp the stale
+        spec over the head and mix layouts under one declaration (the
+        silent-wrong-joins corruption the open guard blocks). Checked
+        against the SAME base version the CAS targets, so a rebucket
+        racing in just makes this attempt lose the CAS, re-read, and
+        then fail loud here. rebucket() itself (the full rewrite, no
+        old files survive) is the one legitimate spec change."""
+        if base_version and not getattr(self, "_allow_respec", False):
+            base_spec = self.manifest(base_version).get("bucket_spec")
+            if base_spec and base_spec != self._pending_bucket_spec:
+                from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+                    CommitConflict,
+                )
+
+                raise CommitConflict(
+                    f"bucket layout changed concurrently: table is now "
+                    f"{base_spec}, this store instance writes "
+                    f"{self._pending_bucket_spec} — reopen the store "
+                    "and re-stage"
+                )
+        return super()._try_commit(base_version, files, operation, **kwargs)
+
     def _write_stage_files(self, df: DataFrame, commit_dir: str) -> None:
         """Every commit goes through the bucketBy writer: the bucket id
         is encoded in each file name (``..._00007.c000...``), which is
@@ -179,37 +204,31 @@ class BucketedSnapshotStore(SnapshotStore):
         keep their own spec in their own manifests, so time travel
         still reads them with the layout they were written under.
 
-        Concurrency: compact()'s row-preserving-rewrite contract, NOT
-        overwrite()'s replace contract — the rewrite is only valid
-        against the exact version it read, so losing the CAS race to a
-        concurrent append means re-reading from the new head and
-        re-staging (overwrite's rebase would silently drop the
-        winner's rows from the live table). On any failure the
-        INSTANCE rolls back to the committed spec: a later append must
-        not write new-layout files under the old manifest spec."""
-        from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
-            CommitConflict,
-        )
-
+        Implementation: the inherited compact() — after the spec flip,
+        `_write_stage_files` already routes the rewrite through the new
+        layout, and compact carries exactly the right contracts for a
+        row-preserving rewrite: the read-stage-CAS retry loop that
+        re-reads on a lost race (overwrite's rebase would silently
+        drop a concurrent append's rows), DV materialization, and the
+        'compact' operation name every change-feed / incremental
+        consumer already treats as contributing zero row changes. On
+        any failure the INSTANCE rolls back to the committed spec: a
+        later append must not write new-layout files under the old
+        manifest spec."""
         saved = (self.bucket_col, self.n_buckets, self._pending_bucket_spec)
         self.bucket_col = bucket_col
         self.n_buckets = int(n_buckets)
         self._pending_bucket_spec = {"col": bucket_col, "n": int(n_buckets)}
+        self._allow_respec = True
         try:
-            for _ in range(max_retries):
-                base = self.latest_version()
-                snapshot = self.read(version=base)
-                new_files = self._stage(snapshot)
-                if self._try_commit(base, new_files, "rebucket"):
-                    return base + 1
-            raise CommitConflict(
-                f"rebucket lost the CAS race {max_retries} times"
-            )
+            return self.compact(max_retries=max_retries)
         except BaseException:
             self.bucket_col, self.n_buckets, self._pending_bucket_spec = (
                 saved
             )
             raise
+        finally:
+            self._allow_respec = False
 
     def vacuum(
         self,

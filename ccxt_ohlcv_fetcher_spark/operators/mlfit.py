@@ -39,6 +39,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _collect_stats(df: DataFrame, aggs: list, who: str):
+    """Run one sufficient-statistic aggregation and normalize the two
+    overflow surfaces into ONE loud, actionable error: under ANSI mode
+    (the Spark 4 default) a per-row cast or decimal-sum overflow raises
+    ArithmeticException mid-job; under non-ANSI it yields NULL
+    statistics (caught by the callers' None-guards). Either way the
+    caller's user sees 'standardize your features', never a garbage
+    solve, a bare TypeError, or a raw SQLSTATE traceback."""
+    try:
+        return df.agg(*aggs).collect()[0]
+    except Exception as e:  # pyspark wraps the JVM ArithmeticException
+        msg = str(e)
+        if "ARITHMETIC_OVERFLOW" in msg or "Overflow in sum" in msg or (
+            "NUMERIC_VALUE_OUT_OF_RANGE" in msg
+        ) or "CAST_OVERFLOW" in msg:
+            raise ValueError(
+                f"{who}: sufficient-statistic overflow (a term or sum "
+                "exceeded DECIMAL(38,12) range) — standardize or "
+                "rescale large-magnitude features before fitting"
+            ) from None
+        raise
+
+
 def _finite_rows(df: DataFrame, cols: list[str]) -> DataFrame:
     """Drop rows where any model column is NULL or non-finite. Without
     this, a null feature (e.g. ln(0) from an empty document) is skipped
@@ -146,7 +169,7 @@ def logistic_irls(
             ).alias("ll")
         )
         aggs.append(F.count(F.lit(1)).alias("n"))
-        row = df.agg(*aggs).collect()[0]
+        row = _collect_stats(df, aggs, "logistic_irls")
         if not row["n"]:
             raise ValueError("logistic_irls: no finite-featured rows")
         if any(row[f] is None for f in row.asDict() if f != "n"):
@@ -241,7 +264,7 @@ def fit_glm(
         for i in range(k):
             aggs.append(dsum(r * xs[i]).alias(f"g{i}"))
         aggs.append(F.count(F.lit(1)).alias("n"))
-        row = df.agg(*aggs).collect()[0]
+        row = _collect_stats(df, aggs, "fit_glm")
         if not row["n"]:
             raise ValueError("fit_glm: no finite-featured rows")
         if any(row[f] is None for f in row.asDict() if f != "n"):
@@ -278,11 +301,18 @@ def fit_glm(
         # (one extra decimal-sum agg, saves ~half the Newton steps —
         # each step is a full aggregation job, so this is a net win).
         # The pin in tests/test_mlfit.py uses the same start.
-        r0 = df.agg(
-            dsum(y).alias("sy"), F.count(F.lit(1)).alias("n")
-        ).collect()[0]
+        r0 = _collect_stats(
+            df, [dsum(y).alias("sy"), F.count(F.lit(1)).alias("n")],
+            "fit_glm",
+        )
         if not r0["n"]:
             raise ValueError("fit_glm: no finite-featured rows")
+        if r0["sy"] is None:  # same saturation contract as newton_stats
+            raise ValueError(
+                "fit_glm: sufficient-statistic overflow (a sum "
+                "exceeded DECIMAL(38,12) range) — standardize or "
+                "rescale large-magnitude features before fitting"
+            )
         beta[0] = float(np.log(max(r0["sy"] / r0["n"], 1e-12)))
     n_iter, converged, n = 0, False, 0
     for n_iter in range(1, max_iter + 1):

@@ -446,3 +446,35 @@ def test_rebucket_preserves_concurrent_append_rows(spark, tmp_path):
     assert store.manifest()["bucket_spec"] == {"col": "k", "n": 8}
     got = sorted(r["k"] for r in store.read_bucketed().collect())
     assert got == list(range(150)), "concurrent append's rows were lost"
+
+
+def test_stale_instance_append_refuses_after_rebucket(spark, tmp_path):
+    """Review r10 pass 4: a store instance opened before a rebucket
+    stages files under its stale spec — its commit must fail LOUD at
+    the CAS (reopen and re-stage) rather than stamping the stale spec
+    over the head and mixing layouts under one declaration. And the
+    rebucket commit itself rides the 'compact' operation, so the
+    change feed keeps flowing across it (zero row changes)."""
+    import pytest as _pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import CommitConflict
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=4
+    )
+    store.append(spark.range(100).selectExpr("id as k", "id as v"))
+    stale = BucketedSnapshotStore(spark, store.path)  # opened at k x 4
+    assert store.rebucket("k", 8) == 2
+    assert store.manifest()["operation"] == "compact"
+    # row feed crosses the rebucket commit without erroring and shows
+    # zero changes for it
+    assert store.read_row_changes(1, 2).count() == 0
+    with _pytest.raises(CommitConflict, match="layout changed"):
+        stale.append(spark.range(100, 150).selectExpr("id as k", "id as v"))
+    # the table is unpoisoned: spec intact, current-instance appends fine
+    assert store.manifest()["bucket_spec"] == {"col": "k", "n": 8}
+    store.append(spark.range(100, 150).selectExpr("id as k", "id as v"))
+    assert store.read_bucketed().count() == 150

@@ -272,3 +272,27 @@ def test_fit_glm_poisson_wide_feature_magnitudes(spark):
         assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (
             fit1["beta"], beta_np.tolist(),
         )
+
+
+def test_glm_statistic_overflow_raises_loud(spark):
+    """Review r10: a sum that saturates DECIMAL(38,12) (huge feature
+    or label magnitudes x enough rows) must raise the
+    standardize-your-features ValueError — never solve a garbage
+    system or crash with a bare TypeError (incl. the poisson
+    warm-start mean, which is computed before the Newton loop)."""
+    import pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.mlfit import fit_glm
+
+    huge_y = spark.createDataFrame(
+        [(1e25, float(i % 7)) for i in range(200)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="standardize"):
+        fit_glm(huge_y, "y", ["x"], family="poisson")
+    with pytest.raises(ValueError, match="standardize"):
+        fit_glm(huge_y, "y", ["x"], family="gaussian")
+    huge_x = spark.createDataFrame(
+        [(float(i % 2), 1e14) for i in range(200)], "y double, x double"
+    )
+    with pytest.raises(ValueError, match="standardize"):
+        fit_glm(huge_x, "y", ["x"], family="gaussian")
