@@ -2364,17 +2364,57 @@ def user_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "copurchase_k_core",
-    oracle=None,  # data-dependent fixpoint loop (peeling) is not
-    # SQL-expressible; distributed == pure-Python peeling reference
-    # pinned in tests/test_analytics.py on the real fixture edges AND
-    # crafted graphs
+    # Peeling is a data-dependent fixpoint, but each round's rule is
+    # deterministic and the k-core is UNIQUE, so running the peel a
+    # fixed 50 rounds (the distributed loop's max_rounds) in a DuckDB
+    # recursive CTE reaches the same fixpoint: rounds past the fixpoint
+    # are identity steps. Degrees inside the recursive term come from
+    # two window counts over the BI-DIRECTED edge rows (the relation is
+    # symmetric, so count-by-src == degree for both endpoints) — this
+    # keeps the recursive reference single-use, which recursive CTEs
+    # require. An empty core degenerates identically on both sides:
+    # the working table empties, no it=50 rows exist, result is empty.
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_COPURCHASE_MIN_ORDERS}
+    ),
+    bi AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL SELECT pb, pa FROM edges
+    ),
+    peel AS (
+      SELECT src, dst, 0 AS it FROM bi
+      UNION ALL
+      SELECT src, dst, it + 1
+      FROM (
+        SELECT src, dst, it,
+               count(*) OVER (PARTITION BY src) AS deg_src,
+               count(*) OVER (PARTITION BY dst) AS deg_dst
+        FROM peel
+      )
+      WHERE deg_src >= 2 AND deg_dst >= 2 AND it < 50
+    )
+    SELECT src AS v, count(*) AS core_deg
+    FROM peel WHERE it = 50 GROUP BY 1
+    """,
     doc="k-core dense kernel of the co-purchase graph (graph tier, "
     "operators/graph.py:k_core): iterative peeling to the unique "
     "maximal subgraph of minimum degree >= 2, then per-vertex core "
     "degree — the dense-community seed filter. One degree groupBy + "
     "two semi-joins per round, lineage cut per round, driver sync is "
     "one scalar count (the CC/PageRank iterative shape). Output: "
-    "surviving vertices with their in-core degree.",
+    "surviving vertices with their in-core degree. ORACLE-EXACT "
+    "against a DuckDB recursive-CTE peel (fixed 50 rounds == the "
+    "distributed loop's max_rounds; identity past the fixpoint), plus "
+    "the pure-Python peeling reference pinned in tests/test_analytics.py "
+    "on crafted graphs.",
     tags=("E13", "E5"),
 )
 def copurchase_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
