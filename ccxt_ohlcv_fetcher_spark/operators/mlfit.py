@@ -8,7 +8,11 @@ models): each Newton iteration is ONE aggregation job producing the
 p-weighted normal equations — sufficient statistics, exactly like the
 OLS query — and a driver-side 3x3 solve. No collect of data, no UDF,
 no per-row Python; the table can be 100 TB and an iteration still
-shuffles only (features+1)^2 numbers per partition.
+shuffles only (features+1)^2 numbers per partition. The complete-case
+feature projection is persisted ONCE before the loop (narrow double
+columns, MEMORY_AND_DISK), so iterations aggregate cached blocks
+instead of re-running the source scan — at 100 TB each Newton step
+would otherwise rescan the table.
 
 Determinism: every per-row term is cast to DECIMAL(38,12) before SUM,
 so the partial/final aggregation is associative and the fitted
@@ -35,6 +39,7 @@ against an independent numpy IRLS to 1e-6 in tests/test_mlfit.py.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -137,58 +142,75 @@ def logistic_irls(
     {beta, n_iter, converged, log_lik, n}."""
     if len(feature_cols) != 2:
         raise ValueError("logistic_irls fits exactly 2 features + intercept")
-    df = _finite_rows(df, [label_col, *feature_cols])
+    # Each Newton step is ONE aggregation job; without a cache every
+    # iteration re-runs the scan + feature-projection subtree under it
+    # (column-pruned, but at 100 TB that is a full table rescan per
+    # iteration). Persist the complete-case 3-column double frame once —
+    # it is the narrowest possible input, independent of source width —
+    # and let every step aggregate the cached blocks. MEMORY_AND_DISK
+    # so an oversized feature frame spills instead of thrashing;
+    # recompute-on-eviction keeps it correct either way. Numerically
+    # identical: cast(double) is idempotent, so pre-casting once
+    # changes no per-row value.
     x1, x2 = feature_cols
-    y = F.col(label_col).cast("double")
+    feat = _finite_rows(df, [label_col, *feature_cols]).select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(x1).cast("double").alias("_x1"),
+        F.col(x2).cast("double").alias("_x2"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    y = F.col("_y")
     beta = [0.0, 0.0, 0.0]
     dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast(  # noqa: E731
         "double"
     )
     n_iter, converged, log_lik, n_rows = 0, False, float("nan"), 0
-    for n_iter in range(1, max_iter + 1):
-        z = (
-            F.lit(beta[0])
-            + F.lit(beta[1]) * F.col(x1)
-            + F.lit(beta[2]) * F.col(x2)
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        w = p * (F.lit(1.0) - p)
-        r = y - p
-        xs = [F.lit(1.0), F.col(x1).cast("double"), F.col(x2).cast("double")]
-        aggs = []
-        for i in range(3):
-            for j in range(i, 3):
-                aggs.append(dsum(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
-        for i in range(3):
-            aggs.append(dsum(r * xs[i]).alias(f"g{i}"))
-        aggs.append(
-            dsum(
-                y * F.log(F.greatest(p, F.lit(1e-300)))
-                + (F.lit(1.0) - y)
-                * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-300)))
-            ).alias("ll")
-        )
-        aggs.append(F.count(F.lit(1)).alias("n"))
-        row = _collect_stats(df, aggs, "logistic_irls")
-        if not row["n"]:
-            raise ValueError("logistic_irls: no finite-featured rows")
-        if any(row[f] is None for f in row.asDict() if f != "n"):
-            raise ValueError(
-                "logistic_irls: sufficient-statistic overflow (a sum "
-                "exceeded DECIMAL(38,12) range) — standardize or "
-                "rescale large-magnitude features before fitting"
+    try:
+        for n_iter in range(1, max_iter + 1):
+            z = (
+                F.lit(beta[0])
+                + F.lit(beta[1]) * F.col("_x1")
+                + F.lit(beta[2]) * F.col("_x2")
             )
-        a = [[0.0] * 3 for _ in range(3)]
-        for i in range(3):
-            for j in range(i, 3):
-                a[i][j] = a[j][i] = row[f"s{i}{j}"]
-            a[i][i] += ridge
-        delta = _solve3(a, [row[f"g{i}"] for i in range(3)])
-        beta = [b + d for b, d in zip(beta, delta)]
-        log_lik, n_rows = row["ll"], row["n"]
-        if max(abs(d) for d in delta) < tol:
-            converged = True
-            break
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            w = p * (F.lit(1.0) - p)
+            r = y - p
+            xs = [F.lit(1.0), F.col("_x1"), F.col("_x2")]
+            aggs = []
+            for i in range(3):
+                for j in range(i, 3):
+                    aggs.append(dsum(w * xs[i] * xs[j]).alias(f"s{i}{j}"))
+            for i in range(3):
+                aggs.append(dsum(r * xs[i]).alias(f"g{i}"))
+            aggs.append(
+                dsum(
+                    y * F.log(F.greatest(p, F.lit(1e-300)))
+                    + (F.lit(1.0) - y)
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-300)))
+                ).alias("ll")
+            )
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            row = _collect_stats(feat, aggs, "logistic_irls")
+            if not row["n"]:
+                raise ValueError("logistic_irls: no finite-featured rows")
+            if any(row[f] is None for f in row.asDict() if f != "n"):
+                raise ValueError(
+                    "logistic_irls: sufficient-statistic overflow (a sum "
+                    "exceeded DECIMAL(38,12) range) — standardize or "
+                    "rescale large-magnitude features before fitting"
+                )
+            a = [[0.0] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(i, 3):
+                    a[i][j] = a[j][i] = row[f"s{i}{j}"]
+                a[i][i] += ridge
+            delta = _solve3(a, [row[f"g{i}"] for i in range(3)])
+            beta = [b + d for b, d in zip(beta, delta)]
+            log_lik, n_rows = row["ll"], row["n"]
+            if max(abs(d) for d in delta) < tol:
+                converged = True
+                break
+    finally:
+        feat.unpersist(blocking=False)
     return {
         "beta": beta,
         "n_iter": n_iter,
@@ -246,10 +268,23 @@ def fit_glm(
 
     if family not in ("gaussian", "binomial", "poisson", "probit"):
         raise ValueError(f"unsupported family {family!r}")
-    df = _finite_rows(df, [label_col, *feature_cols])
     k = len(feature_cols) + 1
-    y = F.col(label_col).cast("double")
-    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    # Same caching rationale as logistic_irls: project the complete-case
+    # frame to (label + k-1 features) doubles ONCE so the per-iteration
+    # aggregation reads cached narrow blocks, not the source scan.
+    # Gaussian is a single pass, so it skips the persist (a cache write
+    # it would never read back).
+    feat = _finite_rows(df, [label_col, *feature_cols]).select(
+        F.col(label_col).cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_f{i}")
+            for i, c in enumerate(feature_cols)
+        ],
+    )
+    y = F.col("_y")
+    xs = [F.lit(1.0)] + [
+        F.col(f"_f{i}") for i in range(len(feature_cols))
+    ]
     # DECIMAL(38,12) for EVERY family (see module docstring): the
     # overflow bound of w*x_i*x_j and r*x_i is feature-magnitude-
     # dependent, not family-dependent — a timestamp-scale gaussian
@@ -264,7 +299,7 @@ def fit_glm(
         for i in range(k):
             aggs.append(dsum(r * xs[i]).alias(f"g{i}"))
         aggs.append(F.count(F.lit(1)).alias("n"))
-        row = _collect_stats(df, aggs, "fit_glm")
+        row = _collect_stats(feat, aggs, "fit_glm")
         if not row["n"]:
             raise ValueError("fit_glm: no finite-featured rows")
         if any(row[f] is None for f in row.asDict() if f != "n"):
@@ -296,55 +331,63 @@ def fit_glm(
             "n": n,
         }
     beta = np.zeros(k)
-    if family == "poisson":
-        # standard GLM warm start: intercept-only model, b0 = ln(ybar)
-        # (one extra decimal-sum agg, saves ~half the Newton steps —
-        # each step is a full aggregation job, so this is a net win).
-        # The pin in tests/test_mlfit.py uses the same start.
-        r0 = _collect_stats(
-            df, [dsum(y).alias("sy"), F.count(F.lit(1)).alias("n")],
-            "fit_glm",
-        )
-        if not r0["n"]:
-            raise ValueError("fit_glm: no finite-featured rows")
-        if r0["sy"] is None:  # same saturation contract as newton_stats
-            raise ValueError(
-                "fit_glm: sufficient-statistic overflow (a sum "
-                "exceeded DECIMAL(38,12) range) — standardize or "
-                "rescale large-magnitude features before fitting"
+    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if family == "poisson":
+            # standard GLM warm start: intercept-only model, b0 = ln(ybar)
+            # (one extra decimal-sum agg, saves ~half the Newton steps —
+            # each step is a full aggregation job, so this is a net win;
+            # it also populates the feature cache for the loop).
+            # The pin in tests/test_mlfit.py uses the same start.
+            r0 = _collect_stats(
+                feat, [dsum(y).alias("sy"), F.count(F.lit(1)).alias("n")],
+                "fit_glm",
             )
-        beta[0] = float(np.log(max(r0["sy"] / r0["n"], 1e-12)))
-    n_iter, converged, n = 0, False, 0
-    for n_iter in range(1, max_iter + 1):
-        z = xs[0] * F.lit(float(beta[0]))
-        for bi, xc in zip(beta[1:], xs[1:]):
-            z = z + F.lit(float(bi)) * xc
-        if family == "binomial":
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            w, r = p * (F.lit(1.0) - p), y - p
-        elif family == "poisson":
-            # log link: mu = exp(z), Hessian weight = mu, score = y-mu.
-            # z clamped at +-20 (mu <= 4.85e8) so a divergent early
-            # step can't overflow the DECIMAL(38,12) per-row terms even
-            # with features up to ~1e8 (mu*x*x <= 4.85e24 < 1e26) —
-            # the standard IRLS safeguard, sized to the sum scale (at
-            # the previous +-30, a 1e7-magnitude feature overflowed the
-            # cast to NULL and rows silently left the sums). Converged
-            # fits sit far inside: a rate of e^20 per observation is
-            # beyond any real count model.
-            mu = F.exp(F.greatest(F.least(z, F.lit(20.0)), F.lit(-20.0)))
-            w, r = mu, y - mu
-        else:  # probit — Fisher scoring with the A&S 7.1.26 erf
-            p = _norm_cdf(z)
-            d = F.exp(z * z * F.lit(-0.5)) * F.lit(0.3989422804014327)
-            v = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-12))
-            w, r = d * d / v, (y - p) * d / v
-        a, g, n = newton_stats(w, r)
-        delta = np.linalg.solve(a, g)
-        beta = beta + delta
-        if float(np.max(np.abs(delta))) < tol:
-            converged = True
-            break
+            if not r0["n"]:
+                raise ValueError("fit_glm: no finite-featured rows")
+            if r0["sy"] is None:  # same saturation contract as newton_stats
+                raise ValueError(
+                    "fit_glm: sufficient-statistic overflow (a sum "
+                    "exceeded DECIMAL(38,12) range) — standardize or "
+                    "rescale large-magnitude features before fitting"
+                )
+            beta[0] = float(np.log(max(r0["sy"] / r0["n"], 1e-12)))
+        n_iter, converged, n = 0, False, 0
+        for n_iter in range(1, max_iter + 1):
+            z = xs[0] * F.lit(float(beta[0]))
+            for bi, xc in zip(beta[1:], xs[1:]):
+                z = z + F.lit(float(bi)) * xc
+            if family == "binomial":
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                w, r = p * (F.lit(1.0) - p), y - p
+            elif family == "poisson":
+                # log link: mu = exp(z), Hessian weight = mu, score =
+                # y-mu. z clamped at +-20 (mu <= 4.85e8) so a divergent
+                # early step can't overflow the DECIMAL(38,12) per-row
+                # terms even with features up to ~1e8 (mu*x*x <= 4.85e24
+                # < 1e26) — the standard IRLS safeguard, sized to the
+                # sum scale (at the previous +-30, a 1e7-magnitude
+                # feature overflowed the cast to NULL and rows silently
+                # left the sums). Converged fits sit far inside: a rate
+                # of e^20 per observation is beyond any real count
+                # model.
+                mu = F.exp(
+                    F.greatest(F.least(z, F.lit(20.0)), F.lit(-20.0))
+                )
+                w, r = mu, y - mu
+            else:  # probit — Fisher scoring with the A&S 7.1.26 erf
+                p = _norm_cdf(z)
+                d = F.exp(z * z * F.lit(-0.5)) * F.lit(0.3989422804014327)
+                v = F.greatest(p * (F.lit(1.0) - p), F.lit(1e-12))
+                w, r = d * d / v, (y - p) * d / v
+            a, g, n = newton_stats(w, r)
+            delta = np.linalg.solve(a, g)
+            beta = beta + delta
+            if float(np.max(np.abs(delta))) < tol:
+                converged = True
+                break
+    finally:
+        feat.unpersist(blocking=False)
     return {
         "beta": [float(b) for b in beta],
         "n_iter": n_iter,
