@@ -398,14 +398,28 @@ _COPURCHASE_MIN_ORDERS = 2
     tags=("E5", "E13"),
 )
 def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
-    edges = edges.localCheckpoint()  # consumed 4x below; cut the lineage
-    return _copurchase_stats(edges)
+    # _copurchase_edges is already memoized + localCheckpointed, so the
+    # 4 consuming subtrees below read materialized blocks.
+    return _copurchase_stats(_copurchase_edges(spark, sf_dir))
+
+
+_COPURCHASE_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared co-purchase edge list (pa < pb, >= min orders together):
-    one basket shuffle + deterministic sorted-pair expansion."""
+    one basket shuffle + deterministic sorted-pair expansion.
+
+    Memoized per (session, sf_dir) as a localCheckpointed frame — four
+    registered queries (graph stats, k-core, both pageranks) consume
+    EXACTLY this subtree, and each previously rebuilt the basket
+    shuffle + pair expansion from the raw scan; the edge list is
+    immutable per fixture, so the second-through-fourth consumers now
+    pay only their own iteration cost (registry builders may run eager
+    jobs; ROUND_NOTES)."""
+    key = (id(spark), sf_dir)
+    if key in _COPURCHASE_MEMO:
+        return _COPURCHASE_MEMO[key]
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -427,14 +441,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
+    edges = (
         baskets.filter(F.size("parts") >= 2)
         .select(pair.alias("e"))
         .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_ord"))
         .filter(F.col("n_ord") >= _COPURCHASE_MIN_ORDERS)
         .select("pa", "pb")
+        .localCheckpoint()
     )
+    _COPURCHASE_MEMO[key] = edges
+    return edges
 
 
 def _copurchase_stats(edges: DataFrame) -> DataFrame:
@@ -552,35 +569,10 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_bidirected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared co-purchase edge set (>= _COPURCHASE_MIN_ORDERS
-    shared orders), bi-directed and checkpointed once — consumed
-    multiple times by verts/deg/wedges inside the rank operator."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.size("parts") - 1),
-                lambda i: F.transform(
-                    F.slice(F.col("parts"), i + 1, F.size("parts") - i),
-                    lambda p: F.struct(
-                        F.get("parts", i - 1).alias("pa"), p.alias("pb")
-                    ),
-                ),
-            )
-        )
-    )
-    edges = (
-        baskets.filter(F.size("parts") >= 2)
-        .select(pair.alias("e"))
-        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("n_ord"))
-        .filter(F.col("n_ord") >= _COPURCHASE_MIN_ORDERS)
-        .select("pa", "pb")
-    )
-    edges = edges.localCheckpoint()
+    """The shared co-purchase edge set, bi-directed — a cheap view over
+    the memoized checkpointed edge list (previously this rebuilt the
+    whole basket shuffle independently of _copurchase_edges)."""
+    edges = _copurchase_edges(spark, sf_dir)
     return (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(
