@@ -688,20 +688,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "history":
         dataset = _make_dataset(spark, args)
-        for h in dataset.store.history():
+        want_counts = getattr(args, "counts", False)
+        # counts ride the same single forward walk as the listing
+        # (store.history(counts=True)): one pass over the deltas, each
+        # DV parquet read once — O(versions), not O(versions x files)
+        for h in dataset.store.history(counts=want_counts):
             line = (
                 f"v{h['version']:06d} parent=v{h['parent']:06d} "
                 f"{h['operation']:<9} files={h['n_files']}"
             )
-            if getattr(args, "counts", False):
-                try:
-                    line += f" rows={dataset.store.count_rows(h['version'])}"
-                except FileNotFoundError:
+            if want_counts:
+                if h["rows"] is None:
                     # the version is still LISTED (manifests survive)
-                    # but vacuum reclaimed its DV or legacy data files
-                    # — the count is unknowable, the listing must not
-                    # abort mid-log
+                    # but vacuum reclaimed a live DV or legacy data
+                    # file — the count is unknowable, the listing must
+                    # not abort mid-log
                     line += " rows=? (data reclaimed)"
+                else:
+                    line += f" rows={h['rows']}"
             print(line)
         return 0
 

