@@ -77,6 +77,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     metric: str = "jaccard",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -96,8 +97,17 @@ def ngram_jaccard_pairs(
     pairs; the cap bounds per-shingle fan-out at max_doc_freq^2/2
     regardless of corpus size — the knob that keeps the inverted-index
     self-join linear-ish at 100 TB.
+
+    ``shingles``: a pre-built ``shingle_sets(df, content_col, id_col,
+    n)`` frame (e.g. a session-memoized checkpoint shared across the
+    dedup family) — must match those arguments; the cap filter still
+    applies on top.
     """
-    sh = shingle_sets(df, content_col, id_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, content_col, id_col, n)
+    )
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -211,7 +221,12 @@ def decontaminate(
 
 
 def minhash_signatures(
-    df: DataFrame, content_col: str, id_col: str, k: int = 16, n: int = 3
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 16,
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """E34: k-wide MinHash signature per doc (columns mh_0..mh_{k-1}).
 
@@ -221,9 +236,14 @@ def minhash_signatures(
     shingle hash (Carter-Wegman family, functions/hashing.py): k integer
     mul/add/mod per row instead of k salted md5s — ~2x wall-time on the
     signature stage, same collision theory, still bit-reproducible in
-    the DuckDB oracle.
+    the DuckDB oracle. ``shingles``: optional pre-built shingle frame
+    (same contract as ngram_jaccard_pairs).
     """
-    sh = shingle_sets(df, content_col, id_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, content_col, id_col, n)
+    )
     aggs = [
         F.min(affine_hash("shingle", a, b)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(affine_params(k))
@@ -267,6 +287,7 @@ def minhash_candidate_pairs(
     k: int = 16,
     n: int = 3,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """E34 end-to-end: near-dup candidate pairs via MinHash + LSH banding
     (distinct id_a < id_b sharing >=1 band bucket)."""
@@ -276,7 +297,9 @@ def minhash_candidate_pairs(
             "determines the LSH collision probability, and a remainder would "
             "silently drop trailing signature components"
         )
-    sigs = minhash_signatures(df, content_col, id_col, k=k, n=n)
+    sigs = minhash_signatures(
+        df, content_col, id_col, k=k, n=n, shingles=shingles
+    )
     buckets = minhash_band_buckets(sigs, id_col, bands=bands, rows_per_band=k // bands)
     # group-then-pair instead of a bucket self-join: the self-join would
     # re-execute the signature pipeline for each side; collect_list runs
@@ -608,6 +631,7 @@ def boilerplate_stats(
     id_col: str,
     n: int = 3,
     df_permille: int = 10,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style boilerplate detection: shingles whose document frequency
     is >= ``df_permille``/1000 of the corpus are "boilerplate" (nav
@@ -627,9 +651,15 @@ def boilerplate_stats(
     mean doc size, so the membership join broadcasts. The threshold is
     corpus-RELATIVE (df * 1000 >= N * df_permille, exact integer
     compare): the same query text scales from the 500-doc fixture to a
-    100 TB corpus without retuning an absolute count.
+    100 TB corpus without retuning an absolute count. ``shingles``:
+    optional pre-built shingle frame (same contract as
+    ngram_jaccard_pairs).
     """
-    sh = shingle_sets(df, content_col, id_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_sets(df, content_col, id_col, n)
+    )
     n_docs = df.select(id_col).count()
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     boiler = dfreq.filter(F.col("_df") * 1000 >= F.lit(n_docs * df_permille)).select(

@@ -30,6 +30,7 @@ from ccxt_ohlcv_fetcher_spark.operators.dedup import (
     minhash_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_sets,
     simhash,
 )
 from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
@@ -113,6 +114,24 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- E34 family: near-dup --------------------------------------------------
 
+# the documents table's distinct (doc_id, 3-gram shingle hash) rows —
+# the inverted-index input SEVEN registry queries start from
+# (jaccard/containment/capped pairs, minhash signatures/candidates,
+# boilerplate, dup components). Memoized per (session, sf_dir) as a
+# localCheckpointed frame (the _CC_MEMO pattern): the explode+distinct
+# shuffle runs once per session instead of once per query execution.
+_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHINGLE_MEMO[key] = shingle_sets(
+            docs, "text", "doc_id", n=3
+        ).localCheckpoint()
+    return _SHINGLE_MEMO[key]
+
 
 @register(
     "jaccard_dup_pairs",
@@ -153,7 +172,10 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 @register(
@@ -195,7 +217,8 @@ def jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, metric="containment"
+        docs, "text", "doc_id", n=3, threshold=0.5, metric="containment",
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -238,7 +261,10 @@ def _sql_minhash_signature_cte(k: int) -> str:
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "text", "doc_id", k=8, n=3)
+    return minhash_signatures(
+        docs, "text", "doc_id", k=8, n=3,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 @register(
@@ -275,7 +301,10 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, "text", "doc_id", k=8, n=3, bands=4)
+    return minhash_candidate_pairs(
+        docs, "text", "doc_id", k=8, n=3, bands=4,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
 
 
 def _sql_simhash(words_expr: str) -> str:
@@ -695,7 +724,10 @@ def dup_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _CC_MEMO:
         docs = load_table(spark, sf_dir, "documents")
-        edges = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+        edges = ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.2,
+            shingles=_doc_shingles(spark, sf_dir),
+        )
         _CC_MEMO[key] = connected_components(
             docs.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
         )
@@ -1365,6 +1397,50 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIGRAM_PROFILE_K = 64  # top trigrams kept per language profile
 
 
+_TRIGRAM_PROF_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained per-language top-K trigram profile + norm — a
+    train-once artifact (the kmeans/BPE/PCA memo pattern): the training
+    pass is a full corpus explode + groupBy, while the profile itself
+    is tiny (langs x K rows); memoized per (session, sf_dir) so every
+    execution after the first pays only the classification pass."""
+    key = (id(spark), sf_dir)
+    if key in _TRIGRAM_PROF_MEMO:
+        return _TRIGRAM_PROF_MEMO[key]
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tg = docs.select(
+        F.col("lang").alias("lang_p"),
+        F.explode(char_trigrams("text")).alias("trigram"),
+    )
+    wk = W.partitionBy("lang_p").orderBy(F.desc("cnt"), F.asc("trigram"))
+    # profile + its norm in ONE subtree (norm as a same-partition window
+    # sum after the top-K cut) so the corpus-wide trigram count runs
+    # once, not once per downstream consumer
+    prof = (
+        tg.groupBy("lang_p", "trigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TRIGRAM_PROFILE_K)
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.sum(F.col("cnt") * F.col("cnt"))
+                .over(W.partitionBy("lang_p"))
+                .cast("double")
+            ),
+        )
+        .select("lang_p", "trigram", "cnt", "norm")
+        .localCheckpoint()
+    )
+    _TRIGRAM_PROF_MEMO[key] = prof
+    return prof
+
+
+
 @register(
     "lang_id_trigram",
     oracle=f"""
@@ -1415,8 +1491,10 @@ TRIGRAM_PROFILE_K = 64  # top trigrams kept per language profile
     "count -> deterministic top-64 per language), then every doc is "
     "scored by profile-normalized dot product via a BROADCAST "
     "inverted-index join on trigram (never a doc x language cross "
-    "join) and argmax'd with a deterministic tie-break. Train and "
-    "serve are ONE plan — the profile subtree is the broadcast side. "
+    "join) and argmax'd with a deterministic tie-break. The trained "
+    "profile is a train-once artifact memoized per (session, sf_dir) "
+    "and checkpointed (the kmeans/BPE/PCA pattern) — the broadcast "
+    "side of every later execution. "
     "At 100 TB the profile stays K*langs rows regardless of corpus "
     "size; the doc side is one explode + broadcast join + one "
     "shuffle on (doc_id, lang). Fixture text is synthetic word soup, "
@@ -1428,27 +1506,9 @@ def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tg = docs.select(
-        "doc_id", "lang", F.explode(char_trigrams("text")).alias("trigram")
+        "doc_id", F.explode(char_trigrams("text")).alias("trigram")
     )
-    wk = W.partitionBy("lang_p").orderBy(F.desc("cnt"), F.asc("trigram"))
-    # profile + its norm in ONE subtree (norm as a same-partition window
-    # sum after the top-K cut) so the corpus-wide trigram count runs
-    # once, not once per downstream consumer
-    prof = (
-        tg.groupBy(F.col("lang").alias("lang_p"), "trigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= TRIGRAM_PROFILE_K)
-        .withColumn(
-            "norm",
-            F.sqrt(
-                F.sum(F.col("cnt") * F.col("cnt"))
-                .over(W.partitionBy("lang_p"))
-                .cast("double")
-            ),
-        )
-        .select("lang_p", "trigram", "cnt", "norm")
-    )
+    prof = _trigram_profile(spark, sf_dir)
     wd = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang_p"))
     best = (
         tg.join(F.broadcast(prof), "trigram")
@@ -1736,7 +1796,8 @@ def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=3
+        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=3,
+        shingles=_doc_shingles(spark, sf_dir),
     )
 
 
@@ -2079,7 +2140,10 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return boilerplate_stats(docs, "text", "doc_id", n=3, df_permille=10).select(
+    return boilerplate_stats(
+        docs, "text", "doc_id", n=3, df_permille=10,
+        shingles=_doc_shingles(spark, sf_dir),
+    ).select(
         "doc_id", "n_shingles", "n_boiler", "boiler_ratio"
     )
 
