@@ -22,6 +22,7 @@ from ccxt_ohlcv_fetcher_spark.plans.registry import (
     dec,
     ms,
     register,
+    session_key,
     sql_ms,
 )
 from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
@@ -403,7 +404,7 @@ def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _copurchase_stats(_copurchase_edges(spark, sf_dir))
 
 
-_COPURCHASE_MEMO: dict[tuple[int, str], DataFrame] = {}
+_COPURCHASE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _copurchase_edges_counted(
@@ -421,7 +422,7 @@ def _copurchase_edges_counted(
     immutable per fixture, so every consumer after the first pays only
     its own join/iteration cost (registry builders may run eager jobs;
     ROUND_NOTES)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key in _COPURCHASE_MEMO:
         return _COPURCHASE_MEMO[key]
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -55,7 +55,7 @@ from ccxt_ohlcv_fetcher_spark.operators.text import (
     word_ngrams,
     words,
 )
-from ccxt_ohlcv_fetcher_spark.plans.registry import register
+from ccxt_ohlcv_fetcher_spark.plans.registry import register, session_key
 from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
 
 # --- shared DuckDB SQL fragments -----------------------------------------
@@ -120,11 +120,11 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate, dup components). Memoized per (session, sf_dir) as a
 # localCheckpointed frame (the _CC_MEMO pattern): the explode+distinct
 # shuffle runs once per session instead of once per query execution.
-_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _SHINGLE_MEMO:
         docs = load_table(spark, sf_dir, "documents")
         _SHINGLE_MEMO[key] = shingle_sets(
@@ -663,7 +663,7 @@ def _embedding_seeds(spark: SparkSession, sf_dir: str, n: int) -> list[list[floa
     return _SEED_MEMO[key]
 
 
-_CC_MEMO: dict[tuple[int, str], DataFrame] = {}
+_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 @register(
@@ -721,7 +721,7 @@ def dup_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here would pay the whole closure twice per bench/driver session.
     # The converged labels are immutable per (session, sf_dir) — memoize
     # them (registry builders may run eager jobs; ROUND_NOTES).
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _CC_MEMO:
         docs = load_table(spark, sf_dir, "documents")
         edges = ngram_jaccard_pairs(
@@ -1397,7 +1397,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIGRAM_PROFILE_K = 64  # top trigrams kept per language profile
 
 
-_TRIGRAM_PROF_MEMO: dict[tuple[int, str], DataFrame] = {}
+_TRIGRAM_PROF_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,7 +1406,7 @@ def _trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is a full corpus explode + groupBy, while the profile itself
     is tiny (langs x K rows); memoized per (session, sf_dir) so every
     execution after the first pays only the classification pass."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key in _TRIGRAM_PROF_MEMO:
         return _TRIGRAM_PROF_MEMO[key]
     from pyspark.sql.window import Window as W
@@ -1905,7 +1905,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_MEMO: dict[tuple[int, str], list[list[float]]] = {}
+_KMEANS_MEMO: dict[tuple[str, str], list[list[float]]] = {}
 
 
 @register(
@@ -1933,7 +1933,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trained model is an artifact, not a per-query computation), and
     # the same memo rule as the CC labels above
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _KMEANS_MEMO:
         _KMEANS_MEMO[key] = kmeans_centroids(emb, k=8, n_iter=3)
     centroids = _KMEANS_MEMO[key]
@@ -1980,7 +1980,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _KMEANS_MEMO:
         _KMEANS_MEMO[key] = kmeans_centroids(emb, k=8, n_iter=3)
     return semantic_dedup(
@@ -2557,7 +2557,7 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_MEMO: dict[tuple[int, str], DataFrame] = {}
+_BPE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 @register(
@@ -2587,7 +2587,7 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _BPE_MEMO:
         _, vocab = train_bpe(word_freq_table(docs), n_merges=24)
         _BPE_MEMO[key] = vocab.localCheckpoint()
@@ -2624,7 +2624,7 @@ def doc_bpe_oov_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    key = (id(spark), sf_dir, "oov")
+    key = (session_key(spark), sf_dir, "oov")
     if key not in _BPE_MEMO:
         train = docs.filter(F.col("doc_id") % 2 == 0)
         _, vocab = train_bpe(word_freq_table(train), n_merges=24)
@@ -2685,7 +2685,7 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_from_moments(gram_moments(emb))
 
 
-_PCA_MEMO: dict[tuple[int, str], tuple] = {}
+_PCA_MEMO: dict[tuple[str, str], tuple] = {}
 
 
 @register(
@@ -2712,7 +2712,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _PCA_MEMO:
         _PCA_MEMO[key] = pca_components(emb, dim=64, k=4)
     comps, _, mean = _PCA_MEMO[key]
@@ -2830,7 +2830,7 @@ def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OPQ_MEMO: dict[tuple[int, str], list] = {}
+_OPQ_MEMO: dict[tuple[str, str], list] = {}
 
 
 def _opq_training(spark: SparkSession, sf_dir: str):
@@ -2849,7 +2849,7 @@ def _opq_training(spark: SparkSession, sf_dir: str):
         train_pq_codebooks,
     )
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _OPQ_MEMO:
         emb = load_table(spark, sf_dir, "embeddings")
         comps, _mean = opq_balanced_rotation(emb, dim=64, m=8)

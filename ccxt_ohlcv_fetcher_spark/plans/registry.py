@@ -60,6 +60,18 @@ def register(
 
 # --- shared determinism helpers ------------------------------------------
 
+def session_key(spark: SparkSession) -> str:
+    """Memo-key component for per-session build artifacts (edge
+    tables, shingle frames, trained profiles, kmeans seeds, ...):
+    ``applicationId`` is stable for the life of the SparkContext —
+    which is what owns localCheckpoint blocks — and is never recycled
+    within a process, unlike ``id(spark)``, which the allocator can
+    reuse after a session is GC'd (a stale checkpointed frame under a
+    recycled id would silently serve the wrong data). Sessions
+    sharing one context correctly SHARE the memo."""
+    return spark.sparkContext.applicationId
+
+
 def dec(col: Column | str, scale: int = 6) -> Column:
     """Cast to exact decimal before aggregation (see module docstring)."""
     col = F.col(col) if isinstance(col, str) else col
