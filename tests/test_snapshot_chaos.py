@@ -156,3 +156,98 @@ def test_concurrent_writer_chaos_linearizable(spark, tmp_path):
         total_commits += _verify_against_serial_oracle(spark, path)
     # sanity: the schedules actually committed real concurrent work
     assert total_commits >= N_SCHEDULES * 4
+
+
+def test_parquet_json_checkpoint_format_chaos_equivalence(spark, tmp_path):
+    """Round-11 property pin for the lazy DV decode (_LazyDvs): a
+    RANDOM single-writer op sequence applied identically to two stores
+    that differ only in checkpoint format must produce identical
+    states at EVERY version — parquet reconstructions go through
+    lazy stats + lazy DVs + delta-chain derivation, JSON through the
+    eager path, so any divergence in the derive rules (drop/overlay
+    order, dv_drop handling, carry-forward restriction, truthiness)
+    shows up as a manifest or count mismatch. Fresh readers force cold
+    checkpoint decodes; seeded RNG keeps failures reproducible."""
+    import json as _json
+
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        SnapshotStore,
+        _LazyDvs,
+        _LazyStats,
+    )
+
+    def plain(state: dict) -> dict:
+        out = {}
+        for k, v in state.items():
+            if isinstance(v, (_LazyDvs, _LazyStats)):
+                v = dict(v.items())
+            out[k] = v
+        if not out.get("stats"):
+            out.pop("stats", None)
+        return _json.loads(_json.dumps(out, sort_keys=True))
+
+    rng = random.Random(1106)
+    stores = {
+        fmt: SnapshotStore(
+            spark,
+            str(tmp_path / fmt),
+            stats_cols=["v"],
+            checkpoint_interval=4,
+            checkpoint_format=fmt,
+        )
+        for fmt in ("parquet", "json")
+    }
+    nxt = 0
+    for _ in range(18):
+        op = rng.choice(["append", "append", "delete", "merge", "compact"])
+        if op == "append":
+            lo, nxt = nxt, nxt + rng.randint(5, 30)
+            for st in stores.values():
+                st.append(spark.range(lo, nxt).selectExpr("id as v"))
+        elif op == "delete":
+            cut = rng.randint(0, max(nxt, 1))
+            mod = rng.choice([3, 5, 7])
+            pred = f"v < {cut} AND v % {mod} = 0"
+            for st in stores.values():
+                st.delete_where_dv(pred)
+        elif op == "merge":
+            lo = rng.randint(0, max(nxt, 1))
+            hi = lo + rng.randint(3, 15)
+            nxt = max(nxt, hi)
+            for st in stores.values():
+                st.merge_into(
+                    spark.range(lo, hi).selectExpr("id as v"), on=["v"]
+                )
+        else:
+            for st in stores.values():
+                st.compact()
+
+    head = stores["parquet"].latest_version()
+    assert head == stores["json"].latest_version()
+    fresh_p = SnapshotStore(
+        spark, stores["parquet"].path, stats_cols=["v"],
+        checkpoint_format="parquet",
+    )
+    fresh_j = SnapshotStore(
+        spark, stores["json"].path, stats_cols=["v"],
+        checkpoint_format="json",
+    )
+    for v in range(1, head + 1):
+        mp, mj = plain(fresh_p.manifest(v)), plain(fresh_j.manifest(v))
+        # file names embed per-writer uuids — compare shape, not names
+        for m in (mp, mj):
+            m["files"] = len(m["files"])
+            m["n_dv"] = len(m.pop("dvs", {}) or {})
+            m.pop("stats", None)
+            m.pop("changes", None)
+            m.pop("added", None)
+        for key in ("version", "parent", "operation", "files", "n_dv"):
+            assert mp.get(key) == mj.get(key), (v, key, mp, mj)
+        assert fresh_p.read(version=v).count() == fresh_j.read(
+            version=v
+        ).count(), f"v{v} count mismatch"
+        assert fresh_p.count_rows(v) == fresh_j.count_rows(v), f"v{v}"
+    hp = fresh_p.history(counts=True)
+    hj = fresh_j.history(counts=True)
+    assert [h["rows"] for h in hp] == [h["rows"] for h in hj]
+    assert [h["n_files"] for h in hp] == [h["n_files"] for h in hj]
