@@ -813,9 +813,6 @@ def semantic_dedup(
         centroids = kmeans_centroids(
             emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
-    assigned = emb.select(
-        id_col, _assign(vec_col, centroids).alias("cluster")
-    )
     if keep == "farthest":
         # SemDeDup's own keep rule: survive = the member FARTHEST from
         # its centroid (most diverse example); priority = squared
@@ -836,12 +833,18 @@ def semantic_dedup(
         pr = d2_all[_assign(vec_col, centroids)]
     else:
         pr = F.lit(0.0)  # constant priority -> ties -> lower id wins
+    # cluster assignment rides the SAME projection as norm/priority —
+    # a previous revision computed it in a separate frame and joined
+    # back on id, which cost a full id-keyed shuffle for columns the
+    # scan can produce side by side (the matrix-literal _assign is
+    # row-local)
     v = emb.select(
         id_col,
         F.col(vec_col),
         l2_norm(vec_col).alias("_n"),
         pr.alias("_pr"),
-    ).join(assigned, id_col)
+        _assign(vec_col, centroids).alias("cluster"),
+    )
     a = v.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_a"),
