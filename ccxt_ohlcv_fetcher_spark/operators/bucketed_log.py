@@ -173,15 +173,21 @@ class BucketedSnapshotStore(SnapshotStore):
         what the read-side external table uses to map files to buckets.
         ``repartition(n, col)`` uses the same murmur3-pmod routing as
         the bucket assignment, so each task holds exactly one bucket
-        and a commit writes at most one file per bucket."""
+        and a commit writes at most one file per bucket. Under column
+        mapping the staged frame carries PHYSICAL names — the bucket
+        key resolves through the stage's logical->physical map (the
+        hash is over values, so the layout is name-independent)."""
+        key = getattr(self, "_staging_physical", {}).get(
+            self.bucket_col, self.bucket_col
+        )
         tmp = f"_bktlog_stage_{uuid.uuid4().hex[:12]}"
         (
-            df.repartition(self.n_buckets, F.col(self.bucket_col))
+            df.repartition(self.n_buckets, F.col(f"`{key}`"))
             .write.format("parquet")
             .mode("overwrite")
             .option("path", commit_dir)
-            .bucketBy(self.n_buckets, self.bucket_col)
-            .sortBy(self.bucket_col)
+            .bucketBy(self.n_buckets, key)
+            .sortBy(key)
             .saveAsTable(tmp)
         )
         # external table (explicit path): DROP unregisters, files stay
@@ -346,17 +352,37 @@ class BucketedSnapshotStore(SnapshotStore):
             return self.read(version)
         vd = self._view_dir(m["version"])
         name = self._view_table_name(m["version"])
+        # under column mapping the files (and so the external table)
+        # carry PHYSICAL names; the scan is aliased back to logical
+        # below — Spark's alias-aware output partitioning keeps the
+        # HashPartitioning(bucket key) through the projection, so the
+        # zero-exchange property survives renames (pinned in
+        # tests/test_column_mapping.py)
+        mapping = m.get("column_mapping") or {}
+        key_phys = mapping.get(spec["col"], spec["col"])
         if not self.spark.catalog.tableExists(name):
-            ddl = self._ddl(m["schema"])
+            pairs = (
+                [[mapping.get(n, n), t] for n, t in m["schema"]]
+                if mapping
+                else m["schema"]
+            )
+            ddl = self._ddl(pairs)
             self.spark.sql(
                 f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-                f"CLUSTERED BY (`{spec['col']}`) "
-                f"SORTED BY (`{spec['col']}`) "
+                f"CLUSTERED BY (`{key_phys}`) "
+                f"SORTED BY (`{key_phys}`) "
                 f"INTO {spec['n']} BUCKETS LOCATION '{vd}'"
             )
         # resolve BEFORE LRU bookkeeping: the returned plan is analyzed
         # eagerly, so it survives a later eviction of its name
         df = self.spark.table(name)
+        if mapping:
+            df = df.select(
+                *[
+                    F.col(f"`{mapping.get(n, n)}`").alias(n)
+                    for n, _t in m["schema"]
+                ]
+            )
         self._touch_view_table(name)
         return df
 

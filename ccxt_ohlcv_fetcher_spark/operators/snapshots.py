@@ -375,6 +375,29 @@ def _apply_delta(state: dict, d: dict) -> dict:
     schema = d["schema"] if "schema" in d else state.get("schema")
     if schema:
         out["schema"] = schema
+    # logical->physical column mapping (Delta column-mapping "name"
+    # mode): inherits like the schema; a delta writes it only when the
+    # mapping changes (enable / rename / drop / add-column), and an
+    # explicit null clears it (restore to a pre-mapping version)
+    cm = (
+        d["column_mapping"]
+        if "column_mapping" in d
+        else state.get("column_mapping")
+    )
+    if cm:
+        out["column_mapping"] = cm
+    # physical names burned by DROP COLUMN: they still exist inside
+    # live data files, so no future logical column may ever bind to
+    # one (the old values would resurrect) — the tombstone list rides
+    # the manifest exactly so that EVERY writer, not just the
+    # dropping instance, respects it (Delta's never-reuse column ids)
+    burned = (
+        d["column_mapping_burned"]
+        if "column_mapping_burned" in d
+        else state.get("column_mapping_burned")
+    )
+    if burned:
+        out["column_mapping_burned"] = burned
     constraints = (
         d["constraints"] if "constraints" in d else state.get("constraints", {})
     )
@@ -1016,20 +1039,45 @@ class SnapshotStore:
             f"`{n.replace('`', '``')}` {t}" for n, t in schema_pairs
         )
 
-    def _read_files(self, files: list[str], manifest: dict) -> DataFrame:
+    def _read_files(
+        self, files: list[str], manifest: dict, extra_cols=()
+    ) -> DataFrame:
         """Read exactly ``files`` under the table's MANIFEST schema.
         Passing the explicit schema (Delta's metadata-is-truth rule)
         does two things at once: Spark skips footer schema inference
         at plan time (no per-file metadata I/O — the listing-scale
         cost at 100 TB), and files written BEFORE an add-column schema
         evolution read back with NULL for the missing columns instead
-        of poisoning the scan with a mixed-footer union."""
+        of poisoning the scan with a mixed-footer union.
+
+        Under column mapping the files carry PHYSICAL names: the scan
+        schema is built physical and one projection aliases back to
+        the logical names every caller sees. ``extra_cols``: extra
+        Column expressions (``_metadata``-derived identity columns)
+        folded into that SAME projection — hidden metadata columns
+        resolve only against the scan output, so they must ride the
+        aliasing select, not a second one."""
         paths = [os.path.join(self.path, f) for f in files]
         reader = self.spark.read
         schema = manifest.get("schema")
+        mapping = manifest.get("column_mapping") or {}
         if schema:
-            reader = reader.schema(self._ddl(schema))
-        return reader.parquet(*paths)
+            pairs = (
+                [[mapping.get(n, n), t] for n, t in schema]
+                if mapping
+                else schema
+            )
+            reader = reader.schema(self._ddl(pairs))
+        df = reader.parquet(*paths)
+        if not mapping and not extra_cols:
+            return df
+        if schema and mapping:
+            cols = [
+                F.col(f"`{mapping.get(n, n)}`").alias(n) for n, _ in schema
+            ]
+        else:
+            cols = [F.col("*")]
+        return df.select(*cols, *extra_cols)
 
     def _rel_file_col(self):
         """The scan's ``_metadata.file_path`` (``file:/abs/...``) as the
@@ -1045,10 +1093,13 @@ class SnapshotStore:
         (manifest-relative) and ``_pos`` (parquet row index). Row index
         is the scan's ``_metadata.row_index`` — stable per immutable
         file, no stored id column needed."""
-        return self._read_files(files, manifest).select(
-            "*",
-            self._rel_file_col().alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
+        return self._read_files(
+            files,
+            manifest,
+            extra_cols=(
+                self._rel_file_col().alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            ),
         )
 
     def _read_files_live(
@@ -1071,10 +1122,12 @@ class SnapshotStore:
         dvs = manifest.get("dvs", {})
         ent = {f: dvs[f] for f in files if f in dvs}
         if not ent:
-            df = self._read_files(files, manifest)
-            if with_file_col:
-                df = df.select("*", self._rel_file_col().alias(with_file_col))
-            return df
+            extra = (
+                (self._rel_file_col().alias(with_file_col),)
+                if with_file_col
+                else ()
+            )
+            return self._read_files(files, manifest, extra_cols=extra)
         dv_paths = sorted({p for lst in ent.values() for p in lst})
         dv = self.spark.read.schema("_file string, _pos bigint").parquet(
             *[os.path.join(self.path, p) for p in dv_paths]
@@ -1087,6 +1140,25 @@ class SnapshotStore:
                 *data_cols, F.col("_file").alias(with_file_col)
             )
         return live.select(*data_cols)
+
+    @staticmethod
+    def _to_physical(df: DataFrame, manifest: dict) -> DataFrame:
+        """Rename a logical-named frame to the manifest's physical
+        column names (identity without mapping). Every parquet file
+        under the table root — data, change-feed, survivor — is
+        written physical, so the single read path (`_read_files`)
+        aliases them all back uniformly."""
+        mapping = manifest.get("column_mapping") or {}
+        if not mapping:
+            return df
+        return df.select(
+            *[
+                F.col(f"`{c.replace('`', '``')}`").alias(
+                    mapping.get(c, c)
+                )
+                for c in df.columns
+            ]
+        )
 
     @staticmethod
     def _conform(df: DataFrame, schema_pairs: list) -> DataFrame:
@@ -1116,7 +1188,8 @@ class SnapshotStore:
         # schema would silently corrupt every future multi-file read —
         # refuse it at stage time. overwrite() opts out (a full replace
         # MAY evolve the schema; the manifest records the new one).
-        committed = self.manifest().get("schema")
+        head = self.manifest()
+        committed = head.get("schema")
         incoming = [[f.name, f.dataType.simpleString()] for f in df.schema]
         if (
             not allow_schema_change
@@ -1128,6 +1201,56 @@ class SnapshotStore:
                 f"{incoming} — use overwrite() for schema changes"
             )
         self._pending_schema = incoming
+        # column mapping: files are written under PHYSICAL names. A
+        # logical column without a physical name yet (add-column
+        # evolution after enable_column_mapping) freezes a fresh one
+        # here — generated, never reused, so a later re-add of a
+        # dropped/renamed logical name cannot resurrect old file data.
+        mapping = dict(head.get("column_mapping") or {})
+        if mapping:
+            # fresh-name assignments are remembered per instance so the
+            # two _stage calls of one merge commit (survivors + added
+            # rows) physical-name an evolved column identically; a name
+            # assigned by a failed commit is merely burned, never
+            # duplicated (uniqueness is all the protocol needs)
+            assigned = getattr(self, "_phys_names_assigned", None)
+            if assigned is None:
+                assigned = self._phys_names_assigned = {}
+            # burned names (dropped columns) live inside LIVE data
+            # files under other rows — binding a new logical column to
+            # one would resurrect the dropped values
+            committed_phys = set(mapping.values()) | set(
+                head.get("column_mapping_burned") or ()
+            )
+            used = committed_phys | set(assigned.values())
+            for n, _t in incoming:
+                if n not in mapping:
+                    p = assigned.get(n)
+                    # a stale assignment colliding with a COMMITTED
+                    # physical name (re-added logical after a rename
+                    # raced this instance) must not resurrect old file
+                    # data — burn it and take a fresh name
+                    if p is None or p in committed_phys:
+                        p = f"col-{uuid.uuid4().hex[:8]}"
+                        while p in used:
+                            p = f"col-{uuid.uuid4().hex[:8]}"
+                        assigned[n] = p
+                        used.add(p)
+                    mapping[n] = p
+            self._pending_column_mapping = mapping
+            # the physical-of map the layout hook may need (the
+            # bucketBy writer repartitions on the bucket key, which at
+            # this point carries its physical name)
+            self._staging_physical = dict(mapping)
+            df = df.select(
+                *[
+                    F.col(f"`{n.replace('`', '``')}`").alias(mapping[n])
+                    for n, _t in incoming
+                ]
+            )
+        else:
+            self._pending_column_mapping = None  # inherit (absent)
+            self._staging_physical = {}
         token = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self._data_dir, f"commit-{token}")
         self._write_stage_files(df, commit_dir)
@@ -1157,6 +1280,17 @@ class SnapshotStore:
         self._staged_constraints = constraints
         if constraints and files:
             staged_df = self.spark.read.parquet(*files)
+            if mapping:
+                # constraint expressions are written in LOGICAL names;
+                # the staged files carry physical ones — alias back
+                staged_df = staged_df.select(
+                    *[
+                        F.col(
+                            f"`{mapping[n].replace('`', '``')}`"
+                        ).alias(n)
+                        for n, _t in incoming
+                    ]
+                )
             for cname, expr in constraints.items():
                 bad = staged_df.filter(
                     F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
@@ -1172,12 +1306,18 @@ class SnapshotStore:
                     )
         # store paths relative to the table root so the table can move
         rel = [os.path.relpath(f, self.path) for f in files]
+        # stats/bloom entries are keyed by PHYSICAL column name (the
+        # name in the footer) — a later rename moves only the
+        # logical->physical map, so every file's pruning stats stay
+        # valid without a manifest rewrite (pruned_files maps the
+        # caller's logical cols at lookup time)
+        stat_cols = tuple(mapping.get(c, c) for c in self.stats_cols)
         self._pending_stats = (
             {
-                r: self._footer_stats(f, md=md_of[f])
+                r: self._footer_stats(f, md=md_of[f], cols=stat_cols)
                 for r, f in zip(rel, files)
             }
-            if self.stats_cols
+            if stat_cols
             else {r: {} for r in rel}
         )
         # per-file byte size always rides the manifest: the bin-packing
@@ -1193,7 +1333,9 @@ class SnapshotStore:
             # ZERO file I/O, exactly like Iceberg puffin blobs
             for r, f in zip(rel, files):
                 bl = {}
-                for col in self.bloom_cols:
+                for col in (
+                    mapping.get(c, c) for c in self.bloom_cols
+                ):
                     try:
                         vals = pq.read_table(f, columns=[col]).column(0)
                     except Exception:
@@ -1205,12 +1347,14 @@ class SnapshotStore:
                     self._pending_stats.setdefault(r, {})["_bloom"] = bl
         return rel
 
-    def _footer_stats(self, path: str, md=None) -> dict:
+    def _footer_stats(self, path: str, md=None, cols=None) -> dict:
         """Per-file [min, max] for each stats col, from parquet footer
         metadata (no data read). A col missing stats is omitted —
         readers treat that as "may contain anything". ``md`` reuses an
         already-opened footer (the stage path opens each file's footer
-        once for the zero-row filter/_rows capture — no second open)."""
+        once for the zero-row filter/_rows capture — no second open).
+        ``cols`` overrides ``self.stats_cols`` (the stage path passes
+        PHYSICAL names under column mapping)."""
         import pyarrow.parquet as pq
 
         if md is None:
@@ -1219,7 +1363,7 @@ class SnapshotStore:
             md.schema.column(i).name: i for i in range(md.num_columns)
         }
         out: dict = {}
-        for col in self.stats_cols:
+        for col in (self.stats_cols if cols is None else cols):
             if col not in idx:
                 continue
             mins, maxs = [], []
@@ -1247,6 +1391,10 @@ class SnapshotStore:
         lacking stats for a constrained col is conservatively kept."""
         m = self.manifest(version)
         stats = m.get("stats", {})
+        mapping = m.get("column_mapping") or {}
+        if mapping:
+            # stats entries are keyed physical; callers speak logical
+            ranges = {mapping.get(c, c): b for c, b in ranges.items()}
         keep = []
         for f in m["files"]:
             fs = stats.get(f, {})
@@ -1275,6 +1423,7 @@ class SnapshotStore:
         keeps only files that actually wrote the key (+fpp)."""
         m = self.manifest(version)
         stats = m.get("stats", {})
+        col = (m.get("column_mapping") or {}).get(col, col)
         keep = []
         for f in m["files"]:
             fs = stats.get(f, {})
@@ -1331,6 +1480,25 @@ class SnapshotStore:
         schema = getattr(self, "_pending_schema", None) or base.get("schema")
         if schema != base.get("schema"):
             delta["schema"] = schema
+        # column mapping rides the delta like the schema. Pending
+        # semantics: None/absent = inherit the base's; {} = explicitly
+        # clear (restore to a pre-mapping version); dict = set.
+        cm_pending = getattr(self, "_pending_column_mapping", None)
+        cm = (
+            base.get("column_mapping")
+            if cm_pending is None
+            else (cm_pending or None)
+        )
+        if cm != base.get("column_mapping"):
+            delta["column_mapping"] = cm
+        burned_pending = getattr(self, "_pending_cm_burned", None)
+        burned = (
+            base.get("column_mapping_burned")
+            if burned_pending is None
+            else (burned_pending or None)
+        )
+        if burned != base.get("column_mapping_burned"):
+            delta["column_mapping_burned"] = burned
         constraints = getattr(self, "_pending_constraints", None)
         if constraints is not None and constraints != base.get(
             "constraints", {}
@@ -1565,6 +1733,11 @@ class SnapshotStore:
         writer (this instance or any other process) then enforces it
         at stage time via the manifest — constraints travel with the
         TABLE, not the writer. NULL passes (SQL CHECK semantics)."""
+        # metadata-only commit: never carry schema/mapping pendings a
+        # FAILED earlier stage may have left on this instance (a lost
+        # evolving append must not stamp its schema via a constraint)
+        self._pending_schema = None
+        self._pending_column_mapping = None
         live = self.read()
         bad = live.filter(
             F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
@@ -1593,6 +1766,8 @@ class SnapshotStore:
 
     def drop_constraint(self, name: str, max_retries: int = 10) -> int:
         """Remove a CHECK constraint (metadata-only commit)."""
+        self._pending_schema = None
+        self._pending_column_mapping = None
         for _ in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
@@ -1606,6 +1781,183 @@ class SnapshotStore:
                 del self._pending_constraints
         raise CommitConflict(
             f"drop_constraint lost the CAS race {max_retries} times"
+        )
+
+    # --- column mapping (Delta column-mapping "name" mode) -----------------
+
+    @staticmethod
+    def _metadata_mentions(expr: str, col: str) -> bool:
+        """Whether a constraint expression textually references a
+        column (word match, plain or backtick-quoted). Conservative:
+        a hit inside a string literal also counts — refusing a rename
+        we could have allowed is safe; allowing one that orphans a
+        constraint reference is not."""
+        import re
+
+        pat = rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])"
+        return bool(re.search(pat, expr)) or f"`{col}`" in expr
+
+    def enable_column_mapping(self, max_retries: int = 10) -> int:
+        """Turn on logical->physical column mapping for this table in
+        one metadata-only commit — the precondition for
+        :meth:`rename_column` / :meth:`drop_column` (Delta's upgrade
+        path). Existing columns freeze their CURRENT name as the
+        physical one, so no data file is rewritten and every
+        already-written file (data, change-feed, checkpoints) stays
+        byte-valid; per-file stats/blooms are already keyed by those
+        names, so pruning is unaffected. Columns added AFTER enabling
+        get generated ``col-<hex>`` physical names, which is what
+        makes rename (move the map key) and drop (remove it; a
+        re-added name maps to a FRESH physical name, so old file data
+        can never resurrect) metadata-only operations. Idempotent:
+        returns the current version without a commit when mapping is
+        already on."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            schema = m.get("schema")
+            if not schema:
+                raise ValueError(
+                    "cannot enable column mapping on an empty table "
+                    "(no committed schema to freeze physical names from)"
+                )
+            if m.get("column_mapping"):
+                return base
+            self._pending_schema = list(schema)
+            self._pending_column_mapping = {n: n for n, _ in schema}
+            try:
+                if self._try_commit(base, m["files"], "metadata"):
+                    return base + 1
+            finally:
+                self._pending_schema = None
+                self._pending_column_mapping = None
+        raise CommitConflict(
+            f"enable_column_mapping lost the CAS race {max_retries} times"
+        )
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 10
+    ) -> int:
+        """``ALTER TABLE ... RENAME COLUMN`` as ONE metadata-only
+        commit: the logical schema and the mapping key move; the
+        physical parquet name — and with it every data file, per-file
+        stat, bloom filter, and change file — stays untouched. Requires
+        :meth:`enable_column_mapping`. Refuses when a CHECK constraint
+        textually references ``old`` (the expression would silently
+        bind to nothing); the bucket key renames WITH the column (the
+        hash layout is over values, not names). Readers of OLD versions
+        still see the old name — the mapping travels per-manifest like
+        the schema."""
+        if old == new:
+            raise ValueError("rename_column: old and new name are equal")
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            mapping = m.get("column_mapping")
+            if not mapping:
+                raise ValueError(
+                    "rename_column requires column mapping — call "
+                    "enable_column_mapping() first (a rename without "
+                    "the map would need every data file rewritten)"
+                )
+            schema = m.get("schema") or []
+            names = [n for n, _ in schema]
+            if old not in names:
+                raise ValueError(f"no such column: {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for cname, expr in (m.get("constraints") or {}).items():
+                if self._metadata_mentions(expr, old):
+                    raise ValueError(
+                        f"cannot rename {old!r}: constraint {cname!r} "
+                        f"({expr}) references it — drop the constraint, "
+                        "rename, then re-add it under the new name"
+                    )
+            self._pending_schema = [
+                [new if n == old else n, t] for n, t in schema
+            ]
+            self._pending_column_mapping = {
+                (new if k == old else k): v for k, v in mapping.items()
+            }
+            spec = m.get("bucket_spec")
+            respec = spec is not None and spec.get("col") == old
+            if respec:
+                self._pending_bucket_spec = {**spec, "col": new}
+                self._allow_respec = True
+            try:
+                if self._try_commit(base, m["files"], "metadata"):
+                    if respec and getattr(self, "bucket_col", None) == old:
+                        self.bucket_col = new
+                    return base + 1
+            finally:
+                self._pending_schema = None
+                self._pending_column_mapping = None
+                if respec:
+                    self._allow_respec = False
+        raise CommitConflict(
+            f"rename_column lost the CAS race {max_retries} times"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 10) -> int:
+        """``ALTER TABLE ... DROP COLUMN`` as ONE metadata-only commit:
+        the column leaves the logical schema and the mapping; no data
+        file is rewritten (old versions still read it — time travel
+        keeps per-manifest schemas). Requires column mapping: without
+        it, a later append re-adding the same name would RESURRECT the
+        old files' values; with it, a re-added name binds to a fresh
+        generated physical name and the orphaned physical data stays
+        invisible until the files are naturally rewritten. Refuses on
+        the bucket key (the declared layout would reference a dropped
+        column) and on constraint references."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            mapping = m.get("column_mapping")
+            if not mapping:
+                raise ValueError(
+                    "drop_column requires column mapping — call "
+                    "enable_column_mapping() first (without the map, a "
+                    "re-added column name would resurrect old file data)"
+                )
+            schema = m.get("schema") or []
+            names = [n for n, _ in schema]
+            if name not in names:
+                raise ValueError(f"no such column: {name!r}")
+            if len(names) == 1:
+                raise ValueError("cannot drop the table's only column")
+            spec = m.get("bucket_spec")
+            if spec is not None and spec.get("col") == name:
+                raise ValueError(
+                    f"cannot drop bucket key {name!r} — rebucket() to "
+                    "another key first"
+                )
+            for cname, expr in (m.get("constraints") or {}).items():
+                if self._metadata_mentions(expr, name):
+                    raise ValueError(
+                        f"cannot drop {name!r}: constraint {cname!r} "
+                        f"({expr}) references it"
+                    )
+            self._pending_schema = [
+                [n, t] for n, t in schema if n != name
+            ]
+            self._pending_column_mapping = {
+                k: v for k, v in mapping.items() if k != name
+            }
+            # tombstone the physical name: it still exists inside live
+            # data files, so no future column may ever rebind to it
+            self._pending_cm_burned = sorted(
+                set(m.get("column_mapping_burned") or ())
+                | {mapping[name]}
+            )
+            try:
+                if self._try_commit(base, m["files"], "metadata"):
+                    return base + 1
+            finally:
+                self._pending_schema = None
+                self._pending_column_mapping = None
+                self._pending_cm_burned = None
+        raise CommitConflict(
+            f"drop_column lost the CAS race {max_retries} times"
         )
 
     def delete_where(
@@ -1665,7 +2017,7 @@ class SnapshotStore:
         touched = sorted(per_file)
         token = uuid.uuid4().hex[:12]
         chg_dir = os.path.join(self._data_dir, f"commit-{token}-chg")
-        matches.drop("_f").write.parquet(chg_dir)
+        self._to_physical(matches.drop("_f"), m).write.parquet(chg_dir)
         chg_rel = sorted(
             os.path.relpath(f, self.path)
             for f in glob.glob(os.path.join(chg_dir, "*.parquet"))
@@ -1758,7 +2110,9 @@ class SnapshotStore:
         token = uuid.uuid4().hex[:12]
         # -1 change feed rows (same contract as the CoW delete)
         chg_dir = os.path.join(self._data_dir, f"commit-{token}-chg")
-        matches.drop("_file", "_pos").write.parquet(chg_dir)
+        self._to_physical(matches.drop("_file", "_pos"), m).write.parquet(
+            chg_dir
+        )
         chg_rel = sorted(
             os.path.relpath(f, self.path)
             for f in glob.glob(os.path.join(chg_dir, "*.parquet"))
@@ -1907,9 +2261,12 @@ class SnapshotStore:
                 import zlib
 
                 stats = m.get("stats", {})
+                key_phys = (m.get("column_mapping") or {}).get(
+                    on[0], on[0]
+                )
                 kept = []
                 for f in cand:
-                    bl = stats.get(f, {}).get("_bloom", {}).get(on[0])
+                    bl = stats.get(f, {}).get("_bloom", {}).get(key_phys)
                     if bl is None:
                         kept.append(f)
                         continue
@@ -1969,7 +2326,7 @@ class SnapshotStore:
         if touched:
             token = uuid.uuid4().hex[:12]
             d = os.path.join(self._data_dir, f"commit-{token}-chg")
-            matched_t.drop("_f").write.parquet(d)
+            self._to_physical(matched_t.drop("_f"), m).write.parquet(d)
             chg_rel = sorted(
                 os.path.relpath(f, self.path)
                 for f in glob.glob(os.path.join(d, "*.parquet"))
@@ -2334,6 +2691,13 @@ class SnapshotStore:
         # deletion vectors (re-added files keep their logical deletes)
         self._pending_schema = target.get("schema")
         self._pending_stats = dict(target.get("stats", {}))
+        # {} = explicitly clear when the target predates column
+        # mapping (its files carry the then-logical names; identity
+        # reads them correctly)
+        self._pending_column_mapping = target.get("column_mapping") or {}
+        self._pending_cm_burned = (
+            target.get("column_mapping_burned") or []
+        )
         try:
             # NO rebase: a restore racing ANY concurrent commit must
             # conflict — blindly retrying onto the new head would
@@ -2352,6 +2716,8 @@ class SnapshotStore:
         finally:
             del self._pending_schema
             del self._pending_stats
+            del self._pending_column_mapping
+            del self._pending_cm_burned
         raise CommitConflict(
             "restore lost the CAS race — the table changed concurrently; "
             "re-read the head and decide whether the restore still applies"
