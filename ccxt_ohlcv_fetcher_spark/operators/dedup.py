@@ -78,6 +78,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     metric: str = "jaccard",
     shingles: DataFrame | None = None,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -87,6 +88,14 @@ def ngram_jaccard_pairs(
     side) but containment 1.0. Same index, same join, same cost; only
     the final scalar differs. Standard practice runs BOTH: Jaccard for
     mirror dups, containment for quote/subset dups.
+
+    ``metric="both"`` emits BOTH score columns from ONE inverted-index
+    self-join, keeping a pair when ``jaccard >= threshold`` OR
+    ``containment >= containment_threshold`` — the standard two-metric
+    dedup pass at half the cost of running the metrics as separate
+    queries (the shingle self-join, the expensive stage, is shared; at
+    100 TB it is the difference between one shuffle of the pair list
+    and two).
 
     Cost model: |pairs sharing a shingle| << N^2 for natural text; the
     heavy hitter is a skewed shingle (boilerplate). ``max_doc_freq``
@@ -127,23 +136,44 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
-    if metric == "containment":
-        score = F.col("common").cast("double") / F.least(
-            F.col("n_a"), F.col("n_b")
-        )
-    elif metric == "jaccard":
-        score = F.col("common").cast("double") / (
-            F.col("n_a") + F.col("n_b") - F.col("common")
-        )
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
-    return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(metric, score)
-        .filter(F.col(metric) >= threshold)
-        .select("id_a", "id_b", "common", "n_a", "n_b", metric)
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
     )
+    cont = F.col("common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    joined = common.join(na, "id_a").join(nb, "id_b")
+    if metric == "containment":
+        return (
+            joined.withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "common", "n_a", "n_b", "containment")
+        )
+    if metric == "jaccard":
+        return (
+            joined.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+        )
+    if metric == "both":
+        ct = (
+            threshold
+            if containment_threshold is None
+            else containment_threshold
+        )
+        return (
+            joined.withColumn("jaccard", jac)
+            .withColumn("containment", cont)
+            .filter(
+                (F.col("jaccard") >= threshold)
+                | (F.col("containment") >= ct)
+            )
+            .select(
+                "id_a", "id_b", "common", "n_a", "n_b",
+                "jaccard", "containment",
+            )
+        )
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 def ngram_contamination_pairs(

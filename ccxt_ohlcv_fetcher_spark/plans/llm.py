@@ -222,6 +222,55 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dup_pairs_two_metric",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, common, na.n AS n_a, nb.n AS n_b,
+             common * 1.0 / (na.n + nb.n - common) AS jaccard,
+             common * 1.0 / least(na.n, nb.n) AS containment
+      FROM common
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+    )
+    WHERE jaccard >= 0.2 OR containment >= 0.5
+    """,
+    doc="The standard two-metric dedup pass (op E34): Jaccard (mirror "
+    "dups) AND containment (quote/subset dups) emitted from ONE "
+    "inverted-index self-join — half the cost of running "
+    "jaccard_dup_pairs + containment_dup_pairs separately (the shingle "
+    "self-join is the expensive stage and it is shared; the memoized "
+    "shingle table removes the explode too). A pair survives when "
+    "EITHER metric passes its threshold. Same demo-scale caveat as the "
+    "single-metric forms -> DF-cap or LSH banding at 100 TB.",
+    tags=("E34", "E36", "demo-scale"),
+)
+def dup_pairs_two_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, metric="both",
+        containment_threshold=0.5,
+        shingles=_doc_shingles(spark, sf_dir),
+    )
+
+
 def _sql_minhash_signature_cte(k: int) -> str:
     """CTE computing doc_id + mh_0..mh_{k-1}, mirroring
     operators/dedup.py minhash_signatures (same affine permutations of
