@@ -1447,6 +1447,9 @@ TRIGRAM_PROFILE_K = 64  # top trigrams kept per language profile
 
 
 _TRIGRAM_PROF_MEMO: dict[tuple[str, str], DataFrame] = {}
+# collected (prof_map, norms) driver copy for the mapInPandas scorer —
+# langs x K entries, the bounded codebook-sync pattern
+_TRIGRAM_PROF_ROWS_MEMO: dict[tuple[str, str], tuple] = {}
 
 
 def _trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,49 +1540,82 @@ def _trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Trained char-trigram language ID (op E36, the real Cavnar-"
     "Trenkle-style n-gram method): per-language trigram frequency "
     "profiles are TRAINED from the lang-labeled corpus (explode -> "
-    "count -> deterministic top-64 per language), then every doc is "
-    "scored by profile-normalized dot product via a BROADCAST "
-    "inverted-index join on trigram (never a doc x language cross "
-    "join) and argmax'd with a deterministic tie-break. The trained "
-    "profile is a train-once artifact memoized per (session, sf_dir) "
-    "and checkpointed (the kmeans/BPE/PCA pattern) — the broadcast "
-    "side of every later execution. "
-    "At 100 TB the profile stays K*langs rows regardless of corpus "
-    "size; the doc side is one explode + broadcast join + one "
-    "shuffle on (doc_id, lang). Fixture text is synthetic word soup, "
-    "so the value is the deterministic train/classify plumbing.",
+    "count -> deterministic top-64 per language, a train-once artifact "
+    "memoized per (session, sf_dir) and checkpointed — the kmeans/BPE/"
+    "PCA pattern), then every doc is scored in ONE Arrow-batched "
+    "mapInPandas pass with the tiny profile (langs x K entries, ~KBs) "
+    "carried in the closure: per-doc trigram walk, dict-probe dot "
+    "products, deterministic argmax, label carried through — ZERO "
+    "shuffles and zero joins in the classification pass. This replaced "
+    "the r10 JVM form (explode ~3x|text| trigram rows -> broadcast "
+    "inverted-index join -> (doc_id, lang) shuffle -> window argmax -> "
+    "doc self-join): measured 2.03 s -> 0.74 s solo at sf0.1 with "
+    "bit-identical output (ROUND_NOTES round-11 lessons) — the explode "
+    "materialization + shuffle cost more than the Python boundary "
+    "saves. At 100 TB the profile is corpus-size-independent and the "
+    "scan stays embarrassingly parallel; the intended-Python set grows "
+    "to 8 (PLANS artifact).",
     tags=("E36",),
 )
 def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    import re
 
     docs = load_table(spark, sf_dir, "documents")
-    tg = docs.select(
-        "doc_id", F.explode(char_trigrams("text")).alias("trigram")
-    )
-    prof = _trigram_profile(spark, sf_dir)
-    wd = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang_p"))
-    best = (
-        tg.join(F.broadcast(prof), "trigram")
-        .groupBy("doc_id", "lang_p")
-        .agg(F.sum("cnt").alias("dot"), F.max("norm").alias("norm"))
-        .withColumn("score", F.col("dot").cast("double") / F.col("norm"))
-        .withColumn("rk", F.row_number().over(wd))
-        .filter(F.col("rk") == 1)
-    )
-    return (
-        docs.select("doc_id", F.col("lang").alias("labeled"))
-        .join(
-            best.select("doc_id", F.col("lang_p").alias("predicted"), "score"),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "labeled",
-            F.coalesce("predicted", F.lit("und")).alias("predicted"),
-            "score",
-        )
+    # bounded driver sync (langs x K rows), memoized like the profile
+    key = (session_key(spark), sf_dir)
+    cached = _TRIGRAM_PROF_ROWS_MEMO.get(key)
+    if cached is None:
+        rows = _trigram_profile(spark, sf_dir).collect()
+        prof_map: dict = {}
+        norms: dict = {}
+        for r in rows:
+            prof_map.setdefault(r["trigram"], []).append(
+                (r["lang_p"], r["cnt"])
+            )
+            norms[r["lang_p"]] = r["norm"]
+        cached = (prof_map, norms)
+        _TRIGRAM_PROF_ROWS_MEMO[key] = cached
+    prof_map, norms = cached
+    ws = re.compile(r"\s+")
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "labeled": [], "predicted": [], "score": []}
+            for doc_id, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                s = ws.sub(" ", text.lower())
+                dots: dict = {}
+                for i in range(len(s) - 2):
+                    hits = prof_map.get(s[i : i + 3])
+                    if hits:
+                        for lp, cnt in hits:
+                            dots[lp] = dots.get(lp, 0) + cnt
+                best_lang, best_score = None, None
+                for lp, dot in dots.items():
+                    # dot is an exact Python int; one IEEE division —
+                    # the same two operation classes the JVM form used,
+                    # so scores (and the oracle hash) are bit-identical
+                    sc = dot / norms[lp]
+                    if (
+                        best_score is None
+                        or sc > best_score
+                        or (sc == best_score and lp < best_lang)
+                    ):
+                        best_lang, best_score = lp, sc
+                out["doc_id"].append(doc_id)
+                out["labeled"].append(lang)
+                out["predicted"].append(
+                    best_lang if best_lang is not None else "und"
+                )
+                out["score"].append(best_score)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        score_batches,
+        "doc_id bigint, labeled string, predicted string, score double",
     )
 
 
