@@ -938,3 +938,154 @@ def semantic_dedup(
             "max_sim",
         )
     )
+
+
+# --- incremental MinHash-LSH dedup index (snapshot-logged) -----------------
+#
+# The continuous-crawl dedup workflow: a 100 TB corpus cannot be
+# re-shingled every time a new batch arrives, so the corpus side of the
+# LSH join is PRECOMPUTED ONCE and persisted — per-doc band-bucket rows
+# on the snapshot log (operators/snapshots.py: atomic commits, time
+# travel, exactly-once txn batches). Deduping a new batch then costs
+# one signature pass over the NEW text only plus an equi-join against
+# the stored buckets; appending the batch's own rows keeps the index
+# current for the next batch. Signatures are the Carter-Wegman affine
+# family over the md5 shingle hash (functions/hashing.py) — fully
+# deterministic, so append == rebuild bit-for-bit and a DuckDB oracle
+# can recompute the candidates exactly. Mirrors the logged ANN index
+# (operators/similarity_index.py) for the text-dedup family; the
+# reference's incremental-resume spirit (ccxt-ohlcv-fetch.py:86-91)
+# applied to dedup state.
+
+
+def _minhash_index_store(spark, path: str):
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import SnapshotStore
+
+    # band rides the manifest stats: a file holding only bands 0-1 is
+    # skipped by a probe of band 3 without any I/O (bucket values are
+    # uniform hashes — band is the only prunable axis)
+    return SnapshotStore(spark, path, stats_cols=["band"])
+
+
+def _band_bucket_rows(
+    docs: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int,
+    n: int,
+    bands: int,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands} (rows_per_band "
+            "= k/bands sets the LSH collision probability)"
+        )
+    sigs = minhash_signatures(
+        docs, content_col, id_col, k=k, n=n, shingles=shingles
+    )
+    rows = minhash_band_buckets(
+        sigs, id_col, bands=bands, rows_per_band=k // bands
+    )
+    # cluster by band so per-file manifest stats make band probes
+    # log-only prunable; sort gives tight per-file bucket ranges too
+    return rows.repartitionByRange(bands, "band", "bucket").sortWithinPartitions(
+        "band", "bucket"
+    )
+
+
+def build_minhash_index_logged(
+    docs: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    txn: tuple[str, int] | None = None,
+    shingles: DataFrame | None = None,
+) -> int:
+    """(Re)build the logged dedup index from scratch: one atomic
+    overwrite commit holding every doc's (band, bucket, id) rows.
+    Returns the committed version (None when ``txn`` says this batch
+    already committed — exactly-once rebuilds). ``shingles``: optional
+    pre-built shingle frame for the SAME docs (the session-memo
+    pattern; must match content_col/id_col/n)."""
+    store = _minhash_index_store(docs.sparkSession, path)
+    return store.overwrite(
+        _band_bucket_rows(
+            docs, content_col, id_col, k, n, bands, shingles=shingles
+        ),
+        txn=txn,
+    )
+
+
+def append_minhash_index_logged(
+    new_docs: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    txn: tuple[str, int] | None = None,
+    shingles: DataFrame | None = None,
+) -> int:
+    """Add a new batch's bucket rows in one atomic append — no existing
+    file is read or rewritten, and the affine hash family guarantees
+    the appended rows equal what a from-scratch rebuild would produce.
+    ``txn=(app_id, batch_id)`` makes re-delivered batches commit
+    exactly once (the streaming-crawl contract)."""
+    store = _minhash_index_store(new_docs.sparkSession, path)
+    return store.append(
+        _band_bucket_rows(
+            new_docs, content_col, id_col, k, n, bands, shingles=shingles
+        ),
+        txn=txn,
+    )
+
+
+def dedup_candidates_against_index(
+    new_docs: DataFrame,
+    path: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    version: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs of a NEW batch: (id_a < id_b) sharing
+    at least one LSH band bucket, where at least one side is new —
+    new-vs-corpus pairs from an equi-join on (band, bucket) against
+    the stored index, new-vs-new pairs from the same join against the
+    batch's own rows. The corpus text is never re-read: its signature
+    work was paid once at index time. ``version=`` pins a historical
+    index snapshot (dedup against the corpus as-of a publication).
+
+    Cost shape at 100 TB: one shingle+signature pass over the new
+    batch (shuffle = k*8 bytes/doc), one shuffle join keyed on
+    (band, bucket) whose corpus side is bands rows/doc of 20 bytes —
+    NOT the corpus text; bucket fan-out is bounded by the banding
+    design exactly as in minhash_candidate_pairs."""
+    spark = new_docs.sparkSession
+    store = _minhash_index_store(spark, path)
+    new_rows = _band_bucket_rows(
+        new_docs, content_col, id_col, k, n, bands, shingles=shingles
+    ).localCheckpoint()
+    corpus = store.read(version=version)
+    both = corpus.unionByName(new_rows)
+    a = new_rows.select(
+        "band", "bucket", F.col(id_col).alias("_id_a")
+    )
+    b = both.select("band", "bucket", F.col(id_col).alias("_id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("_id_a") != F.col("_id_b"))
+        .select(
+            F.least("_id_a", "_id_b").alias("id_a"),
+            F.greatest("_id_a", "_id_b").alias("id_b"),
+        )
+        .distinct()
+    )

@@ -356,6 +356,118 @@ def minhash_candidate_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# build-once memo for the logged incremental-dedup index (the
+# logged_bucketed_view pattern): (abs sf_dir) -> store path, cross-
+# checked against the on-disk log; the txn watermark makes the build
+# exactly-once even across concurrent builders.
+_MINHASH_INDEX_MEMO: dict[str, str] = {}
+
+
+def _incremental_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        _minhash_index_store,
+        build_minhash_index_logged,
+    )
+
+    key = os.path.abspath(sf_dir)
+    path = _MINHASH_INDEX_MEMO.get(key)
+    if path is None or not os.path.isdir(os.path.join(path, "_manifests")):
+        digest = hashlib.md5(key.encode()).hexdigest()[:10]
+        path = os.path.join(
+            "/tmp/spark_graft_minhash_index", f"docs_{digest}"
+        )
+        store = _minhash_index_store(spark, path)
+        if store.latest_version() == 0:
+            docs = load_table(spark, sf_dir, "documents")
+            corpus = docs.filter(F.col("doc_id") % 10 < 8)
+            build_minhash_index_logged(
+                corpus,
+                path,
+                "text",
+                "doc_id",
+                k=8,
+                n=3,
+                bands=4,
+                txn=("minhash_index_build", 1),
+                shingles=_doc_shingles(spark, sf_dir).join(
+                    corpus.select("doc_id"), "doc_id", "left_semi"
+                ),
+            )
+        _MINHASH_INDEX_MEMO[key] = path
+    return path
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_sql_minhash_signature_cte(8)},
+    buckets AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, 0 AS band,
+               {md5_long_sql("concat_ws(',', CAST(mh_0 AS VARCHAR), CAST(mh_1 AS VARCHAR))")} AS bucket
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 1,
+               {md5_long_sql("concat_ws(',', CAST(mh_2 AS VARCHAR), CAST(mh_3 AS VARCHAR))")}
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 2,
+               {md5_long_sql("concat_ws(',', CAST(mh_4 AS VARCHAR), CAST(mh_5 AS VARCHAR))")}
+        FROM sigs
+        UNION ALL
+        SELECT doc_id, 3,
+               {md5_long_sql("concat_ws(',', CAST(mh_6 AS VARCHAR), CAST(mh_7 AS VARCHAR))")}
+        FROM sigs
+      )
+    )
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                    greatest(a.doc_id, b.doc_id) AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 10 >= 8
+    """,
+    doc="INCREMENTAL near-dup dedup against a persisted index (op E34 "
+    "at its 100 TB operating point): the corpus partition (doc_id%10<8) "
+    "is shingled+MinHashed ONCE and its (band, bucket, id) rows live on "
+    "the snapshot log (operators/dedup.py build/append_minhash_index_"
+    "logged — atomic commits, time travel, txn-exactly-once builds); "
+    "deduping the arriving batch (doc_id%10>=8) costs one signature "
+    "pass over the NEW text plus an equi-join on (band, bucket) whose "
+    "corpus side is 4 rows x 20 bytes per doc — the corpus text is "
+    "never re-read. Emits new-vs-corpus AND new-vs-new candidates "
+    "(everything except corpus-vs-corpus, which the index build "
+    "already covered). The continuous-crawl workflow the one-shot "
+    "minhash_candidate_pairs_docs cannot serve: a 100 TB corpus cannot "
+    "be re-shingled per batch. Affine Carter-Wegman signatures keep "
+    "append == rebuild bit-equal (pinned in tests/test_llm_ops.py).",
+    tags=("E34",),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        dedup_candidates_against_index,
+    )
+
+    path = _incremental_dedup_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    return dedup_candidates_against_index(
+        new,
+        path,
+        "text",
+        "doc_id",
+        k=8,
+        n=3,
+        bands=4,
+        shingles=_doc_shingles(spark, sf_dir).join(
+            new.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
+
+
 def _sql_simhash(words_expr: str) -> str:
     hashes = f"list_transform({words_expr}, w -> {md5_long_sql('w')})"
     bits = " + ".join(

@@ -1821,3 +1821,128 @@ def test_bpe_driver_gate_equals_distributed(spark, sf_dir):
     assert {r["word"]: tuple(r["sym"]) for r in v_drv.collect()} == {
         r["word"]: tuple(r["sym"]) for r in v_dist.collect()
     }
+
+
+# --- incremental MinHash-LSH dedup index (snapshot-logged) -----------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """The affine signature family is deterministic, so corpus-build +
+    batch-append must equal a from-scratch rebuild over the union —
+    the invariant that makes the incremental index trustworthy."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        _minhash_index_store,
+        append_minhash_index_logged,
+        build_minhash_index_logged,
+    )
+
+    corpus = _mk_docs(
+        spark,
+        [(1, "a b c d e f g"), (2, "h i j k l m n"), (3, "a b c d e f z")],
+    )
+    batch = _mk_docs(spark, [(4, "a b c d e f g"), (5, "p q r s t u v")])
+    p_inc = str(tmp_path / "inc")
+    build_minhash_index_logged(corpus, p_inc, k=8, bands=4)
+    append_minhash_index_logged(batch, p_inc, k=8, bands=4)
+    p_full = str(tmp_path / "full")
+    build_minhash_index_logged(corpus.unionByName(batch), p_full, k=8, bands=4)
+    inc = {
+        tuple(r)
+        for r in _minhash_index_store(spark, p_inc).read().collect()
+    }
+    full = {
+        tuple(r)
+        for r in _minhash_index_store(spark, p_full).read().collect()
+    }
+    assert inc == full
+
+
+def test_incremental_candidates_match_full_recompute(spark, tmp_path):
+    """Incremental dedup of a batch == the one-shot candidate pairs of
+    the union, restricted to pairs touching the batch."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        build_minhash_index_logged,
+        dedup_candidates_against_index,
+        minhash_candidate_pairs,
+    )
+
+    corpus = _mk_docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+    )
+    batch = _mk_docs(
+        spark,
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "sphinx of black quartz judge my vow"),
+            (12, "sphinx of black quartz judge my vows"),
+        ],
+    )
+    path = str(tmp_path / "idx")
+    build_minhash_index_logged(corpus, path, k=8, bands=4)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_candidates_against_index(
+            batch, path, k=8, bands=4
+        ).collect()
+    }
+    new_ids = {10, 11, 12}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(
+            corpus.unionByName(batch), "text", "doc_id", k=8, bands=4
+        ).collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == full
+    # the planted exact dup (1, 10) must be among the candidates
+    assert (1, 10) in got
+
+
+def test_incremental_dedup_version_pinning_and_txn(spark, tmp_path):
+    """``version=`` dedups against the corpus as-of a pinned index
+    snapshot (a batch appended later is invisible), and a re-delivered
+    txn batch commits exactly once."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        _minhash_index_store,
+        append_minhash_index_logged,
+        build_minhash_index_logged,
+        dedup_candidates_against_index,
+    )
+
+    corpus = _mk_docs(spark, [(1, "a b c d e f g")])
+    b1 = _mk_docs(spark, [(2, "a b c d e f g")])
+    probe = _mk_docs(spark, [(9, "a b c d e f g")])
+    path = str(tmp_path / "idx")
+    v1 = build_minhash_index_logged(corpus, path, k=8, bands=4)
+    v2 = append_minhash_index_logged(b1, path, k=8, bands=4, txn=("crawl", 1))
+    # replay of the same batch: no commit
+    assert (
+        append_minhash_index_logged(
+            b1, path, k=8, bands=4, txn=("crawl", 1)
+        )
+        is None
+    )
+    assert _minhash_index_store(spark, path).latest_version() == v2
+    head = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_candidates_against_index(
+            probe, path, k=8, bands=4
+        ).collect()
+    }
+    pinned = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_candidates_against_index(
+            probe, path, k=8, bands=4, version=v1
+        ).collect()
+    }
+    assert head == {(1, 9), (2, 9)}
+    assert pinned == {(1, 9)}
