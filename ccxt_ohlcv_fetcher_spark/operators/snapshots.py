@@ -70,6 +70,17 @@ class CommitConflict(RuntimeError):
     """Raised when max_retries rebases all lose the CAS race."""
 
 
+#: Protocol version this reader implements (Delta's minReaderVersion
+#: idea, scaled down): a manifest may stamp ``min_reader`` when a
+#: commit introduces a feature older readers would MISREAD rather than
+#: merely miss — column mapping is the first (a mapping-blind reader
+#: would project logical names over physical files and return
+#: all-NULL columns, silent corruption). Readers refuse tables whose
+#: ``min_reader`` exceeds what they implement: a loud error instead of
+#: wrong data.
+READER_VERSION = 3
+
+
 class ConstraintViolation(ValueError):
     """Raised when staged rows violate a table CHECK constraint."""
 
@@ -398,6 +409,15 @@ def _apply_delta(state: dict, d: dict) -> dict:
     )
     if burned:
         out["column_mapping_burned"] = burned
+    # protocol floor inherits like the schema; a delta may raise it
+    # (never lower — a feature's files stay on disk once written)
+    mr = d["min_reader"] if "min_reader" in d else state.get("min_reader")
+    if mr:
+        out["min_reader"] = mr
+    # commit wall-clock (epoch seconds) — per-version, never inherited:
+    # the basis of timestamp time travel (version_at_timestamp)
+    if d.get("ts") is not None:
+        out["ts"] = d["ts"]
     constraints = (
         d["constraints"] if "constraints" in d else state.get("constraints", {})
     )
@@ -795,6 +815,14 @@ class SnapshotStore:
         state = base if base is not None else _empty_state()
         for d in reversed(chain):
             state = _apply_delta(state, d)
+        mr = state.get("min_reader") or 2
+        if mr > READER_VERSION:
+            raise RuntimeError(
+                f"table at {self.path!r} requires reader protocol "
+                f"{mr}, this reader implements {READER_VERSION} — "
+                "upgrade before reading (refusing beats silently "
+                "misreading a feature this reader does not know)"
+            )
         self._cache_put(v, state)
         self.last_head_read = {
             "version": v, "checkpoint": ckpt_used, "tail_manifests": tail,
@@ -843,6 +871,44 @@ class SnapshotStore:
                 os.unlink(tmp)
             except OSError:
                 pass
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """The newest version committed AT OR BEFORE epoch-seconds
+        ``ts`` (Delta's ``TIMESTAMP AS OF``): one cheap raw-manifest
+        walk reading only each delta's ``ts`` stamp — no state
+        reconstruction. Commit stamps are forced monotonic per log at
+        write time (a stepped-back clock cannot reorder them), so the
+        walk's answer is unambiguous. Manifests from before the stamp
+        existed fall back to the manifest file's mtime; versions pruned
+        from the log are skipped (their time travel is gone by
+        contract). Raises when ``ts`` predates the oldest retained
+        commit."""
+        best = 0
+        for v in range(1, self.latest_version() + 1):
+            path = self._manifest_path(v)
+            try:
+                with open(path) as fh:
+                    m = json.load(fh)
+            except FileNotFoundError:
+                continue
+            vts = m.get("ts")
+            if vts is None:
+                try:
+                    vts = os.path.getmtime(path)
+                except OSError:
+                    continue
+            if vts <= ts:
+                best = v
+            # no early break: WRITTEN stamps are monotonic, but the
+            # mtime fallback for pre-stamp manifests is not (a log
+            # migrated between hosts can carry arbitrary mtimes), and
+            # the walk is O(versions) small JSON reads either way
+        if best == 0:
+            raise ValueError(
+                f"no retained commit at or before timestamp {ts} "
+                "(predates the log, or that history was pruned)"
+            )
+        return best
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
@@ -1499,6 +1565,22 @@ class SnapshotStore:
         )
         if burned != base.get("column_mapping_burned"):
             delta["column_mapping_burned"] = burned
+        # protocol floor: the first mapping-bearing commit raises the
+        # table's min_reader to 3 — a mapping-blind reader would
+        # silently project NULLs over physical-named files, so it must
+        # refuse instead (checked in _state). Never lowered: burned
+        # names / physical-named files stay on disk even if the
+        # mapping is later cleared by restore.
+        if (cm or burned) and (base.get("min_reader") or 2) < 3:
+            delta["min_reader"] = 3
+        # commit wall-clock for timestamp time travel; monotonic
+        # per-log by construction (max with the base's stamp) so a
+        # clock step back cannot make version_at_timestamp ambiguous
+        import time as _time
+
+        delta["ts"] = max(
+            _time.time(), (base.get("ts") or 0.0) + 1e-3
+        )
         constraints = getattr(self, "_pending_constraints", None)
         if constraints is not None and constraints != base.get(
             "constraints", {}
@@ -2386,12 +2468,22 @@ class SnapshotStore:
 
     # --- reads ------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
         """Snapshot-isolated read: exactly the files the (pinned or
         head) manifest names — never a half-commit, no dir listing. A
         committed-but-empty table (e.g. after retention dropped every
         file) reads as zero rows with the manifest's recorded schema;
-        only a never-written table (version 0, no schema) raises."""
+        only a never-written table (version 0, no schema) raises.
+        ``timestamp=`` pins the snapshot as of an epoch-seconds wall
+        clock instead of a version number (``TIMESTAMP AS OF``)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version= or timestamp=, not both")
+            version = self.version_at_timestamp(timestamp)
         m = self.manifest(version)
         if not m["files"]:
             schema = m.get("schema")

@@ -344,3 +344,71 @@ def test_bucketed_zero_shuffle_survives_bucket_key_rename(spark, tmp_path):
     rows = {r["key"]: (r["s"], r["c"]) for r in joined.collect()}
     assert len(rows) == 10
     assert all(c == 12 for _s, c in rows.values())
+
+
+def test_min_reader_protocol_floor(spark, tmp_path):
+    """Enabling column mapping stamps min_reader=3 (a mapping-blind
+    reader would silently project NULLs over physical-named files);
+    a future protocol raises a LOUD refusal in this reader."""
+    import json
+    import os
+
+    from ccxt_ohlcv_fetcher_spark.operators import snapshots as S
+
+    st = _mk(spark, tmp_path)
+    st.append(_df(spark, 0, 5))
+    assert st.manifest().get("min_reader") is None
+    st.enable_column_mapping()
+    assert st.manifest()["min_reader"] == 3
+    # the floor survives a restore that clears the mapping (physical
+    # files/burned names remain on disk)
+    st.rename_column("a", "alpha")
+    st.restore(1)
+    assert st.manifest()["min_reader"] == 3
+    # a manifest demanding a FUTURE protocol refuses loudly
+    head = st.latest_version()
+    delta = {
+        "format": 2, "version": head + 1, "parent": head,
+        "operation": "metadata", "add": [], "remove": [],
+        "min_reader": S.READER_VERSION + 1,
+    }
+    with open(st._manifest_path(head + 1), "w") as fh:
+        json.dump(delta, fh)
+    fresh = SnapshotStore(spark, st.path)
+    with pytest.raises(RuntimeError, match="requires reader protocol"):
+        fresh.read()
+    os.remove(st._manifest_path(head + 1))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """version_at_timestamp / read(timestamp=): commit stamps are
+    monotonic per log, pre-stamp manifests fall back to file mtime,
+    and a too-early timestamp refuses."""
+    st = _mk(spark, tmp_path)
+    st.append(_df(spark, 0, 5))
+    t1 = st.manifest(1)["ts"]
+    st.append(_df(spark, 5, 8))
+    t2 = st.manifest(2)["ts"]
+    assert t2 > t1
+    assert st.version_at_timestamp(t1) == 1
+    assert st.version_at_timestamp((t1 + t2) / 2) == 1
+    assert st.version_at_timestamp(t2) == 2
+    assert st.version_at_timestamp(t2 + 3600) == 2
+    assert st.read(timestamp=t1).count() == 5
+    assert st.read(timestamp=t2 + 1).count() == 8
+    with pytest.raises(ValueError, match="predates"):
+        st.version_at_timestamp(t1 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        st.read(version=1, timestamp=t1)
+    # legacy manifests without the stamp: mtime fallback
+    import json
+
+    p = st._manifest_path(1)
+    with open(p) as fh:
+        m = json.load(fh)
+    m.pop("ts")
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+    st._state_cache.clear()
+    assert st.version_at_timestamp(t2 + 3600) == 2
+    assert st.version_at_timestamp(t2) in (1, 2)  # mtime >= t2 is fine
