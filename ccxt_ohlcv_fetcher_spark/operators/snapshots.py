@@ -1090,6 +1090,9 @@ class SnapshotStore:
                 "operation": m["operation"],
                 "n_files": n_files,
             }
+            if m.get("ts") is not None:
+                # commit wall-clock — what version_at_timestamp resolves
+                entry["ts"] = m["ts"]
             if counts:
                 entry["rows"] = (
                     rows_sum - dv_sub if based and unknown == 0 else None

@@ -450,14 +450,15 @@ def test_history_walks_deltas_without_per_version_reconstruction(
     want = []
     for v in range(1, store.latest_version() + 1):
         m = store.manifest(v)
-        want.append(
-            {
-                "version": m["version"],
-                "parent": m["parent"],
-                "operation": m["operation"],
-                "n_files": len(m["files"]),
-            }
-        )
+        entry = {
+            "version": m["version"],
+            "parent": m["parent"],
+            "operation": m["operation"],
+            "n_files": len(m["files"]),
+        }
+        if m.get("ts") is not None:  # commit stamp (round 11)
+            entry["ts"] = m["ts"]
+        want.append(entry)
     assert got == want
     # prefix pruning: history starts at the oldest retained version
     store.vacuum(retain_versions=3, min_age_seconds=0, prune_log=True)
