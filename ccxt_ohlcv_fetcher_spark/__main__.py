@@ -421,6 +421,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="time-travel: pin the `candles` view to this snapshot "
         "version (not available with --plain-parquet)",
     )
+    sq.add_argument(
+        "--timestamp",
+        type=float,
+        default=None,
+        help="time-travel by wall clock (TIMESTAMP AS OF, epoch "
+        "seconds): pin `candles` to the newest snapshot committed at "
+        "or before this instant (logged layout only)",
+    )
     sq.add_argument("--format", choices=["csv", "json"], default="csv")
     sq.add_argument(
         "--explain",
@@ -851,17 +859,23 @@ def main(argv: list[str] | None = None) -> int:
             # time travel works on any LOGGED dataset — the default
             # layout — so gate on the plain opt-out, not on the
             # compatibility no-op --snapshot-log flag (ADVICE r7)
-            if args.version is not None and getattr(
-                args, "plain_parquet", False
-            ):
+            pin_version = args.version
+            if (
+                pin_version is not None
+                or getattr(args, "timestamp", None) is not None
+            ) and getattr(args, "plain_parquet", False):
                 raise SystemExit(
-                    "--version needs the logged layout (drop "
-                    "--plain-parquet)"
+                    "--version/--timestamp need the logged layout "
+                    "(drop --plain-parquet)"
                 )
+            if pin_version is not None and args.timestamp is not None:
+                raise SystemExit("pass --version or --timestamp, not both")
             ds = _make_dataset(spark, args)
+            if getattr(args, "timestamp", None) is not None:
+                pin_version = ds.store.version_at_timestamp(args.timestamp)
             candles = (
-                ds.read(version=args.version)
-                if args.version is not None
+                ds.read(version=pin_version)
+                if pin_version is not None
                 else ds.read()
             )
             candles.createOrReplaceTempView("candles")

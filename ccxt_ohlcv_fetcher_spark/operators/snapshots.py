@@ -1102,6 +1102,30 @@ class SnapshotStore:
 
     # --- schema helpers ---------------------------------------------------
 
+    _INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+    @classmethod
+    def _widens(cls, frm: str, to: str) -> bool:
+        """Whether reading ``frm``-typed parquet under a ``to`` read
+        schema is LOSSLESS and supported by Spark's vectorized reader
+        (verified on Spark 4): the integer chain, float->double, and
+        decimal precision growth at the SAME scale. This is the safe
+        subset of Delta's type widening — scale changes and
+        cross-family casts (int->double) change values or semantics
+        and stay refused."""
+        if frm == to:
+            return False
+        iw = cls._INT_WIDTH
+        if frm in iw and to in iw:
+            return iw[frm] < iw[to]
+        if frm == "float" and to == "double":
+            return True
+        if frm.startswith("decimal(") and to.startswith("decimal("):
+            p1, s1 = map(int, frm[8:-1].split(","))
+            p2, s2 = map(int, to[8:-1].split(","))
+            return s1 == s2 and p2 > p1
+        return False
+
     @staticmethod
     def _ddl(schema_pairs: list) -> str:
         return ", ".join(
@@ -1233,7 +1257,10 @@ class SnapshotStore:
     def _conform(df: DataFrame, schema_pairs: list) -> DataFrame:
         """Project ``df`` to exactly the evolved schema: existing
         columns pass through, columns the frame lacks become typed
-        NULLs (the add-column evolution contract)."""
+        NULLs (the add-column evolution contract). No implicit casts:
+        a retyped column must be refused by the caller's own guard,
+        not silently coerced here (append's WIDENING path casts
+        explicitly, and only along the lossless _widens lattice)."""
         cols = [
             F.col(f"`{n}`") if n in df.columns
             else F.lit(None).cast(t).alias(n)
@@ -1695,8 +1722,16 @@ class SnapshotStore:
         ``merge_schema=True`` permits ADD-COLUMN appends (Delta's
         mergeSchema): extra df columns append to the committed schema,
         existing files read back with NULL in them, and the df may
-        itself omit committed columns (NULL-filled). Dropping or
-        retyping a committed column still refuses."""
+        itself omit committed columns (NULL-filled). It also permits
+        TYPE WIDENING along the lossless lattice (``_widens``:
+        tinyint<smallint<int<bigint, float<double, decimal precision
+        growth at fixed scale — Delta's type-widening feature): an
+        append carrying a WIDER type widens the committed column (old
+        files read back upcast under the manifest schema — Spark's
+        parquet reader upcasts losslessly, verified on Spark 4), and
+        an append carrying a NARROWER type is upcast to the committed
+        one (no schema change). Dropping a column, changing decimal
+        scale, or any cross-family retype still refuses."""
         if txn is not None:
             last = self.last_txn(txn[0])
             if last is not None and txn[1] <= last:
@@ -1708,20 +1743,47 @@ class SnapshotStore:
                 [f.name, f.dataType.simpleString()] for f in df.schema
             ]
             names = {n for n, _ in incoming}
+            widened: dict[str, str] = {}  # col -> new (wider) type
+            upcast: dict[str, str] = {}  # col -> committed (wider) type
             for n, t in committed:
                 if n in names and dict(incoming)[n] != t:
-                    raise ValueError(
-                        f"merge_schema cannot retype column {n!r}: "
-                        f"table has {t}, append has {dict(incoming)[n]}"
-                    )
+                    it = dict(incoming)[n]
+                    if self._widens(t, it):
+                        widened[n] = it
+                    elif self._widens(it, t):
+                        upcast[n] = t
+                    else:
+                        raise ValueError(
+                            f"merge_schema cannot retype column {n!r}: "
+                            f"table has {t}, append has {it} (only "
+                            "lossless widening is allowed)"
+                        )
             extra = [
                 [n, t] for n, t in incoming
                 if n not in {c for c, _ in committed}
             ]
-            if extra or names < {n for n, _ in committed}:
-                out_schema = list(committed) + extra
+            if (
+                extra
+                or widened
+                or upcast
+                or names < {n for n, _ in committed}
+            ):
+                out_schema = [
+                    [n, widened.get(n, t)] for n, t in committed
+                ] + extra
+                if upcast:
+                    # lossless by the lattice check; explicit so
+                    # _conform never has to coerce anything itself
+                    df = df.select(
+                        *[
+                            F.col(f"`{c}`").cast(upcast[c]).alias(c)
+                            if c in upcast
+                            else F.col(f"`{c}`")
+                            for c in df.columns
+                        ]
+                    )
                 df = self._conform(df, out_schema)
-                evolving = bool(extra)
+                evolving = bool(extra) or bool(widened)
         new_files = self._stage(df, allow_schema_change=evolving)
         staged_schema = self._pending_schema
         for _ in range(max_retries):

@@ -333,6 +333,25 @@ def test_history_and_time_travel_sql(spark, tmp_path, capsys):
     ) == 0
     assert "6" in capsys.readouterr().out
 
+    # --timestamp (TIMESTAMP AS OF): pin by the v1 commit's wall clock
+    t1 = ds.store.manifest(1)["ts"]
+    assert main(
+        ["sql", "--data-dir", data_dir, "--timestamp", str(t1),
+         "--query", "SELECT count(*) AS n FROM candles"]
+    ) == 0
+    assert "6" in capsys.readouterr().out
+    assert main(
+        ["sql", "--data-dir", data_dir, "--timestamp", str(t1 + 3600),
+         "--query", "SELECT count(*) AS n FROM candles"]
+    ) == 0
+    assert "9" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="not both"):
+        main(
+            ["sql", "--data-dir", data_dir, "--version", "1",
+             "--timestamp", str(t1),
+             "--query", "SELECT 1"]
+        )
+
 
 def test_delete_subcommand_dv_mode(spark, tmp_path, capsys):
     """--dv records deletion vectors (no file rewrite); compact

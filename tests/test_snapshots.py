@@ -770,6 +770,101 @@ def test_append_merge_schema_add_column(spark, tmp_path):
         )
 
 
+def test_append_merge_schema_type_widening(spark, tmp_path):
+    """merge_schema TYPE WIDENING (round 11, Delta's type-widening
+    feature over Spark 4's lossless parquet upcast reads): a wider
+    append widens the committed column (old narrow files read back
+    upcast under the manifest schema), a narrower append upcasts to
+    the committed type with NO schema change, and non-lossless
+    retypes (scale change, cross-family) still refuse."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"), stats_cols=["v"])
+    store.append(
+        spark.range(3).select(
+            F.col("id").cast("int").alias("v"),
+            F.col("id").cast("float").alias("x"),
+            F.col("id").cast("decimal(10,2)").alias("d"),
+        )
+    )
+    # wider append -> table widens; old files upcast on read
+    store.append(
+        spark.range(3, 6).select(
+            F.col("id").cast("bigint").alias("v"),
+            F.col("id").cast("double").alias("x"),
+            F.col("id").cast("decimal(20,2)").alias("d"),
+        ),
+        merge_schema=True,
+    )
+    m = store.manifest()
+    assert m["schema"] == [
+        ["v", "bigint"], ["x", "double"], ["d", "decimal(20,2)"],
+    ]
+    got = store.read()
+    assert dict(got.dtypes) == {
+        "v": "bigint", "x": "double", "d": "decimal(20,2)",
+    }
+    assert sorted(r["v"] for r in got.collect()) == list(range(6))
+    assert got.agg(F.sum("x")).collect()[0][0] == 15.0
+    # narrower append after the widening: upcast, schema unchanged
+    store.append(
+        spark.range(6, 8).select(
+            F.col("id").cast("int").alias("v"),
+            F.col("id").cast("float").alias("x"),
+            F.col("id").cast("decimal(10,2)").alias("d"),
+        ),
+        merge_schema=True,
+    )
+    assert store.manifest()["schema"] == m["schema"]
+    assert store.count_rows() == 8
+    assert sorted(r["v"] for r in store.read().collect()) == list(range(8))
+    # stats pruning still works across mixed-width files
+    assert len(store.pruned_files({"v": (6, None)})) < len(
+        store.manifest()["files"]
+    )
+    # scale change and cross-family retypes refuse
+    with pytest.raises(ValueError, match="cannot retype"):
+        store.append(
+            spark.range(1).select(
+                F.col("id").alias("v"),
+                F.col("id").cast("double").alias("x"),
+                F.col("id").cast("decimal(20,4)").alias("d"),
+            ),
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="cannot retype"):
+        store.append(
+            spark.range(1).select(
+                F.col("id").cast("double").alias("v"),
+                F.col("id").cast("double").alias("x"),
+                F.col("id").cast("decimal(20,2)").alias("d"),
+            ),
+            merge_schema=True,
+        )
+    # time travel: the pre-widening version still reads NARROW
+    assert dict(store.read(version=1).dtypes)["v"] == "int"
+
+
+def test_type_widening_under_column_mapping(spark, tmp_path):
+    """Widening composes with column mapping: the physical name (and
+    the stats key) is type-independent."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"), stats_cols=["v"])
+    store.append(spark.range(3).select(F.col("id").cast("int").alias("v")))
+    store.enable_column_mapping()
+    store.rename_column("v", "val")
+    store.append(
+        spark.range(3, 6).select(F.col("id").cast("bigint").alias("val")),
+        merge_schema=True,
+    )
+    m = store.manifest()
+    assert m["schema"] == [["val", "bigint"]]
+    assert m["column_mapping"] == {"val": "v"}
+    assert sorted(r["val"] for r in store.read().collect()) == list(range(6))
+    assert len(store.pruned_files({"val": (3, None)})) < len(m["files"])
+
+
 # --- deletion vectors (merge-on-read deletes) ----------------------------
 
 
