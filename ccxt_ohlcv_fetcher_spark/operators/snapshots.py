@@ -2300,6 +2300,7 @@ class SnapshotStore:
         insert_not_matched: bool = True,
         max_retries: int = 10,
         schema_evolution: bool = False,
+        when_not_matched_by_source: str | None = None,
     ) -> dict:
         """Delta-style ``MERGE INTO`` in one atomic commit
         (copy-on-write): target rows whose key matches a source row
@@ -2340,8 +2341,20 @@ class SnapshotStore:
         with NULL in the new columns (manifest-schema reads — old
         files are never rewritten). Dropping or retyping committed
         columns is NOT evolution and raises either way.
+
+        ``when_not_matched_by_source="delete"`` (Delta's WHEN NOT
+        MATCHED BY SOURCE): target rows whose key matches NO source
+        row are deleted — the full-sync upsert ("make the table equal
+        the source" when combined with update+insert). This side is
+        inherently O(table): non-matched rows live in essentially
+        every file, so every file with live rows is rewritten and the
+        stats-pruned match scan does not bound it (files_scanned
+        reports the full count). Deleted rows join the -1 change feed
+        exactly like a delete commit's; the return dict gains
+        ``deleted_by_source``.
         """
         assert when_matched in ("update", "delete", None)
+        assert when_not_matched_by_source in (None, "delete")
         spark = self.spark
         if not source.groupBy(*on).agg(
             F.count(F.lit(1)).alias("n")
@@ -2441,12 +2454,31 @@ class SnapshotStore:
                 .collect()
             }
         n_matched = sum(per_file.values())
-        # files rewritten ONLY when matched rows must change
-        touched = (
-            sorted(per_file)
-            if (n_matched and when_matched is not None)
-            else []
+        # delete-by-absence side: non-matched rows live in essentially
+        # every file, so this scan is unpruned by design (O(table) is
+        # the operation's inherent cost, same as Delta's)
+        nm_t = None
+        nm_per_file: dict = {}
+        if when_not_matched_by_source == "delete" and m["files"]:
+            full_all = self._read_files_live(
+                m["files"], m, with_file_col="_f"
+            )
+            nm_t = full_all.join(keys, on, "left_anti").localCheckpoint(
+                eager=False
+            )
+            nm_per_file = {
+                r["_f"]: r["n"]
+                for r in nm_t.groupBy("_f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        n_deleted_by_source = sum(nm_per_file.values())
+        # files rewritten ONLY when some of their rows must change
+        touched_set = (
+            set(per_file) if (n_matched and when_matched is not None) else set()
         )
+        touched_set |= set(nm_per_file)
+        touched = sorted(touched_set)
         keys_in_target = (
             matched_t.select(*on).distinct() if n_matched else None
         )
@@ -2461,32 +2493,71 @@ class SnapshotStore:
         if inserts is not None:
             added = inserts if added is None else added.unionByName(inserts)
         n_inserted = inserts.count() if inserts is not None else 0
-        scanned = {"files_scanned": len(cand), "files_total": len(m["files"])}
-        if (n_matched == 0 or when_matched is None) and n_inserted == 0:
-            return {"version": None, "matched": 0, "inserted": 0, **scanned}
+        scanned = {
+            "files_scanned": (
+                len(m["files"]) if nm_t is not None else len(cand)
+            ),
+            "files_total": len(m["files"]),
+        }
+        if (
+            (n_matched == 0 or when_matched is None)
+            and n_inserted == 0
+            and n_deleted_by_source == 0
+        ):
+            return {
+                "version": None,
+                "matched": 0,
+                "inserted": 0,
+                "deleted_by_source": 0,
+                **scanned,
+            }
         # joins move key columns first — restage in the table's
         # (possibly evolved) schema order or the guard (rightly) balks
         evolving = committed is not None and out_schema != committed
 
         # -1 side: old versions of matched rows (update/delete only)
+        # plus rows deleted by source absence
+        minus = (
+            matched_t.drop("_f")
+            if (n_matched and when_matched is not None)
+            else None
+        )
+        if nm_t is not None and n_deleted_by_source:
+            nm_minus = nm_t.drop("_f")
+            minus = (
+                nm_minus if minus is None else minus.unionByName(nm_minus)
+            )
         chg_rel: list[str] = []
-        if touched:
+        if minus is not None:
             token = uuid.uuid4().hex[:12]
             d = os.path.join(self._data_dir, f"commit-{token}-chg")
-            self._to_physical(matched_t.drop("_f"), m).write.parquet(d)
+            self._to_physical(minus, m).write.parquet(d)
             chg_rel = sorted(
                 os.path.relpath(f, self.path)
                 for f in glob.glob(os.path.join(d, "*.parquet"))
             )
         staged: list[str] = []
         if touched:
-            survivors = self._read_files_live(touched, m).join(
-                keys, on, "left_anti"
-            )
-            staged = self._stage(
-                self._conform(survivors, out_schema),
-                allow_schema_change=evolving,
-            )
+            if when_not_matched_by_source == "delete":
+                # non-matched rows go; matched rows survive as-is only
+                # under when_matched=None (update replaces them via
+                # `added`, delete removes them) — else nothing survives
+                survivors = (
+                    self._read_files_live(touched, m).join(
+                        keys, on, "left_semi"
+                    )
+                    if when_matched is None
+                    else None
+                )
+            else:
+                survivors = self._read_files_live(touched, m).join(
+                    keys, on, "left_anti"
+                )
+            if survivors is not None:
+                staged = self._stage(
+                    self._conform(survivors, out_schema),
+                    allow_schema_change=evolving,
+                )
         # _stage REASSIGNS _pending_stats; a second call in the same
         # commit must not drop the first call's stats/blooms or the
         # survivor files lose manifest pruning for good
@@ -2527,6 +2598,7 @@ class SnapshotStore:
                     "version": head + 1,
                     "matched": n_matched,
                     "inserted": n_inserted,
+                    "deleted_by_source": n_deleted_by_source,
                     **scanned,
                 }
         raise CommitConflict(f"merge lost the CAS race {max_retries} times")

@@ -255,13 +255,9 @@ def test_row_level_ops_and_change_feed_under_mapping(spark, tmp_path):
     # merge (update + insert)
     src = spark.createDataFrame([(1, 111), (50, 100)], "alpha long, b long")
     res = st.merge_into(src, on=["alpha"])
-    assert res == {
-        "version": st.latest_version(),
-        "matched": 1,
-        "inserted": 1,
-        "files_scanned": res["files_scanned"],
-        "files_total": res["files_total"],
-    }
+    assert (res["version"], res["matched"], res["inserted"]) == (
+        st.latest_version(), 1, 1,
+    )
     assert st.read().filter("alpha = 1").collect()[0]["b"] == 111
     # compact materializes DVs; data unchanged
     st.compact(order_by=["alpha"])

@@ -865,6 +865,67 @@ def test_type_widening_under_column_mapping(spark, tmp_path):
     assert len(store.pruned_files({"val": (3, None)})) < len(m["files"])
 
 
+def test_merge_when_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (round 11, the full-sync merge):
+    target rows absent from the source are deleted; combined with
+    update+insert the table converges to exactly the source; the
+    signed change feed retracts the deleted rows; matched rows
+    survive untouched under when_matched=None."""
+    from pyspark.sql import functions as F
+
+    def kv(lo, hi, mult=1):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * mult).alias("v")
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(kv(0, 10))  # keys 0..9
+    v1 = store.latest_version()
+    # full sync to source = keys 5..12 with v=10*k
+    src = kv(5, 13, 10)
+    r = store.merge_into(
+        src, on=["k"], when_not_matched_by_source="delete"
+    )
+    assert r["matched"] == 5          # 5..9
+    assert r["inserted"] == 3         # 10..12
+    assert r["deleted_by_source"] == 5  # 0..4
+    assert r["files_scanned"] == r["files_total"]  # O(table) by design
+    got = {row["k"]: row["v"] for row in store.read().collect()}
+    assert got == {k: 10 * k for k in range(5, 13)}  # == source exactly
+    # signed feed: -10 old rows (5 replaced + 5 absence-deleted), +8 new
+    ch = store.read_row_changes(v1).groupBy("_change").count().collect()
+    assert {row["_change"]: row["count"] for row in ch} == {1: 8, -1: 10}
+
+    # when_matched=None: matched rows SURVIVE as-is, absent rows go
+    store2 = SnapshotStore(spark, str(tmp_path / "t2"))
+    store2.append(kv(0, 6))
+    r2 = store2.merge_into(
+        kv(3, 6, 100),
+        on=["k"],
+        when_matched=None,
+        insert_not_matched=False,
+        when_not_matched_by_source="delete",
+    )
+    assert r2["matched"] == 3 and r2["deleted_by_source"] == 3
+    got2 = {row["k"]: row["v"] for row in store2.read().collect()}
+    assert got2 == {3: 3, 4: 4, 5: 5}  # originals kept, not 100*k
+
+    # nothing absent -> no deletions, normal upsert result
+    r3 = store2.merge_into(
+        kv(3, 6, 7), on=["k"], when_not_matched_by_source="delete"
+    )
+    assert r3["deleted_by_source"] == 0 and r3["matched"] == 3
+
+    # empty source + delete-by-source empties the table (and commits)
+    store3 = SnapshotStore(spark, str(tmp_path / "t3"))
+    store3.append(kv(0, 4))
+    r4 = store3.merge_into(
+        kv(0, 0), on=["k"], when_not_matched_by_source="delete"
+    )
+    assert r4["deleted_by_source"] == 4 and r4["version"] is not None
+    assert store3.read().count() == 0
+
+
 # --- deletion vectors (merge-on-read deletes) ----------------------------
 
 
