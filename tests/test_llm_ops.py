@@ -1946,3 +1946,82 @@ def test_incremental_dedup_version_pinning_and_txn(spark, tmp_path):
     }
     assert head == {(1, 9), (2, 9)}
     assert pinned == {(1, 9)}
+
+
+def test_streaming_crawl_feeds_dedup_index_exactly_once(spark, tmp_path):
+    """The continuous-crawl composition: a doc stream appends its
+    band-bucket rows to the logged dedup index per micro-batch with
+    txn=(app, batch_id) — re-running the stream from the SAME
+    checkpoint is a no-op, and a replayed batch id is skipped by the
+    commit log itself (no content dedup needed). The resulting index
+    equals a from-scratch batch build over the same docs."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        _band_bucket_rows,
+        _minhash_index_store,
+        build_minhash_index_logged,
+    )
+
+    src_files = str(tmp_path / "files")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "sphinx of black quartz judge my vow"),
+    ]
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src_files)
+    idx_path = str(tmp_path / "idx")
+    store = _minhash_index_store(spark, idx_path)
+
+    def write_batch(batch, batch_id):
+        # buckets computed per micro-batch; the log's txn watermark is
+        # the exactly-once guard (streaming_snapshot_sink's contract)
+        store.append(
+            _band_bucket_rows(batch, "text", "doc_id", 8, 3, 4),
+            txn=("crawl", batch_id),
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src_files)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    v_after = store.latest_version()
+    assert store.read().count() == 4 * 4  # 4 docs x 4 bands
+    # same checkpoint re-run: nothing new, no commits
+    run()
+    assert store.latest_version() == v_after
+    # manual replay of an already-committed batch id: skipped by txn
+    assert (
+        store.append(
+            _band_bucket_rows(
+                spark.createDataFrame(
+                    [rows[0]], "doc_id long, text string"
+                ),
+                "text", "doc_id", 8, 3, 4,
+            ),
+            txn=("crawl", 0),
+        )
+        is None
+    )
+    # streamed index == batch rebuild over the same docs
+    full_path = str(tmp_path / "full")
+    build_minhash_index_logged(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        full_path, k=8, bands=4,
+    )
+    streamed = {tuple(r) for r in store.read().collect()}
+    batch = {
+        tuple(r)
+        for r in _minhash_index_store(spark, full_path).read().collect()
+    }
+    assert streamed == batch
