@@ -89,22 +89,52 @@ def _added_files(root: str, m: dict) -> list:
     return [f for f in m["files"] if f not in prev]
 
 
-def _head_schema(root: str, head: int) -> list:
-    """The head snapshot's schema pairs: walk back from ``head`` until
-    a manifest that SETS the schema (format-2 deltas only record it on
-    change), a checkpoint file (full state), or a legacy full manifest.
-    Bounded by the store's checkpoint cadence."""
+def _head_meta(root: str, head: int) -> tuple[list, dict, int]:
+    """The head snapshot's (schema pairs, column mapping, min_reader):
+    walk back from ``head`` until each key's most recent SETTING —
+    format-2 deltas record them on change only — or a checkpoint file
+    (full state, json or parquet) or a legacy full manifest (its own
+    checkpoint, predating all three keys). Bounded by the store's
+    checkpoint cadence. The mapping matters here because change/data
+    files under column mapping store PHYSICAL names — reading them by
+    logical name would silently null-fill every renamed column; the
+    protocol floor matters because this reader must REFUSE features it
+    does not implement rather than misread them."""
+    _unset = object()
+    schema, mapping, floor = _unset, _unset, _unset
+
+    def _take(doc: dict, terminal: bool) -> None:
+        nonlocal schema, mapping, floor
+        if schema is _unset and ("schema" in doc or terminal):
+            schema = [tuple(p) for p in (doc.get("schema") or [])]
+        if mapping is _unset and ("column_mapping" in doc or terminal):
+            mapping = doc.get("column_mapping") or {}
+        if floor is _unset and ("min_reader" in doc or terminal):
+            floor = doc.get("min_reader") or 2
+
     v = head
-    while v > 0:
-        ck = os.path.join(root, "_manifests", f"ckpt-v{v:08d}.json")
-        if os.path.exists(ck):
-            with open(ck) as fh:
-                return [tuple(p) for p in (json.load(fh).get("schema") or [])]
+    while v > 0 and _unset in (schema, mapping, floor):
+        ckj = os.path.join(root, "_manifests", f"ckpt-v{v:08d}.json")
+        ckp = os.path.join(root, "_manifests", f"ckpt-v{v:08d}.parquet")
+        if os.path.exists(ckj):
+            with open(ckj) as fh:
+                _take(json.load(fh), terminal=True)
+            break
+        if os.path.exists(ckp):
+            from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+                _ckpt_read_parquet,
+            )
+
+            _take(_ckpt_read_parquet(ckp), terminal=True)
+            break
         m = _read_manifest(root, v)
-        if "schema" in m or "files" in m:
-            return [tuple(p) for p in (m.get("schema") or [])]
+        _take(m, terminal="files" in m)
         v -= 1
-    return []
+    return (
+        [] if schema is _unset else schema,
+        {} if mapping is _unset else mapping,
+        2 if floor is _unset else floor,
+    )
 
 
 class ChangeFilePartition(InputPartition):
@@ -128,8 +158,21 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         head = _latest_version(self.root)
         # pin the HEAD schema (the evolution superset): files written
         # before an add-column evolution null-fill; pinning an older
-        # version's schema would silently drop evolved columns
-        self.schema_pairs = _head_schema(self.root, head) if head else []
+        # version's schema would silently drop evolved columns. The
+        # head's column mapping rides along (files store PHYSICAL
+        # names), and the protocol floor is checked — refuse, never
+        # misread.
+        if head:
+            self.schema_pairs, self.column_mapping, floor = _head_meta(
+                self.root, head
+            )
+            if floor > 3:
+                raise RuntimeError(
+                    f"table at {self.root!r} requires reader protocol "
+                    f"{floor}; snapshot_changes implements 3"
+                )
+        else:
+            self.schema_pairs, self.column_mapping = [], {}
 
     # --- offsets ----------------------------------------------------------
 
@@ -239,8 +282,10 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
         cols = []
         n = table.num_rows
         for name, _typ in self.schema_pairs:
-            if name in table.column_names:
-                cols.append(table.column(name).to_pylist())
+            # files store PHYSICAL column names under column mapping
+            phys = self.column_mapping.get(name, name)
+            if phys in table.column_names:
+                cols.append(table.column(phys).to_pylist())
             else:
                 cols.append([None] * n)  # pre-evolution file: null-fill
         sign = [partition.sign] * n
