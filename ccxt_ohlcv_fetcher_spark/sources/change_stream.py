@@ -89,6 +89,34 @@ def _added_files(root: str, m: dict) -> list:
     return [f for f in m["files"] if f not in prev]
 
 
+def _version_at_timestamp(root: str, ts: float) -> int:
+    """Newest version committed at or before epoch-seconds ``ts`` —
+    the rule of ``SnapshotStore.version_at_timestamp`` over this
+    module's manifest helpers: written stamps are monotonic per log;
+    pre-stamp manifests fall back to file mtime (so no early exit);
+    pruned versions are skipped."""
+    best = 0
+    for v in range(1, _latest_version(root) + 1):
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            continue
+        vts = m.get("ts")
+        if vts is None:
+            try:
+                vts = os.path.getmtime(_manifest_path(root, v))
+            except OSError:
+                continue
+        if vts <= ts:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"no retained commit at or before timestamp {ts} "
+            "(predates the log, or that history was pruned)"
+        )
+    return best
+
+
 def _head_meta(root: str, head: int) -> tuple[list, dict, int]:
     """The head snapshot's (schema pairs, column mapping, min_reader):
     walk back from ``head`` until each key's most recent SETTING —
@@ -148,6 +176,20 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"]
         self.start_version = int(options.get("startingVersion", "0"))
+        ts_opt = options.get("startingTimestamp")
+        if ts_opt is not None:
+            if "startingVersion" in options:
+                raise ValueError(
+                    "pass startingVersion or startingTimestamp, not both"
+                )
+            # TIMESTAMP AS OF for the change feed: changes AFTER the
+            # newest commit at-or-before the instant (the same rule as
+            # SnapshotStore.version_at_timestamp, over this module's
+            # own manifest helpers; driver-side, once, at stream
+            # construction).
+            self.start_version = _version_at_timestamp(
+                self.root, float(ts_opt)
+            )
         self._committed_version = self.start_version
         # highest version this READER instance has handed to Spark via
         # partitions() — the anti-duplication floor for capped streams
@@ -305,7 +347,9 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
 class SnapshotChangeDataSource(DataSource):
     """``format("snapshot_changes")``: streaming change feed of a
     SnapshotStore table. Options: ``path`` (table root, required),
-    ``startingVersion`` (default 0 = full history), and admission
+    ``startingVersion`` (default 0 = full history) or
+    ``startingTimestamp`` (epoch seconds — changes after the newest
+    commit at or before the instant; mutually exclusive), and admission
     control: ``maxVersionsPerBatch`` (bound how many commits one
     micro-batch absorbs) and ``maxFilesPerBatch`` (bound by CHANGED
     FILES — the knob that actually limits bytes when one backfill

@@ -431,3 +431,28 @@ def test_stream_reads_physical_names_under_column_mapping(spark, tmp_path):
     assert {r["tag"] for r in plus if r["val"] >= 200} == {"t"}
     # pre-evolution rows null-fill the evolved column
     assert all(r["tag"] is None for r in plus if r["val"] < 200)
+
+
+def test_starting_timestamp_option(spark, tmp_path):
+    """startingTimestamp (TIMESTAMP AS OF for the feed): the stream
+    emits changes AFTER the newest commit at or before the instant;
+    both options together refuse."""
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    store.append(_df(spark, 0, 10))   # v1
+    t1 = store.manifest(1)["ts"]
+    store.append(_df(spark, 10, 15))  # v2
+    q = _start(
+        spark, root, "chg_ts", str(tmp_path / "cp"),
+        startingTimestamp=t1,
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from chg_ts").collect()
+    assert sorted(r["v"] for r in rows) == list(range(10, 15))
+    with pytest.raises(Exception, match="not both"):
+        q2 = _start(
+            spark, root, "chg_ts2", str(tmp_path / "cp2"),
+            startingTimestamp=t1, startingVersion=0,
+        )
+        q2.awaitTermination(60)

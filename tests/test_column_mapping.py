@@ -408,3 +408,38 @@ def test_timestamp_time_travel(spark, tmp_path):
     st._state_cache.clear()
     assert st.version_at_timestamp(t2 + 3600) == 2
     assert st.version_at_timestamp(t2) in (1, 2)  # mtime >= t2 is fine
+
+
+def test_streaming_sink_into_mapped_table(spark, tmp_path):
+    """streaming_snapshot_sink appends into a column-mapped + renamed
+    table: batches arrive under the NEW logical names, land physical,
+    and read back correctly (the sink goes through store.append, so
+    mapping-awareness is inherited — this pins the composition)."""
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        streaming_snapshot_sink,
+    )
+
+    st = _mk(spark, tmp_path)
+    st.append(_df(spark, 0, 5))
+    st.enable_column_mapping()
+    st.rename_column("a", "alpha")
+    src_files = str(tmp_path / "files")
+    spark.range(5, 9).select(
+        F.col("id").alias("alpha"), (F.col("id") * 2).alias("b")
+    ).coalesce(1).write.parquet(src_files)
+    stream = spark.readStream.schema("alpha long, b long").parquet(
+        src_files
+    )
+    q = streaming_snapshot_sink(
+        stream, st, app_id="cmsink", checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert sorted(r["alpha"] for r in st.read().collect()) == list(range(9))
+    # the landed files really are physical-named ('a')
+    import pyarrow.parquet as pq
+
+    newest = st.manifest()["files"][-1]
+    cols = pq.ParquetFile(
+        os.path.join(st.path, newest)
+    ).schema_arrow.names
+    assert "a" in cols and "alpha" not in cols
