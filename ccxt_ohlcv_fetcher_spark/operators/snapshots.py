@@ -131,6 +131,38 @@ def _bloom_may_contain(entry: dict, value) -> bool:
     )
 
 
+def _version_at_timestamp_walk(head: int, manifest_path, ts: float) -> int:
+    """Shared TIMESTAMP AS OF resolution (SnapshotStore and the
+    snapshot_changes source): newest version whose commit stamp —
+    manifest ``ts``, mtime fallback for pre-stamp manifests — is at or
+    before ``ts``. No early break: WRITTEN stamps are monotonic, but
+    the mtime fallback is not (a log migrated between hosts can carry
+    arbitrary mtimes), and the walk is O(versions) small JSON reads
+    either way. Raises ValueError when nothing qualifies."""
+    best = 0
+    for v in range(1, head + 1):
+        path = manifest_path(v)
+        try:
+            with open(path) as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            continue  # pruned version: its time travel is gone
+        vts = m.get("ts")
+        if vts is None:
+            try:
+                vts = os.path.getmtime(path)
+            except OSError:
+                continue
+        if vts <= ts:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"no retained commit at or before timestamp {ts} "
+            "(predates the log, or that history was pruned)"
+        )
+    return best
+
+
 # --- delta-manifest reconstruction (checkpoint + tail) --------------------
 
 
@@ -883,32 +915,9 @@ class SnapshotStore:
         from the log are skipped (their time travel is gone by
         contract). Raises when ``ts`` predates the oldest retained
         commit."""
-        best = 0
-        for v in range(1, self.latest_version() + 1):
-            path = self._manifest_path(v)
-            try:
-                with open(path) as fh:
-                    m = json.load(fh)
-            except FileNotFoundError:
-                continue
-            vts = m.get("ts")
-            if vts is None:
-                try:
-                    vts = os.path.getmtime(path)
-                except OSError:
-                    continue
-            if vts <= ts:
-                best = v
-            # no early break: WRITTEN stamps are monotonic, but the
-            # mtime fallback for pre-stamp manifests is not (a log
-            # migrated between hosts can carry arbitrary mtimes), and
-            # the walk is O(versions) small JSON reads either way
-        if best == 0:
-            raise ValueError(
-                f"no retained commit at or before timestamp {ts} "
-                "(predates the log, or that history was pruned)"
-            )
-        return best
+        return _version_at_timestamp_walk(
+            self.latest_version(), self._manifest_path, ts
+        )
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.latest_version() if version is None else version
@@ -1333,6 +1342,13 @@ class SnapshotStore:
                         assigned[n] = p
                         used.add(p)
                     mapping[n] = p
+            # restrict to the STAGED schema: an overwrite() that drops
+            # columns must not carry their dead mapping entries forward
+            # — a later rename to a dead logical name would collide two
+            # keys onto one physical column (silent NULL reads). The
+            # head's files are replaced wholesale by such an overwrite,
+            # so no live file still carries the dropped physical name.
+            mapping = {n: mapping[n] for n, _t in incoming}
             self._pending_column_mapping = mapping
             # the physical-of map the layout hook may need (the
             # bucketBy writer repartitions on the bucket key, which at
@@ -1745,10 +1761,26 @@ class SnapshotStore:
             names = {n for n, _ in incoming}
             widened: dict[str, str] = {}  # col -> new (wider) type
             upcast: dict[str, str] = {}  # col -> committed (wider) type
+            bucket_key = (self.manifest().get("bucket_spec") or {}).get(
+                "col"
+            )
             for n, t in committed:
                 if n in names and dict(incoming)[n] != t:
                     it = dict(incoming)[n]
                     if self._widens(t, it):
+                        if n == bucket_key:
+                            # murmur3(int) != murmur3(long) for the
+                            # same value: widening the bucket key would
+                            # route new files by a DIFFERENT hash while
+                            # the manifest still declares one layout —
+                            # the silent-wrong-joins corruption the
+                            # rebucket() guard exists to prevent
+                            raise ValueError(
+                                f"cannot widen bucket key {n!r} "
+                                f"({t} -> {it}): the hash layout is "
+                                "type-dependent — rebucket() to the "
+                                "wider type instead"
+                            )
                         widened[n] = it
                     elif self._widens(it, t):
                         upcast[n] = t
@@ -2028,11 +2060,15 @@ class SnapshotStore:
             }
             spec = m.get("bucket_spec")
             respec = spec is not None and spec.get("col") == old
+            had_spec = hasattr(self, "_pending_bucket_spec")
+            saved_spec = getattr(self, "_pending_bucket_spec", None)
+            committed_ok = False
             if respec:
                 self._pending_bucket_spec = {**spec, "col": new}
                 self._allow_respec = True
             try:
                 if self._try_commit(base, m["files"], "metadata"):
+                    committed_ok = True
                     if respec and getattr(self, "bucket_col", None) == old:
                         self.bucket_col = new
                     return base + 1
@@ -2041,6 +2077,16 @@ class SnapshotStore:
                 self._pending_column_mapping = None
                 if respec:
                     self._allow_respec = False
+                    if not committed_ok:
+                        # a failed/raced rename must not leave the new
+                        # key as this instance's pending spec — a later
+                        # append would stamp a layout keyed on a column
+                        # the schema does not have (rebucket()'s
+                        # save-and-restore rule)
+                        if had_spec:
+                            self._pending_bucket_spec = saved_spec
+                        else:
+                            del self._pending_bucket_spec
         raise CommitConflict(
             f"rename_column lost the CAS race {max_retries} times"
         )
@@ -2221,6 +2267,12 @@ class SnapshotStore:
         ``(version, n_deleted)``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         cond = F.coalesce(cond, F.lit(False))
+        # the ONE commit path that never runs _stage: neutralize any
+        # schema/mapping pendings a FAILED earlier stage left on this
+        # instance (the add_constraint rule) — a lost evolving append
+        # must not stamp its schema through a DV delete
+        self._pending_schema = None
+        self._pending_column_mapping = None
         base = self.latest_version()
         m = self.manifest(base)
         if not m["files"]:

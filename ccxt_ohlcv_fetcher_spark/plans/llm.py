@@ -1688,7 +1688,11 @@ def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = (prof_map, norms)
         _TRIGRAM_PROF_ROWS_MEMO[key] = cached
     prof_map, norms = cached
-    ws = re.compile(r"\s+")
+    # re.ASCII: the training pass (JVM regexp_replace '\\s+') and the
+    # DuckDB oracle both use ASCII \s — Python's Unicode \s would
+    # collapse U+00A0/U+2028 the profile was trained WITH, silently
+    # shifting trigram multisets on non-ASCII whitespace
+    ws = re.compile(r"\s+", re.ASCII)
 
     def score_batches(batches):
         import pandas as pd
@@ -1698,6 +1702,14 @@ def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, lang, text in zip(
                 pdf["doc_id"], pdf["lang"], pdf["text"]
             ):
+                if text is None:
+                    # NULL text scored 'und' with NULL score — the
+                    # contract the JVM form's left join + coalesce had
+                    out["doc_id"].append(doc_id)
+                    out["labeled"].append(lang)
+                    out["predicted"].append("und")
+                    out["score"].append(None)
+                    continue
                 s = ws.sub(" ", text.lower())
                 dots: dict = {}
                 for i in range(len(s) - 2):

@@ -89,32 +89,27 @@ def _added_files(root: str, m: dict) -> list:
     return [f for f in m["files"] if f not in prev]
 
 
-def _version_at_timestamp(root: str, ts: float) -> int:
-    """Newest version committed at or before epoch-seconds ``ts`` —
-    the rule of ``SnapshotStore.version_at_timestamp`` over this
-    module's manifest helpers: written stamps are monotonic per log;
-    pre-stamp manifests fall back to file mtime (so no early exit);
-    pruned versions are skipped."""
-    best = 0
-    for v in range(1, _latest_version(root) + 1):
-        try:
-            m = _read_manifest(root, v)
-        except FileNotFoundError:
-            continue
-        vts = m.get("ts")
-        if vts is None:
-            try:
-                vts = os.path.getmtime(_manifest_path(root, v))
-            except OSError:
-                continue
-        if vts <= ts:
-            best = v
-    if best == 0:
-        raise ValueError(
-            f"no retained commit at or before timestamp {ts} "
-            "(predates the log, or that history was pruned)"
+def _starting_version_at_timestamp(root: str, ts: float) -> int:
+    """startingTimestamp resolution for the FEED: the stream emits
+    changes AFTER the newest commit at or before ``ts``. Unlike a
+    snapshot read, a ``ts`` predating a COMPLETE log has a natural
+    answer — version 0, i.e. everything (Delta's startingTimestamp
+    rule): nothing committed before ``ts``, so nothing is missed. But
+    when the pre-``ts`` history was PRUNED, the changes between ``ts``
+    and the prune boundary are unrecoverable — streaming from the
+    boundary would silently skip them, so that case still refuses."""
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        _version_at_timestamp_walk,
+    )
+
+    try:
+        return _version_at_timestamp_walk(
+            _latest_version(root), lambda v: _manifest_path(root, v), ts
         )
-    return best
+    except ValueError:
+        if os.path.exists(_manifest_path(root, 1)):
+            return 0  # complete log, all commits after ts: stream all
+        raise
 
 
 def _head_meta(root: str, head: int) -> tuple[list, dict, int]:
@@ -187,7 +182,7 @@ class SnapshotChangeStreamReader(DataSourceStreamReader):
             # SnapshotStore.version_at_timestamp, over this module's
             # own manifest helpers; driver-side, once, at stream
             # construction).
-            self.start_version = _version_at_timestamp(
+            self.start_version = _starting_version_at_timestamp(
                 self.root, float(ts_opt)
             )
         self._committed_version = self.start_version

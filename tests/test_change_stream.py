@@ -456,3 +456,33 @@ def test_starting_timestamp_option(spark, tmp_path):
             startingTimestamp=t1, startingVersion=0,
         )
         q2.awaitTermination(60)
+
+
+def test_starting_timestamp_predating_a_complete_log_streams_all(
+    spark, tmp_path
+):
+    """A startingTimestamp older than EVERY commit of a complete log
+    streams the full history (nothing existed before it, so nothing is
+    missed — Delta's rule); the same timestamp against a PRUNED log
+    refuses (the early changes are unrecoverable)."""
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)
+    store.append(_df(spark, 0, 4))
+    t0 = store.manifest(1)["ts"] - 10
+    q = _start(
+        spark, root, "chg_all", str(tmp_path / "cp"),
+        startingTimestamp=t0,
+    )
+    q.awaitTermination(300)
+    assert len(spark.sql("select * from chg_all").collect()) == 4
+    # prune the prefix: the same timestamp now refuses
+    store.append(_df(spark, 4, 6))
+    store.append(_df(spark, 6, 8))
+    store.vacuum(retain_versions=1, min_age_seconds=0, prune_log=True)
+    with pytest.raises(Exception, match="no retained commit"):
+        q2 = _start(
+            spark, root, "chg_pruned", str(tmp_path / "cp2"),
+            startingTimestamp=t0,
+        )
+        q2.awaitTermination(60)

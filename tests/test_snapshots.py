@@ -1295,3 +1295,133 @@ def test_merge_and_delete_rebase_over_injected_concurrent_append(
     got2 = sorted(row["k"] for row in store.read().collect())
     assert 200 in got2 and 201 in got2 and 100 not in got2
     assert len(got2) == 8  # 9 - 3 deleted + 2 raced
+
+
+def test_widening_refuses_bucket_key(spark, tmp_path):
+    """murmur3(int) != murmur3(long): widening the bucket key would
+    route new files by a different hash under one declared layout —
+    refused like a re-declaration; rebucket() is the sound path."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    st = BucketedSnapshotStore(
+        spark, str(tmp_path / "b"), bucket_col="k", n_buckets=4
+    )
+    st.append(
+        spark.range(8).select(
+            F.col("id").cast("int").alias("k"), F.col("id").alias("v")
+        )
+    )
+    with pytest.raises(ValueError, match="cannot widen bucket key"):
+        st.append(
+            spark.range(8, 12).select(
+                F.col("id").cast("bigint").alias("k"),
+                F.col("id").alias("v"),
+            ),
+            merge_schema=True,
+        )
+    # non-key columns still widen fine on the same table
+    st.append(
+        spark.range(8, 12).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("bigint").alias("v"),
+        ),
+        merge_schema=True,
+    )
+    assert dict(st.read().dtypes)["v"] == "bigint"
+    assert st.read().count() == 12
+
+
+def test_dv_delete_does_not_stamp_a_failed_stages_schema(spark, tmp_path):
+    """A FAILED evolving append leaves _pending_schema on the
+    instance; delete_where_dv (the one commit path that never runs
+    _stage) must not stamp it into the manifest."""
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(_df(spark, 0, 10))
+    store.add_constraint("pos", "v >= 0")
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+        ConstraintViolation,
+    )
+
+    with _pytest.raises(ConstraintViolation):
+        store.append(
+            spark.createDataFrame([(-1, "x")], "v long, tag string"),
+            merge_schema=True,
+        )
+    # the instance now carries the lost append's evolved pendings
+    v, n = store.delete_where_dv("v = 0")
+    assert n == 1
+    m = store.manifest()
+    assert m["schema"] == [["v", "bigint"]]  # no phantom 'tag'
+    assert m.get("column_mapping") is None
+
+
+def test_overwrite_shrink_drops_dead_mapping_entries(spark, tmp_path):
+    """An overwrite that removes columns must not carry their mapping
+    entries forward: a later rename to the dead logical name would
+    bind two keys to one physical column (silent NULL reads)."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(3).select(
+            F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+        )
+    )
+    store.enable_column_mapping()
+    store.overwrite(spark.range(3).select(F.col("id").alias("y")))
+    m = store.manifest()
+    assert m["column_mapping"] == {"y": "y"}  # x's entry is gone
+    # rename y -> x now binds cleanly (no dead-key collision)
+    store.rename_column("y", "x")
+    assert sorted(r["x"] for r in store.read().collect()) == [0, 1, 2]
+    m = store.manifest()
+    assert m["column_mapping"] == {"x": "y"}
+
+
+def test_failed_bucket_key_rename_restores_pending_spec(spark, tmp_path):
+    """A rename of the bucket key that fails must not leave the NEW
+    key as the instance's pending spec (a later append would stamp a
+    layout keyed on a column the schema lacks)."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    st = BucketedSnapshotStore(
+        spark, str(tmp_path / "b"), bucket_col="k", n_buckets=4
+    )
+    st.append(
+        spark.range(8).select(
+            (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+        )
+    )
+    st.enable_column_mapping()
+    # force every CAS attempt to lose AFTER the respec pendings are
+    # set — the window the restore protects
+    import ccxt_ohlcv_fetcher_spark.operators.snapshots as S
+
+    orig = S.SnapshotStore._try_commit
+    S.SnapshotStore._try_commit = lambda *a, **k: False
+    try:
+        with pytest.raises(CommitConflict):
+            st.rename_column("k", "key", max_retries=2)
+    finally:
+        S.SnapshotStore._try_commit = orig
+    assert st._pending_bucket_spec == {"col": "k", "n": 4}
+    assert st.bucket_col == "k"
+    # appends still commit under the committed layout
+    st.append(
+        spark.range(8, 12).select(
+            (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+        )
+    )
+    assert st.manifest()["bucket_spec"] == {"col": "k", "n": 4}
