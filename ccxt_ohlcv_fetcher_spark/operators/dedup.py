@@ -136,6 +136,14 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    if containment_threshold is not None and metric != "both":
+        # silently ignoring it would filter at the WRONG cutoff — the
+        # single-metric forms take their cutoff via `threshold`
+        raise ValueError(
+            f"containment_threshold only applies to metric='both' "
+            f"(got metric={metric!r}; single-metric forms use "
+            "threshold=)"
+        )
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
     )

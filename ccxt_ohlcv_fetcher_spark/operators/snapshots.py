@@ -1970,11 +1970,16 @@ class SnapshotStore:
         column (word match, plain or backtick-quoted). Conservative:
         a hit inside a string literal also counts — refusing a rename
         we could have allowed is safe; allowing one that orphans a
-        constraint reference is not."""
+        constraint reference is not. Case-INSENSITIVE, because Spark
+        SQL column resolution is (spark.sql.caseSensitive=false): a
+        constraint written "PRICE > 0" binds column `price`, so a
+        case-exact scan would let the rename orphan it."""
         import re
 
         pat = rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])"
-        return bool(re.search(pat, expr)) or f"`{col}`" in expr
+        return bool(re.search(pat, expr, re.IGNORECASE)) or (
+            f"`{col.lower()}`" in expr.lower()
+        )
 
     def enable_column_mapping(self, max_retries: int = 10) -> int:
         """Turn on logical->physical column mapping for this table in
@@ -2071,6 +2076,17 @@ class SnapshotStore:
                     committed_ok = True
                     if respec and getattr(self, "bucket_col", None) == old:
                         self.bucket_col = new
+                    # rebind this INSTANCE's logical column config too:
+                    # stats_cols/bloom_cols still naming the old
+                    # logical would miss the mapping at the next stage
+                    # and silently stop recording that column's
+                    # stats/blooms on every future file
+                    self.stats_cols = tuple(
+                        new if c == old else c for c in self.stats_cols
+                    )
+                    self.bloom_cols = tuple(
+                        new if c == old else c for c in self.bloom_cols
+                    )
                     return base + 1
             finally:
                 self._pending_schema = None
@@ -2492,10 +2508,21 @@ class SnapshotStore:
                     ):
                         kept.append(f)
                 cand = kept
+        # delete-by-absence reads EVERY file anyway (non-matched rows
+        # live in essentially all of them — O(table) is the operation's
+        # inherent cost, same as Delta's), so both sides derive from
+        # ONE checkpointed full scan instead of scanning twice
+        nm_mode = when_not_matched_by_source == "delete"
+        if nm_mode:
+            cand = m["files"]
         per_file: dict = {}
         matched_t = None
+        nm_t = None
+        nm_per_file: dict = {}
         if cand:
             full = self._read_files_live(cand, m, with_file_col="_f")
+            if nm_mode:
+                full = full.localCheckpoint(eager=False)
             matched_t = full.join(keys, on, "left_semi").localCheckpoint(
                 eager=False
             )
@@ -2505,25 +2532,17 @@ class SnapshotStore:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            if nm_mode:
+                nm_t = full.join(keys, on, "left_anti").localCheckpoint(
+                    eager=False
+                )
+                nm_per_file = {
+                    r["_f"]: r["n"]
+                    for r in nm_t.groupBy("_f")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
         n_matched = sum(per_file.values())
-        # delete-by-absence side: non-matched rows live in essentially
-        # every file, so this scan is unpruned by design (O(table) is
-        # the operation's inherent cost, same as Delta's)
-        nm_t = None
-        nm_per_file: dict = {}
-        if when_not_matched_by_source == "delete" and m["files"]:
-            full_all = self._read_files_live(
-                m["files"], m, with_file_col="_f"
-            )
-            nm_t = full_all.join(keys, on, "left_anti").localCheckpoint(
-                eager=False
-            )
-            nm_per_file = {
-                r["_f"]: r["n"]
-                for r in nm_t.groupBy("_f")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
         n_deleted_by_source = sum(nm_per_file.values())
         # files rewritten ONLY when some of their rows must change
         touched_set = (
@@ -2627,6 +2646,18 @@ class SnapshotStore:
                 }
         for _ in range(max_retries):
             head = self.latest_version()
+            if nm_mode and head != base:
+                # the rebase justification ("appended files cannot
+                # contain rows this merge claimed") fails once the
+                # by-absence branch claims EVERY non-matched row: a
+                # concurrently appended key absent from the source
+                # would survive, silently violating the full-sync
+                # contract. Delta conflicts here too.
+                raise CommitConflict(
+                    f"merge_into(when_not_matched_by_source) read "
+                    f"v{base} but the table is at v{head} — re-read "
+                    "and retry the merge"
+                )
             for v in range(base + 1, head + 1):
                 op = self.manifest(v)["operation"]
                 if op != "append":

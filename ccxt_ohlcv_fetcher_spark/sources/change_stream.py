@@ -102,9 +102,14 @@ def _starting_version_at_timestamp(root: str, ts: float) -> int:
         _version_at_timestamp_walk,
     )
 
+    head = _latest_version(root)
+    if head == 0:
+        # consumer-first deployment on a never-committed table: same
+        # wait-for-the-producer behavior startingVersion=0 has
+        return 0
     try:
         return _version_at_timestamp_walk(
-            _latest_version(root), lambda v: _manifest_path(root, v), ts
+            head, lambda v: _manifest_path(root, v), ts
         )
     except ValueError:
         if os.path.exists(_manifest_path(root, 1)):

@@ -486,3 +486,22 @@ def test_starting_timestamp_predating_a_complete_log_streams_all(
             startingTimestamp=t0,
         )
         q2.awaitTermination(60)
+
+
+def test_starting_timestamp_on_empty_table_waits(spark, tmp_path):
+    """startingTimestamp on a never-committed table behaves like
+    startingVersion=0: construct, wait for the producer, emit what
+    lands (consumer-first deployment)."""
+    import time as _time
+
+    register(spark)
+    root = str(tmp_path / "t")
+    store = SnapshotStore(spark, root)  # no commits yet
+    ts = _time.time()
+    store.append(_df(spark, 0, 3))  # producer arrives after the probe
+    q = _start(
+        spark, root, "chg_empty", str(tmp_path / "cp"),
+        startingTimestamp=ts - 10,
+    )
+    q.awaitTermination(300)
+    assert len(spark.sql("select * from chg_empty").collect()) == 3

@@ -1425,3 +1425,96 @@ def test_failed_bucket_key_rename_restores_pending_spec(spark, tmp_path):
         )
     )
     assert st.manifest()["bucket_spec"] == {"col": "k", "n": 4}
+
+
+def test_merge_by_source_conflicts_on_concurrent_append(spark, tmp_path):
+    """The by-absence branch claims EVERY non-matched row, so the
+    usual rebase-over-appends justification fails: a concurrently
+    appended key absent from the source must conflict, not survive."""
+    from pyspark.sql import functions as F
+
+    import ccxt_ohlcv_fetcher_spark.operators.snapshots as S
+
+    def kv(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(kv(0, 4))
+    racer = SnapshotStore(spark, str(tmp_path / "t"))
+
+    orig = S.SnapshotStore._try_commit
+    fired = {"done": False}
+
+    def racing_tc(self, *a, **k):
+        # inject the racing append just before the merge's first CAS
+        # attempt: the merge loses, re-reads the moved head, and the
+        # by-absence guard must conflict instead of rebasing
+        if self is store and not fired["done"]:
+            fired["done"] = True
+            racer.append(kv(10, 12))
+        return orig(self, *a, **k)
+
+    S.SnapshotStore._try_commit = racing_tc
+    try:
+        with pytest.raises(CommitConflict, match="not_matched_by_source"):
+            store.merge_into(
+                kv(0, 2), on=["k"], when_not_matched_by_source="delete"
+            )
+    finally:
+        S.SnapshotStore._try_commit = orig
+    # the racer's rows are intact; no partial merge landed
+    assert sorted(r["k"] for r in store.read().collect()) == [
+        0, 1, 2, 3, 10, 11,
+    ]
+
+
+def test_constraint_guard_is_case_insensitive(spark, tmp_path):
+    """Spark resolves columns case-insensitively, so a constraint
+    written 'V >= 0' binds column v — the rename/drop guard must see
+    it."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "t"))
+    store.append(
+        spark.range(5).select(
+            F.col("id").alias("v"), (F.col("id") * 2).alias("w2")
+        )
+    )
+    store.enable_column_mapping()
+    store.add_constraint("up", "V >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        store.rename_column("v", "w")
+    with pytest.raises(ValueError, match="constraint"):
+        store.drop_column("v")
+
+
+def test_rename_rebinds_instance_stats_and_bloom_cols(spark, tmp_path):
+    """After renaming a stats/bloom column, THIS instance's config
+    follows: files staged afterwards keep recording that column's
+    stats under the (stable) physical key."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(
+        spark, str(tmp_path / "t"), stats_cols=["a"], bloom_cols=["a"]
+    )
+    store.append(
+        spark.range(5)
+        .select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+        .coalesce(1)
+    )
+    store.enable_column_mapping()
+    store.rename_column("a", "alpha")
+    assert store.stats_cols == ("alpha",)
+    assert store.bloom_cols == ("alpha",)
+    store.append(
+        spark.range(100, 105)
+        .select(F.col("id").alias("alpha"), (F.col("id") * 2).alias("b"))
+        .coalesce(1)
+    )
+    m = store.manifest()
+    newest = m["files"][-1]
+    entry = dict(m["stats"])[newest]
+    assert "a" in entry and "_bloom" in entry  # physical key, recorded
+    assert len(store.pruned_files({"alpha": (100, None)})) == 1
