@@ -339,12 +339,19 @@ class BucketedSnapshotStore(SnapshotStore):
         files were bucketed by the same spec the old manifest
         carries).
 
-        Deletion-vector reads fall back to the generic path (the
-        anti-join output partitioning is not the scan's); bucketed
-        tables here are the append/compact/overwrite family."""
+        Deletion vectors no longer force the generic fallback (round
+        11): Spark's alias-aware output partitioning carries
+        HashPartitioning through the broadcast LEFT ANTI join that
+        hides deleted positions (probed before building — zero shuffle
+        exchanges in a post-join agg), so DV'd bucketed tables keep
+        their zero-exchange plans. The DV join key here is (file
+        BASENAME, position): the catalog table scans the hardlink farm
+        under ``_views/``, whose paths differ from the manifest's
+        ``data/commit-*/...`` names the DV files record — basenames
+        are unique across commits (the bucketBy writer embeds a
+        per-job uuid), so they are the stable identity both sides
+        share."""
         m = self.manifest(version)
-        if m.get("dvs"):
-            return self.read(version)
         spec = m.get("bucket_spec") or {
             "col": self.bucket_col, "n": self.n_buckets,
         }
@@ -376,6 +383,24 @@ class BucketedSnapshotStore(SnapshotStore):
         # resolve BEFORE LRU bookkeeping: the returned plan is analyzed
         # eagerly, so it survives a later eviction of its name
         df = self.spark.table(name)
+        dvs = m.get("dvs") or {}
+        if dvs:
+            dv_paths = sorted({p for lst in dvs.values() for p in lst})
+            dv = self.spark.read.schema(
+                "_file string, _pos bigint"
+            ).parquet(*[os.path.join(self.path, p) for p in dv_paths])
+            base_of = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+            dv = dv.select(
+                base_of(F.col("_file")).alias("_b"), "_pos"
+            )
+            keyed = df.select(
+                "*",
+                base_of(F.col("_metadata.file_path")).alias("_b"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+            df = keyed.join(
+                F.broadcast(dv), ["_b", "_pos"], "left_anti"
+            ).drop("_b", "_pos")
         if mapping:
             df = df.select(
                 *[
