@@ -1097,3 +1097,57 @@ def dedup_candidates_against_index(
         )
         .distinct()
     )
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "comp",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incrementally maintain dedup components as batches arrive —
+    the closure stage of the continuous-crawl pipeline
+    (``dedup_candidates_against_index`` produces the batch's candidate
+    edges; this folds them into the standing assignment without
+    recomputing over the full pair history).
+
+    Soundness: a previous assignment collapses each old component to a
+    STAR (every member — its label). Stars preserve old connectivity
+    exactly (any two nodes that were connected share a label, so they
+    stay connected through it; nothing new is connected), so
+    ``CC(star_edges ∪ new_edges)`` over ``prev's nodes ∪ new nodes``
+    equals CC over the COMPLETE edge history — while costing
+    O(labeled docs + new edges), never O(all historical candidate
+    pairs). Min-labels also survive: a component's label is its
+    smallest member id, and stars carry that smallest id, so labels
+    stay stable across refreshes unless a merge genuinely joins
+    components (then the joint minimum wins — deterministic).
+
+    ``new_nodes``: the batch's doc ids (optional single-column frame;
+    defaults to the ids appearing in ``new_edges``) — isolated new
+    docs become their own singleton components.
+    """
+    star = prev.filter(
+        F.col(id_col) != F.col(component_col)
+    ).select(
+        F.col(id_col).alias(src), F.col(component_col).alias(dst)
+    )
+    edges = star.unionByName(new_edges.select(src, dst))
+    nodes = prev.select(F.col(id_col))
+    if new_nodes is not None:
+        nodes = nodes.unionByName(
+            new_nodes.select(F.col(new_nodes.columns[0]).alias(id_col))
+        )
+    nodes = nodes.unionByName(
+        new_edges.select(F.col(src).alias(id_col))
+    ).unionByName(
+        new_edges.select(F.col(dst).alias(id_col))
+    ).distinct()
+    return connected_components(
+        nodes, edges, id_col=id_col, src=src, dst=dst,
+        max_iter=max_iter, pointer_jumping=True,
+    )

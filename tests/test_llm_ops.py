@@ -2025,3 +2025,50 @@ def test_streaming_crawl_feeds_dedup_index_exactly_once(spark, tmp_path):
         for r in _minhash_index_store(spark, full_path).read().collect()
     }
     assert streamed == batch
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """Folding a batch's candidate edges into the standing assignment
+    (star edges ∪ new edges) equals connected components over the
+    COMPLETE edge history — across two refreshes, with a batch that
+    MERGES two old components, isolated new docs, and stable min
+    labels."""
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def nodes(ids):
+        return spark.createDataFrame([(i,) for i in ids], "id long")
+
+    # epoch 0: components {1,2,3}, {10,11}, singleton 20
+    e0 = edges([(1, 2), (2, 3), (10, 11)])
+    n0 = nodes([1, 2, 3, 10, 11, 20])
+    prev = connected_components(n0, e0, pointer_jumping=True)
+    # epoch 1: new docs 30,31; 30 joins {1..3}; 31 isolated;
+    # and a bridge MERGES {1..3} with {10,11}
+    e1 = edges([(3, 30), (11, 1)])
+    got = incremental_components(
+        prev, e1, new_nodes=nodes([30, 31])
+    )
+    full = connected_components(
+        nodes([1, 2, 3, 10, 11, 20, 30, 31]),
+        edges([(1, 2), (2, 3), (10, 11), (3, 30), (11, 1)]),
+        pointer_jumping=True,
+    )
+    assert {
+        (r["id"], r["comp"]) for r in got.collect()
+    } == {(r["id"], r["comp"]) for r in full.collect()}
+    comp = {r["id"]: r["comp"] for r in got.collect()}
+    assert comp[30] == 1 and comp[11] == 1  # merged under the joint min
+    assert comp[20] == 20 and comp[31] == 31  # singletons intact
+    # epoch 2: one more batch on top of the INCREMENTAL result
+    e2 = edges([(20, 31)])
+    got2 = incremental_components(got, e2, new_nodes=nodes([40]))
+    comp2 = {r["id"]: r["comp"] for r in got2.collect()}
+    assert comp2[31] == 20 and comp2[20] == 20
+    assert comp2[40] == 40
+    assert comp2[30] == 1  # untouched components keep stable labels
