@@ -205,6 +205,22 @@ class BucketedSnapshotStore(SnapshotStore):
         if os.path.isdir(vd):
             return vd
         m = self.manifest(version)
+        # the DV anti-join in read_bucketed keys on file BASENAME —
+        # enforce the uniqueness invariant here rather than assume it:
+        # a manually copied/restored file sharing a basename with a
+        # live one would otherwise silently drop live rows from the
+        # wrong file (and the flat hardlink dir would clobber links)
+        basenames = [os.path.basename(rel) for rel in m["files"]]
+        if len(set(basenames)) != len(basenames):
+            from collections import Counter
+
+            dups = [b for b, c in Counter(basenames).items() if c > 1]
+            raise ValueError(
+                f"manifest v{version} references files with duplicate "
+                f"basenames {dups[:3]} — the DV identity and the flat "
+                "view dir both require basename uniqueness (compact() "
+                "to rewrite through fresh per-job uuid names)"
+            )
         staging = f"{vd}.staging-{uuid.uuid4().hex[:8]}"
         os.makedirs(staging)
         for rel in m["files"]:

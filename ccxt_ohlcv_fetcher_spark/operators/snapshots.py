@@ -1917,6 +1917,7 @@ class SnapshotStore:
         # evolving append must not stamp its schema via a constraint)
         self._pending_schema = None
         self._pending_column_mapping = None
+        self._pending_cm_burned = None
         live = self.read()
         bad = live.filter(
             F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False)
@@ -1947,6 +1948,7 @@ class SnapshotStore:
         """Remove a CHECK constraint (metadata-only commit)."""
         self._pending_schema = None
         self._pending_column_mapping = None
+        self._pending_cm_burned = None
         for _ in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
@@ -2046,10 +2048,20 @@ class SnapshotStore:
                 )
             schema = m.get("schema") or []
             names = [n for n, _ in schema]
-            if old not in names:
+            # Spark column resolution is case-insensitive by default
+            # (like _metadata_mentions): casefold BOTH checks, else a
+            # rename to 'PRICE' beside existing 'price' commits two
+            # logical names that collide at resolution time
+            folded = {n.casefold(): n for n in names}
+            if old.casefold() not in folded:
                 raise ValueError(f"no such column: {old!r}")
-            if new in names:
-                raise ValueError(f"column {new!r} already exists")
+            old = folded[old.casefold()]  # bind to the committed casing
+            if new.casefold() in folded and folded[new.casefold()] != old:
+                raise ValueError(
+                    f"column {new!r} already exists (collides with "
+                    f"{folded[new.casefold()]!r} under Spark's "
+                    "case-insensitive resolution)"
+                )
             for cname, expr in (m.get("constraints") or {}).items():
                 if self._metadata_mentions(expr, old):
                     raise ValueError(
@@ -2130,8 +2142,11 @@ class SnapshotStore:
                 )
             schema = m.get("schema") or []
             names = [n for n, _ in schema]
-            if name not in names:
+            # case-insensitive lookup, matching Spark's resolution
+            folded = {n.casefold(): n for n in names}
+            if name.casefold() not in folded:
                 raise ValueError(f"no such column: {name!r}")
+            name = folded[name.casefold()]  # bind to committed casing
             if len(names) == 1:
                 raise ValueError("cannot drop the table's only column")
             spec = m.get("bucket_spec")
@@ -2289,6 +2304,7 @@ class SnapshotStore:
         # must not stamp its schema through a DV delete
         self._pending_schema = None
         self._pending_column_mapping = None
+        self._pending_cm_burned = None
         base = self.latest_version()
         m = self.manifest(base)
         if not m["files"]:
@@ -2436,6 +2452,7 @@ class SnapshotStore:
             [f.name, f.dataType.simpleString()] for f in source.schema
         ]
         out_schema = committed or src_schema
+        widened: dict[str, str] = {}  # col -> new (wider) type
         if committed is not None:
             have = {n for n, _ in src_schema}
             missing = [n for n, _ in committed if n not in have]
@@ -2453,8 +2470,60 @@ class SnapshotStore:
                     f"merge source adds columns {[n for n, _ in extra]} "
                     "— pass schema_evolution=True to evolve the table"
                 )
-            if extra:
-                out_schema = list(committed) + extra
+            # shared-column retypes reconcile along the same lossless
+            # lattice as append(merge_schema=True) (_widens): a WIDER
+            # source type widens the committed column (old files read
+            # back upcast under the manifest schema), a NARROWER one is
+            # upcast to the committed type (no schema change), anything
+            # else (scale change, cross-family) refuses — a CDC upsert
+            # feed whose upstream widened an int column must not dead-end
+            src_t = dict(src_schema)
+            upcast_src: dict[str, str] = {}  # col -> committed type
+            bucket_key = (m.get("bucket_spec") or {}).get("col")
+            for n, t in committed:
+                it = src_t[n]
+                if it == t:
+                    continue
+                if self._widens(t, it):
+                    if not schema_evolution:
+                        raise ValueError(
+                            f"merge source widens column {n!r} "
+                            f"({t} -> {it}) — pass schema_evolution="
+                            "True to evolve the table"
+                        )
+                    if n == bucket_key:
+                        # murmur3(int) != murmur3(long) for the same
+                        # value: widening the bucket key would route
+                        # new files by a DIFFERENT hash under one
+                        # declared layout (the append-path rule)
+                        raise ValueError(
+                            f"cannot widen bucket key {n!r} ({t} -> "
+                            f"{it}): the hash layout is type-dependent "
+                            "— rebucket() to the wider type instead"
+                        )
+                    widened[n] = it
+                elif self._widens(it, t):
+                    upcast_src[n] = t
+                else:
+                    raise ValueError(
+                        f"merge cannot retype column {n!r}: table has "
+                        f"{t}, source has {it} (only lossless widening "
+                        "— int chain, float->double, decimal precision "
+                        "growth at fixed scale — is evolution)"
+                    )
+            if upcast_src:
+                source = source.select(
+                    *[
+                        F.col(f"`{c}`").cast(upcast_src[c])
+                        if c in upcast_src
+                        else F.col(f"`{c}`")
+                        for c in source.columns
+                    ]
+                )
+            if extra or widened:
+                out_schema = [
+                    [n, widened.get(n, t)] for n, t in committed
+                ] + extra
         keys = source.select(*on).distinct()
         # manifest-stats pushdown: only files whose key-column stats
         # intersect the source's key bounds can contain a match
@@ -2625,8 +2694,21 @@ class SnapshotStore:
                     keys, on, "left_anti"
                 )
             if survivors is not None:
+                conformed = self._conform(survivors, out_schema)
+                if widened:
+                    # survivor rows come off OLD (narrow) files; cast
+                    # them up so the staged files carry the evolved
+                    # type (lossless along the _widens lattice)
+                    conformed = conformed.select(
+                        *[
+                            F.col(f"`{n}`").cast(t)
+                            if n in widened
+                            else F.col(f"`{n}`")
+                            for n, t in out_schema
+                        ]
+                    )
                 staged = self._stage(
-                    self._conform(survivors, out_schema),
+                    conformed,
                     allow_schema_change=evolving,
                 )
         # _stage REASSIGNS _pending_stats; a second call in the same

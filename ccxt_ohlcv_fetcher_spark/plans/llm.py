@@ -372,7 +372,24 @@ def _incremental_dedup_index(spark: SparkSession, sf_dir: str) -> str:
         build_minhash_index_logged,
     )
 
-    key = os.path.abspath(sf_dir)
+    # fold a source-content fingerprint (mtime/size of the documents
+    # parquet) into the cache key: keyed on path alone, regenerating
+    # fixture data at the same path would silently serve candidates
+    # from the stale corpus index while the oracle recomputes fresh
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    parts = []
+    for p in (
+        sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    ):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}")
+    key = os.path.abspath(sf_dir) + "|" + ";".join(parts)
     path = _MINHASH_INDEX_MEMO.get(key)
     if path is None or not os.path.isdir(os.path.join(path, "_manifests")):
         digest = hashlib.md5(key.encode()).hexdigest()[:10]
@@ -893,6 +910,89 @@ def dup_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
         )
     return _CC_MEMO[key]
+
+
+@register(
+    "incremental_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, {md5_long_sql("s")} AS shingle
+      FROM (
+        SELECT doc_id, unnest(shingles) AS s FROM (
+          SELECT doc_id, {SQL_SHINGLES} AS shingles FROM (
+            SELECT doc_id, {SQL_WORDS} AS words FROM documents
+          )
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE common * 1.0 / (na.n + nb.n - common) >= 0.2
+    ),
+    und AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.d, r.comp FROM reach r JOIN und u ON u.s = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS comp FROM reach GROUP BY 1
+    """,
+    doc="INCREMENTAL component maintenance (E33/E34 at the continuous-"
+    "crawl operating point): the standing corpus (doc_id%10<8) is "
+    "labeled once by connected components over its internal near-dup "
+    "edges; the arriving batch (doc_id%10>=8) is folded in by "
+    "operators/dedup.py:incremental_components — each old component "
+    "collapses to a STAR (member -> label, connectivity-preserving), "
+    "the batch's candidate edges union in, and one CC pass over "
+    "O(labeled docs + new edges) — never the full pair history — "
+    "yields the refreshed assignment. The oracle is the FULL-history "
+    "recursive-CTE closure over all documents: hash-equality proves "
+    "the star-collapse fold exact, not approximately right. Min "
+    "labels survive folds (a star carries its component's smallest "
+    "id), so labels are stable across refreshes unless a batch edge "
+    "genuinely merges components.",
+    tags=("E33", "E34"),
+)
+def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2,
+        shingles=_doc_shingles(spark, sf_dir),
+    ).localCheckpoint()  # built once, consumed by both epochs
+    in_corpus = lambda c: F.col(c) % 10 < 8  # noqa: E731
+    prev = connected_components(
+        docs.filter(in_corpus("doc_id")).select("doc_id"),
+        edges.filter(in_corpus("id_a") & in_corpus("id_b")),
+        id_col="doc_id", src="id_a", dst="id_b", pointer_jumping=True,
+    )
+    # the batch's candidate edges: every pair TOUCHING a batch doc (in
+    # production these come from dedup_candidates_against_index — cost
+    # proportional to the batch; here derived from the same exact edge
+    # set so the oracle is deterministic)
+    batch_edges = edges.filter(
+        ~(in_corpus("id_a") & in_corpus("id_b"))
+    )
+    return incremental_components(
+        prev, batch_edges,
+        new_nodes=docs.filter(~in_corpus("doc_id")).select("doc_id"),
+        id_col="doc_id", component_col="comp", src="id_a", dst="id_b",
+    )
 
 
 @register(

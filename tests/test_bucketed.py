@@ -558,3 +558,36 @@ def test_read_bucketed_applies_dvs_with_zero_shuffles(spark, tmp_path):
     # a second DV delete accumulates; the bucketed read tracks it
     st.delete_where_dv("v = 1")
     assert st.read_bucketed().count() == 84
+
+
+def test_view_dir_refuses_duplicate_basenames(spark, tmp_path, monkeypatch):
+    """ADVICE r11: the DV anti-join and the flat hardlink farm both key
+    on file BASENAME; a manifest referencing two files that share one
+    (e.g. a manually copied/restored file) must be refused, not
+    silently drop live rows from the wrong file."""
+    import shutil
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=2
+    )
+    store.append(spark.range(10).selectExpr("id as k", "id as v"))
+    m = store.manifest()
+    f0 = m["files"][0]
+    dup_dir = os.path.join(store.path, "data", "commit-restored")
+    os.makedirs(dup_dir, exist_ok=True)
+    shutil.copy(
+        os.path.join(store.path, f0),
+        os.path.join(dup_dir, os.path.basename(f0)),
+    )
+    fake = dict(m)
+    fake["files"] = list(m["files"]) + [
+        os.path.join("data", "commit-restored", os.path.basename(f0))
+    ]
+    fake["version"] = m["version"] + 7  # no view dir materialized yet
+    monkeypatch.setattr(store, "manifest", lambda version=None: fake)
+    with pytest.raises(ValueError, match="duplicate basenames"):
+        store._view_dir(fake["version"])

@@ -443,3 +443,26 @@ def test_streaming_sink_into_mapped_table(spark, tmp_path):
         os.path.join(st.path, newest)
     ).schema_arrow.names
     assert "a" in cols and "alpha" not in cols
+
+
+def test_rename_and_drop_resolve_names_case_insensitively(spark, tmp_path):
+    """ADVICE r11: Spark column resolution is case-insensitive, so the
+    duplicate check must be too — renaming to 'B' beside existing 'b'
+    would commit two logical names that collide at resolution time.
+    Case-ONLY renames of the same column stay legal, and lookups bind
+    to the committed casing."""
+    st = _mk(spark, tmp_path)
+    st.append(_df(spark, 0, 5))
+    st.enable_column_mapping()
+    with pytest.raises(ValueError, match="already exists"):
+        st.rename_column("a", "B")
+    # case-only rename of the SAME column is a legitimate rename
+    st.rename_column("a", "A")
+    assert [n for n, _ in st.manifest()["schema"]] == ["A", "b"]
+    assert sorted(r["A"] for r in st.read().collect()) == list(range(5))
+    # old-name lookup binds case-insensitively to the committed casing
+    st.rename_column("a", "alpha")
+    assert [n for n, _ in st.manifest()["schema"]] == ["alpha", "b"]
+    # drop lookup too
+    st.drop_column("B")
+    assert [n for n, _ in st.manifest()["schema"]] == ["alpha"]

@@ -2072,3 +2072,39 @@ def test_incremental_components_equal_full_recompute(spark):
     assert comp2[31] == 20 and comp2[20] == 20
     assert comp2[40] == 40
     assert comp2[30] == 1  # untouched components keep stable labels
+
+
+def test_incremental_index_cache_keys_on_source_content(spark, tmp_path):
+    """ADVICE r11: the /tmp-persisted incremental-dedup index was keyed
+    on the fixture PATH alone, so regenerating data at the same path
+    silently served candidates from the stale corpus index. The cache
+    key now folds in the documents parquet's mtime/size — rewriting the
+    source yields a DIFFERENT index path (and thus a fresh build)."""
+    import shutil
+    import time
+
+    from ccxt_ohlcv_fetcher_spark.plans.llm import _incremental_dedup_index
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc number {i} with some shared words " + "x " * (i % 3))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    p1 = _incremental_dedup_index(spark, str(sf))
+    # regenerate the fixture at the SAME path (different content)
+    shutil.rmtree(sf / "documents.parquet")
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    docs.filter("doc_id < 30").coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    # drop the shingle memo like a fresh session would
+    from ccxt_ohlcv_fetcher_spark.plans import llm as _llm
+
+    _llm._SHINGLE_MEMO.clear()
+    p2 = _incremental_dedup_index(spark, str(sf))
+    assert p1 != p2

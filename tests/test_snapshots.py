@@ -1518,3 +1518,95 @@ def test_rename_rebinds_instance_stats_and_bloom_cols(spark, tmp_path):
     entry = dict(m["stats"])[newest]
     assert "a" in entry and "_bloom" in entry  # physical key, recorded
     assert len(store.pruned_files({"alpha": (100, None)})) == 1
+
+
+def test_merge_schema_evolution_type_widening(spark, tmp_path):
+    """Type widening under merge_into(schema_evolution=True) (VERDICT
+    r11 item 2, the append-path lattice at _widens): a source carrying
+    a WIDER type on a shared column widens the committed column in the
+    same merge commit — old files read back upcast, time travel reads
+    the narrow pre-merge schema, the CDC feed carries the widened
+    type, a NARROWER source upcasts with no schema change, and
+    non-lossless retypes still refuse."""
+    from pyspark.sql import functions as F
+
+    def kv(lo, hi, vt="int", xt="float"):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.col("id").cast(vt).alias("v"),
+            F.col("id").cast(xt).alias("x"),
+        )
+
+    store = SnapshotStore(spark, str(tmp_path / "t"), stats_cols=["k"])
+    store.append(kv(0, 4))    # v1: v int, x float
+    store.append(kv(10, 14))  # v2: carries over untouched
+    v2_new = set(store.manifest(2)["files"]) - set(store.manifest(1)["files"])
+
+    wide = kv(2, 6, vt="bigint", xt="double")
+    # undeclared widening refuses
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        store.merge_into(wide, on=["k"])
+    r = store.merge_into(wide, on=["k"], schema_evolution=True)
+    assert r["matched"] == 2 and r["inserted"] == 2
+    m = store.manifest()
+    assert m["schema"] == [["k", "bigint"], ["v", "bigint"], ["x", "double"]]
+    # untouched old file carried over by reference, upcast on read
+    assert v2_new <= set(m["files"])
+    got = store.read()
+    assert dict(got.dtypes) == {"k": "bigint", "v": "bigint", "x": "double"}
+    vals = {row["k"]: (row["v"], row["x"]) for row in got.collect()}
+    assert vals[10] == (10, 10.0) and vals[5] == (5, 5.0)
+    assert len(vals) == 10
+    # time travel reads the pre-merge NARROW schema
+    assert dict(store.read(version=2).dtypes)["v"] == "int"
+    # CDC feed carries the WIDENED type (head-schema reads)
+    ch = store.read_row_changes(2)
+    assert dict(ch.dtypes)["v"] == "bigint"
+    by = {(row["k"], row["_change"]): row["v"] for row in ch.collect()}
+    assert by[(2, 1)] == 2 and by[(2, -1)] == 2 and (5, 1) in by
+    # NARROWER source after widening: upcast, no schema change
+    r2 = store.merge_into(
+        kv(20, 21), on=["k"], schema_evolution=True
+    )
+    assert r2["inserted"] == 1
+    assert store.manifest()["schema"] == m["schema"]
+    assert store.read().filter("k = 20 AND v = 20").count() == 1
+    # cross-family retype refuses even with the flag
+    with pytest.raises(ValueError, match="cannot retype"):
+        store.merge_into(
+            spark.range(1).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("v"),
+                F.col("id").cast("double").alias("x"),
+            ),
+            on=["k"],
+            schema_evolution=True,
+        )
+
+
+def test_merge_widening_refuses_bucket_key(spark, tmp_path):
+    """Widening the BUCKET KEY through a merge refuses like the append
+    path: murmur3(int) != murmur3(long), so the layout would go stale."""
+    from pyspark.sql import functions as F
+
+    from ccxt_ohlcv_fetcher_spark.operators.bucketed_log import (
+        BucketedSnapshotStore,
+    )
+
+    store = BucketedSnapshotStore(
+        spark, str(tmp_path / "t"), bucket_col="k", n_buckets=2
+    )
+    store.append(
+        spark.range(8).select(
+            F.col("id").cast("int").alias("k"), F.col("id").alias("v")
+        )
+    )
+    with pytest.raises(ValueError, match="bucket key"):
+        store.merge_into(
+            spark.range(2).select(
+                F.col("id").cast("bigint").alias("k"),
+                (F.col("id") * 10).alias("v"),
+            ),
+            on=["k"],
+            schema_evolution=True,
+        )
