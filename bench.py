@@ -74,6 +74,44 @@ def main() -> None:
     for name, spec in ordered:
         times[name] = round(min(times[name], run_one(spec)), 3)
 
+    # Selection-free anchor (round-12 verdict item 4): a single-machine
+    # sweep occasionally lands a GC/compaction stall on BOTH timed
+    # passes of one query (PERFORMANCE.md §15 measured 1.67 s -> 9.24 s
+    # in-sweep), which used to force a human "was that sweep clean?"
+    # call before committing the anchor. Instead, RE-TIME any query
+    # whose best-of-2 looks contention-inflated — against the trailing
+    # committed anchor when one exists at this sf (the solo-median
+    # reference the verdict asked for), else against its own cold pass
+    # — up to 2 extra solo runs, keeping the min. A genuine regression
+    # survives re-timing; a stall does not. The re-timed set is
+    # recorded in provenance so the artifact is self-describing.
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(artifact) as fh:
+            committed = json.load(fh)
+        if committed.get("sf") == sf:
+            prior = committed.get("queries") or {}
+    except (OSError, ValueError):
+        pass
+    retimed: list[str] = []
+    for name, spec in ordered:
+        ref = prior.get(name)
+        if ref is not None:
+            suspect = times[name] > max(1.5 * ref, ref + 0.3)
+        else:
+            suspect = times[name] > max(1.3 * cold[name], cold[name] + 0.3)
+        if not suspect:
+            continue
+        retimed.append(name)
+        for _ in range(2):
+            t = run_one(spec)
+            if t >= times[name]:
+                break  # steady: the number is real, not a stall
+            times[name] = round(t, 3)
+
     # input scale: fixture table cardinalities (parquet-footer counts)
     table_rows = {
         t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in TABLE_NAMES
@@ -96,12 +134,13 @@ def main() -> None:
             "unix_time": int(time.time()),
             "timing": "best-of-2 after warm pass, noop sink; "
             "queries_cold = first pass (count action, incl. plan "
-            "compile + build-once memo jobs)",
+            "compile + build-once memo jobs); contention-suspect "
+            "queries re-timed solo (selection-free anchor)",
+            "retimed": retimed,
         },
     }
     # 1) full detail: stdout line + committed artifact
     print(json.dumps(full))
-    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     with open(artifact, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
         fh.write("\n")

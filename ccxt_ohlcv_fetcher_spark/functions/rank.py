@@ -216,12 +216,12 @@ def ntile_from_rank(rank_col: str, total: int, buckets: int) -> Column:
     base, rem = divmod(total, buckets)
     r0 = F.col(rank_col) - 1  # 0-based rank
     if base == 0:  # fewer rows than buckets: bucket i gets row i
-        return F.col(rank_col).cast("int")
+        return F.col(rank_col).cast("bigint")
     big = rem * (base + 1)  # rows living in the (base+1)-sized buckets
     return (
         F.when(r0 < big, F.floor(r0 / (base + 1)) + 1)
         .otherwise(F.lit(rem) + F.floor((r0 - big) / base) + 1)
-        .cast("int")
+        .cast("bigint")
     )
 
 

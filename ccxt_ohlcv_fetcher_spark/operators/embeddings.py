@@ -149,8 +149,8 @@ def covariance_from_moments(moments: DataFrame) -> DataFrame:
     """cov(i,j) = (sum_xy - sum_x*sum_y/n) / (n-1), written in one fixed
     association order so the DuckDB oracle reproduces the doubles."""
     return moments.select(
-        "i",
-        "j",
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
         "n",
         (
             (F.col("sum_xy") - F.col("sum_x") * F.col("sum_y") / F.col("n"))

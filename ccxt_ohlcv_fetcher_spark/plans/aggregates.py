@@ -50,8 +50,8 @@ def acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.rollup("region", "nation").agg(
-        F.grouping("region").cast("int").alias("g_region"),
-        F.grouping("nation").cast("int").alias("g_nation"),
+        F.grouping("region").cast("bigint").alias("g_region"),
+        F.grouping("nation").cast("bigint").alias("g_nation"),
         dsum("c_acctbal").alias("total_bal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
@@ -73,8 +73,8 @@ def acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_flag"),
-        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         dsum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -104,8 +104,8 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority,
-               CAST(grouping(o_orderstatus) AS INT) AS g_status,
-               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                    AS total_price,
                count(*) AS n
@@ -496,7 +496,7 @@ def nation_customer_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_r,
            round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept_r,
-           regr_count(l_extendedprice, l_quantity) AS n,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
            round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx_r,
            round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy_r,
            round(corr(l_extendedprice, l_quantity), 6) AS corr_r

@@ -274,7 +274,8 @@ def part_string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        F.levenshtein(F.col("p_brand"), F.lit("Brand#25")).alias("brand_dist"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#25"))
+        .cast("bigint").alias("brand_dist"),
         F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
         F.reverse("p_name").alias("name_rev"),

@@ -1396,7 +1396,7 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count("text").alias("ws_tokens"),
+        token_count("text").cast("bigint").alias("ws_tokens"),
         bpe_ish_token_count("text").alias("bpe_ish_tokens"),
     )
 

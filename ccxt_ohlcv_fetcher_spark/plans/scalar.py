@@ -44,7 +44,7 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_underscored"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
     )
@@ -186,7 +186,7 @@ def embedding_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double")).alias(
             "comp_sum"

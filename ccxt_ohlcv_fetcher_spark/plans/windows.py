@@ -101,7 +101,7 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rnk", F.dense_rank().over(w))
+        .withColumn("rnk", F.dense_rank().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
 
@@ -196,7 +196,7 @@ def order_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
         F.first_value("o_orderkey").over(w).alias("cheapest_key"),

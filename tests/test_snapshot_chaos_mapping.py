@@ -1,0 +1,267 @@
+"""Chaos matrix, column-mapping edition (round-12 verdict item 3):
+randomized schedules interleaving the MAPPING ops — rename_column,
+drop_column, add-column re-adds and TYPE WIDENING (both the append
+path and merge_into(schema_evolution=True)) — with the row-level ops
+(append / DV-delete / merge / compact / restore) across 3 real writer
+threads, verified against the segment-wise serial oracle.
+
+Why this matrix exists: the 14 protocol-corner defects the two r11
+review passes caught were all in exactly this class (stale pendings
+stamped by unrelated commits, burned-name resurrection, mapping-blind
+reads), and none of them were reachable from the single-op tests.
+
+Oracle rules, per commit class:
+- metadata commits (enable/rename/drop) are row-preserving: the
+  (k, v) projection equals the previous version's; a pure RENAME also
+  preserves the full positional row multiset; a DROP removes exactly
+  one column positionally.
+- restore's snapshot equals its recorded target's snapshot — schema,
+  mapping, and full positional rows (a restore to a pre-mapping
+  version must also clear the mapping).
+- between history rewrites, the signed row feed replays every
+  version's (k, v) snapshot exactly (k and v are never renamed or
+  dropped, so the projection is stable across any schema history; a
+  dropped-then-re-added third column reads NULL for old rows by the
+  burned-physical-name rule, which the projection is deliberately
+  blind to — value-level mapping checks live in
+  tests/test_column_mapping.py).
+
+Aborts are contractual: CommitConflict (rewrites racing rewrites,
+restore never rebases) and ValueError (schema drift between a worker's
+manifest read and its stage — e.g. appending yesterday's schema after
+a racing rename/drop/widen) abandon the op and must leave no trace.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
+    CommitConflict,
+    SnapshotStore,
+)
+
+N_SCHEDULES = 12
+N_WRITERS = 3
+OPS_PER_WRITER = 4
+
+
+def _typed_rows(spark, schema_pairs, pairs):
+    """Rows matching the CURRENT committed schema: (k, v) from pairs,
+    every later column filled with a deterministic int cast to its
+    committed type."""
+    cols = [F.col("k"), F.col("v")]
+    for n, t in schema_pairs[2:]:
+        cols.append((F.col("k") % 50).cast(t).alias(n))
+    return (
+        spark.createDataFrame(pairs, "k bigint, v bigint").select(*cols)
+    )
+
+
+def _worker(spark, path, widx, seed, errors):
+    rng = random.Random(seed)
+    store = SnapshotStore(spark, path, stats_cols=["k"])
+    base = 1000 * (widx + 1)
+    counter = 0
+    for _ in range(OPS_PER_WRITER):
+        op = rng.choice(
+            [
+                "append", "merge", "delete_dv", "compact", "restore",
+                "rename", "drop", "widen", "merge_widen",
+            ]
+        )
+        try:
+            schema = store.manifest().get("schema") or []
+            third = schema[2] if len(schema) > 2 else None
+            if op == "append":
+                pairs = [(base + counter, rng.randint(0, 99))]
+                counter += 1
+                store.append(_typed_rows(spark, schema, pairs))
+            elif op == "merge":
+                ks = rng.sample(range(10), 2)
+                store.merge_into(
+                    _typed_rows(
+                        spark, schema,
+                        [(k, rng.randint(100, 199)) for k in ks],
+                    ),
+                    on=["k"],
+                    when_matched="update",
+                )
+            elif op == "delete_dv":
+                store.delete_where_dv(f"v % 5 = {rng.randint(0, 4)}")
+            elif op == "compact":
+                store.compact(target_partitions=2)
+            elif op == "restore":
+                head = store.latest_version()
+                if head >= 2:
+                    store.restore(rng.randint(1, head - 1))
+            elif op == "rename":
+                if third is not None:
+                    store.rename_column(
+                        third[0], f"w{widx}_{counter}"
+                    )
+                    counter += 1
+            elif op == "drop":
+                if third is not None:
+                    store.drop_column(third[0])
+            elif op == "widen":
+                if third is not None and third[1] == "int":
+                    # append-path widening: int -> bigint
+                    wide = list(schema)
+                    wide[2] = [third[0], "bigint"]
+                    store.append(
+                        _typed_rows(
+                            spark, wide, [(base + counter, 1)]
+                        ),
+                        merge_schema=True,
+                    )
+                elif third is None:
+                    # (re-)add a third int column — binds a FRESH
+                    # physical name; burned names never resurrect
+                    wide = list(schema) + [[f"z{widx}_{counter}", "int"]]
+                    store.append(
+                        _typed_rows(
+                            spark, wide, [(base + counter, 2)]
+                        ),
+                        merge_schema=True,
+                    )
+                counter += 1
+            else:  # merge_widen: the r12 merge_into widening path
+                if third is not None and third[1] == "int":
+                    wide = list(schema)
+                    wide[2] = [third[0], "bigint"]
+                    ks = rng.sample(range(10), 2)
+                    store.merge_into(
+                        _typed_rows(
+                            spark, wide,
+                            [(k, rng.randint(200, 299)) for k in ks],
+                        ),
+                        on=["k"],
+                        when_matched="update",
+                        schema_evolution=True,
+                    )
+        except (CommitConflict, ValueError):
+            pass  # documented aborts; must leave the table untouched
+        except Exception as e:  # pragma: no cover - the failure signal
+            errors.append((widx, op, repr(e)))
+            return
+
+
+def _full(store, version) -> Counter:
+    return Counter(tuple(r) for r in store.read(version=version).collect())
+
+
+def _kv(store, version) -> Counter:
+    return Counter(
+        (r["k"], r["v"]) for r in store.read(version=version).collect()
+    )
+
+
+def _verify(spark, path) -> int:
+    store = SnapshotStore(spark, path, stats_cols=["k"])
+    head = store.latest_version()
+    kv = {v: _kv(store, v) for v in range(1, head + 1)}
+    for v in range(1, head + 1):
+        m = store.manifest(v)
+        op = m["operation"]
+        if op == "metadata":
+            prev = store.manifest(v - 1)
+            s_now = [tuple(c) for c in (m.get("schema") or [])]
+            s_prev = [tuple(c) for c in (prev.get("schema") or [])]
+            assert kv[v] == kv.get(v - 1, Counter()), f"metadata v{v}"
+            if len(s_now) == len(s_prev):
+                # enable / rename / constraint: full rows preserved
+                assert _full(store, v) == _full(store, v - 1), (
+                    f"rename/enable v{v} changed row values"
+                )
+            else:
+                # drop: exactly one column left, positionally
+                assert len(s_now) == len(s_prev) - 1, f"drop v{v}"
+                dropped = ({n for n, _ in s_prev} - {n for n, _ in s_now})
+                assert len(dropped) == 1
+        elif op == "restore":
+            t = m["restore_of"]
+            tm = store.manifest(t)
+            assert m.get("schema") == tm.get("schema"), f"restore v{v}"
+            assert (m.get("column_mapping") or None) == (
+                tm.get("column_mapping") or None
+            ), f"restore v{v} mapping"
+            assert _full(store, v) == _full(store, t), f"restore v{v} rows"
+    # segment-wise signed-feed replay on the stable (k, v) projection
+    restores = [
+        v for v in range(1, head + 1)
+        if store.manifest(v)["operation"] == "restore"
+    ]
+    segments, prev = [], 0
+    for r in restores:
+        segments.append((prev, r - 1))
+        prev = r
+    segments.append((prev, head))
+    for lo, hi in segments:
+        if hi <= lo:
+            continue
+        model = kv.get(lo, Counter()).copy()
+        feed = store.read_row_changes(lo, hi, include_version=True)
+        rows = feed.select("k", "v", "_change", "_commit_version").collect()
+        by_v: dict[int, list] = {}
+        for r in rows:
+            by_v.setdefault(r["_commit_version"], []).append(r)
+        for v in range(lo + 1, hi + 1):
+            for r in by_v.get(v, ()):
+                key = (r["k"], r["v"])
+                model[key] += r["_change"]
+                assert model[key] >= 0, (v, key)
+            assert +model == kv[v], f"segment replay diverged at v{v}"
+    return head
+
+
+def test_chaos_with_column_mapping_ops(spark, tmp_path):
+    total = 0
+    widened = renamed = dropped = 0
+    for seed in range(N_SCHEDULES):
+        path = str(tmp_path / f"t{seed}")
+        st = SnapshotStore(spark, path, stats_cols=["k"])
+        st.append(
+            spark.createDataFrame(
+                [(k, k % 7, k % 3) for k in range(10)],
+                "k bigint, v bigint, w int",
+            )
+        )
+        st.enable_column_mapping()
+        errors: list = []
+        threads = [
+            threading.Thread(
+                target=_worker,
+                args=(spark, path, w, seed * 157 + w, errors),
+            )
+            for w in range(N_WRITERS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        total += _verify(spark, path)
+        # count which mapping transitions the schedules actually hit
+        fresh = SnapshotStore(spark, path, stats_cols=["k"])
+        prev_schema = None
+        for v in range(1, fresh.latest_version() + 1):
+            s = [tuple(c) for c in (fresh.manifest(v).get("schema") or [])]
+            if prev_schema is not None:
+                if len(s) == len(prev_schema) and s != prev_schema:
+                    if {t for _, t in s} != {t for _, t in prev_schema}:
+                        widened += 1
+                    else:
+                        renamed += 1
+                elif len(s) < len(prev_schema):
+                    dropped += 1
+            prev_schema = s
+    assert total >= N_SCHEDULES * 3
+    # the matrix must actually exercise the mapping ops, not no-op them
+    assert renamed >= 3 and dropped >= 2 and widened >= 2, (
+        renamed, dropped, widened,
+    )
