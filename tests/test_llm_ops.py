@@ -2108,3 +2108,43 @@ def test_incremental_index_cache_keys_on_source_content(spark, tmp_path):
     _llm._SHINGLE_MEMO.clear()
     p2 = _incremental_dedup_index(spark, str(sf))
     assert p1 != p2
+
+
+def test_mutual_knn_graph_invariants(spark, sf_dir):
+    """knn_graph: directed kNN has exactly k rows per node ranked by
+    (score desc, id asc); the mutual graph is its symmetric core —
+    every mutual edge is reciprocal in the directed graph, every
+    reciprocal directed pair IS a mutual edge, and scores agree with
+    a brute-force recomputation on a sample."""
+    import math
+
+    from ccxt_ohlcv_fetcher_spark.operators.similarity import knn_graph
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 120")
+    k = 4
+    directed = knn_graph(emb, k=k, mutual=False).collect()
+    per = {}
+    for r in directed:
+        per.setdefault(r["src"], []).append(r)
+    assert all(len(v) == k for v in per.values())
+    assert len(per) == 120
+    for rows in per.values():
+        rows.sort(key=lambda r: r["rank"])
+        keys = [(-r["score"], r["dst"]) for r in rows]
+        assert keys == sorted(keys)  # rank == (score desc, id asc)
+    dset = {(r["src"], r["dst"]) for r in directed}
+    mutual = knn_graph(emb, k=k, mutual=True).collect()
+    mset = {(r["id_a"], r["id_b"]) for r in mutual}
+    assert all(a < b for a, b in mset)
+    # mutual == the reciprocal core of the directed graph
+    expect = {(a, b) for a, b in dset if a < b and (b, a) in dset}
+    assert mset == expect
+    # scores match brute force on a few edges
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in mutual[:5]:
+        va, vb = vecs[r["id_a"]], vecs[r["id_b"]]
+        dot = sum(float(x) * float(y) for x, y in zip(va, vb))
+        na = math.sqrt(sum(float(x) ** 2 for x in va))
+        nb = math.sqrt(sum(float(x) ** 2 for x in vb))
+        assert abs(r["score"] - dot / (na * nb)) < 1e-9

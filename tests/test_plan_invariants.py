@@ -28,6 +28,9 @@ ALLOWED_NESTED_LOOP = {
     "ann_opq_persisted_topk",  # same 1-row codebook delivery, meta from
     # the logged index's sidecar instead of in-memory training
     "label_best_match",  # label-blocked pair join (non-equi residual)
+    "embedding_mutual_knn",  # same all-pairs shape as embedding_near_dup
+    # (src != dst residual on the broadcast self-join); the mutual
+    # stage itself is an equi left-semi on the N*k edge list
     "region_type_matrix",  # E12 dim scaffold: 5 regions x event types
     # 1-row x 1-row scalar-combine crossJoins (triangle count x wedge
     # count x edge/vertex counts) — each side is a full aggregate, so
