@@ -225,6 +225,100 @@ def ntile_from_rank(rank_col: str, total: int, buckets: int) -> Column:
     )
 
 
+def global_cummax(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    max_name: str = "cummax",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running MAX of ``value`` over a TOTAL ``order``
+    (``MAX(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``) with
+    no single-partition stage — the max sibling of
+    :func:`global_cumsum`: range-partition + sort, per-partition
+    running max, per-partition totals carried forward through an O(P)
+    driver sync. Unlike the sum variant no exactness ceremony is
+    needed: max PICKS an input value, so the prefix fold is exact for
+    every orderable type.
+
+    ``inclusive=False`` computes the STRICT-predecessor running max
+    (frame ``UNBOUNDED PRECEDING .. 1 PRECEDING``; null on each
+    partition's first row before the carried prefix applies) — the
+    form dominance/skyline queries need.
+    """
+    rp = _range_sorted(df.withColumn("_val", value), order, num_partitions)
+    totals_df = rp.groupBy(
+        F.shiftright("_mid", _LOCAL_BITS).alias("_pid")
+    ).agg(F.max("_val").alias("_t"))
+    val_type = totals_df.schema["_t"].dataType
+    totals = totals_df.collect()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # prefix = max over all PRECEDING partitions (exclusive of own),
+    # so the same offsets serve both frame variants
+    offsets, acc = [], None
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        t = r["_t"]
+        if t is not None and (acc is None or t > acc):
+            acc = t
+    if not offsets:
+        return rp.drop("_mid", "_val").withColumn(
+            max_name, F.lit(None).cast(val_type)
+        )
+    off = _offsets_df(
+        df.sparkSession,
+        offsets,
+        StructType(
+            [StructField("_pid", LongType()), StructField("_off", val_type)]
+        ),
+    )
+    end = 0 if inclusive else -1
+    running = F.max("_val").over(
+        W.partitionBy("_pid").orderBy(*order).rowsBetween(
+            W.unboundedPreceding, end
+        )
+    )
+    # greatest() skips nulls: null local frame (first row, exclusive)
+    # yields the carried prefix; null prefix (first partition) yields
+    # the local running max; both null -> null (correct: no strict
+    # predecessor anywhere).
+    return (
+        rp.withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS))
+        .join(off, "_pid")
+        .withColumn(max_name, F.greatest(F.col("_off"), running))
+        .drop("_pid", "_off", "_mid", "_val")
+    )
+
+
+def adaptive_cummax(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    max_name: str = "cummax",
+    inclusive: bool = True,
+    threshold: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Size-thresholded global running max (see :func:`adaptive_rank`):
+    one-task window below ``threshold`` rows, two-pass
+    :func:`global_cummax` above. Both branches produce the input
+    value's own dtype (max picks a value), so no caller-side cast is
+    needed."""
+    if threshold is None:
+        threshold = RANK_WINDOW_MAX_ROWS
+    pinned = df.localCheckpoint()
+    n = pinned.count()
+    if n <= threshold:
+        end = 0 if inclusive else -1
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, end)
+        return pinned.withColumn(max_name, F.max(value).over(w))
+    return global_cummax(
+        pinned, order, value, max_name, inclusive, num_partitions
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order: list[Column],
@@ -288,3 +382,48 @@ def global_cumsum(
         .withColumn(sum_name, F.col("_off") + running)
         .drop("_pid", "_off", "_mid", "_val")
     )
+
+
+def skyline_min_max(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    threshold: int | None = None,
+) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): rows of ``df`` not dominated
+    under (minimize ``min_col``, maximize ``max_col``). Row q
+    dominates p iff q is <= on the minimized attribute and >= on the
+    maximized one, with at least one strict. Rows with a NULL in
+    either attribute carry no dominance semantics and are excluded
+    (SQL-standard three-valued comparisons would do the same in the
+    NOT-EXISTS form).
+
+    Shape: LINEAR + one gated running max — group by ``min_col``
+    keeping each group's max (one shuffle; groups are aggregate-
+    sized), strict-predecessor running max of the group maxes over
+    ascending ``min_col`` via :func:`adaptive_cummax` (one-task
+    window small, two-pass :func:`global_cummax` at scale — never a
+    single-partition pass over the input), then an equi-join back to
+    recover skyline ROWS including exact-tie co-survivors. A group's
+    max survives iff it strictly exceeds every strictly-smaller
+    group's max; within a surviving group exactly the max rows are
+    undominated.
+    """
+    pp = df.na.drop(subset=[min_col, max_col])
+    g = pp.groupBy(min_col).agg(F.max(max_col).alias("_gmax"))
+    g2 = adaptive_cummax(
+        g,
+        [F.col(min_col).asc()],
+        F.col("_gmax"),
+        "_m_lt",
+        inclusive=False,
+        threshold=threshold,
+    )
+    sky = g2.filter(
+        F.col("_m_lt").isNull() | (F.col("_m_lt") < F.col("_gmax"))
+    ).select(F.col(min_col).alias("_sk_min"), "_gmax")
+    return pp.join(
+        sky,
+        (F.col(min_col) == F.col("_sk_min"))
+        & (F.col(max_col) == F.col("_gmax")),
+    ).drop("_sk_min", "_gmax")

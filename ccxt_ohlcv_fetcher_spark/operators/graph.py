@@ -281,3 +281,62 @@ def k_core_reference_py(edges: list[tuple[int, int]], k: int) -> set[tuple[int, 
         if nxt == cur:
             return cur
         cur = nxt
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "pa", dst: str = "pb"
+) -> DataFrame:
+    """Per-vertex LOCAL clustering coefficient over an undirected,
+    deduplicated edge list with ``src < dst`` orientation:
+    ``lcc(v) = 2*t(v) / (deg(v)*(deg(v)-1))``, rows only for
+    ``deg >= 2`` (the coefficient is undefined below).
+
+    Triangle enumeration uses the oriented two-path join
+    (ab.dst == bc.src) closed by an equi-join on (ab.src, bc.dst) —
+    each triangle produced exactly once under a<b<c, and the two-path
+    fan-out is bounded by per-vertex FORWARD degree, the standard skew
+    guard. Shuffles touch only the edge list; counts are exact
+    bigints and the final division is exact-int IEEE double division
+    (deterministic cross-engine).
+
+    Output: (v, deg, tri, lcc).
+    """
+    deg = (
+        edges.select(F.col(src).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tri = (
+        ab.join(bc, F.col(f"ab.{dst}") == F.col(f"bc.{src}"))
+        .join(
+            ac,
+            (F.col(f"ac.{src}") == F.col(f"ab.{src}"))
+            & (F.col(f"ac.{dst}") == F.col(f"bc.{dst}")),
+        )
+        .select(
+            F.col(f"ab.{src}").alias("a"),
+            F.col(f"ab.{dst}").alias("b"),
+            F.col(f"bc.{dst}").alias("c"),
+        )
+    )
+    tv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    t = F.coalesce(F.col("tri"), F.lit(0))
+    return (
+        deg.join(tv, "v", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "v",
+            "deg",
+            t.cast("bigint").alias("tri"),
+            (
+                (F.lit(2) * t).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("lcc"),
+        )
+    )

@@ -504,6 +504,102 @@ def _copurchase_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+@register(
+    "part_local_clustering",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_COPURCHASE_MIN_ORDERS}
+    ),
+    bi AS (SELECT pa AS src FROM edges UNION ALL SELECT pb FROM edges),
+    deg AS (SELECT src AS v, count(*) AS deg FROM bi GROUP BY 1),
+    tri AS (
+      SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+      FROM edges ab
+      JOIN edges bc ON ab.pb = bc.pa
+      JOIN edges ac ON ac.pa = ab.pa AND ac.pb = bc.pb
+    ),
+    tv AS (
+      SELECT v, count(*) AS tri FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.v AS partkey, deg.deg AS deg,
+           COALESCE(tv.tri, 0) AS tri,
+           CAST(2 * COALESCE(tv.tri, 0) AS DOUBLE)
+             / (deg.deg * (deg.deg - 1)) AS lcc
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    WHERE deg.deg >= 2
+    """,
+    doc="Per-vertex LOCAL clustering coefficient over the co-purchase "
+    "graph: lcc(v) = 2*t(v) / (deg(v)*(deg(v)-1)) where t(v) counts "
+    "triangles through v — the per-node refinement of "
+    "copurchase_graph_stats' single global coefficient. Spark shape: "
+    "the memoized filtered edge table (pa < pb) feeds ONE oriented "
+    "two-path join + ONE closing semi-equi join (each triangle "
+    "enumerated exactly once under the a<b<c orientation), then a "
+    "3-way vertex explode + count. Scale: the joins shuffle only the "
+    "min-support-filtered edge list, never baskets or facts; the "
+    "orientation bounds the two-path fan-out by the SMALLER endpoint "
+    "side, the classic skew guard for triangle enumeration. "
+    "Determinism: all-integer counts; lcc = exact-int double division, "
+    "correctly rounded identically in Spark and DuckDB.",
+    tags=("E5", "E13"),
+)
+def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.operators.graph import local_clustering
+
+    out = local_clustering(_copurchase_edges(spark, sf_dir))
+    return out.select(
+        F.col("v").alias("partkey"), "deg", "tri", "lcc"
+    )
+
+
+@register(
+    "part_price_size_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+         OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+    )
+    """,
+    doc="2-D SKYLINE (Pareto frontier): parts not dominated on "
+    "(minimize p_retailprice, maximize p_size) — the classic "
+    "preference/dominance OLAP operator (Borzsony/Kossmann/Stocker, "
+    "ICDE'01). The oracle is the textbook O(n^2) NOT-EXISTS dominance "
+    "query; the Spark plan is LINEAR + one gated running max: "
+    "group-by price keeps each price's max size (one shuffle), the "
+    "strict-predecessor running max of those group maxes over "
+    "ascending price (adaptive_cummax: one-task window at aggregate "
+    "scale, two-pass range-partitioned global_cummax above 64k "
+    "groups — never a single-partition sort of the fact) marks the "
+    "surviving (price, size) pairs, and an equi-join back to the "
+    "table recovers skyline ROWS incl. exact-tie co-survivors. "
+    "Dominance logic: a price-group's max survives iff it strictly "
+    "exceeds every strictly-cheaper group's max; within a surviving "
+    "group exactly the max-size rows are undominated.",
+    tags=("E13", "E18"),
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ccxt_ohlcv_fetcher_spark.functions.rank import skyline_min_max
+
+    pp = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_min_max(pp, "p_retailprice", "p_size")
+
+
 _PR_UNIT = 10**12  # fixed-point PageRank unit (1.0 == 10^12)
 _PR_ITERS = 10
 

@@ -495,3 +495,40 @@ def test_ols_price_model_matches_numpy_lstsq(spark, sf_dir):
         assert row["n_rows"] == len(g)
         for name, b in zip(("icept_usd", "beta_qty_usd", "beta_disc_usd"), beta):
             assert abs(row[name] - b / 100) < 1e-5, (flag, name, row[name], b / 100)
+
+
+def test_local_clustering_matches_python_reference(spark):
+    """local_clustering on a handcrafted graph vs a brute-force Python
+    computation: K4 minus one edge (mixed coefficients), a pendant
+    vertex (deg 1 -> excluded), and an isolated edge (both endpoints
+    excluded)."""
+    from itertools import combinations
+
+    from ccxt_ohlcv_fetcher_spark.operators.graph import local_clustering
+
+    # K4 on {1,2,3,4} minus edge (3,4), plus pendant 5-1, plus edge 6-7
+    edge_list = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 1), (6, 7)]
+    edge_list = [tuple(sorted(e)) for e in edge_list]
+    df = spark.createDataFrame(edge_list, "pa int, pb int")
+    got = {
+        r["v"]: (r["deg"], r["tri"], r["lcc"])
+        for r in local_clustering(df).collect()
+    }
+
+    # brute force
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(1 for x, y in combinations(sorted(nb), 2) if y in adj[x])
+        want[v] = (d, t, 2.0 * t / (d * (d - 1)))
+    assert got == want
+    # spot values: 1 has deg 4 (2,3,4,5), triangles (2,3),(2,4) -> 2
+    assert got[1] == (4, 2, 2.0 * 2 / 12)
+    assert got[3] == (2, 1, 1.0) and got[4] == (2, 1, 1.0)
+    assert 5 not in got and 6 not in got and 7 not in got

@@ -133,6 +133,7 @@ def test_registry_rank_queries_branch_equal(spark, sf_dir, monkeypatch):
         "order_cumulative_revenue",
         "lineitem_weighted_median",
         "doc_seeded_shuffle",
+        "part_price_size_skyline",
     ]
     small = {}
     for n in names:
@@ -194,3 +195,109 @@ def test_adaptive_source_gate_picks_window_below_threshold(spark):
     w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     want_c = df.withColumn("c", F.sum(F.col("k").cast("bigint")).over(w))
     assert cs.select("k", "c").exceptAll(want_c.select("k", "c")).isEmpty()
+
+
+def test_global_cummax_matches_window_both_frames(spark):
+    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cummax
+
+    df = _messy(spark, n=2000)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    val = (F.col("k") * 37 % 211).cast("bigint")
+    for inclusive, end in [(True, 0), (False, -1)]:
+        got = global_cummax(
+            df, order, val, "m", inclusive=inclusive, num_partitions=9
+        )
+        w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, end)
+        want = df.withColumn("m", F.max(val).over(w))
+        g = {r["k"]: r["m"] for r in got.select("k", "m").collect()}
+        e = {r["k"]: r["m"] for r in want.select("k", "m").collect()}
+        assert g == e, f"inclusive={inclusive}"
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+    # exclusive frame: the global first row has NO strict predecessor
+    first = (
+        global_cummax(df, order, val, "m", inclusive=False, num_partitions=9)
+        .orderBy(*order)
+        .first()
+    )
+    assert first["m"] is None
+
+
+def test_global_cummax_empty_and_decimal(spark):
+    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cummax
+
+    df = _messy(spark, n=200)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    empty = global_cummax(
+        df.filter("v > 10000"), order, F.col("k").cast("bigint"), "m"
+    )
+    assert empty.count() == 0
+    # decimal values survive the driver prefix fold exactly
+    val = (F.col("k") % 97).cast("decimal(12,4)")
+    got = global_cummax(df, order, val, "m", num_partitions=5)
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("m", F.max(val).over(w))
+    g = {r["k"]: str(r["m"]) for r in got.select("k", "m").collect()}
+    e = {r["k"]: str(r["m"]) for r in want.select("k", "m").collect()}
+    assert g == e
+
+
+def test_adaptive_cummax_branches_agree(spark):
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_cummax
+
+    df = _messy(spark, n=400)
+    order = [F.col("v").asc(), F.col("k").asc()]
+    val = (F.col("k") * 13 % 59).cast("bigint")
+    for inclusive in (True, False):
+        small = adaptive_cummax(
+            df, order, val, "m", inclusive=inclusive, threshold=10_000
+        )
+        large = adaptive_cummax(
+            df, order, val, "m", inclusive=inclusive, threshold=10
+        )
+        g = {r["k"]: r["m"] for r in small.select("k", "m").collect()}
+        e = {r["k"]: r["m"] for r in large.select("k", "m").collect()}
+        assert g == e, f"inclusive={inclusive}"
+        plan = large._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+
+
+def test_skyline_min_max_vs_brute_force(spark):
+    """skyline_min_max == the O(n^2) dominance definition on an
+    adversarial fixture: duplicated (min,max) pairs (co-survivors),
+    same-min-different-max groups, same-max-different-min chains, and
+    NULLs in either attribute (excluded)."""
+    from ccxt_ohlcv_fetcher_spark.functions.rank import skyline_min_max
+
+    rows = [
+        # (key, price, size)
+        (1, 10.0, 5), (2, 10.0, 5),      # tie pair: both survive
+        (3, 10.0, 3),                    # dominated within group
+        (4, 9.0, 5),                     # dominates 1/2 on price
+        (5, 9.0, 5),                     # its tie twin
+        (6, 8.0, 2), (7, 12.0, 9),
+        (8, 12.0, 9), (9, 11.0, 9),      # 9 dominates 7/8
+        (10, None, 7), (11, 7.5, None),  # null attrs: excluded
+        (12, 20.0, 1),                   # dominated by everything cheap+big
+        (13, 7.0, 1),                    # cheapest: survives
+    ]
+    df = spark.createDataFrame(rows, "k int, price double, size int")
+    got = sorted(
+        r["k"] for r in skyline_min_max(df, "price", "size").collect()
+    )
+    clean = [(k, p, s) for k, p, s in rows if p is not None and s is not None]
+    want = sorted(
+        k
+        for k, p, s in clean
+        if not any(
+            (qp <= p and qs >= s and (qp < p or qs > s))
+            for _, qp, qs in clean
+        )
+    )
+    assert got == want
+    # and the same through the forced two-pass branch
+    got2 = sorted(
+        r["k"]
+        for r in skyline_min_max(df, "price", "size", threshold=1).collect()
+    )
+    assert got2 == want
