@@ -1990,6 +1990,111 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_priority_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+             CAST(date_part('month', o_orderdate) AS INT) AS mo,
+             o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT yr, mo, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY yr, mo) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT yr, mo, max(tot) AS n_orders,
+           CAST(-SUM(CAST(
+             (CAST(cnt AS DOUBLE) / tot)
+             * round(ln(CAST(cnt AS DOUBLE) / tot), 9)
+             AS DECIMAL(18,12))) AS DOUBLE) AS entropy
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Monthly Shannon entropy of the order-priority mix — the "
+    "categorical drift monitor a training-data pipeline runs on label "
+    "/ source distributions (a collapsing mix shows up as entropy "
+    "falling toward 0 long before any single share alarms). Exactness "
+    "discipline: shares are exact-integer IEEE divisions, ln() is "
+    "rounded to 9dp BEFORE the multiply (libm divergence guard, same "
+    "as corpus_zipf_fit), and the per-priority terms are decimal-cast "
+    "so the final sum is addition-order independent. Scale: one "
+    "shuffle to (month, priority) counts; the window runs over "
+    "months x 5 priorities, never raw orders.",
+    tags=("E13", "E17"),
+)
+def order_priority_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = c.withColumn(
+        "tot", F.sum("cnt").over(W.partitionBy("yr", "mo"))
+    )
+    p = F.col("cnt").cast("double") / F.col("tot")
+    term = (p * F.round(F.log(p), 9)).cast("decimal(18,12)")
+    return c2.groupBy("yr", "mo").agg(
+        F.max("tot").alias("n_orders"),
+        (-F.sum(term)).cast("double").alias("entropy"),
+    )
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS srev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT l_partkey, srev,
+             SUM(srev) OVER (PARTITION BY l_partkey) AS tot
+      FROM s
+    )
+    SELECT l_partkey AS partkey,
+           count(*) AS n_sup,
+           CAST(SUM(CAST(
+             (CAST(srev AS DOUBLE) / CAST(tot AS DOUBLE))
+             * (CAST(srev AS DOUBLE) / CAST(tot AS DOUBLE))
+             AS DECIMAL(18,12))) AS DOUBLE) AS hhi
+    FROM w GROUP BY 1
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per part: "
+    "sum of squared revenue shares over the part's suppliers (1.0 = "
+    "single-sourced, 1/n = evenly split) — the sourcing-risk rollup. "
+    "Exactness: supplier revenues are exact decimal sums; the part "
+    "total is a DECIMAL window sum (associative, order-free); shares "
+    "convert to double once and square as a single IEEE multiply; "
+    "squared shares decimal-cast before the final sum. Scale: one "
+    "shuffle to (part, supplier), then a window + regroup over the "
+    "supplier-level rows — fan-in bounded by suppliers-per-part, "
+    "never raw lineitems.",
+    tags=("E13", "E17"),
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_extendedprice")).alias("srev")
+    )
+    w = s.withColumn(
+        "tot", F.sum("srev").over(W.partitionBy("l_partkey"))
+    )
+    share = F.col("srev").cast("double") / F.col("tot").cast("double")
+    return w.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum((share * share).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("hhi"),
+    )
+
+
+@register(
     "cumulative_unique_users",
     oracle=f"""
     WITH first_day AS (
