@@ -225,6 +225,73 @@ def ntile_from_rank(rank_col: str, total: int, buckets: int) -> Column:
     )
 
 
+def _two_pass_prefix(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    agg_fn,
+    fold,
+    combine,
+    frame_end: int,
+    out_name: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Shared scaffolding for the two-pass running aggregates
+    (:func:`global_cumsum` / :func:`global_cummax`): range-sort +
+    ``_mid``, per-partition totals via ``agg_fn``, driver-side
+    ``fold(totals_sorted_by_pid, val_type) -> [(pid, prefix)]`` where
+    each prefix covers all STRICTLY PRECEDING partitions, broadcast
+    rejoin, and ``combine(prefix_col, per_partition_running_col)`` as
+    the final projection. Keeping one copy means a fold/ordering fix
+    lands in every running aggregate at once."""
+    rp = _range_sorted(df.withColumn("_val", value), order, num_partitions)
+    totals_df = rp.groupBy(
+        F.shiftright("_mid", _LOCAL_BITS).alias("_pid")
+    ).agg(agg_fn(F.col("_val")).alias("_t"))
+    val_type = totals_df.schema["_t"].dataType
+    totals = sorted(totals_df.collect(), key=lambda r: r["_pid"])
+    offsets = fold(totals, val_type)
+    if not offsets:
+        return rp.drop("_mid", "_val").withColumn(
+            out_name, F.lit(None).cast(val_type)
+        )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    off = _offsets_df(
+        df.sparkSession,
+        offsets,
+        StructType(
+            [StructField("_pid", LongType()), StructField("_off", val_type)]
+        ),
+    )
+    running = agg_fn(F.col("_val")).over(
+        W.partitionBy("_pid").orderBy(*order).rowsBetween(
+            W.unboundedPreceding, frame_end
+        )
+    )
+    return (
+        rp.withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS))
+        .join(off, "_pid")
+        .withColumn(out_name, combine(F.col("_off"), running))
+        .drop("_pid", "_off", "_mid", "_val")
+    )
+
+
+def _max_fold(totals, _val_type):
+    """Running max over per-partition maxes. Spark orders NaN ABOVE
+    every double (max/greatest/sorts agree), so the fold must too:
+    ``t > acc`` is False when t is NaN, hence the explicit ``t != t``
+    arm — and once acc is NaN nothing tests greater, so NaN sticks,
+    exactly like the one-task window branch."""
+    offsets, acc = [], None
+    for r in totals:
+        offsets.append((r["_pid"], acc))
+        t = r["_t"]
+        if t is not None and (acc is None or t > acc or t != t):
+            acc = t
+    return offsets
+
+
 def global_cummax(
     df: DataFrame,
     order: list[Column],
@@ -236,59 +303,29 @@ def global_cummax(
     """Exact global running MAX of ``value`` over a TOTAL ``order``
     (``MAX(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``) with
     no single-partition stage — the max sibling of
-    :func:`global_cumsum`: range-partition + sort, per-partition
-    running max, per-partition totals carried forward through an O(P)
-    driver sync. Unlike the sum variant no exactness ceremony is
-    needed: max PICKS an input value, so the prefix fold is exact for
-    every orderable type.
+    :func:`global_cumsum`. No exactness ceremony is needed: max PICKS
+    an input value, so the prefix fold is exact for every orderable
+    type (NaN ordered above all doubles, matching Spark).
 
     ``inclusive=False`` computes the STRICT-predecessor running max
-    (frame ``UNBOUNDED PRECEDING .. 1 PRECEDING``; null on each
-    partition's first row before the carried prefix applies) — the
-    form dominance/skyline queries need.
-    """
-    rp = _range_sorted(df.withColumn("_val", value), order, num_partitions)
-    totals_df = rp.groupBy(
-        F.shiftright("_mid", _LOCAL_BITS).alias("_pid")
-    ).agg(F.max("_val").alias("_t"))
-    val_type = totals_df.schema["_t"].dataType
-    totals = totals_df.collect()
-    from pyspark.sql.types import LongType, StructField, StructType
+    (frame ``UNBOUNDED PRECEDING .. 1 PRECEDING``; null on the global
+    first row) — the form dominance/skyline queries need.
 
-    # prefix = max over all PRECEDING partitions (exclusive of own),
-    # so the same offsets serve both frame variants
-    offsets, acc = [], None
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], acc))
-        t = r["_t"]
-        if t is not None and (acc is None or t > acc):
-            acc = t
-    if not offsets:
-        return rp.drop("_mid", "_val").withColumn(
-            max_name, F.lit(None).cast(val_type)
-        )
-    off = _offsets_df(
-        df.sparkSession,
-        offsets,
-        StructType(
-            [StructField("_pid", LongType()), StructField("_off", val_type)]
-        ),
-    )
-    end = 0 if inclusive else -1
-    running = F.max("_val").over(
-        W.partitionBy("_pid").orderBy(*order).rowsBetween(
-            W.unboundedPreceding, end
-        )
-    )
-    # greatest() skips nulls: null local frame (first row, exclusive)
-    # yields the carried prefix; null prefix (first partition) yields
-    # the local running max; both null -> null (correct: no strict
-    # predecessor anywhere).
-    return (
-        rp.withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS))
-        .join(off, "_pid")
-        .withColumn(max_name, F.greatest(F.col("_off"), running))
-        .drop("_pid", "_off", "_mid", "_val")
+    ``greatest()`` skips nulls in the combine: a null local frame
+    (each partition's first row under the exclusive frame) yields the
+    carried prefix; a null prefix (first partition) yields the local
+    running max; both null -> null (no strict predecessor anywhere).
+    """
+    return _two_pass_prefix(
+        df,
+        order,
+        value,
+        F.max,
+        _max_fold,
+        F.greatest,
+        0 if inclusive else -1,
+        max_name,
+        num_partitions,
     )
 
 
@@ -333,54 +370,35 @@ def global_cumsum(
     per-partition total prefixes carried across partitions through an
     O(P) driver sync. Decimal inputs stay exact: the prefix arithmetic
     runs in Python ``decimal`` and rejoins at the input's sum dtype."""
-    rp = _range_sorted(df.withColumn("_val", value), order, num_partitions)
-    totals_df = rp.groupBy(
-        F.shiftright("_mid", _LOCAL_BITS).alias("_pid")
-    ).agg(F.sum("_val").alias("_t"))
-    sum_type = totals_df.schema["_t"].dataType
-    totals = totals_df.collect()
-    from pyspark.sql.types import (
-        DecimalType,
-        LongType,
-        StructField,
-        StructType,
-    )
 
-    # prefix arithmetic in Python decimal (exact for decimal sums; a
-    # float sum re-rounds at the end exactly like the window would not
-    # — decimal callers are the exactness-sensitive ones)
-    if isinstance(sum_type, DecimalType):
-        conv = lambda a: a  # noqa: E731
-    elif isinstance(sum_type, LongType):
-        conv = int
-    else:
-        conv = float
-    offsets, acc = [], decimal.Decimal(0)
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], conv(acc)))
-        acc += decimal.Decimal(str(r["_t"])) if r["_t"] is not None else 0
-    if not offsets:
-        return rp.drop("_mid", "_val").withColumn(
-            sum_name, F.lit(None).cast(sum_type)
-        )
+    def fold(totals, sum_type):
+        from pyspark.sql.types import DecimalType, LongType
 
-    off = _offsets_df(
-        df.sparkSession,
-        offsets,
-        StructType(
-            [StructField("_pid", LongType()), StructField("_off", sum_type)]
-        ),
-    )
-    running = F.sum("_val").over(
-        W.partitionBy("_pid").orderBy(*order).rowsBetween(
-            W.unboundedPreceding, 0
-        )
-    )
-    return (
-        rp.withColumn("_pid", F.shiftright("_mid", _LOCAL_BITS))
-        .join(off, "_pid")
-        .withColumn(sum_name, F.col("_off") + running)
-        .drop("_pid", "_off", "_mid", "_val")
+        # prefix arithmetic in Python decimal (exact for decimal sums;
+        # a float sum re-rounds at the end exactly like the window
+        # would not — decimal callers are the exactness-sensitive ones)
+        if isinstance(sum_type, DecimalType):
+            conv = lambda a: a  # noqa: E731
+        elif isinstance(sum_type, LongType):
+            conv = int
+        else:
+            conv = float
+        offsets, acc = [], decimal.Decimal(0)
+        for r in totals:
+            offsets.append((r["_pid"], conv(acc)))
+            acc += decimal.Decimal(str(r["_t"])) if r["_t"] is not None else 0
+        return offsets
+
+    return _two_pass_prefix(
+        df,
+        order,
+        value,
+        F.sum,
+        fold,
+        lambda off, running: off + running,
+        0,
+        sum_name,
+        num_partitions,
     )
 
 
@@ -394,9 +412,13 @@ def skyline_min_max(
     under (minimize ``min_col``, maximize ``max_col``). Row q
     dominates p iff q is <= on the minimized attribute and >= on the
     maximized one, with at least one strict. Rows with a NULL in
-    either attribute carry no dominance semantics and are excluded
-    (SQL-standard three-valued comparisons would do the same in the
-    NOT-EXISTS form).
+    either attribute carry no dominance semantics and are EXCLUDED —
+    note this deliberately DIFFERS from the textbook NOT-EXISTS
+    dominance query, whose three-valued comparisons all evaluate
+    UNKNOWN for a NULL-attribute row and therefore VACUOUSLY RETAIN
+    it; a registered skyline over a nullable column must filter NULLs
+    in its oracle SQL to match (the part fixture's columns are
+    non-null, so part_price_size_skyline's oracle needs no filter).
 
     Shape: LINEAR + one gated running max — group by ``min_col``
     keeping each group's max (one shuffle; groups are aggregate-

@@ -387,10 +387,12 @@ _COPURCHASE_MIN_ORDERS = 2
     doc="Co-purchase graph statistics: parts bought together in >= 2 "
     "orders form an undirected edge; count vertices, edges, wedges "
     "(sum of C(deg,2)) and triangles, and derive the global clustering "
-    "coefficient 3T/W. Triangle counting uses the a<b<c edge "
-    "orientation, so each triangle is joined exactly once and the "
-    "worst-case join fan-out is bounded by the oriented out-degree — "
-    "the standard distributed triangle-count trick (node-iterator++). "
+    "coefficient 3T/W. Triangle counting uses the DEGREE-ORDERED "
+    "orientation (operators/graph.py:enumerate_triangles): each "
+    "triangle joined exactly once at its degree-minimum apex, and "
+    "the two-path fan-out is bounded by O(sqrt(m)) forward degree "
+    "regardless of hub degree — the real power-law skew guard "
+    "(Chiba-Nishizeki / node-iterator++). "
     "Scale shape: pair generation is ONE shuffle — fold each order to "
     "a sorted distinct basket (groupBy + collect_set), then expand "
     "C(items,2) pairs map-side with a nested HOF (no self-join, no "
@@ -464,21 +466,14 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_stats(edges: DataFrame) -> DataFrame:
-    degrees = (
-        edges.select(F.col("pa").alias("v"))
-        .unionAll(edges.select(F.col("pb").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    from ccxt_ohlcv_fetcher_spark.operators.graph import (
+        degrees as graph_degrees,
+        enumerate_triangles,
     )
-    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
-    tri = (
-        ab.join(bc, F.col("ab.pb") == F.col("bc.pa"))
-        .join(
-            ac,
-            (F.col("ac.pa") == F.col("ab.pa"))
-            & (F.col("ac.pb") == F.col("bc.pb")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    degrees = graph_degrees(edges)
+    tri = enumerate_triangles(edges, deg=degrees).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
     wedges = degrees.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
@@ -543,13 +538,15 @@ def _copurchase_stats(edges: DataFrame) -> DataFrame:
     "graph: lcc(v) = 2*t(v) / (deg(v)*(deg(v)-1)) where t(v) counts "
     "triangles through v — the per-node refinement of "
     "copurchase_graph_stats' single global coefficient. Spark shape: "
-    "the memoized filtered edge table (pa < pb) feeds ONE oriented "
-    "two-path join + ONE closing semi-equi join (each triangle "
-    "enumerated exactly once under the a<b<c orientation), then a "
-    "3-way vertex explode + count. Scale: the joins shuffle only the "
-    "min-support-filtered edge list, never baskets or facts; the "
-    "orientation bounds the two-path fan-out by the SMALLER endpoint "
-    "side, the classic skew guard for triangle enumeration. "
+    "the memoized filtered edge table feeds "
+    "operators/graph.py:enumerate_triangles — DEGREE-ORDERED "
+    "orientation, wedges only at each triangle's degree-minimum apex, "
+    "closing edge resolved by an equi join — then a 3-way vertex "
+    "explode + count. Scale: the joins shuffle only the "
+    "min-support-filtered edge list and vertex-sized degree frames, "
+    "never baskets or facts; the orientation bounds two-path fan-out "
+    "by O(sqrt(m)) forward degree regardless of hub degree, the "
+    "power-law skew guard plain ID orientation lacks. "
     "Determinism: all-integer counts; lcc = exact-int double division, "
     "correctly rounded identically in Spark and DuckDB.",
     tags=("E5", "E13"),

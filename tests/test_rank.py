@@ -301,3 +301,30 @@ def test_skyline_min_max_vs_brute_force(spark):
         for r in skyline_min_max(df, "price", "size", threshold=1).collect()
     )
     assert got2 == want
+
+
+def test_global_cummax_nan_matches_window(spark):
+    """Spark orders NaN above every double in max/greatest; the driver
+    prefix fold must agree (t > acc is always False for NaN — the
+    review-caught divergence): once a partition's max is NaN, every
+    later row's running max is NaN in BOTH branches."""
+    import math
+
+    from ccxt_ohlcv_fetcher_spark.functions.rank import global_cummax
+
+    rows = [(i, float(i % 7)) for i in range(200)]
+    rows[40] = (40, float("nan"))
+    df = spark.createDataFrame(rows, "k int, x double").repartition(7)
+    order = [F.col("k").asc()]
+    got = global_cummax(df, order, F.col("x"), "m", num_partitions=6)
+    w = W.orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    want = df.withColumn("m", F.max("x").over(w))
+    g = {r["k"]: r["m"] for r in got.select("k", "m").collect()}
+    e = {r["k"]: r["m"] for r in want.select("k", "m").collect()}
+    assert set(g) == set(e)
+    for k in g:
+        if isinstance(e[k], float) and math.isnan(e[k]):
+            assert math.isnan(g[k]), k
+        else:
+            assert g[k] == e[k], k
+    assert math.isnan(g[199])  # NaN propagated across partitions
