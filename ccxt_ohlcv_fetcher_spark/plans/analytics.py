@@ -1986,6 +1986,136 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_CONV_VALUE = 150.0  # qualifying-purchase threshold (~45% convert)
+
+
+@register(
+    "user_churn_km",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             min({sql_ms("date_trunc('day', ts)")}) AS first_ms,
+             max({sql_ms("date_trunc('day', ts)")}) AS last_ms
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT user_id, min({sql_ms("date_trunc('day', ts)")}) AS conv_ms
+      FROM events
+      WHERE event_type = 'purchase' AND value >= {_KM_CONV_VALUE}
+      GROUP BY 1
+    ),
+    obs AS (
+      SELECT CAST((COALESCE(conv_ms, last_ms) - first_ms)
+                  // {_DAY_MS} AS BIGINT) AS t,
+             CASE WHEN conv_ms IS NULL THEN 0 ELSE 1 END AS event
+      FROM spans LEFT JOIN conv USING (user_id)
+    ),
+    per_t AS (
+      SELECT t,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ended
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST((SELECT count(*) FROM obs) AS BIGINT)
+               - CAST(COALESCE(SUM(ended) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM per_t
+    ),
+    terms AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d > 0 AND d < n_risk THEN
+               CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                    AS DECIMAL(18,12))
+             ELSE CAST(0 AS DECIMAL(18,12)) END AS term
+      FROM risk
+    )
+    SELECT t, d, n_risk,
+           CAST(SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS DOUBLE) AS ln_survival
+    FROM terms
+    WHERE d > 0 AND d < n_risk
+    """,
+    doc="KAPLAN-MEIER survival analysis of time-to-conversion: days "
+    "from a user's first activity to their first HIGH-VALUE purchase "
+    "(value >= 150, ~45% of the cohort converts); users who never "
+    "convert are RIGHT-CENSORED at their last active day — the "
+    "loss-to-follow-up structure that makes K-M differ from the "
+    "naive converter-only CDF (censored users inflate early risk "
+    "sets, then exit). Reported in LOG space: ln S(t) = sum over "
+    "event days i <= t of ln(1 - d_i/n_i) — the product form would "
+    "need exp(), whose libm results differ across engines, while the "
+    "log terms follow the established ln-round-9 + decimal-cast "
+    "discipline and the cumulative sum is exact. d_i/n_i are "
+    "exact-integer IEEE divisions; at-risk counts derive from "
+    "per-day exit counts by reverse cumulative sum (the standard "
+    "deaths-before-censors tie convention: both exit AFTER being at "
+    "risk on their day). Scale: two shuffles to per-user spans and "
+    "first-conversions (the only fact-sized stages), then every "
+    "window runs over distinct lifetime-day rows (bounded by the "
+    "observation span, ~tens); the cohort total joins as a 1-row "
+    "broadcast (allowlisted scalar-combine BNLJ).",
+    tags=("E13", "E17", "E19"),
+)
+def user_churn_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = ms(F.date_trunc("day", F.col("ts")))
+    spans = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_ms"), F.max(day).alias("last_ms")
+    )
+    conv = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("value") >= _KM_CONV_VALUE)
+        )
+        .groupBy("user_id")
+        .agg(F.min(day).alias("conv_ms"))
+    )
+    obs = spans.join(conv, "user_id", "left").select(
+        (
+            (F.coalesce(F.col("conv_ms"), F.col("last_ms")) - F.col("first_ms"))
+            / _DAY_MS
+        )
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("conv_ms").isNull(), 0).otherwise(1).alias("event"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ended"),
+    )
+    total = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("ended").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    p = F.col("d").cast("double") / F.col("n_risk")
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(F.log(F.lit(1.0) - p), 9).cast("decimal(18,12)"),
+    ).otherwise(F.lit(0).cast("decimal(18,12)"))
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        risk.withColumn("term", term)
+        .withColumn(
+            "ln_survival", F.sum("term").over(w_cum).cast("double")
+        )
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .select("t", "d", "n_risk", "ln_survival")
+    )
+
+
 @register(
     "order_priority_entropy",
     oracle="""

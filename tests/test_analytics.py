@@ -532,3 +532,36 @@ def test_local_clustering_matches_python_reference(spark):
     assert got[1] == (4, 2, 2.0 * 2 / 12)
     assert got[3] == (2, 1, 1.0) and got[4] == (2, 1, 1.0)
     assert 5 not in got and 6 not in got and 7 not in got
+
+
+def test_km_survival_invariants(spark, sf_dir):
+    """Kaplan-Meier structural pins (the oracle proves cross-engine
+    exactness; this pins the ESTIMATOR's semantics): risk sets
+    strictly decrease over event days, every reported day has at
+    least one conversion, ln-survival is nonpositive and
+    nonincreasing, and the first risk set is bounded by (and with
+    censoring strictly related to) the cohort size."""
+    from ccxt_ohlcv_fetcher_spark.plans import load_all
+
+    rows = (
+        load_all()["user_churn_km"].builder(spark, sf_dir)
+        .orderBy("t")
+        .collect()
+    )
+    assert rows, "fixture produced no conversion days"
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    prev_risk, prev_ln = None, 0.0
+    for r in rows:
+        assert r["d"] >= 1 and r["d"] < r["n_risk"]
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk  # exits are cumulative
+        assert r["ln_survival"] <= prev_ln + 1e-12
+        prev_risk, prev_ln = r["n_risk"], r["ln_survival"]
+    # the whole cohort is at risk on day 0 unless someone exited at t=0
+    assert rows[0]["n_risk"] <= n_users
+    assert sum(r["d"] for r in rows) <= n_users

@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "part_revenue_abc",  # per-part rows x 1-row grand total
     "event_value_histogram",  # 12 bins x 1-row exact-stats audit row
     "candle_pair_spread",  # spread rows x 1-row moment estimates
+    "user_churn_km",  # lifetime-day rows x 1-row cohort total
 }
 
 
