@@ -328,3 +328,75 @@ def test_global_cummax_nan_matches_window(spark):
         else:
             assert g[k] == e[k], k
     assert math.isnan(g[199])  # NaN propagated across partitions
+
+
+def test_skyline_randomized_vs_brute_force(spark):
+    """Seeded randomized skyline trials (both branches) against the
+    O(n^2) dominance definition — heavy duplicate mass so tie
+    co-survivors, same-min groups, and null rows all occur by
+    construction."""
+    import random
+
+    from ccxt_ohlcv_fetcher_spark.functions.rank import skyline_min_max
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        rows = []
+        for k in range(300):
+            price = (
+                None if rng.random() < 0.05
+                else float(rng.choice([1, 2, 3, 5, 8, 13, 21]))
+            )
+            size = None if rng.random() < 0.05 else rng.randrange(1, 9)
+            rows.append((k, price, size))
+        df = spark.createDataFrame(rows, "k int, price double, size int")
+        clean = [r for r in rows if r[1] is not None and r[2] is not None]
+        want = sorted(
+            k
+            for k, p, s in clean
+            if not any(
+                qp <= p and qs >= s and (qp < p or qs > s)
+                for _, qp, qs in clean
+            )
+        )
+        for threshold in (None, 1):  # window branch, forced two-pass
+            got = sorted(
+                r["k"]
+                for r in skyline_min_max(
+                    df, "price", "size", threshold=threshold
+                ).collect()
+            )
+            assert got == want, (seed, threshold)
+
+
+def test_cummax_randomized_vs_window(spark):
+    """Seeded randomized running-max trials across both frames and
+    branches vs the window form, with null values mixed in."""
+    import random
+
+    from ccxt_ohlcv_fetcher_spark.functions.rank import adaptive_cummax
+
+    for seed in (7, 29):
+        rng = random.Random(seed)
+        rows = [
+            (
+                k,
+                rng.randrange(0, 40),  # heavy order ties
+                None if rng.random() < 0.1 else rng.randrange(-50, 50),
+            )
+            for k in range(400)
+        ]
+        df = spark.createDataFrame(rows, "k int, v int, x int").repartition(9)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        for inclusive in (True, False):
+            small = adaptive_cummax(
+                df, order, F.col("x"), "m",
+                inclusive=inclusive, threshold=10_000,
+            )
+            large = adaptive_cummax(
+                df, order, F.col("x"), "m",
+                inclusive=inclusive, threshold=10,
+            )
+            g = {r["k"]: r["m"] for r in small.select("k", "m").collect()}
+            e = {r["k"]: r["m"] for r in large.select("k", "m").collect()}
+            assert g == e, (seed, inclusive)
