@@ -191,6 +191,8 @@ def ngram_contamination_pairs(
     id_col: str,
     n: int = 13,
     broadcast_test: bool = True,
+    train_shingles: DataFrame | None = None,
+    test_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test decontamination (north-star LLM-pipeline op): find
     training documents that contain n-grams from evaluation documents —
@@ -209,13 +211,22 @@ def ngram_contamination_pairs(
     no shuffle of the train side at all. For giant test sets, flip to a
     shuffle join on the 60-bit shingle hash (8 bytes/row). Either way
     cost is |train shingles| + |collisions|, never |train| x |test|.
+
+    ``train_shingles`` / ``test_shingles``: pre-built ``shingle_sets``
+    frames for the two slices (e.g. filters of a session-memoized
+    checkpoint) — must match ``(content_col, id_col, n)``; passing them
+    skips re-tokenizing each slice per execution (r12).
     """
-    tr = shingle_sets(train, content_col, id_col, n).withColumnRenamed(
-        id_col, "train_id"
-    )
-    te = shingle_sets(test, content_col, id_col, n).withColumnRenamed(
-        id_col, "test_id"
-    )
+    tr = (
+        train_shingles
+        if train_shingles is not None
+        else shingle_sets(train, content_col, id_col, n)
+    ).withColumnRenamed(id_col, "train_id")
+    te = (
+        test_shingles
+        if test_shingles is not None
+        else shingle_sets(test, content_col, id_col, n)
+    ).withColumnRenamed(id_col, "test_id")
     te_sizes = te.groupBy("test_id").agg(F.count(F.lit(1)).alias("n_test"))
     te_side = F.broadcast(te) if broadcast_test else te
     pairs = (
@@ -461,8 +472,15 @@ def connected_components(
     # isolated nodes are their own component and join back at the end.
     # For a near-dup graph that shrinks the iterated table from |corpus|
     # to |docs in any dup pair| — orders of magnitude at clean corpora.
+    # Round 1 folds into initialization (r12): with labels starting as
+    # plain ids, the first propagation's output is exactly
+    # min(own id, min neighbor id) — computable by the SAME groupBy
+    # shuffle the old distinct() paid, skipping one full
+    # join/checkpoint/convergence round per CC invocation.
     labels = (
-        und.select(F.col("_s").alias("_n")).distinct().withColumn("comp", F.col("_n"))
+        und.groupBy(F.col("_s").alias("_n"))
+        .agg(F.min("_d").alias("_m"))
+        .select("_n", F.least(F.col("_m"), F.col("_n")).alias("comp"))
     )
     changed = 0
     for _ in range(max_iter):
@@ -1108,6 +1126,7 @@ def incremental_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """Incrementally maintain dedup components as batches arrive —
     the closure stage of the continuous-crawl pipeline
@@ -1130,6 +1149,12 @@ def incremental_components(
     ``new_nodes``: the batch's doc ids (optional single-column frame;
     defaults to the ids appearing in ``new_edges``) — isolated new
     docs become their own singleton components.
+
+    ``pointer_jumping`` (default True) passes through to the CC loop:
+    stars keep OLD components at depth 1, so only chains formed by the
+    new batch edges benefit — callers whose batches produce shallow
+    merge chains can turn it off and save the per-round label
+    self-join (r12: ~0.3 s at fixture scale).
     """
     star = prev.filter(
         F.col(id_col) != F.col(component_col)
@@ -1149,5 +1174,5 @@ def incremental_components(
     ).distinct()
     return connected_components(
         nodes, edges, id_col=id_col, src=src, dst=dst,
-        max_iter=max_iter, pointer_jumping=True,
+        max_iter=max_iter, pointer_jumping=pointer_jumping,
     )

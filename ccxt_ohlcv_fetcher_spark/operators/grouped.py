@@ -84,3 +84,40 @@ def mad_udaf():
         return float(np.median(np.abs(x - np.median(x))))
 
     return mad
+
+
+def mad_arrays_udf():
+    """Vectorized companion to :func:`mad_udaf` for PRE-MATERIALIZED
+    frames: a scalar pandas UDF over an array<double> column (e.g. a
+    JVM ``collect_list`` window frame) returning each array's median
+    absolute deviation.
+
+    Same kernel arithmetic as ``mad_udaf`` — numpy order-statistic
+    picks and the exact midpoint average — so a frame produces the
+    identical double either way; what changes is the boundary: ONE
+    Arrow batch per task instead of one UDF evaluation per row
+    (window grouped-agg UDFs slice and call the kernel per frame).
+    Full-length frames are stacked and reduced along axis 1; ragged
+    leading frames fall back to the per-row kernel."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mad_arrays(frames: pd.Series) -> pd.Series:
+        vals = [np.asarray(v, dtype="float64") for v in frames]
+        out = np.empty(len(vals), dtype="float64")
+        lens = np.fromiter(
+            (len(v) for v in vals), dtype="int64", count=len(vals)
+        )
+        mode = int(lens.max()) if len(lens) else 0
+        full = lens == mode
+        if mode and full.any():
+            m = np.stack([vals[i] for i in np.nonzero(full)[0]])
+            med = np.median(m, axis=1)
+            out[full] = np.median(np.abs(m - med[:, None]), axis=1)
+        for i in np.nonzero(~full)[0]:
+            x = vals[i]
+            out[i] = np.median(np.abs(x - np.median(x)))
+        return pd.Series(out)
+
+    return mad_arrays

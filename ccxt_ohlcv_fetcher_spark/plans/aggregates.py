@@ -71,7 +71,10 @@ def acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E15",),
 )
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # widen (r12): the cube's Expand multiplies the single-split scan's
+    # rows 4x on one core; a hash-widened scan runs it cluster-wide
+    # (1.38 -> 0.57 s solo at sf0.1)
+    li = load_table(spark, sf_dir, "lineitem", widen=True)
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
@@ -428,7 +431,10 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("E17", "demo-scale"),
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # widen (r12): the partial percentile buffers (ObjectHashAggregate
+    # boxing every value) otherwise build on the ONE scan task
+    # (1.43 -> 1.05 s solo at sf0.1)
+    li = load_table(spark, sf_dir, "lineitem", widen=True)
     # percentile(col, array(...)) == percentile_cont per element (same
     # interpolation, verified value-identical) but shares ONE per-group
     # value buffer for all requested fractions — each extra WITHIN GROUP

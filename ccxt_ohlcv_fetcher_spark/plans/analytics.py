@@ -289,7 +289,8 @@ _PMI_TOP = 15
     doc="Token co-occurrence PMI (the collocation-mining primitive of "
     "corpus analysis): within-document distinct token pairs, pointwise "
     "mutual information ln(P(a,b)/(P(a)P(b))) over document frequencies. "
-    "Scale shape: the df >= {df} vocabulary filter (a broadcast "
+    "Scale shape (r12: tokens materialize once instead of re-splitting "
+    "per consumer): the df >= {df} vocabulary filter (a broadcast "
     "semi-join) bounds the per-document self-join fan-out to the kept "
     "vocabulary — the same cap top-V PMI builds use — and the pair count "
     "partial-aggregates before its shuffle. The marginal-df joins "
@@ -301,9 +302,19 @@ _PMI_TOP = 15
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    doc_tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("tok")
-    )
+    # Tokenize ONCE (r12, guide §2.4): the regex split previously re-ran
+    # for the df count and BOTH sides of the kept⋈kept self-join; the
+    # distinct-token arrays now materialize once and each consumer
+    # explodes the checkpointed arrays (1.49 -> 1.29 s solo at sf0.1).
+    # The self-join itself stays: an in-place sorted-basket HOF pair
+    # expansion was measured strictly WORSE here (2.89 s — higher-order
+    # functions evaluate interpreted, and post-filter baskets are
+    # hundreds of tokens, unlike the ~4-item co-purchase baskets where
+    # that pattern wins).
+    toks0 = docs.select(
+        "doc_id", F.array_distinct(words(F.col("text"))).alias("ta")
+    ).localCheckpoint()
+    doc_tok = toks0.select("doc_id", F.explode("ta").alias("tok"))
     dfreq = (
         doc_tok.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1588,7 +1599,10 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.profile import profile_table
 
-    events = load_table(spark, sf_dir, "events")
+    # widen (r12): five exact COUNT(DISTINCT)s plan an Expand 6x over
+    # the single-split scan; hash-widen runs it cluster-wide
+    # (1.78 -> 1.34 s solo at sf0.1)
+    events = load_table(spark, sf_dir, "events", widen=True)
     return profile_table(
         events, cols=["event_id", "user_id", "value", "ts", "event_type"]
     )

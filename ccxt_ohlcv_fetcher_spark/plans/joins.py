@@ -527,13 +527,16 @@ def bucketed_custkey_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order date): suppliers who were the SOLE late shipper on a "
     "multi-supplier order. The oracle states it as correlated "
     "EXISTS/NOT-EXISTS; the Spark plan rewrites both subqueries into ONE "
-    "per-order aggregate (countDistinct suppliers, countDistinct LATE "
-    "suppliers) joined back to the late rows — for a row whose own "
-    "supplier is late, EXISTS(other supplier) = n_supp >= 2 and "
-    "NOT EXISTS(other LATE supplier) = n_late_supp = 1. At 100 TB that "
-    "is one exchange on l_orderkey reused by agg and join (vs TWO "
-    "correlated self-joins of the fact table), then a broadcast of the "
-    "supplier dim and a 25-row TakeOrdered.",
+    "per-order aggregate whose supplier SETS (bounded by suppliers-per-"
+    "order) answer both tests — EXISTS(other supplier) = n_supp >= 2, "
+    "NOT EXISTS(other LATE supplier) = exactly one late supplier — and, "
+    "because the qualifying order has exactly one late supplier, that "
+    "supplier and its late-row count ride the same row, so there is NO "
+    "join back onto the fact rows (r12: the earlier form aggregated "
+    "per-order countDistincts through an Expand AND re-ran the "
+    "lineitem⋈orders subtree for the outer rows; 2.09 -> 1.79 s solo "
+    "at sf0.1). At 100 TB: one fact exchange to orderkey, a broadcast "
+    "of the supplier dim and a 25-row TakeOrdered.",
     tags=("E5", "E8", "E13", "E22"),
 )
 def sole_slow_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,21 +550,41 @@ def sole_slow_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAY"),
     )
+    # ONE exchange over the fact join (guide §2.4): the former shape ran
+    # the lineitem⋈orders subtree twice (per-order countDistinct
+    # aggregate + the outer late rows) and the two countDistincts
+    # planned an Expand (2x rows into the exchange). One per-order
+    # aggregate carries everything instead: supplier sets (bounded by
+    # suppliers-per-order, ~4 in TPC-H shapes) answer both EXISTS
+    # tests, and because a qualifying order has EXACTLY ONE late
+    # supplier, that supplier and its late-row count ride the same row
+    # — no join back. late_rows already folds the status-F outer
+    # condition (o_orderstatus is constant per order). Measured at
+    # sf0.1: 2.09 -> 1.79 s solo vs the two-pass form.
     per_order = dated.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
+        F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+        F.collect_set(
             F.when(F.col("_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+        ).alias("_late_supps"),
+        F.sum(
+            F.when(
+                F.col("_late") & (F.col("o_orderstatus") == "F"), 1
+            ).otherwise(0)
+        ).alias("_late_rows"),
     )
-    late_f = dated.filter(
-        F.col("_late") & (F.col("o_orderstatus") == "F")
-    ).select("l_orderkey", "l_suppkey")
     return (
-        late_f.join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter(
+            (F.col("n_supp") >= 2)
+            & (F.size("_late_supps") == 1)
+            & (F.col("_late_rows") > 0)
+        )
+        .select(
+            F.element_at("_late_supps", 1).alias("_late_supp"),
+            "_late_rows",
+        )
+        .join(F.broadcast(supplier), F.col("_late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )

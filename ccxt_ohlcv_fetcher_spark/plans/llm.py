@@ -1027,10 +1027,16 @@ def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles=_doc_shingles(spark, sf_dir),
     ).localCheckpoint()  # built once, consumed by both epochs
     in_corpus = lambda c: F.col(c) % 10 < 8  # noqa: E731
+    # pointer_jumping off (r12): near-dup components are near-cliques
+    # (diameter ~2-3), so path-halving's per-round label self-join buys
+    # nothing here and costs ~1 s per run across the two CC loops —
+    # any exact CC yields the identical min-label assignment, so the
+    # choice is free (chain-shaped graphs still want it: the operator
+    # keeps the flag).
     prev = connected_components(
         docs.filter(in_corpus("doc_id")).select("doc_id"),
         edges.filter(in_corpus("id_a") & in_corpus("id_b")),
-        id_col="doc_id", src="id_a", dst="id_b", pointer_jumping=True,
+        id_col="doc_id", src="id_a", dst="id_b", pointer_jumping=False,
     )
     # the batch's candidate edges: every pair TOUCHING a batch doc (in
     # production these come from dedup_candidates_against_index — cost
@@ -1043,6 +1049,7 @@ def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev, batch_edges,
         new_nodes=docs.filter(~in_corpus("doc_id")).select("doc_id"),
         id_col="doc_id", component_col="comp", src="id_a", dst="id_b",
+        pointer_jumping=False,
     )
 
 
@@ -1173,8 +1180,13 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result is identical, but the dedup+quality join tree isn't
     # re-executed a second time just to grow shingles (whole pipeline
     # 6.7 -> 1.8 s at sf0.1; PERFORMANCE.md §7)
+    sh = _doc_shingles(spark, sf_dir)
     flagged = (
-        ngram_contamination_pairs(train, test, "text", "doc_id", n=3)
+        ngram_contamination_pairs(
+            train, test, "text", "doc_id", n=3,
+            train_shingles=sh.filter(F.col("doc_id") % 10 != 0),
+            test_shingles=sh.filter(F.col("doc_id") % 10 == 0),
+        )
         .filter(F.col("n_shared") >= 4)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
@@ -1281,7 +1293,14 @@ def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
     test = docs.filter(F.col("doc_id") % 10 == 0)
-    return ngram_contamination_pairs(train, test, "text", "doc_id", n=3)
+    # r12: both slices' shingle sets are filters of the session-memoized
+    # shingle checkpoint — skip re-tokenizing each slice per execution
+    sh = _doc_shingles(spark, sf_dir)
+    return ngram_contamination_pairs(
+        train, test, "text", "doc_id", n=3,
+        train_shingles=sh.filter(F.col("doc_id") % 10 != 0),
+        test_shingles=sh.filter(F.col("doc_id") % 10 == 0),
+    )
 
 
 @register(
@@ -2618,10 +2637,14 @@ def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scored as the mean log-probability of its bigram stream. "
     "Cross-engine exactness: counts are integers, the probability is "
     "ONE IEEE division, ln rounds to 9dp before the decimal-summed "
-    "mean (the bm25 convention). Scale shape: the LM is a bigram-count "
-    "table (vocab-bounded — at open vocab, df-threshold it like "
-    "token_pmi_pairs) broadcast onto the doc bigram stream; training "
-    "and scoring are each one partial-aggregated shuffle.",
+    "mean (the bm25 convention; scoring sums n_db x logp in exact "
+    "decimal — k copies of a rounded logp sum to exactly k*logp). "
+    "Scale shape (r12): the corpus bigram stream folds ONCE into a "
+    "per-(doc, bigram) count table (the explode subtree previously "
+    "executed 3x: vocab scalar, LM train, scoring — 2.18 -> ~0.9 s at "
+    "sf0.1); the LM is a bigram-count table (vocab-bounded — at open "
+    "vocab, df-threshold it like token_pmi_pairs) broadcast onto the "
+    "count table for scoring.",
     tags=("E36", "E5"),
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,7 +2655,21 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_ngrams(words(F.col("text")), 2)).alias("bigram"),
     )
-    c2 = doc_bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    # The explode subtree used to execute THREE times per run (vocab
+    # count, LM train inside the broadcast build, scoring pass). Fold
+    # the bigram stream once into per-(doc, bigram) counts and derive
+    # everything from that materialized table (guide §2.4 / §3.3):
+    # scoring sums n_db * logp — exact decimal arithmetic, so k copies
+    # of a rounded logp sum to exactly k * logp and the result is
+    # bit-identical to the per-occurrence sum.
+    c2d = (
+        doc_bi.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_db"))
+        .localCheckpoint()
+    )
+    c2 = (
+        c2d.groupBy("bigram").agg(F.sum("n_db").alias("n2")).localCheckpoint()
+    )
     w1 = F.split(F.col("bigram"), " ")[0]
     w2 = F.split(F.col("bigram"), " ")[1]
     c1 = c2.groupBy(w1.alias("w1")).agg(F.sum("n2").alias("n1"))
@@ -2651,13 +2688,20 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        doc_bi.join(F.broadcast(lm), "bigram")
+        c2d.join(F.broadcast(lm), "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_db").alias("n_bigrams"),
             (
-                F.sum(F.col("logp").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
+                F.sum(
+                    # decimal(10,0) x decimal(18,9) -> decimal(29,9):
+                    # stays inside precision 38, so the scale-9 logp is
+                    # preserved exactly (bigint x decimal(18,9) would hit
+                    # precision 39 and Spark trims the scale to 8dp)
+                    F.col("n_db").cast("decimal(10,0)")
+                    * F.col("logp").cast("decimal(18,9)")
+                ).cast("double")
+                / F.sum("n_db")
             ).alias("avg_logprob"),
         )
     )

@@ -29,6 +29,22 @@ from ccxt_ohlcv_fetcher_spark.schemas import FIXTURE_SCHEMAS, TABLE_NAMES
 # to every downstream stage.
 FANOUT_TABLES = frozenset({"documents", "embeddings"})
 
+# Deterministic high-cardinality widen keys per table (guide §2.5: hash
+# a deterministic key into 100x the partition count; round-robin
+# repartition would pay an extra local sort of the whole scan —
+# spark.sql.execution.sortBeforeRepartition — and is retry-unsafe for
+# rand-derived keys).
+WIDEN_KEYS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+    "customer": ("c_custkey",),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
@@ -38,13 +54,24 @@ def load_table(
     ``widen`` (default: only for :data:`FANOUT_TABLES`): a parquet file
     is splittable only at row-group boundaries, so a small
     single-row-group table scans as ONE partition and every downstream
-    fan-out op (explode/shingle/LSH) runs on one core. When the scan
-    yields fewer splits than ``defaultParallelism``, repartition up to
-    it — a shuffle of a few MB that buys full-cluster parallelism.
+    fan-out op (explode/shingle/LSH, Expand-shaped aggregates, exact
+    percentile buffers) runs on one core. When the scan yields fewer
+    splits than ``defaultParallelism``, repartition up to it — a
+    shuffle of a few MB that buys full-cluster parallelism.
     At 100 TB the scan already has thousands of splits and this branch
     never triggers (zero cost); the explicit partition count also opts
     out of AQE coalescing, which would otherwise fold tiny partitions
-    right back together.
+    right back together. The spread key is a deterministic hash of the
+    table's :data:`WIDEN_KEYS` into 100x the partition count (r12:
+    round-robin repartition first pays a local sort of the scan —
+    sortBeforeRepartition — measured ~0.5 s extra on the 600k-row
+    fixture fact; the hash form does not).
+
+    Widening is strictly OPT-IN per call site beyond the fan-out
+    tables: an r12 sweep over 22 candidate queries measured the extra
+    exchange as a net LOSS for most scan-cheap shapes — only
+    Expand-heavy aggregates (cube, multi-count-distinct profiles) and
+    ObjectHashAggregate buffers (exact percentiles/median) win.
     """
     if widen is None:
         widen = name in FANOUT_TABLES
@@ -56,7 +83,14 @@ def load_table(
     if widen:
         parallelism = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < parallelism:
-            df = df.repartition(parallelism)
+            key = WIDEN_KEYS.get(name)
+            if key:
+                df = df.repartition(
+                    parallelism,
+                    F.pmod(F.xxhash64(*key), F.lit(100 * parallelism)),
+                )
+            else:
+                df = df.repartition(parallelism)
     expected = FIXTURE_SCHEMAS.get(name)
     if expected is not None:
         actual = {f.name: f.dataType for f in df.schema.fields}

@@ -1,0 +1,37 @@
+"""Dump .explain("formatted") for named queries to plans/r12/<name>_<suffix>.txt.
+
+Usage: python tools/dump_plans.py <suffix> query [query...]
+Plan text only (plus whatever eager jobs the builder itself runs).
+"""
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ccxt_ohlcv_fetcher_spark.plans import load_all
+from ccxt_ohlcv_fetcher_spark.session import get_spark
+
+
+def main() -> None:
+    suffix, names = sys.argv[1], sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark("dump_plans")
+    out_dir = os.path.join(REPO, "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = registry[name].builder(spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
