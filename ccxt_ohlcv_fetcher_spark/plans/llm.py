@@ -2267,8 +2267,17 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # r12: tf materializes once and df derives from it — df(tok) is the
+    # number of tf rows per token (tf has one row per (doc, tok)), so
+    # the second tokenize+explode pass AND the count_distinct Expand
+    # both disappear (1.26 -> ~0.9 s at sf0.1; values identical, both
+    # counts are exact int64).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # corpus size folded to a literal (parquet-footer count at plan
     # build): a one-row cross join would plan as CartesianProduct and
     # every downstream op loses its partitioning info

@@ -37,6 +37,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r12): spark.sql.join.preferSortMergeJoin=false (allow
+        # shuffled-hash, guide §9) was A/B'd and left at default: over
+        # the 11 queries that actually plan a shuffle join at sf0.1 the
+        # properly-alternated comparison was a wash (±0.1 s, mixed
+        # sign; most joins here auto-broadcast). Env override exists
+        # for cluster regimes that want it.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

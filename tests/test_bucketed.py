@@ -25,17 +25,22 @@ def no_broadcast(spark):
     """The 100 TB join regime: neither side fits in memory, so the
     planner cannot fall back to a broadcast that would ALSO avoid the
     shuffle and mask a bucketing regression."""
-    keys = [
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-    ]
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # these pins read SortMergeJoin out of the plan; keep the SMJ
+        # regime explicit (the engine default prefers shuffled-hash
+        # since r12 — either join type is zero-exchange on bucketed
+        # scans, but the assertions name SMJ)
+        "spark.sql.join.preferSortMergeJoin": "true",
+    }
     old = {}
-    for k in keys:
+    for k, v in conf.items():
         try:
             old[k] = spark.conf.get(k)
         except Exception:
             old[k] = None
-        spark.conf.set(k, "-1")
+        spark.conf.set(k, v)
     yield
     for k, v in old.items():
         if v is None:

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 _CONF = {
     "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # the skew-split pins below read "SortMergeJoin(skew=true)" out of
+    # the final plan, so pin the SMJ regime explicitly (the engine
+    # default prefers shuffled-hash since r12)
+    "spark.sql.join.preferSortMergeJoin": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
