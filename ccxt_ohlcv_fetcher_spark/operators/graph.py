@@ -239,9 +239,13 @@ def k_core(
     Input ``edges`` must carry each undirected edge ONCE (src < dst);
     output: the surviving edges in the same orientation.
     """
+    # lazy checkpoints throughout the peel loop: the count right after
+    # each checkpoint is that round's first action, so it materializes
+    # the checkpoint in the same job — one scheduled job per round
+    # instead of two (the connected_components r12 lesson)
     cur = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_prev = cur.count()
     for _ in range(max_rounds):
         if n_prev == 0:
@@ -259,7 +263,7 @@ def k_core(
             cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         if n == n_prev:

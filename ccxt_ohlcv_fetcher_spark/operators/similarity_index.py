@@ -202,9 +202,17 @@ def query_ann_index_scoreaware(
     ``stats_out`` (optional dict) receives probe telemetry:
     ``flip_pairs`` vs ``full_flip_pairs`` is the pruned fraction.
     """
-    q = sign_lsh_buckets(
-        _with_norm(queries, query_vec, "_qn"), query_vec, n_planes, dim
-    ).withColumn("_dots", plane_dots(query_vec, n_planes, dim))
+    q = (
+        sign_lsh_buckets(
+            _with_norm(queries, query_vec, "_qn"), query_vec, n_planes, dim
+        )
+        .withColumn("_dots", plane_dots(query_vec, n_planes, dim))
+        # three consumers (home-bucket collect, the home probe join,
+        # the flip derivation) otherwise each re-run the query-side
+        # scan + bucket/dot computation; the query workload is the
+        # bounded side, so caching it is scale-safe (r12)
+        .localCheckpoint(eager=False)
+    )
     home_buckets = sorted(
         {r["bucket"] for r in q.select("bucket").distinct().collect()}
     )
