@@ -458,16 +458,39 @@ def connected_components(
     plans); convergence check is a 1-row aggregate, the only driver
     value per round. Deterministic: min is order-insensitive.
     """
-    und = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-        # materialize ONCE: the edge list is often an expensive upstream
-        # pipeline (a Jaccard/MinHash candidate join) and every round
-        # joins it twice — without the checkpoint each round re-executes
-        # that pipeline (measured 5.4 s -> 2.9 s on dup_doc_components
-        # at sf0.1; PERFORMANCE.md §7)
-        .localCheckpoint(eager=True)
+    und = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).union(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
     )
+    labels = _cc_labels(und, max_iter, pointer_jumping)
+    # no broadcast hint: the label table is |docs in any dup pair| —
+    # usually tiny (stats/AQE will broadcast it), but unbounded in
+    # principle, so the choice stays with the optimizer
+    return nodes.select(F.col(id_col).alias("_n")).join(
+        labels.withColumnRenamed("_n", "_ln"),
+        F.col("_n") == F.col("_ln"),
+        "left",
+    ).select(
+        F.col("_n").alias(id_col),
+        F.coalesce(F.col("comp"), F.col("_n")).alias("comp"),
+    )
+
+
+def _cc_labels(
+    und: DataFrame, max_iter: int, pointer_jumping: bool
+) -> DataFrame:
+    """Converged min-label table over an UNDIRECTED edge list
+    (columns ``_s``, ``_d``; both directions present) — the iteration
+    core of :func:`connected_components`, exposed separately so
+    callers whose node set is exactly the edge-touching set
+    (:func:`incremental_components`' contracted graph) skip the
+    isolated-node join-back. Returns ``(_n, comp)`` for every node
+    appearing in ``und``."""
+    # materialize ONCE: the edge list is often an expensive upstream
+    # pipeline (a Jaccard/MinHash candidate join) and every round
+    # joins it twice — without the checkpoint each round re-executes
+    # that pipeline (measured 5.4 s -> 2.9 s on dup_doc_components
+    # at sf0.1; PERFORMANCE.md §7)
+    und = und.localCheckpoint(eager=True)
     # propagation only ever changes labels of nodes that touch an edge;
     # isolated nodes are their own component and join back at the end.
     # For a near-dup graph that shrinks the iterated table from |corpus|
@@ -540,17 +563,7 @@ def connected_components(
                 f"({changed} labels still changing); raise max_iter or use "
                 "pointer_jumping=True for long chain-shaped components"
             )
-    # no broadcast hint: the label table is |docs in any dup pair| —
-    # usually tiny (stats/AQE will broadcast it), but unbounded in
-    # principle, so the choice stays with the optimizer
-    return nodes.select(F.col(id_col).alias("_n")).join(
-        labels.withColumnRenamed("_n", "_ln"),
-        F.col("_n") == F.col("_ln"),
-        "left",
-    ).select(
-        F.col("_n").alias(id_col),
-        F.coalesce(F.col("comp"), F.col("_n")).alias("comp"),
-    )
+    return labels
 
 
 def connected_components_star(
@@ -1142,45 +1155,88 @@ def incremental_components(
     edges; this folds them into the standing assignment without
     recomputing over the full pair history).
 
-    Soundness: a previous assignment collapses each old component to a
-    STAR (every member — its label). Stars preserve old connectivity
-    exactly (any two nodes that were connected share a label, so they
-    stay connected through it; nothing new is connected), so
-    ``CC(star_edges ∪ new_edges)`` over ``prev's nodes ∪ new nodes``
-    equals CC over the COMPLETE edge history — while costing
-    O(labeled docs + new edges), never O(all historical candidate
-    pairs). Min-labels also survive: a component's label is its
-    smallest member id, and stars carry that smallest id, so labels
-    stay stable across refreshes unless a merge genuinely joins
-    components (then the joint minimum wins — deterministic).
+    Soundness (contraction form, r12): each old component is a single
+    SUPER-NODE named by its label, because the previous assignment
+    already IS the connectivity closure of the old edge history.
+    Mapping every batch-edge endpoint through the standing labels
+    (old node → its component label; unseen node → itself) yields a
+    contracted graph whose connected components are exactly the
+    merges the batch causes: two docs end up connected under the full
+    history iff their super-nodes are connected by contracted batch
+    edges. Min-labels also survive: a component's label is its
+    smallest member id, so the min over a set of merged super-node
+    labels (plus any new member ids) IS the min over all their
+    members — labels stay stable across refreshes unless a merge
+    genuinely joins components (then the joint minimum wins —
+    deterministic). The CC iteration therefore runs on O(batch edges)
+    rows — never O(labeled docs) per round, which the previous
+    star-union form paid (its star edges re-entered every
+    propagation round) — and the standing assignment is touched
+    exactly twice: once to contract the endpoints, once to relabel
+    through the (tiny) merge map.
 
     ``new_nodes``: the batch's doc ids (optional single-column frame;
     defaults to the ids appearing in ``new_edges``) — isolated new
     docs become their own singleton components.
 
-    ``pointer_jumping`` (default True) passes through to the CC loop:
-    stars keep OLD components at depth 1, so only chains formed by the
-    new batch edges benefit — callers whose batches produce shallow
-    merge chains can turn it off and save the per-round label
-    self-join (r12: ~0.3 s at fixture scale).
+    ``pointer_jumping`` (default True) passes through to the CC loop
+    over the contracted graph: merges chained through many batch
+    edges benefit; callers whose batches produce shallow merge
+    chains can turn it off and save the per-round label self-join.
     """
-    star = prev.filter(
-        F.col(id_col) != F.col(component_col)
-    ).select(
-        F.col(id_col).alias(src), F.col(component_col).alias(dst)
+    lab_a = prev.select(
+        F.col(id_col).alias("_es"), F.col(component_col).alias("_ca")
     )
-    edges = star.unionByName(new_edges.select(src, dst))
-    nodes = prev.select(F.col(id_col))
-    if new_nodes is not None:
-        nodes = nodes.unionByName(
-            new_nodes.select(F.col(new_nodes.columns[0]).alias(id_col))
+    lab_b = prev.select(
+        F.col(id_col).alias("_ed"), F.col(component_col).alias("_cb")
+    )
+    e = new_edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+    # contract: endpoint -> its standing label (itself when unseen);
+    # edges inside one old component become self-loops and drop out
+    ce = (
+        e.join(lab_a, "_es", "left")
+        .join(lab_b, "_ed", "left")
+        .select(
+            F.coalesce("_ca", F.col("_es")).alias("_cs"),
+            F.coalesce("_cb", F.col("_ed")).alias("_cd"),
         )
-    nodes = nodes.unionByName(
-        new_edges.select(F.col(src).alias(id_col))
-    ).unionByName(
-        new_edges.select(F.col(dst).alias(id_col))
-    ).distinct()
-    return connected_components(
-        nodes, edges, id_col=id_col, src=src, dst=dst,
-        max_iter=max_iter, pointer_jumping=pointer_jumping,
+        .filter(F.col("_cs") != F.col("_cd"))
+    )
+    # CC over super-nodes only: O(contracted batch edges) per round.
+    # Every contracted node touches an edge by construction, so the
+    # iteration core's label table IS the full delta — no node-set
+    # distinct, no isolated-node join-back.
+    und = ce.unionByName(
+        ce.select(F.col("_cd").alias("_cs"), F.col("_cs").alias("_cd"))
+    ).select(F.col("_cs").alias("_s"), F.col("_cd").alias("_d"))
+    delta = _cc_labels(und, max_iter, pointer_jumping).select(
+        F.col("_n").alias("_dn"), F.col("comp").alias("_dc")
+    )
+    # base assignment: old nodes keep prev labels; batch/edge nodes
+    # unseen by prev start as their own singleton
+    base = prev.select(F.col(id_col), F.col(component_col).alias("_bc"))
+    extra = None
+    if new_nodes is not None:
+        extra = new_nodes.select(
+            F.col(new_nodes.columns[0]).alias(id_col)
+        )
+    endpoints = e.select(F.col("_es").alias(id_col)).unionByName(
+        e.select(F.col("_ed").alias(id_col))
+    )
+    extra = endpoints if extra is None else extra.unionByName(endpoints)
+    extra = (
+        extra.distinct()
+        .join(prev.select(F.col(id_col)), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("_bc"))
+    )
+    # relabel through the merge map: only labels whose super-node the
+    # batch touched can change, so the left join falls back to the
+    # standing label for everything else
+    return (
+        base.unionByName(extra)
+        .join(delta, F.col("_bc") == F.col("_dn"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_dc"), F.col("_bc")).alias(component_col),
+        )
     )

@@ -1039,15 +1039,16 @@ _PREV_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
     "labeled once by connected components over its internal near-dup "
     "edges; the arriving batch (doc_id%10>=8) is folded in by "
     "operators/dedup.py:incremental_components — each old component "
-    "collapses to a STAR (member -> label, connectivity-preserving), "
-    "the batch's candidate edges union in, and one CC pass over "
-    "O(labeled docs + new edges) — never the full pair history — "
-    "yields the refreshed assignment. The oracle is the FULL-history "
+    "CONTRACTS to a super-node named by its label, the batch's "
+    "candidate edges map through the standing labels, CC runs over "
+    "the contracted graph (O(batch edges) per round — never the "
+    "labeled corpus, never the full pair history), and one relabel "
+    "join refreshes the assignment. The oracle is the FULL-history "
     "recursive-CTE closure over all documents: hash-equality proves "
-    "the star-collapse fold exact, not approximately right. Min "
-    "labels survive folds (a star carries its component's smallest "
-    "id), so labels are stable across refreshes unless a batch edge "
-    "genuinely merges components.",
+    "the contraction fold exact, not approximately right. Min "
+    "labels survive folds (a super-node carries its component's "
+    "smallest id), so labels are stable across refreshes unless a "
+    "batch edge genuinely merges components.",
     tags=("E33", "E34"),
 )
 def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2478,14 +2479,22 @@ BM25_B = 0.75
 )
 def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(words(F.col("text"))).alias("dl"))
+    # tokenize ONCE: the avgdl scalar job, the doc-length join side and
+    # the term explode all previously re-ran the regex split (3 passes
+    # per execution). The lazy checkpoint materializes on the scalar
+    # collect below; dl and toks are then cheap reads of the cached
+    # token arrays. Same words() arrays -> identical values (r12).
+    w = docs.select(
+        "doc_id", words(F.col("text")).alias("ws")
+    ).localCheckpoint(eager=False)
+    dl = w.select("doc_id", F.size("ws").alias("dl"))
     row = dl.agg(
         F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     avgdl = float(row["s"]) / float(row["n"])
     n_docs = int(row["n"])
-    toks = docs.select(
-        "doc_id", F.explode(words(F.col("text"))).alias("tok")
+    toks = w.select(
+        "doc_id", F.explode("ws").alias("tok")
     ).filter(F.col("tok").isin(*BM25_TERMS))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
