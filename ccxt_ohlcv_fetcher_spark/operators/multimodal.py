@@ -1182,3 +1182,83 @@ def sample_frames(media: DataFrame, every_ms: int, frame_bytes: int = 64) -> Dat
     return media.select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("bytes_total", T.LongType(), True),
+        T.StructField("checksum_total", T.LongType(), True),
+    ]
+)
+
+
+def rollup_frame_features(
+    media: DataFrame, every_ms: int, frame_bytes: int = 64
+) -> DataFrame:
+    """FUSED sample→featurize→rollup over video-style media: the
+    per-media aggregate of ``sample_frames`` → ``extract_features`` →
+    ``groupBy(media_id)``, computed in ONE ``mapInPandas`` pass.
+
+    Why fuse (guide §8.4): the chained form ships every sampled
+    frame's bytes Python→JVM, back into Python for the feature
+    kernel, then shuffles one row PER FRAME just to sum them per
+    media. But every decision downstream needs only
+    ``(frame_len, frame_checksum)`` — lightweight proxies — and every
+    frame of a media row lives in the same batch as the row itself,
+    so the rollup completes locally: frame bytes never cross a
+    boundary, no fan-out rows exist, and the shuffle disappears
+    entirely. Per-media math is vectorized (frames are slices of one
+    body: a byte cumsum turns every frame sum into two lookups).
+
+    Exactness contract (pinned in tests against the unfused chain):
+    identical values to
+    ``extract_features(sample_frames(media)).groupBy(media_id).agg(
+    count(*), sum(n_bytes), sum(checksum))`` — per-frame checksum is
+    ``sum(bytes) % 2147483647`` (int64-exact), totals are int64 sums.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        mod = 2_147_483_647
+        for pdf in batches:
+            ids, nfr, btot, ctot = [], [], [], []
+            for mid, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n_frames = (
+                    1
+                    if duration is None or pd.isna(duration)
+                    else max(1, int(duration) // every_ms)
+                )
+                body = b"" if payload is None else bytes(payload)
+                nb = len(body)
+                ids.append(mid)
+                nfr.append(n_frames)
+                if nb == 0:
+                    # sample_frames emits frame=None; extract_features
+                    # maps that to n_bytes=0, checksum=0
+                    btot.append(0)
+                    ctot.append(0)
+                    continue
+                arr = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+                cs = np.concatenate(([0], np.cumsum(arr)))
+                i = np.arange(n_frames, dtype=np.int64)
+                lo = (i * frame_bytes) % nb
+                hi = np.minimum(lo + frame_bytes, nb)
+                btot.append(int((hi - lo).sum()))
+                ctot.append(int(((cs[hi] - cs[lo]) % mod).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": nfr,
+                    "bytes_total": btot,
+                    "checksum_total": ctot,
+                }
+            )
+
+    return media.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(kernel, ROLLUP_SCHEMA)

@@ -2127,20 +2127,23 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="Video-style frame pipeline (op E37 end-to-end): binary media "
-    "with a duration -> sample_frames (row fan-out, one row per "
-    "sampled frame) -> per-frame Arrow-batched feature kernel "
-    "(extract_features reused verbatim on the frame column) -> "
-    "per-media rollup — the decode/sample/featurize/aggregate chain "
-    "every video pipeline runs, as ONE plan. Deterministic stub "
-    "decode (byte slicing) lets DuckDB re-derive every frame's bytes "
-    "from the encoding rule, so the whole chain is value-checked, "
-    "fan-out arithmetic included.",
+    "with a duration -> frame sampling -> per-frame feature kernel -> "
+    "per-media rollup, FUSED into one Arrow-batched pass "
+    "(operators/multimodal.py:rollup_frame_features, r12 per guide "
+    "§8.4: downstream needs only per-frame length+checksum proxies "
+    "and each media's frames live with the media row, so frame bytes "
+    "never cross the Python boundary and the per-frame shuffle "
+    "disappears; the unfused sample_frames -> extract_features chain "
+    "remains the serving composition and the fused pass is pinned "
+    "value-identical to it in tests). Deterministic stub decode "
+    "(byte slicing) lets DuckDB re-derive every frame's bytes from "
+    "the encoding rule, so the whole chain is value-checked, fan-out "
+    "arithmetic included.",
     tags=("E37", "§2.10"),
 )
 def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
-        extract_features,
-        sample_frames,
+        rollup_frame_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2157,20 +2160,7 @@ def multimodal_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
-    frames = sample_frames(media, every_ms=100, frame_bytes=64)
-    feats = extract_features(
-        frames.select("media_id", "frame_idx", F.col("frame").alias("payload")),
-        id_cols=("media_id", "frame_idx"),
-    )
-    return (
-        feats.select("media_id", "n_bytes", "checksum")
-        .groupBy("media_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_frames"),
-            F.sum("n_bytes").alias("bytes_total"),
-            F.sum("checksum").alias("checksum_total"),
-        )
-    )
+    return rollup_frame_features(media, every_ms=100, frame_bytes=64)
 
 
 @register(

@@ -196,3 +196,55 @@ def test_decode_fragmented_mp4_and_avif_headers():
 
     m = decode_media(encode_minimal_mp4(10, 5, 400))
     assert m["n_fragments"] is None and m["duration_ms"] == 400
+
+
+def test_rollup_frame_features_matches_unfused_chain(spark):
+    """r12 fused rollup pin: ``rollup_frame_features`` must be
+    value-identical to the chain it replaces in
+    ``multimodal_frame_rollup`` — sample_frames -> extract_features ->
+    groupBy(media_id).agg(count, sum(n_bytes), sum(checksum)) — over
+    every edge shape: None payload, empty payload with a duration,
+    payload shorter than one frame, tail-partial frames, and the
+    wraparound case where n_frames * frame_bytes > len(body)."""
+    from ccxt_ohlcv_fetcher_spark.operators.multimodal import (
+        extract_features,
+        rollup_frame_features,
+        sample_frames,
+    )
+
+    rows = [
+        (1, bytes(range(100)) * 1, ("video", "video/mp4", 4, 4, 2500)),
+        (2, b"y" * 10, ("image", "image/png", 4, 4, None)),
+        (3, None, ("image", "image/png", 4, 4, None)),
+        (4, b"", ("video", "video/mp4", 4, 4, 3000)),
+        (5, bytes(range(30)), ("video", "video/mp4", 4, 4, 5000)),
+        (6, None, ("video", "video/mp4", 4, 4, 2000)),
+        (7, bytes(range(256)) * 3, ("video", "video/mp4", 4, 4, 999)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<kind:string,mime:string,width:int,height:int,duration_ms:long>",
+    )
+
+    frames = sample_frames(media, every_ms=1000, frame_bytes=64)
+    feats = extract_features(
+        frames.select("media_id", "frame_idx", F.col("frame").alias("payload")),
+        id_cols=("media_id", "frame_idx"),
+    )
+    unfused = {
+        r["media_id"]: (r["n_frames"], r["bytes_total"], r["checksum_total"])
+        for r in feats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("n_bytes").alias("bytes_total"),
+            F.sum("checksum").alias("checksum_total"),
+        )
+        .collect()
+    }
+    fused = {
+        r["media_id"]: (r["n_frames"], r["bytes_total"], r["checksum_total"])
+        for r in rollup_frame_features(media, every_ms=1000, frame_bytes=64).collect()
+    }
+    assert fused == unfused
+    assert set(fused) == {1, 2, 3, 4, 5, 6, 7}
