@@ -124,7 +124,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(keep, "shingle", "left_semi")
+        # the capped table feeds THREE consumers (sizes + both join
+        # sides); without the pin each re-runs the DF groupBy + the
+        # semi-join (r12, guide §2.4)
+        sh = sh.join(keep, "shingle", "left_semi").localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -814,7 +819,10 @@ def duplicate_span_stats(
         md5_long(F.col("_text").substr(F.col("_pos"), F.lit(span_len))).alias(
             "span_h"
         ),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # ^ feeds the dup-span DF filter AND the flag join probe side — pin
+    # so the explode+hash+distinct runs once per execution (r12, §2.4);
+    # linear in corpus size (8-byte hashed keys), never a pair fan-out
     dup = (
         spans.groupBy("span_h")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -6,11 +6,12 @@ directions that matter).
 
 Two tiers, same contract:
 
-- **Exact relational Gram/covariance** (:func:`gram_moments`): explode
-  to (vec_id, dim, value), self-join per vector on the id, aggregate
-  decimal-exact raw moments per (i, j) dim pair. Fully SQL-expressible
-  -> DuckDB-oracled, every moment bit-checked. The i<=j triangle keeps
-  the fan-out to d*(d+1)/2 per vector. This is the CORRECTNESS anchor.
+- **Exact relational Gram/covariance** (:func:`gram_moments`): each
+  row expands to its own (i, j, x*y) upper triangle map-side (nested
+  array transform — no explode + self-join), then order-pinned sums
+  per (i, j) dim pair. Fully SQL-expressible -> DuckDB-oracled, every
+  moment bit-checked. The i<=j triangle keeps the fan-out to
+  d*(d+1)/2 per vector. This is the CORRECTNESS anchor.
 - **Arrow-batched partial Gram** (:func:`gram_moments_partial`): one
   ``mapInPandas`` pass computing per-batch X^T X / column sums with
   numpy, then one tiny groupBy over d*(d+1)/2 keyed partials. This is
@@ -76,17 +77,44 @@ def gram_moments(
     (i, j, n, sum_xy, sum_x, sum_y) — enough to derive Gram, covariance
     and correlation downstream without touching the data again. Sums
     are order-pinned folds (see :func:`_ordered_sum`)."""
-    e1 = explode_dims(emb, id_col, vec_col)
-    e2 = (
-        e1.withColumnRenamed("i", "j")
-        .withColumnRenamed("x", "y")
+    # r12: the (i, j, x*y) upper triangle is generated PER ROW from the
+    # array itself (nested transform, i <= j only) instead of exploding
+    # to (id, i, x) and self-joining on the id — same multiset of
+    # products (each x_i * x_j computed from the same double-cast
+    # elements), so the id-ordered fold below is bit-identical, but the
+    # plan drops the join, the broadcast of the exploded table and two
+    # of the four scan+explode subtrees (guide §2.4: remove shuffles
+    # outright; §3.3: explode before a join multiplies the work).
+    dbl = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_v"),
     )
-    pairs = e1.join(e2, [id_col]).filter(F.col("i") <= F.col("j"))
+    last = F.size("_v") - 1
+    tri = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), last),
+            lambda i: F.transform(
+                F.sequence(i, last),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (F.get("_v", i) * F.get("_v", j)).alias("xy"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        dbl.filter(F.size("_v") > 0)
+        .select(F.col(id_col), F.explode(tri).alias("p"))
+        .select(id_col, F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy"))
+    )
     m = pairs.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"),
-        _ordered_sum(id_col, F.col("x") * F.col("y")).alias("sum_xy"),
+        _ordered_sum(id_col, F.col("xy")).alias("sum_xy"),
     )
-    dims = e1.groupBy("i").agg(_ordered_sum(id_col, F.col("x")).alias("s"))
+    dims = explode_dims(emb, id_col, vec_col).groupBy("i").agg(
+        _ordered_sum(id_col, F.col("x")).alias("s")
+    )
     return (
         m.join(F.broadcast(dims.select(F.col("i"), F.col("s").alias("sum_x"))), "i")
         .join(

@@ -360,7 +360,11 @@ def enumerate_triangles(
 
 
 def local_clustering(
-    edges: DataFrame, src: str = "pa", dst: str = "pb"
+    edges: DataFrame,
+    src: str = "pa",
+    dst: str = "pb",
+    deg: DataFrame | None = None,
+    tri: DataFrame | None = None,
 ) -> DataFrame:
     """Per-vertex LOCAL clustering coefficient over an undirected,
     deduplicated edge list: ``lcc(v) = 2*t(v) / (deg(v)*(deg(v)-1))``,
@@ -374,10 +378,16 @@ def local_clustering(
     division is exact-int IEEE double division (deterministic
     cross-engine).
 
+    ``deg`` / ``tri`` let a caller inject precomputed (possibly
+    memoized) degree and triangle frames — they must equal
+    :func:`degrees` / :func:`enumerate_triangles` of ``edges``.
+
     Output: (v, deg, tri, lcc).
     """
-    deg = degrees(edges, src, dst)
-    tri = enumerate_triangles(edges, src, dst, deg=deg)
+    if deg is None:
+        deg = degrees(edges, src, dst)
+    if tri is None:
+        tri = enumerate_triangles(edges, src, dst, deg=deg)
     tv = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
         .groupBy("v")

@@ -66,10 +66,17 @@ _DAY_MS = 86_400_000
 )
 def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # user_day feeds the cohort chain AND the activity join; cohort
+    # feeds sizes AND activity — pin both so the fact-sized distinct
+    # and the per-user min run once per execution (r12, §2.4)
     user_day = events.select(
         "user_id", ms(F.date_trunc("day", F.col("ts"))).alias("day_ms")
-    ).distinct()
-    cohort = user_day.groupBy("user_id").agg(F.min("day_ms").alias("cohort_ms"))
+    ).distinct().localCheckpoint(eager=False)
+    cohort = (
+        user_day.groupBy("user_id")
+        .agg(F.min("day_ms").alias("cohort_ms"))
+        .localCheckpoint(eager=False)
+    )
     sizes = cohort.groupBy("cohort_ms").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
@@ -412,9 +419,12 @@ _COPURCHASE_MIN_ORDERS = 2
     tags=("E5", "E13"),
 )
 def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # _copurchase_edges is already memoized + localCheckpointed, so the
-    # 4 consuming subtrees below read materialized blocks.
-    return _copurchase_stats(_copurchase_edges(spark, sf_dir))
+    # _copurchase_edges / _copurchase_deg_tri are memoized +
+    # localCheckpointed, so the 4 consuming subtrees below read
+    # materialized blocks and the triangle enumeration is shared with
+    # part_local_clustering (r12).
+    deg, tri = _copurchase_deg_tri(spark, sf_dir)
+    return _copurchase_stats(_copurchase_edges(spark, sf_dir), deg, tri)
 
 
 _COPURCHASE_MEMO: dict[tuple[str, str], DataFrame] = {}
@@ -476,16 +486,50 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _copurchase_edges_counted(spark, sf_dir).select("pa", "pb")
 
 
-def _copurchase_stats(edges: DataFrame) -> DataFrame:
+_COPURCHASE_TRI_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _copurchase_deg_tri(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Memoized (degrees, triangles) of the co-purchase edge table.
+
+    TWO registered queries (copurchase_graph_stats,
+    part_local_clustering) each enumerated the same triangle set per
+    execution — two degree joins + the wedge/closing equi-joins over
+    the checkpointed edge list, rebuilt every time. The triangle list
+    and the degree frame are immutable per (session, sf_dir) exactly
+    like the edge table they derive from, so they join the same memo
+    discipline (upstream artifact, never a query result; r12)."""
+    key = (session_key(spark), sf_dir)
+    if key not in _COPURCHASE_TRI_MEMO:
+        from ccxt_ohlcv_fetcher_spark.operators.graph import (
+            degrees as graph_degrees,
+            enumerate_triangles,
+        )
+
+        edges = _copurchase_edges(spark, sf_dir)
+        deg = graph_degrees(edges).localCheckpoint()
+        tri = enumerate_triangles(edges, deg=deg).localCheckpoint()
+        _COPURCHASE_TRI_MEMO[key] = (deg, tri)
+    return _COPURCHASE_TRI_MEMO[key]
+
+
+def _copurchase_stats(
+    edges: DataFrame,
+    degrees: DataFrame | None = None,
+    triangles: DataFrame | None = None,
+) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.graph import (
         degrees as graph_degrees,
         enumerate_triangles,
     )
 
-    degrees = graph_degrees(edges)
-    tri = enumerate_triangles(edges, deg=degrees).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    if degrees is None:
+        degrees = graph_degrees(edges)
+    if triangles is None:
+        triangles = enumerate_triangles(edges, deg=degrees)
+    tri = triangles.agg(F.count(F.lit(1)).alias("n_triangles"))
     wedges = degrees.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
         .cast("long")
@@ -565,7 +609,10 @@ def _copurchase_stats(edges: DataFrame) -> DataFrame:
 def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.graph import local_clustering
 
-    out = local_clustering(_copurchase_edges(spark, sf_dir))
+    deg, tri = _copurchase_deg_tri(spark, sf_dir)
+    out = local_clustering(
+        _copurchase_edges(spark, sf_dir), deg=deg, tri=tri
+    )
     return out.select(
         F.col("v").alias("partkey"), "deg", "tri", "lcc"
     )
@@ -1389,34 +1436,45 @@ def _cms_bucket_sql(i: int) -> str:
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("string")
-    hashed = events.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        (md5_long(uid, salt=f"cms{i}") % _CMS_W).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(_CMS_D)
-                ]
-            )
-        ).alias("ib"),
-        "user_id",
-    ).select("ib.i", "ib.bucket", "user_id")
-    sketch = hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    keys = hashed.distinct()
+    # r12: the d-row hash explode previously ran over EVERY EVENT, twice
+    # (sketch build + distinct key rows), plus a third scan for truth.
+    # The bucket is a pure function of user_id, so both sketch and keys
+    # derive from the per-user count table: a bucket's counter is the
+    # sum of its users' event counts, and a user's key rows are its d
+    # buckets. One events pass (the truth groupBy), hashing ~ distinct
+    # users instead of 2x events, bit-identical counters and estimates
+    # (guide §2.3: aggregate before you shuffle/hash).
     truth = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    uid = F.col("user_id").cast("string")
+    hashed = (
+        truth.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (md5_long(uid, salt=f"cms{i}") % _CMS_W).alias(
+                                "bucket"
+                            ),
+                        )
+                        for i in range(_CMS_D)
+                    ]
+                )
+            ).alias("ib"),
+            "user_id",
+            "true_n",
+        )
+        .select("ib.i", "ib.bucket", "user_id", "true_n")
+        .localCheckpoint(eager=False)  # feeds the sketch AND the probe side
+    )
+    sketch = hashed.groupBy("i", "bucket").agg(F.sum("true_n").alias("c"))
     est = (
-        keys.join(F.broadcast(sketch), ["i", "bucket"])
+        hashed.join(F.broadcast(sketch), ["i", "bucket"])
         .groupBy("user_id")
-        .agg(F.min("c").alias("est_n"))
+        .agg(F.min("c").alias("est_n"), F.min("true_n").alias("true_n"))
     )
     return (
-        est.join(truth, "user_id")
-        .select("user_id", "est_n", "true_n")
+        est.select("user_id", "est_n", "true_n")
         .orderBy(F.desc("est_n"), "user_id")
         .limit(10)
     )
@@ -1711,7 +1769,9 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("prev_type").isNotNull())
     pairs = seq.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    # ^ |types|^2 rows, feeds totals AND the final join — pin so the
+    # fact-sized window + count run once per execution (r12, §2.4)
     totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
     return pairs.join(F.broadcast(totals), "prev_type").select(
         "prev_type",
@@ -2097,7 +2157,9 @@ def user_churn_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("t"),
         F.when(F.col("conv_ms").isNull(), 0).otherwise(1).alias("event"),
-    )
+        # feeds per_t AND the cohort total — pin so the two fact-sized
+        # groupBys + the span/conversion join run once (r12, §2.4)
+    ).localCheckpoint(eager=False)
     per_t = obs.groupBy("t").agg(
         F.sum("event").cast("bigint").alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("ended"),
@@ -2470,8 +2532,23 @@ _RULE_TOP = 20
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_n"))
+    # r12: n_orders rides the plan as a 1-row scalar-combine crossJoin
+    # (the part_revenue_abc idiom) instead of an eager driver count —
+    # the distinct-count job previously ran sequentially before the
+    # main action every execution. item is computed ONCE (lazy
+    # checkpoint): the ante/cons broadcasts alias columns differently,
+    # so exchange reuse never fired and each rebuilt distinct+groupBy
+    # from the scan.
+    n_df = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_n_orders"))
+    )
+    item = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("item_n"))
+        .localCheckpoint(eager=False)
+    )
     # pair support from the memoized basket-fold pair table (one
     # shuffle, shared with the whole co-purchase family) instead of a
     # two-shuffle self-join: distinct per-order baskets make the fold
@@ -2494,6 +2571,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ia), "ante")
         .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "ante",
             "cons",
@@ -2504,7 +2582,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "confidence"
             ),
             (
-                F.col("pair_n").cast("double") * F.lit(n_orders)
+                F.col("pair_n").cast("double") * F.col("_n_orders")
                 / (F.col("ante_n").cast("double") * F.col("cons_n"))
             ).alias("lift"),
         )
@@ -2629,27 +2707,36 @@ def event_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ms("ts").alias("t_ms"),
         F.col("event_type").alias("channel"),
     )
+    # r12: the purchase<-touch window join feeds BOTH aggregates and
+    # per_purchase feeds FOUR union branches — unchecked, the plan
+    # executed the scan+join subtree five times (once per branch; the
+    # min_by/max_by SortAggregates defeat exchange reuse). Lazy
+    # localCheckpoints materialize the join fan-out once and the
+    # purchase-grain aggregate once (guide §2.4 / §3.3 plan-truncation).
     j = p.join(
         t,
         (F.col("user_id") == F.col("t_user"))
         & (F.col("t_ms") < F.col("p_ms"))
         & (F.col("t_ms") >= F.col("p_ms") - F.lit(86_400_000)),
         "left",
-    )
+    ).localCheckpoint(eager=False)
     order_key = F.struct(F.col("t_ms"), F.col("t_id"))
     per_purchase = j.groupBy("p_id").agg(
         F.any_value("value").alias("value"),
         F.count("t_id").alias("n"),
         F.min_by("channel", order_key).alias("first_channel"),
         F.max_by("channel", order_key).alias("last_channel"),
-    )
+    ).localCheckpoint(eager=False)
     per_channel = (
         j.filter(F.col("t_id").isNotNull())
         .groupBy("p_id", "channel")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     dec_t = "decimal(18,6)"
-    linear = per_channel.join(per_purchase, "p_id").select(
+    # purchase-grain frame, checkpoint hides its size from the planner:
+    # broadcast explicitly (SMJ otherwise — 2 sort exchanges for a dim-
+    # sized side)
+    linear = per_channel.join(F.broadcast(per_purchase), "p_id").select(
         "channel",
         F.lit("linear").alias("model"),
         ((F.col("value") * F.col("cnt")) / F.col("n")).cast(dec_t).alias("credit"),

@@ -912,7 +912,9 @@ def candle_pair_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_a",
         "close_b",
         (F.col("close_a") - F.col("close_b")).alias("spread"),
-    )
+        # feeds the moment aggregate AND the z-score projection — pin so
+        # the hourly groupBy + pair join run once (r12, §2.4)
+    ).localCheckpoint(eager=False)
     s = p.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("spread").cast("decimal(18,6)")).cast("double").alias("sum_s"),

@@ -42,6 +42,7 @@ ALLOWED_NESTED_LOOP = {
     "bitmap_distinct_rollup",  # daily rows x 1-row span total
     "monthly_revenue_mom",  # monthly rows x 1-row grand total
     "part_revenue_abc",  # per-part rows x 1-row grand total
+    "basket_association_rules",  # rule rows x 1-row distinct-order total
     "event_value_histogram",  # 12 bins x 1-row exact-stats audit row
     "candle_pair_spread",  # spread rows x 1-row moment estimates
     "user_churn_km",  # lifetime-day rows x 1-row cohort total
