@@ -17,6 +17,35 @@ from pyspark.sql import functions as F
 PAGERANK_UNIT = 10**12  # fixed-point: 1.0 == 10^12
 
 
+def pagerank_prepare(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The iteration-invariant PageRank prep: the degree-joined edge
+    table and the vertex table, both checkpointed. Split out (r12) so
+    callers running SEVERAL pageranks over the same graph (plain +
+    personalized on the shared co-purchase edges) build it once per
+    session instead of once per call — pass the result via
+    ``pagerank_fixed_point(prepared=...)``. Values are exactly what
+    the inline build produced (integer degree sums are order-free)."""
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    bi = edges.select(*cols, w.alias("w"))
+    verts = (
+        bi.select(F.col("src").alias("v"))
+        .unionAll(bi.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = bi.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("deg"))
+    wedges = (
+        bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "w", "deg")
+    ).localCheckpoint()
+    return wedges, verts
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iters: int = 10,
@@ -27,6 +56,7 @@ def pagerank_fixed_point(
     checkpoint_every: int = 3,
     stop_on_fixpoint: bool = False,
     personalize: DataFrame | None = None,
+    prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Damped (d=0.85) PageRank over a DIRECTED edge list, in
     fixed-point BIGINT arithmetic (1.0 = ``PAGERANK_UNIT``, floor
@@ -77,18 +107,23 @@ def pagerank_fixed_point(
     rank lineage cut on the checkpoint cadence. Returns (v, rank) with
     rank BIGINT.
     """
-    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
-    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
-    bi = edges.select(*cols, w.alias("w"))
-    verts = (
-        bi.select(F.col("src").alias("v"))
-        .unionAll(bi.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    deg = bi.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("deg"))
-    wedges = (
-        bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "w", "deg")
-    ).localCheckpoint()
+    if prepared is not None:
+        # session-shared prep from pagerank_prepare (r12): skip the
+        # per-call degree join / vertex distinct / checkpoint jobs
+        wedges, verts = prepared
+    else:
+        cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+        w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+        bi = edges.select(*cols, w.alias("w"))
+        verts = (
+            bi.select(F.col("src").alias("v"))
+            .unionAll(bi.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        deg = bi.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("deg"))
+        wedges = (
+            bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "w", "deg")
+        ).localCheckpoint()
     basedf = None
     if personalize is not None:
         seed_col = personalize.columns[0]

@@ -413,7 +413,11 @@ def allpairs_cosine_topk(
     Output: (vec_id, neighbor_id, score, rank), rank 1..k per vec_id,
     ties broken by neighbor id. Self-pairs are excluded.
     """
-    bucketed = sign_lsh_buckets(_with_norm(corpus, vec_col, "_n"), vec_col, n_planes, dim)
+    # both self-join sides (and the multiprobe margin derivation) read
+    # this — pin so the scan + plane dots + bucketing run once (r12)
+    bucketed = sign_lsh_buckets(
+        _with_norm(corpus, vec_col, "_n"), vec_col, n_planes, dim
+    ).localCheckpoint(eager=False)
     right = bucketed.select(
         F.col("bucket"),
         F.col(id_col).alias("_rid"),
