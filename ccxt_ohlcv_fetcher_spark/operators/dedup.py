@@ -929,7 +929,9 @@ def semantic_dedup(
         l2_norm(vec_col).alias("_n"),
         pr.alias("_pr"),
         _assign(vec_col, centroids).alias("cluster"),
-    )
+        # feeds both self-join sides (and the final per-vector output) —
+        # pin so the norm + k-means assignment run once (r12, §2.4)
+    ).localCheckpoint(eager=False)
     a = v.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_a"),

@@ -2064,6 +2064,9 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    # ~months rows, feeds the grand total AND the window projection —
+    # pin so the fact groupBy runs once (r12, §2.4)
+    monthly = monthly.localCheckpoint(eager=False)
     tot = monthly.agg(
         F.sum(dec("revenue")).cast("double").alias("total")
     )
