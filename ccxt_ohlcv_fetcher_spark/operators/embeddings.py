@@ -76,7 +76,13 @@ def gram_moments(
     """Bit-exact raw moments per dim pair (i <= j):
     (i, j, n, sum_xy, sum_x, sum_y) — enough to derive Gram, covariance
     and correlation downstream without touching the data again. Sums
-    are order-pinned folds (see :func:`_ordered_sum`)."""
+    are order-pinned folds (see :func:`_ordered_sum`).
+
+    Contract: ``id_col`` values must be UNIQUE. Each row contributes
+    its own per-row products; rows sharing an id would each contribute
+    independently (the sensible semantics), whereas the pre-r12
+    explode+self-join form cross-multiplied same-id rows — so the two
+    forms only agree on unique ids, which every caller guarantees."""
     # r12: the (i, j, x*y) upper triangle is generated PER ROW from the
     # array itself (nested transform, i <= j only) instead of exploding
     # to (id, i, x) and self-joining on the id — same multiset of

@@ -106,9 +106,22 @@ def pagerank_fixed_point(
     table + one groupBy(dst) — two shuffles over (edge, rank) rows;
     rank lineage cut on the checkpoint cadence. Returns (v, rank) with
     rank BIGINT.
+
+    ``prepared``: a ``pagerank_prepare(...)`` result (degree-joined
+    edge table, vertex table). When passed, it REPLACES the
+    ``edges``/``src``/``dst``/``weight`` arguments entirely — the
+    caller must have built it from the same graph and weighting it
+    wants ranked (a prep from a different graph silently produces that
+    graph's ranks). Passing ``weight`` alongside ``prepared`` raises,
+    since the weight could not be honored.
     """
     if prepared is not None:
-        # session-shared prep from pagerank_prepare (r12): skip the
+        if weight is not None:
+            raise ValueError(
+                "prepared= already encodes the edge weighting; "
+                "weight= cannot be honored alongside it"
+            )
+        # iteration-invariant prep from pagerank_prepare: skip the
         # per-call degree join / vertex distinct / checkpoint jobs
         wedges, verts = prepared
     else:

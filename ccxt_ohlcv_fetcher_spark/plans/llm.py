@@ -133,6 +133,20 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_MEMO[key]
 
 
+def _doc_shingles_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EXECUTION lazy pin of the same shingle table (r13): for the
+    two consumers whose r12 rewrite leaned on the session memo above
+    (train_test_contamination, corpus_clean_pipeline), the timed
+    execution must include its own tokenize+shingle build — the memo is
+    reserved for the pre-r12 consumers accepted in earlier rounds. The
+    pin still lets both train/test slice filters read ONE materialized
+    shingle block per execution instead of re-tokenizing per slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_sets(docs, "text", "doc_id", n=3).localCheckpoint(
+        eager=False
+    )
+
+
 @register(
     "jaccard_dup_pairs",
     oracle=f"""
@@ -392,9 +406,16 @@ def _incremental_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir) + "|" + ";".join(parts)
     path = _MINHASH_INDEX_MEMO.get(key)
     if path is None or not os.path.isdir(os.path.join(path, "_manifests")):
+        import tempfile
+
+        # r13: the store lives under a per-PROCESS tempdir (the
+        # _persisted_ann_index discipline) instead of a fixed /tmp path
+        # keyed on the testdata fingerprint — a fresh bench/oracle run
+        # always pays the cold build; the content fingerprint in the key
+        # still guards against serving a stale corpus within a process.
         digest = hashlib.md5(key.encode()).hexdigest()[:10]
         path = os.path.join(
-            "/tmp/spark_graft_minhash_index", f"docs_{digest}"
+            tempfile.mkdtemp(prefix="minhash_index_"), f"docs_{digest}"
         )
         store = _minhash_index_store(spark, path)
         if store.latest_version() == 0:
@@ -1220,7 +1241,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result is identical, but the dedup+quality join tree isn't
     # re-executed a second time just to grow shingles (whole pipeline
     # 6.7 -> 1.8 s at sf0.1; PERFORMANCE.md §7)
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles_pinned(spark, sf_dir)
     flagged = (
         ngram_contamination_pairs(
             train, test, "text", "doc_id", n=3,
@@ -1333,9 +1354,10 @@ def train_test_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
     test = docs.filter(F.col("doc_id") % 10 == 0)
-    # r12: both slices' shingle sets are filters of the session-memoized
-    # shingle checkpoint — skip re-tokenizing each slice per execution
-    sh = _doc_shingles(spark, sf_dir)
+    # r13: both slices' shingle sets are filters of ONE per-execution
+    # pinned shingle table — tokenized once per execution (not per
+    # slice), and the build stays inside the timed region
+    sh = _doc_shingles_pinned(spark, sf_dir)
     return ngram_contamination_pairs(
         train, test, "text", "doc_id", n=3,
         train_shingles=sh.filter(F.col("doc_id") % 10 != 0),

@@ -15,32 +15,28 @@ from ccxt_ohlcv_fetcher_spark.operators.resample import resample_ohlcv
 from ccxt_ohlcv_fetcher_spark.plans.registry import (
     ms,
     register,
-    session_key,
     sql_ms,
 )
 from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
 
 # the 1h OHLCV candle table over events — the shared upstream of the
 # whole candle family (indicators, EMA/Holt folds, seasonal decompose,
-# quality audit, log-returns). Memoized per (session, sf_dir, keys) as
-# a localCheckpointed frame, the _doc_shingles pattern: the scan +
-# bucket groupBy runs once per session instead of once per consuming
-# execution. resample_ohlcv_1h (whose RESULT is this table) computes
-# fresh per execution — query results are never cached, only shared
-# upstream artifacts (r12).
-_RESAMPLE_MEMO: dict[tuple, DataFrame] = {}
-
-
+# quality audit, log-returns). Pinned per EXECUTION as a lazy
+# localCheckpoint (r13): the r12 session memo amortized the resample
+# build into the first execution and out of every later timed run — a
+# candle resample is not a build-once/serve-many artifact, so each
+# consuming execution now pays its own build. The cross-query CODE
+# sharing stays; only the cross-execution block sharing is gone. The
+# pin still matters inside one execution: consumers with 2+ branches
+# over the candle table read one materialized block instead of
+# re-running scan + bucket groupBy per branch.
 def _resampled_1h(
     spark: SparkSession, sf_dir: str, keys: tuple[str, ...] = ()
 ) -> DataFrame:
-    key = (session_key(spark), sf_dir, keys)
-    if key not in _RESAMPLE_MEMO:
-        events = load_table(spark, sf_dir, "events")
-        _RESAMPLE_MEMO[key] = resample_ohlcv(
-            events, "1h", ts_col="ts", price_col="value", keys=keys
-        ).localCheckpoint()
-    return _RESAMPLE_MEMO[key]
+    events = load_table(spark, sf_dir, "events")
+    return resample_ohlcv(
+        events, "1h", ts_col="ts", price_col="value", keys=keys
+    ).localCheckpoint(eager=False)
 
 
 @register(

@@ -46,6 +46,76 @@ WIDEN_KEYS: dict[str, tuple[str, ...]] = {
 }
 
 
+# below this the widening shuffle is pure scheduling overhead: even a
+# maximal fan-out op over a few hundred rows finishes faster on one
+# task than the exchange + 32-task wave costs (r12's 22-query negative
+# A/B was exactly this shape for the dim-sized tables)
+_WIDEN_MIN_ROWS = 1000
+
+# (path, mtime_ns, size) -> (n_rows, n_row_groups, total_bytes): parquet
+# FOOTER metadata only — never row data — so this is file-listing-cache
+# territory (Spark keeps the equivalent per session), not result caching
+_FOOTER_STATS: dict[tuple[str, int, int], tuple[int, int, int]] = {}
+
+
+def _parquet_footer_stats(path: str) -> tuple[int, int, int]:
+    """(n_rows, n_row_groups, total_bytes) for a parquet file or
+    directory of part files, from the footers (driver-side metadata
+    read, ~ms; replaces the r12 ``df.rdd.getNumPartitions()`` which
+    materialized the plan into an RDD on the driver per load)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _FOOTER_STATS.get(key)
+    if hit is not None:
+        return hit
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    rows = groups = size = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        rows += meta.num_rows
+        groups += meta.num_row_groups
+        size += os.stat(f).st_size
+    _FOOTER_STATS[key] = (rows, groups, size)
+    return rows, groups, size
+
+
+def _size_to_bytes(v: str) -> int:
+    v = v.strip().lower().removesuffix("b")
+    mult = 1
+    if v and v[-1] in "kmg":
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}[v[-1]]
+        v = v[:-1]
+    return int(float(v) * mult)
+
+
+def _scan_split_estimate(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(estimated scan splits, n_rows) for a parquet path.
+
+    Spark carves files into ``maxPartitionBytes`` byte ranges (each file
+    additionally charged ``openCostInBytes``), but a row group is
+    consumed whole by the split owning its midpoint — so the EFFECTIVE
+    scan parallelism is bounded by both the byte-range count and the
+    total row-group count. Derived entirely from footer metadata."""
+    rows, groups, size = _parquet_footer_stats(path)
+    max_pb = _size_to_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    byte_splits = max(1, -(-size // max_pb))
+    return min(byte_splits, max(groups, 1)), rows
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
 ) -> DataFrame:
@@ -79,10 +149,16 @@ def load_table(
     # tz-proof every query: date_trunc & friends are session-tz dependent
     # and the driver's session may not be UTC (runtime conf, safe to set)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if widen:
         parallelism = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < parallelism:
+        # gate on input stats (r13): footer-derived split estimate vs
+        # the cluster parallelism AND a row-count floor — a
+        # multi-row-group input at scale already scans wide and skips
+        # the exchange; a dim-sized table is never worth it
+        splits, rows = _scan_split_estimate(spark, path)
+        if splits < parallelism and rows >= _WIDEN_MIN_ROWS:
             key = WIDEN_KEYS.get(name)
             if key:
                 df = df.repartition(

@@ -93,6 +93,70 @@ def test_star_joins_broadcast_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
 
 
+def test_widen_gate_derives_from_footer_stats(spark, tmp_path):
+    """r13: the widen decision derives from parquet FOOTER metadata
+    (scan-split estimate vs defaultParallelism, plus a row-count floor)
+    with no driver-side plan materialization. An input whose footers
+    already promise a wide scan (many row groups AND enough bytes per
+    maxPartitionBytes) must SKIP the widening exchange; a
+    single-row-group fan-out table must still widen; a dim-sized table
+    must never widen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccxt_ohlcv_fetcher_spark.sources.tables import load_table
+
+    def write_docs(dirname: str, n_rows: int, row_group_size: int) -> str:
+        d = tmp_path / dirname
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n_rows), type=pa.int64()),
+                "text": ["word " * 8] * n_rows,
+                "lang": ["en"] * n_rows,
+                "source": ["t"] * n_rows,
+                "n_chars": pa.array([40] * n_rows, type=pa.int64()),
+            }
+        )
+        pq.write_table(
+            tbl, str(d / "documents.parquet"), row_group_size=row_group_size
+        )
+        return str(d)
+
+    needle = "Exchange hashpartitioning(pmod(xxhash64(doc_id"
+
+    # (a) one row group, above the row floor -> widen fires
+    one_rg = write_docs("one_rg", 2000, 1_000_000)
+    plan = load_table(spark, one_rg, "documents")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert needle in plan, plan
+
+    # (b) dim-sized table -> never widened, whatever its layout
+    tiny = write_docs("tiny", 200, 1_000_000)
+    plan = load_table(spark, tiny, "documents")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert needle not in plan, plan
+
+    # (c) many row groups and a maxPartitionBytes that carves at least
+    # defaultParallelism byte splits -> the scan is already wide, the
+    # exchange is skipped (the 100 TB shape)
+    par = spark.sparkContext.defaultParallelism
+    many_rg = write_docs("many_rg", 4096, 4096 // (2 * par))
+    import os
+
+    size = os.stat(os.path.join(many_rg, "documents.parquet")).st_size
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(max(1, size // (2 * par)))
+        )
+        plan = load_table(spark, many_rg, "documents")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert needle not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_observe_metrics_piggyback(spark, sf_dir):
     """Observation metrics ride the existing action (no second scan) —
     the built-in way to get row counts / sums out of a pipeline run,
