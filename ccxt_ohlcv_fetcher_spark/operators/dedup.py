@@ -496,6 +496,20 @@ def _cc_labels(
     # that pipeline (measured 5.4 s -> 2.9 s on dup_doc_components
     # at sf0.1; PERFORMANCE.md §7)
     und = und.localCheckpoint(eager=True)
+    from ccxt_ohlcv_fetcher_spark.operators.graph import loop_conf
+
+    # cheap count over the checkpoint's materialized blocks; sizes the
+    # label loop's shuffles to the edge set (no-op at scale). AQE stays
+    # ON here — measured neutral-to-better for the CC label loop
+    # (0.86 s vs 0.93 s without, incremental_components sf0.1).
+    n_edges = und.count()
+    with loop_conf(und.sparkSession, n_edges, aqe_off=False):
+        return _cc_labels_loop(und, max_iter, pointer_jumping)
+
+
+def _cc_labels_loop(
+    und: DataFrame, max_iter: int, pointer_jumping: bool
+) -> DataFrame:
     # propagation only ever changes labels of nodes that touch an edge;
     # isolated nodes are their own component and join back at the end.
     # For a near-dup graph that shrinks the iterated table from |corpus|

@@ -11,10 +11,62 @@ independent (and therefore oracle-exact cross-engine).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PAGERANK_UNIT = 10**12  # fixed-point: 1.0 == 10^12
+
+# ~bytes per (long, long, long)-ish loop row; the estimate only has to
+# land the right order of magnitude for the partition derivation
+_LOOP_ROW_BYTES = 48
+_LOOP_TARGET_PARTITION_BYTES = 64 << 20
+
+
+@contextmanager
+def loop_conf(
+    spark, est_rows: int, aqe_off: bool = False, row_bytes: int = _LOOP_ROW_BYTES
+):
+    """Scale an iterative loop's shuffle width to its WORKING SET
+    (guide §2.2: size partitions from the data, don't inherit a
+    constant tuned for another regime). Iterative graph loops shuffle
+    the same small per-round tables 10-50 times; at demo scale those
+    tables are a few MB, so session-width AQE-waved stages per round
+    are pure scheduling — while at 100 TB the derived count meets or
+    exceeds the session conf and this scope is a NO-OP.
+
+    ``aqe_off`` additionally removes AQE's per-shuffle-stage job
+    materialization for the loop — applied only in the same small-
+    working-set regime (the no-op branch keeps AQE at scale, where its
+    per-round skew/broadcast decisions are worth the latency).
+    Measured (alternating min-of-4, sf0.1): part_pagerank 1.77->0.77 s,
+    part_pagerank_personalized 2.55->1.72 s, copurchase_k_core
+    1.38->0.98 s; connected-components label loops keep AQE on
+    (0.86 s with vs 0.93 s without). Shuffle width and AQE never
+    change results — every loop here is order-free integer arithmetic.
+    """
+    try:
+        session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        session = spark.sparkContext.defaultParallelism
+    derived = max(
+        2,
+        -(-max(est_rows, 1) * row_bytes // _LOOP_TARGET_PARTITION_BYTES),
+    )
+    if derived >= session:
+        yield
+        return
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(derived))
+    if aqe_off:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session))
+        if aqe_off:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def pagerank_prepare(
@@ -137,6 +189,26 @@ def pagerank_fixed_point(
         wedges = (
             bi.join(deg, bi["src"] == deg["v"]).select("src", "dst", "w", "deg")
         ).localCheckpoint()
+    spark = wedges.sparkSession
+    # the degree-joined edge table IS the per-round working set; its
+    # count is a cheap job over the checkpoint's materialized blocks
+    n_edges = wedges.count()
+    with loop_conf(spark, n_edges, aqe_off=True):
+        return _pagerank_loop(
+            wedges, verts, n_iters, rejoin_receiverless,
+            checkpoint_every, stop_on_fixpoint, personalize,
+        )
+
+
+def _pagerank_loop(
+    wedges: DataFrame,
+    verts: DataFrame,
+    n_iters: int,
+    rejoin_receiverless: bool,
+    checkpoint_every: int,
+    stop_on_fixpoint: bool,
+    personalize: DataFrame | None,
+) -> DataFrame:
     basedf = None
     if personalize is not None:
         seed_col = personalize.columns[0]
@@ -295,28 +367,31 @@ def k_core(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint(eager=False)
     n_prev = cur.count()
-    for _ in range(max_rounds):
-        if n_prev == 0:
-            break
-        both = cur.select(F.col("src").alias("v")).unionAll(
-            cur.select(F.col("dst").alias("v"))
-        )
-        keep = (
-            both.groupBy("v")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("v")
-        )
-        nxt = (
-            cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
-        )
-        n = nxt.count()
-        if n == n_prev:
-            break
-        cur, n_prev = nxt, n
+    # the peel loop's working set only shrinks from here, so the
+    # initial edge count bounds every round (see loop_conf)
+    with loop_conf(edges.sparkSession, n_prev, aqe_off=True):
+        for _ in range(max_rounds):
+            if n_prev == 0:
+                break
+            both = cur.select(F.col("src").alias("v")).unionAll(
+                cur.select(F.col("dst").alias("v"))
+            )
+            keep = (
+                both.groupBy("v")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("v")
+            )
+            nxt = (
+                cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .localCheckpoint(eager=False)
+            )
+            n = nxt.count()
+            if n == n_prev:
+                break
+            cur, n_prev = nxt, n
     return cur
 
 

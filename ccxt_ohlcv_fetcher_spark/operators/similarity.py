@@ -706,9 +706,11 @@ def ivf_cosine_topk_scoreaware(
         )
         .filter(F.col("_sk").isNull() | (F.col("_bound") >= F.col("_sk")))
         .select(query_id, "_qn", query_vec, "_cell")
-        .localCheckpoint(eager=False)
     )
     if stats_out is not None:
+        # pin only when the telemetry count adds a second consumer; on
+        # the serving path cand_rest is rest's sole consumer (r13)
+        rest = rest.localCheckpoint(eager=False)
         stats_out["rest_pairs"] = rest.count()
         stats_out["full_rest_pairs"] = queries.count() * (n_probe - 1)
         stats_out["radii"] = {

@@ -143,9 +143,12 @@ def query_ann_index(
     as ``ann_cosine_topk``) become a STATIC ``bucket IN (...)``
     predicate, so the parquet scan prunes to the probed directories."""
     q = _probed_queries(queries, dim, n_planes, multiprobe, query_vec)
-    # driver-side probe set (|Q| * (1+m) longs) -> static partition filter
+    # driver-side probe set (|Q| * (1+m) longs) -> static partition
+    # filter. No distinct() before the collect (r13): the set() dedupes
+    # driver-side, and the distinct was a full shuffle + its own AQE
+    # job wave just to shrink an already-bounded collect.
     probe_buckets = sorted(
-        {r["bucket"] for r in q.select("bucket").distinct().collect()}
+        {r["bucket"] for r in q.select("bucket").collect()}
     )
     index = spark.read.parquet(path).filter(F.col("bucket").isin(probe_buckets))
     return _exact_topk(index, q, k, id_col, vec_col, query_id, query_vec)
@@ -213,10 +216,15 @@ def query_ann_index_scoreaware(
         # bounded side, so caching it is scale-safe (r12)
         .localCheckpoint(eager=False)
     )
+    # ONE read of the index path (r13): each spark.read.parquet() call
+    # re-runs footer schema inference as its own driver job; both probe
+    # phases filter the same relation
+    index = spark.read.parquet(path)
+    # bounded |Q|-row collect; set() dedupes, so no distinct shuffle (r13)
     home_buckets = sorted(
-        {r["bucket"] for r in q.select("bucket").distinct().collect()}
+        {r["bucket"] for r in q.select("bucket").collect()}
     )
-    idx1 = spark.read.parquet(path).filter(F.col("bucket").isin(home_buckets))
+    idx1 = index.filter(F.col("bucket").isin(home_buckets))
     cand_home = (
         idx1.join(
             F.broadcast(q.select(query_id, "bucket", "_qn", query_vec)), "bucket"
@@ -271,8 +279,9 @@ def query_ann_index_scoreaware(
         )
         .localCheckpoint(eager=False)
     )
+    # bounded collect (<= |Q| * m rows); set() dedupes driver-side (r13)
     flip_buckets = sorted(
-        {r["bucket"] for r in probe2.select("bucket").distinct().collect()}
+        {r["bucket"] for r in probe2.select("bucket").collect()}
     )
     if stats_out is not None:
         stats_out["home_buckets"] = len(home_buckets)
@@ -281,7 +290,7 @@ def query_ann_index_scoreaware(
         stats_out["full_flip_pairs"] = queries.count() * m
     scored = cand_home
     if flip_buckets:
-        idx2 = spark.read.parquet(path).filter(F.col("bucket").isin(flip_buckets))
+        idx2 = index.filter(F.col("bucket").isin(flip_buckets))
         cand_flip = idx2.join(F.broadcast(probe2), "bucket").select(
             query_id,
             F.col(id_col),
@@ -383,8 +392,9 @@ def query_ann_index_logged(
     import os as _os
 
     q = _probed_queries(queries, dim, n_planes, multiprobe, query_vec)
+    # bounded collect; set() dedupes, so no distinct shuffle (r13)
     probe_buckets = sorted(
-        {r["bucket"] for r in q.select("bucket").distinct().collect()}
+        {r["bucket"] for r in q.select("bucket").collect()}
     )
     store = _index_store(spark, path)
     files: set[str] = set()
@@ -581,7 +591,8 @@ def query_ivfpq_index(
             F.explode(_top_cells(query_vec, n_probe)).alias("cell"),
         )
     )
-    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # bounded collect; set() dedupes, so no distinct shuffle (r13)
+    cells = sorted({r["cell"] for r in probes.select("cell").collect()})
     index = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin([int(c) for c in cells]))

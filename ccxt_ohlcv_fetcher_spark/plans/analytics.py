@@ -500,11 +500,18 @@ def _copurchase_deg_tri(
     from ccxt_ohlcv_fetcher_spark.operators.graph import (
         degrees as graph_degrees,
         enumerate_triangles,
+        loop_conf,
     )
 
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = graph_degrees(edges).localCheckpoint(eager=False)
-    tri = enumerate_triangles(edges, deg=deg).localCheckpoint(eager=False)
+    # build the pins EAGERLY under a graph-sized shuffle scope (r13):
+    # the degree groupBy and the wedge/closing triangle joins move a
+    # few thousand rows here — built lazily they would run at session
+    # width under AQE at action time; the scope is a no-op at scale
+    n_edges = _copurchase_edges_counted(spark, sf_dir).count()
+    with loop_conf(spark, n_edges, aqe_off=True):
+        edges = _copurchase_edges(spark, sf_dir)
+        deg = graph_degrees(edges).localCheckpoint()
+        tri = enumerate_triangles(edges, deg=deg).localCheckpoint()
     return deg, tri
 
 
@@ -744,9 +751,17 @@ def _pagerank_prep(spark: SparkSession, sf_dir: str):
     artifact). Splitting the prep out of the loop stays — it is still
     built exactly once per query execution instead of once per
     iteration, and the two pagerank queries share the CODE path."""
-    from ccxt_ohlcv_fetcher_spark.operators.graph import pagerank_prepare
+    from ccxt_ohlcv_fetcher_spark.operators.graph import (
+        loop_conf,
+        pagerank_prepare,
+    )
 
-    return pagerank_prepare(_copurchase_bidirected(spark, sf_dir))
+    # size the prep's shuffles (vertex distinct, degree join) to the
+    # graph itself — a cheap count over the memoized edge checkpoint's
+    # materialized blocks; no-op at scale (see loop_conf)
+    n_edges = _copurchase_edges_counted(spark, sf_dir).count()
+    with loop_conf(spark, 2 * n_edges, aqe_off=True):
+        return pagerank_prepare(_copurchase_bidirected(spark, sf_dir))
 
 
 _PPR_BRAND = "Brand#11"

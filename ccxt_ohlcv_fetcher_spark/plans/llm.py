@@ -536,6 +536,20 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- E35: similarity search -------------------------------------------------
 
 
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared 10-vector query workload, loaded UNWIDENED (r13):
+    the embeddings fan-out widen is right for the corpus side, but the
+    10-row query slice inherited it — so every query-side stage of
+    every ANN tier ran one task per widened partition (32 tasks to
+    move 10 rows) in each probe phase, and paid the widen exchange on
+    a dim-sized frame. Same rows either way (a repartition never
+    changes values); the scan's vec_id < 10 filter pushes down."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
 @register(
     "cosine_topk_exact",
     oracle=f"""
@@ -563,9 +577,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     out = cosine_topk(emb, queries, k=5)
     return out.select("q_id", "vec_id", "score", F.col("rank").cast("int").alias("rank"))
 
@@ -731,9 +743,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return ann_cosine_topk(
         emb, queries, k=5, dim=64, n_planes=4,
         multiprobe=6, adaptive=True, probe_depth=2,
@@ -753,9 +763,7 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_cosine_topk_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return ann_cosine_topk(
         emb, queries, k=5, dim=64, n_planes=8, multiprobe=4, adaptive=True
     )
@@ -776,9 +784,7 @@ def ann_cosine_topk_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_cosine_topk_lsh_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return ann_cosine_topk(
         emb, queries, k=5, dim=64, n_planes=8, multiprobe=6,
         adaptive=True, probe_depth=2,
@@ -832,10 +838,7 @@ def ann_scoreaware_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_ann_index_scoreaware,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return query_ann_index_scoreaware(
         spark, _persisted_ann_index(spark, sf_dir), queries,
         k=5, dim=64, n_planes=4, multiprobe=3,
@@ -862,9 +865,7 @@ def ann_scoreaware_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return ivf_cosine_topk_scoreaware(
         emb, queries, k=5, n_cells=16, n_probe=6,
         seed_vectors=_embedding_seeds(spark, sf_dir, 16),
@@ -883,9 +884,7 @@ def ann_scoreaware_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return ivf_cosine_topk(
         emb, queries, k=5, n_cells=16, n_probe=6,
         seed_vectors=_embedding_seeds(spark, sf_dir, 16),
@@ -1106,12 +1105,19 @@ def incremental_components_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_edges = edges.filter(
         ~(in_corpus("id_a") & in_corpus("id_b"))
     )
-    return incremental_components(
-        prev, batch_edges,
-        new_nodes=docs.filter(~in_corpus("doc_id")).select("doc_id"),
-        id_col="doc_id", component_col="comp", src="id_a", dst="id_b",
-        pointer_jumping=False,
-    )
+    # r13: the fold's working set is the batch's contracted edge set (a
+    # slice of the memoized pair table) — size its shuffles accordingly
+    # (cheap count over the checkpoint; no-op at scale). AQE stays on:
+    # measured neutral-to-better for the CC label loop.
+    from ccxt_ohlcv_fetcher_spark.operators.graph import loop_conf
+
+    with loop_conf(spark, edges.count(), aqe_off=False):
+        return incremental_components(
+            prev, batch_edges,
+            new_nodes=docs.filter(~in_corpus("doc_id")).select("doc_id"),
+            id_col="doc_id", component_col="comp", src="id_a", dst="id_b",
+            pointer_jumping=False,
+        )
 
 
 @register(
@@ -1278,9 +1284,7 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.similarity import pq_cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return pq_cosine_topk(
         emb, queries, k=5, dim=64, m=8, n_codes=16, rerank=4,
         seed_vectors=_embedding_seeds(spark, sf_dir, 16),
@@ -1305,9 +1309,7 @@ def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.similarity import ivf_pq_cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return ivf_pq_cosine_topk(
         emb, queries, k=5, dim=64, n_cells=16, n_probe=6, m=8, n_codes=16,
         rerank=4, seed_vectors=_embedding_seeds(spark, sf_dir, 16),
@@ -2345,7 +2347,6 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_MEMO: dict[tuple[str, str], list[list[float]]] = {}
 
 
 @register(
@@ -2367,16 +2368,13 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    # train-once/serve-many: the Lloyd iterations (driver-synced, the
-    # expensive part) run once per (session, sf_dir); repeat builds
-    # label with the converged centroids — the production shape (a
-    # trained model is an artifact, not a per-query computation), and
-    # the same memo rule as the CC labels above
+    # r13: trained per EXECUTION (de-memoized per the r12 verdict's
+    # timed-region rule): the Lloyd iterations are driver-synced jobs
+    # that belong inside each timed run. Deterministic lowest-id init
+    # makes every training run produce identical centroids, so the
+    # labeling result is unchanged.
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (session_key(spark), sf_dir)
-    if key not in _KMEANS_MEMO:
-        _KMEANS_MEMO[key] = kmeans_centroids(emb, k=8, n_iter=3)
-    centroids = _KMEANS_MEMO[key]
+    centroids = kmeans_centroids(emb, k=8, n_iter=3)
     dist2 = F.transform(
         F.lit(centroids),
         lambda c: F.aggregate(
@@ -2389,10 +2387,17 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ),
     )
+    # r13: ONE evaluation of the distance array per row — the sorted
+    # (d, i) pair's head IS (min dist2, argmin), exactly what the two
+    # separate _assign() calls + index lookup computed (HOFs run
+    # interpreted, so the duplicated k x dim evaluation was real work)
+    best = F.array_sort(
+        F.transform(dist2, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )[0]
     return emb.select(
         F.col("vec_id"),
-        _assign("embedding", centroids).alias("cluster"),
-        dist2[_assign("embedding", centroids)].alias("dist2"),
+        best["i"].alias("cluster"),
+        best["d"].alias("dist2"),
     )
 
 
@@ -2404,7 +2409,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_semantic_dedup_plants_and_invariants
     doc="SemDeDup semantic deduplication (Abbas et al. 2023; the 8th "
     "dedup signal, op E33/E34/E35 composition): k-means clusters the "
-    "embedding space (trained once per session via the shared memo), "
+    "embedding space (deterministic training, same centroids as "
+    "kmeans_embedding_clusters), "
     "then cosine pairs are generated ONLY within a cluster — an EQUI "
     "join on the cluster id, so candidates cost ~N^2/k and shuffle by "
     "cluster instead of broadcasting the corpus; at 100 TB, k scales "
@@ -2420,11 +2426,9 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccxt_ohlcv_fetcher_spark.operators.dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    key = (session_key(spark), sf_dir)
-    if key not in _KMEANS_MEMO:
-        _KMEANS_MEMO[key] = kmeans_centroids(emb, k=8, n_iter=3)
+    # r13: trained per execution (see kmeans_embedding_clusters)
     return semantic_dedup(
-        emb, threshold=0.88, centroids=_KMEANS_MEMO[key]
+        emb, threshold=0.88, centroids=kmeans_centroids(emb, k=8, n_iter=3)
     )
 
 
@@ -3430,10 +3434,7 @@ def ann_opq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_opq_index_logged,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return query_opq_index_logged(
         spark, _persisted_opq_index(spark, sf_dir), queries, k=5, rerank=4
     )
@@ -3543,9 +3544,7 @@ def ann_truncated_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    queries = _ann_queries(spark, sf_dir)
     return truncated_rerank_topk(emb, queries, k=5, trunc_dim=32, overfetch=4)
 
 

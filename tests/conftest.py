@@ -17,7 +17,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("tests", shuffle_partitions=8)
+    # r13: the test session runs on local[8] by default. The fixtures
+    # are tiny (sf0.001), so task-scheduling overhead dominates and 8
+    # cores measured strictly faster than 32 across the suite
+    # (test_analytics 68 -> 59.5 s, test_llm_ops 265 -> 202 s) — this
+    # is test-infra sizing; bench.py still honors $SPARK_GRAFT_CPUS.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+    spark = get_spark(
+        "tests", master=f"local[{cpus}]", shuffle_partitions=8
+    )
     yield spark
 
 

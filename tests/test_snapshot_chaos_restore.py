@@ -10,6 +10,7 @@ leave no trace."""
 
 from __future__ import annotations
 
+import os
 import random
 import threading
 from collections import Counter
@@ -20,7 +21,10 @@ from ccxt_ohlcv_fetcher_spark.operators.snapshots import (
     SnapshotStore,
 )
 
-N_SCHEDULES = 20
+# r13: smoke-scale slice of the same randomized matrix by default
+# (identical schedules/oracle/assertions); SPARK_GRAFT_NIGHTLY=1
+# restores the full tier (see test_snapshot_chaos.py).
+N_SCHEDULES = 20 if os.environ.get("SPARK_GRAFT_NIGHTLY") else 5
 N_WRITERS = 3
 OPS_PER_WRITER = 3
 

@@ -12,6 +12,7 @@ same state the old full-list manifests recorded.
 
 import json
 import os
+import shutil
 
 import pytest
 
@@ -22,16 +23,32 @@ def _one(spark, v: int):
     return spark.range(v, v + 1).selectExpr("id as v")
 
 
-@pytest.fixture()
-def store105(spark, tmp_path):
-    """105 single-row append commits at interval 20 (checkpoints at
-    20, 40, 60, 80, 100; head 105 = checkpoint 100 + 5-delta tail)."""
+@pytest.fixture(scope="module")
+def _store105_src(spark, tmp_path_factory):
+    """The 105-commit log built ONCE per module (105 sequential commits
+    cost ~17 s); each test gets a private directory COPY below —
+    manifests record relative paths, so a copied log is
+    indistinguishable from a freshly built one."""
+    base = str(tmp_path_factory.mktemp("store105_src") / "t")
     store = SnapshotStore(
-        spark, str(tmp_path / "t"), stats_cols=["v"], checkpoint_interval=20
+        spark, base, stats_cols=["v"], checkpoint_interval=20
     )
     for i in range(105):
         assert store.append(_one(spark, i)) == i + 1
-    return store
+    return base
+
+
+@pytest.fixture()
+def store105(spark, _store105_src, tmp_path):
+    """105 single-row append commits at interval 20 (checkpoints at
+    20, 40, 60, 80, 100; head 105 = checkpoint 100 + 5-delta tail).
+    Private per-test copy: mutating tests (prune/vacuum) stay
+    isolated."""
+    dst = str(tmp_path / "t")
+    shutil.copytree(_store105_src, dst)
+    return SnapshotStore(
+        spark, dst, stats_cols=["v"], checkpoint_interval=20
+    )
 
 
 def test_head_read_touches_checkpoint_plus_tail_only(spark, store105):
