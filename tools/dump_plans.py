@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for named queries to plans/r12/<name>_<suffix>.txt.
+"""Dump .explain("formatted") for named queries to plans/r13/<name>_<suffix>.txt.
 
 Usage: python tools/dump_plans.py <suffix> query [query...]
 Plan text only (plus whatever eager jobs the builder itself runs).
@@ -18,7 +18,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     spark = get_spark("dump_plans")
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = registry[name].builder(spark, sf_dir)
